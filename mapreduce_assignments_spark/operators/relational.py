@@ -1,0 +1,118 @@
+"""General relational queries over the TPC-H-ish testdata tables.
+
+The reference has no general SQL surface (every query is a compiled
+MR driver), but the engine is DataFrame/SQL-native, so full relational
+capability comes with the substrate. These queries are the engine's
+flagship demonstrations: multi-way joins with broadcast dimension
+tables, decimal-exact aggregation, top-k, and window analytics.
+
+Oracle-parity note: monetary aggregates are computed in DECIMAL so
+Spark and DuckDB agree bit-for-bit regardless of summation order, then
+rounded and cast to double for the result schema.
+
+Scale design: nation/region/customer-sized dims are broadcast
+(``F.broadcast``); fact-side filters sit directly on the scan so
+Parquet pushdown prunes row groups; aggregations are partial+final.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+__all__ = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "revenue_by_nation",
+    "user_sessions",
+]
+
+_DEC = "decimal(28,6)"
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast(_DEC)
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> DataFrame:
+    """TPC-H Q1-style pricing summary report."""
+    li = lineitem.where(F.col("l_shipdate") < F.lit(ship_before).cast("timestamp"))
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(_DEC) + _dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 6).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 6).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 6).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 6).cast("double").alias("sum_charge"),
+            F.round(F.avg(_dec("l_quantity")), 6).cast("double").alias("avg_qty"),
+            F.round(F.avg(_dec("l_discount")), 6).cast("double").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_revenue_orders(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
+) -> DataFrame:
+    """TPC-H Q3-style: top-k orders by discounted revenue with
+    customer segment context. Customer is broadcast; the orders ⋈
+    lineitem join shuffles on the key both sides already share."""
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    )
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("o_orderkey", "c_mktsegment", "o_orderdate")
+        .agg(F.round(revenue, 6).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def revenue_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5-flavored star join: revenue per nation. All dimension
+    tables broadcast; only the lineitem ⋈ orders join shuffles."""
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+    )
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name", "r_name")
+        .agg(F.round(revenue, 6).cast("double").alias("revenue"))
+    )
+
+
+def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via window functions: a new session starts when
+    the gap from a user's previous event exceeds ``gap_minutes``.
+    Returns ``(user_id, n_sessions, n_events)``.
+
+    Window is partitioned by user_id — at 100 TB this shuffles once on
+    user_id with AQE skew-splitting for celebrity users.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return (
+        events.select("user_id", "ts")
+        .withColumn("new_session", is_new)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )

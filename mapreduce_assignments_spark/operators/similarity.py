@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns.
+
+North-star extension operators (BASELINE.json): approximate-nearest-
+neighbor over ``embeddings(vec_id, embedding ARRAY<FLOAT>, label)``.
+
+- brute-force cosine top-k: the exactness baseline. Queries are
+  broadcast; similarity is a JVM-side higher-order fold
+  (zip_with + aggregate), no Python in the loop; top-k per query is a
+  partial/final TakeOrdered via row_number over a per-query window.
+- IVF (inverted-file) ANN: vectors are bucketed by nearest centroid;
+  a query probes only its own cell — the classic recall/throughput
+  trade. Centroid assignment is the same broadcast fold; at 100 TB the
+  cell id becomes a partition column so probes are partition-pruned.
+
+Determinism notes for oracle parity: similarity is computed in
+float64 after casting, rounded to 6 places BEFORE ranking, with vec_id
+as the tiebreaker — so Spark and DuckDB rank identically.
+
+Embedding dedup (cosine >= threshold over all candidate pairs within
+IVF cells) reuses the same machinery: `embedding_near_dupes`.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+__all__ = [
+    "cosine_similarity",
+    "brute_force_topk",
+    "ivf_assign",
+    "ivf_topk",
+    "embedding_near_dupes",
+]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns — a sequential
+    left-to-right fold in both Spark and DuckDB, so results agree."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10, include_self: bool = False
+) -> DataFrame:
+    """Exact cosine top-k: ``(query_id, neighbor_id, rank, sim)``.
+
+    ``queries`` has (query_id, q ARRAY<FLOAT/DOUBLE>); it is broadcast
+    so the corpus scans once with no shuffle before the top-k.
+    """
+    emb = _as_double(embeddings)
+    q = queries.select(
+        F.col("query_id"), F.col("q").cast("array<double>").alias("q")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.lit(True) if include_self else F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("q"), F.col("embedding")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its max-cosine centroid:
+    ``(vec_id, embedding, cell)``. Centroids (small) are broadcast;
+    ties break to the lowest centroid id."""
+    emb = _as_double(embeddings)
+    cen = centroids.select(
+        F.col("cell_id"), F.col("c").cast("array<double>").alias("c")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell_id"))
+    return (
+        emb.crossJoin(F.broadcast(cen))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell_id",
+            F.round(cosine_similarity(F.col("c"), F.col("embedding")), 6).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cell_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, centroids: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """IVF ANN: search only the query's own cell (nprobe=1).
+    ``(query_id, neighbor_id, rank, sim)`` — rank within the probed
+    cell. At scale, ``cell`` is the physical partition key, so each
+    probe reads one partition instead of the corpus."""
+    assigned = ivf_assign(embeddings, centroids).cache()
+    q_assigned = (
+        assigned.join(
+            queries.select("query_id"), assigned["vec_id"] == F.col("query_id")
+        )
+        .select("query_id", F.col("embedding").alias("q"), F.col("cell").alias("qcell"))
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q_assigned),
+            (assigned["cell"] == F.col("qcell"))
+            & (assigned["vec_id"] != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("q"), F.col("embedding")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def embedding_near_dupes(
+    embeddings: DataFrame, centroids: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ``(id_a, id_b, sim)``
+    (id_a < id_b, sim >= threshold), candidate-limited to IVF cells:
+    the pairwise comparison is quadratic only within a cell."""
+    assigned = ivf_assign(embeddings, centroids)
+    a = assigned.select("cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = assigned.select("cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,187 @@
+"""Text-analytics operators: tokenization, word/bigram counts,
+windowed co-occurrence, PMI.
+
+Capability parity with the reference's assignment 1-2 workloads
+(SURVEY.md §2.2-2.3):
+
+- word count            reference: assignment2/src/main/WordCount.java:34-70
+- bigram count          reference: assignment2/src/main/BigramCount.java:40-78
+- co-occurrence ±window reference: ComputeCooccurrenceMatrixPairs.java:74-121
+                        (stripes variant is a shuffle encoding, not a
+                        distinct semantic — one implementation here)
+- PMI                   reference: PairsPMI.java / StripesPMI.java
+                        (per-document distinct counting, natural log,
+                        joint-doc-count >= threshold, default 10)
+
+Scale design: tokenization and pair generation happen with JVM-side
+higher-order array functions inside a single narrow stage — the ONLY
+shuffle in each operator is the final partial/final hash aggregation
+(Spark's built-in replacement for the reference's hand-written
+combiners, WordCount.java:138). No Python UDFs anywhere. The
+reference's "order inversion" and custom partitioners (PairsPMI.java
+:78-95,137-149) collapse into explicit joins of two aggregates, which
+Catalyst plans with exchange reuse.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = [
+    "tokens_array",
+    "tokenize",
+    "word_count",
+    "bigram_count",
+    "cooccurrence",
+    "pmi",
+]
+
+
+def tokens_array(text_col: Column | str = "text") -> Column:
+    """Whitespace tokenization → array<string>, empty tokens dropped.
+
+    Matches the reference contract: split on ``\\s+`` only, keep
+    apostrophes ("starcross'd" is one token —
+    LookupPostingsCompressed.java:118).
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(col, r"\s+"), lambda w: F.length(w) > 0)
+
+
+def tokenize(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Explode a corpus into ``(doc_id, pos, word)`` — pos is the
+    0-based position within the document's token sequence."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_array(text_col)).alias("pos", "word"),
+    )
+
+
+def word_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word, cnt)`` — one shuffle (partial+final hash agg)."""
+    return (
+        docs.select(F.explode(tokens_array(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bigram_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent-pair counts ``(w1, w2, cnt)`` within each document.
+
+    Pairs are built by zipping the token array with itself shifted by
+    one (arrays_zip of two slices) — a narrow, codegen'd projection.
+    This deliberately avoids the window-function formulation
+    (lead() over doc_id) which would add a shuffle+sort before the
+    aggregation; at 100 TB that extra exchange dominates.
+    """
+    toks = tokens_array(text_col)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cooccurrence(docs: DataFrame, window: int = 2, text_col: str = "text") -> DataFrame:
+    """Directed co-occurrence counts ``(a, b, cnt)`` within ±window.
+
+    Semantics per the reference (ComputeCooccurrenceMatrixPairs.java
+    :87-99): for each position i emit (w[i], w[j]) for every j in
+    [i-window, i+window], j != i, in bounds. Duplicate words at
+    different positions all count.
+
+    Implementation: one flatten(transform(...)) over the token array —
+    the neighborhood scan is a per-row nested loop that stays inside
+    whole-stage codegen; no self-join, no window function. The only
+    shuffle is the final count aggregation.
+    """
+    pairs = F.expr(
+        f"""
+        flatten(transform(__toks, (x, i) ->
+          transform(
+            filter(sequence(greatest(0, i - {window}),
+                            least(size(__toks) - 1, i + {window})),
+                   j -> j != i),
+            j -> struct(x AS a, __toks[j] AS b))))
+        """
+    )
+    return (
+        docs.select(tokens_array(text_col).alias("__toks"))
+        .where(F.size("__toks") > 0)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def pmi(
+    docs: DataFrame,
+    min_cooccurrence: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise mutual information over per-document distinct words.
+
+    ``pmi(x, y) = ln( c(x,y) * N / (c(x) * c(y)) )`` where c() are
+    document frequencies, pairs are canonical (x < y), and only pairs
+    with joint document count >= min_cooccurrence are kept — exactly
+    the reference semantics (PairsPMI.java:56-135, threshold :126,
+    natural log :240; doc-distinct words :63-69).
+
+    Plan shape: the reference needs two chained MR jobs, a custom
+    partitioner and the order-inversion trick, with a lossy text
+    round-trip between jobs (PairsPMI.java:172-208). Here it is one
+    DAG: two aggregations + two broadcast-ish joins; Catalyst sees the
+    whole pipeline. The per-word count aggregate is tiny (vocab-sized)
+    so both marginal joins broadcast at any corpus scale.
+
+    Returns ``(x, y, cnt, pmi)``.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(F.array_distinct(tokens_array(text_col))).alias("ws"),
+    )
+    # canonical i<j pairs from the sorted distinct word array: a per-row
+    # nested loop in codegen, no join.
+    pair_expr = F.expr(
+        """
+        flatten(transform(ws, (x, i) ->
+          transform(slice(ws, i + 2, size(ws)), y -> struct(x, y))))
+        """
+    )
+    pair_counts = (
+        words.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_cooccurrence)
+    )
+    word_counts = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    n_docs = docs.select(F.count("*").alias("n"))
+    return (
+        pair_counts.join(
+            F.broadcast(word_counts.select(F.col("w").alias("x"), F.col("wc").alias("cx"))), "x"
+        )
+        .join(
+            F.broadcast(word_counts.select(F.col("w").alias("y"), F.col("wc").alias("cy"))), "y"
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "x",
+            "y",
+            "cnt",
+            F.log((F.col("cnt") * F.col("n")) / (F.col("cx") * F.col("cy"))).alias("pmi"),
+        )
+    )

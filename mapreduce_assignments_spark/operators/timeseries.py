@@ -1,0 +1,81 @@
+"""Log / time-series ETL operators.
+
+Capability parity with the reference's assignment 6 (SURVEY.md §2.2,
+§2.3): hourly tweet counts, optionally keyword-regex filtered, over a
+4-column tweet TSV — plus the same workload over the driver's typed
+``events`` table.
+
+reference: ExtractHourlyCountsAll.java:28-95 (positional timestamp
+slicing, Jan/Feb whitelist, group by (date, hour)),
+ExtractHourlyCountsEgypt.java:42-44 (case-insensitive regex
+``egypt|cairo``), and the two equivalent Pig scripts at
+assignment6/assignment6.md:9-55.
+
+Scale design: one hash aggregation after a narrow projection — the
+filter and the 2-of-4 column projection are pushed into the scan
+(Parquet column pruning wins where the reference reads whole TSV
+lines). Cardinality of (date, hour) is tiny so the final agg is
+skew-free by construction.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["hourly_counts_tweets", "hourly_counts_events"]
+
+# "EEE MMM dd HH:mm:ss Z yyyy" — e.g. "Sun Jan 23 00:14:05 +0000 2011".
+# The reference slices this positionally (ExtractHourlyCountsAll.java:41-63);
+# we parse the same fields with substrings to stay locale-independent.
+_MONTHS = {"Jan": "1", "Feb": "2"}
+
+
+def hourly_counts_tweets(
+    tweets: DataFrame,
+    message_regex: str | None = None,
+    months: tuple[str, ...] = ("Jan", "Feb"),
+) -> DataFrame:
+    """``(date "M/dd", hour "HH", cnt)`` from the raw tweet TSV shape.
+
+    ``message_regex`` reproduces the Egypt variant when set to
+    ``'(?i)(egypt|cairo)'``. Zero-count buckets are absent, matching
+    the golden outputs (407 vs 405 rows).
+    """
+    month = F.substring("timestamp", 5, 3)
+    day = F.substring("timestamp", 9, 2)
+    hour = F.substring("timestamp", 12, 2)
+    out = tweets.where(month.isin(*months))
+    if message_regex:
+        out = out.where(F.col("message").rlike(message_regex))
+    month_num = month
+    for name, num in _MONTHS.items():
+        month_num = F.when(month == name, num).otherwise(month_num)
+    return (
+        out.select(F.concat(month_num, F.lit("/"), day).alias("date"), hour.alias("hour"))
+        .groupBy("date", "hour")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hourly_counts_events(
+    events: DataFrame,
+    type_regex: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Same workload over the typed ``events`` table:
+    ``(date "M/d", hour, cnt)`` with an optional regex filter on
+    ``event_type`` (the analogue of the reference's message regex)."""
+    out = events
+    if type_regex:
+        out = out.where(F.col("event_type").rlike(type_regex))
+    return (
+        out.select(
+            F.concat(
+                F.month(ts_col).cast("string"), F.lit("/"), F.dayofmonth(ts_col).cast("string")
+            ).alias("date"),
+            F.hour(ts_col).alias("hour"),
+        )
+        .groupBy("date", "hour")
+        .agg(F.count("*").alias("cnt"))
+    )

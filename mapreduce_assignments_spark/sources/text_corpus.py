@@ -1,0 +1,93 @@
+"""Reference-shaped text sources.
+
+The reference engine's primary inputs (SURVEY.md §1):
+
+- line-oriented text corpus, one line = one document, where the
+  document id is the line's **byte offset** in the uncompressed file
+  (reference: assignment3/src/main/BuildInvertedIndexCompressed.java:76,
+  BooleanRetrievalCompressed.java:124-129);
+- adjacency-list graph text: one line per node, whitespace-separated
+  ints, first = node id, rest = out-neighbors (reference:
+  assignment4/src/main/basic/BuildPageRankRecords.java:79-95);
+- 4-column tweet TSV ``id \\t timestamp \\t user \\t message``
+  (reference: assignment6/src/main/ExtractHourlyCountsAll.java:38-48).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+TWEETS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), True),
+        T.StructField("timestamp", T.StringType(), True),
+        T.StructField("user", T.StringType(), True),
+        T.StructField("message", T.StringType(), True),
+    ]
+)
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, doc_id: str = "offset"
+) -> DataFrame:
+    """Read a one-line-per-document corpus as ``(doc_id, text)``.
+
+    ``doc_id='offset'`` reproduces the reference's byte-offset document
+    ids exactly: Hadoop's TextInputFormat hands each line's starting
+    byte offset to the record reader, so offsets are computed per-split
+    with no global pass — this scales to any corpus size. This is the
+    engine's single deliberate RDD use (SURVEY.md §4 item 3).
+
+    ``doc_id='ordinal'`` assigns 0-based line ordinals instead
+    (zipWithIndex — one extra count job over the partitions).
+    """
+    if doc_id == "offset":
+        rdd = spark.sparkContext.newAPIHadoopFile(
+            path,
+            "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+            "org.apache.hadoop.io.LongWritable",
+            "org.apache.hadoop.io.Text",
+        )
+        return spark.createDataFrame(rdd, DOCS_SCHEMA)
+    if doc_id == "ordinal":
+        rdd = spark.read.text(path).rdd.map(lambda r: r[0]).zipWithIndex()
+        return spark.createDataFrame(
+            rdd.map(lambda kv: (kv[1], kv[0])), DOCS_SCHEMA
+        )
+    raise ValueError(f"doc_id must be 'offset' or 'ordinal', got {doc_id!r}")
+
+
+def read_adjacency_text(spark: SparkSession, path: str) -> DataFrame:
+    """Read adjacency-list text → ``(id INT, adj ARRAY<INT>)``.
+
+    A one-token line is a dangling node (empty ``adj``), matching the
+    reference's BuildPageRankRecords parse.
+    """
+    raw = spark.read.text(path)
+    toks = F.filter(F.split(F.trim(F.col("value")), r"\s+"), lambda x: F.length(x) > 0)
+    return (
+        raw.where(F.length(F.trim("value")) > 0)
+        .select(
+            F.element_at(toks, 1).cast("int").alias("id"),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+            .cast("array<int>")
+            .alias("adj"),
+        )
+    )
+
+
+def read_tweets_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """Read the 4-column tweet TSV, dropping malformed (<4 field) rows
+    like the reference does (ExtractHourlyCountsAll.java:39,71-73)."""
+    return spark.read.csv(
+        path, sep="\t", schema=TWEETS_SCHEMA, mode="DROPMALFORMED"
+    ).where(F.col("message").isNotNull())

@@ -1,0 +1,26 @@
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_assignments_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("mras-tests", shuffle_partitions=4, extra_conf={"spark.driver.memory": "4g"})
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def docs(spark):
+    """Tiny reference-shaped corpus with hand-checkable counts."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (9, "the quick brown fox"),
+        (100, "pack my box with five dozen liquor jugs"),
+        (200, "the dog barks at the fox"),
+        (300, ""),
+        (400, "fox fox fox"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")

@@ -1,0 +1,79 @@
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_assignments_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, near),  # near dup of 1
+        (4, "completely different content about spark partitions and shuffles"),
+        (5, "another unrelated document mentioning joins aggregations and scans"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(dup_docs):
+    out = {r["keeper"]: r["n_dups"] for r in exact_duplicates(dup_docs).collect()}
+    assert out[1] == 2
+    assert out[3] == 1
+    assert out[4] == 1
+    assert 2 not in out
+
+
+def test_shingles_distinct_and_count(spark):
+    df = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    out = [r["shingle"] for r in shingles(df, n=3).collect()]
+    assert sorted(out) == ["a b a", "b a b"]  # distinct within doc
+
+
+def test_ngram_jaccard_finds_near_dup(dup_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_docs, n=3, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in pairs
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_estimates_jaccard(dup_docs):
+    cands = {
+        (r["doc_a"], r["doc_b"]): r["est_sim"]
+        for r in minhash_lsh_candidates(dup_docs, n=3, threshold=0.0).collect()
+    }
+    assert cands[(1, 2)] == pytest.approx(1.0)  # identical docs agree on all hashes
+    assert (1, 3) in cands and cands[(1, 3)] > 0.4
+    assert (1, 4) not in cands  # no shared band for unrelated docs
+
+
+def test_minhash_signature_shape(dup_docs):
+    sigs = minhash_signatures(dup_docs).collect()
+    assert all(len(r["sig"]) == 32 for r in sigs)
+    by_id = {r["doc_id"]: r["sig"] for r in sigs}
+    assert by_id[1] == by_id[2]
+
+
+def test_simhash_similar_docs_close(dup_docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(dup_docs).collect()}
+    assert out[1] == out[2]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[1], out[3]) < hamming(out[1], out[4])
+    assert 0 <= out[1] < 2**32

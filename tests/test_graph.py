@@ -1,0 +1,127 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapreduce_assignments_spark.operators.graph import (
+    pagerank,
+    personalized_pagerank,
+    top_k_nodes,
+)
+
+ALPHA = 0.15
+
+
+def numpy_pagerank(nodes, edges, n_iter, alpha=ALPHA):
+    """Power-iteration oracle with the reference's exact semantics:
+    mass to nonexistent nodes vanishes into the missing mass, which is
+    spread uniformly."""
+    ids = sorted(nodes)
+    pos = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out = {v: [d for d in dsts if d in pos] for v, dsts in edges.items()}
+    outdeg = {v: len(edges.get(v, [])) for v in ids}  # includes vanishing edges
+    pr = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        recv = np.zeros(n)
+        for v in ids:
+            if outdeg[v] > 0:
+                share = pr[pos[v]] / outdeg[v]
+                for d in out.get(v, []):
+                    recv[pos[d]] += share
+        missing = 1.0 - recv.sum()
+        pr = alpha / n + (1 - alpha) * (recv + missing / n)
+    return {v: pr[pos[v]] for v in ids}
+
+
+def numpy_ppr(nodes, edges, source, n_iter, alpha=ALPHA):
+    ids = sorted(nodes)
+    pos = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out = {v: [d for d in dsts if d in pos] for v, dsts in edges.items()}
+    outdeg = {v: len(edges.get(v, [])) for v in ids}
+    pr = np.zeros(n)
+    pr[pos[source]] = 1.0
+    for _ in range(n_iter):
+        recv = np.zeros(n)
+        for v in ids:
+            if outdeg[v] > 0:
+                share = pr[pos[v]] / outdeg[v]
+                for d in out.get(v, []):
+                    recv[pos[d]] += share
+        missing = 1.0 - recv.sum()
+        pr = (1 - alpha) * recv
+        pr[pos[source]] += alpha + (1 - alpha) * missing
+    return {v: pr[pos[v]] for v in ids}
+
+
+@pytest.fixture(scope="module")
+def fixture_graph(spark):
+    """Per FIXTURES.md §2: a dangling node (40), an edge to a
+    nonexistent node (10 -> 999), two weak components ({10,20,30,40},
+    {50,60})."""
+    rows = [
+        (10, [20, 30, 999]),
+        (20, [10, 30]),
+        (30, [10]),
+        (40, []),  # dangling
+        (50, [60]),
+        (60, [50]),
+    ]
+    df = spark.createDataFrame(rows, "id int, adj array<int>")
+    nodes = [r[0] for r in rows]
+    edges = {r[0]: r[1] for r in rows}
+    return df, nodes, edges
+
+
+def test_pagerank_matches_numpy_oracle(fixture_graph):
+    df, nodes, edges = fixture_graph
+    got = {r["id"]: r["pr"] for r in pagerank(df, n_iter=10).collect()}
+    want = numpy_pagerank(nodes, edges, n_iter=10)
+    assert set(got) == set(want)
+    for v in nodes:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_mass_conserved_each_iteration(fixture_graph):
+    df, nodes, edges = fixture_graph
+    for it in (1, 3, 7):
+        got = {r["id"]: r["pr"] for r in pagerank(df, n_iter=it).collect()}
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_matches_numpy_oracle(fixture_graph):
+    df, nodes, edges = fixture_graph
+    sources = [10, 50]
+    out = personalized_pagerank(df, sources=sources, n_iter=10).collect()
+    got = {(r["source"], r["id"]): r["pr"] for r in out}
+    for src in sources:
+        want = numpy_ppr(nodes, edges, src, n_iter=10)
+        for v in nodes:
+            assert got[(src, v)] == pytest.approx(want[v], abs=1e-12)
+        assert sum(v for (s, _), v in got.items() if s == src) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ppr_mass_stays_in_component(fixture_graph):
+    df, nodes, edges = fixture_graph
+    out = personalized_pagerank(df, sources=[50], n_iter=10).collect()
+    comp2 = {50, 60}
+    outside = sum(r["pr"] for r in out if r["id"] not in comp2)
+    assert outside == pytest.approx(0.0, abs=1e-12)
+
+
+def test_top_k_nodes(fixture_graph):
+    df, nodes, edges = fixture_graph
+    ranks = pagerank(df, n_iter=10)
+    top = top_k_nodes(ranks, k=3).collect()
+    assert [r["rank"] for r in top] == [1, 2, 3]
+    assert top[0]["pr"] >= top[1]["pr"] >= top[2]["pr"]
+    want = numpy_pagerank(nodes, edges, n_iter=10)
+    best = max(want, key=lambda v: (want[v], -v))
+    assert top[0]["id"] == best
+
+
+def test_pagerank_empty_graph(spark):
+    df = spark.createDataFrame([], "id int, adj array<int>")
+    assert pagerank(df, n_iter=3).count() == 0

@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mapreduce_assignments_spark.operators import index
+from mapreduce_assignments_spark.plans.rpn import BooleanQueryPlanner, rpn_to_sql
+
+
+def test_term_frequencies(docs):
+    tfs = {(r["term"], r["docid"]): r["tf"] for r in index.term_frequencies(docs).collect()}
+    assert tfs[("the", 0)] == 2
+    assert tfs[("fox", 400)] == 3
+    assert tfs[("dog", 200)] == 1
+    assert ("", 0) not in tfs
+
+
+def test_build_inverted_index_postings_sorted(docs):
+    idx = {r["term"]: r for r in index.build_inverted_index(docs).collect()}
+    fox = idx["fox"]
+    assert fox["df"] == 4
+    assert fox["cf"] == 6
+    docids = [p["docid"] for p in fox["postings"]]
+    assert docids == sorted(docids) == [0, 9, 200, 400]
+    assert {p["docid"]: p["tf"] for p in fox["postings"]}[400] == 3
+
+
+def test_tf_histogram(docs):
+    tfs = index.term_frequencies(docs)
+    hist = {r["tf"]: r["n_docs"] for r in index.tf_histogram(tfs, "fox").collect()}
+    assert hist == {1: 3, 3: 1}
+
+
+def test_boolean_retrieval_and_or(docs):
+    tfs = index.term_frequencies(docs)
+    planner = BooleanQueryPlanner(tfs)
+    # fox AND dog
+    hits = sorted(r["docid"] for r in planner.plan("fox dog AND").collect())
+    assert hits == [0, 200]
+    # (quick OR barks) AND the
+    hits = sorted(r["docid"] for r in planner.plan("quick barks OR the AND").collect())
+    assert hits == [0, 9, 200]
+
+
+def test_boolean_retrieval_fetches_text(docs):
+    tfs = index.term_frequencies(docs)
+    planner = BooleanQueryPlanner(tfs)
+    rows = planner.retrieve("liquor jugs AND", docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["docid"] == 100
+    assert "liquor" in rows[0]["text"]
+
+
+def test_rpn_malformed_queries(docs):
+    tfs = index.term_frequencies(docs)
+    planner = BooleanQueryPlanner(tfs)
+    for bad in ["AND", "fox dog", "fox AND", ""]:
+        try:
+            planner.plan(bad)
+            raise AssertionError(f"expected ValueError for {bad!r}")
+        except ValueError:
+            pass
+
+
+def test_rpn_to_sql_matches_duckdb(docs):
+    import duckdb
+
+    tfs = index.term_frequencies(docs).toPandas()
+    sql = rpn_to_sql("quick barks OR the AND")
+    con = duckdb.connect()
+    con.register("postings", tfs)
+    oracle = sorted(r[0] for r in con.execute(sql).fetchall())
+    planner = BooleanQueryPlanner(index.term_frequencies(docs))
+    spark_hits = sorted(r["docid"] for r in planner.plan("quick barks OR the AND").collect())
+    assert spark_hits == oracle == [0, 9, 200]

@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapreduce_assignments_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dupes,
+    ivf_assign,
+    ivf_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    # plant a near-dup of 0 at a non-centroid id (ids < 4 serve as IVF
+    # centroids in these tests; a centroid always self-assigns)
+    vecs[25] = vecs[0] + 0.01 * rng.normal(size=8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    return df, vecs
+
+
+def numpy_topk(vecs, qid, k):
+    q = vecs[qid].astype("float64")
+    sims = []
+    for i, v in enumerate(vecs):
+        if i == qid:
+            continue
+        v = v.astype("float64")
+        s = float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+        sims.append((round(s, 6), -i))
+    sims.sort(reverse=True)
+    return [(-i, s) for s, i in sims[:k]]
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    df, vecs = emb
+    queries = df.selectExpr("vec_id as query_id", "embedding as q").where("vec_id < 3")
+    out = brute_force_topk(df, queries, k=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["sim"]))
+    for qid in range(3):
+        want = numpy_topk(vecs, qid, 5)
+        rows = sorted(got[qid])
+        assert [n for _, n, _ in rows] == [n for n, _ in want]
+        for (_, _, s), (_, ws) in zip(rows, want):
+            assert s == pytest.approx(ws, abs=2e-6)
+
+
+def test_brute_force_finds_planted_near_dup(emb):
+    df, _ = emb
+    queries = df.selectExpr("vec_id as query_id", "embedding as q").where("vec_id = 0")
+    top1 = brute_force_topk(df, queries, k=1).collect()[0]
+    assert top1["neighbor_id"] == 25
+    assert top1["sim"] > 0.99
+
+
+def test_ivf_assign_covers_all(emb):
+    df, _ = emb
+    centroids = df.where("vec_id < 4").selectExpr("vec_id as cell_id", "embedding as c")
+    assigned = ivf_assign(df, centroids)
+    assert assigned.count() == 40
+    cells = {r["cell"] for r in assigned.collect()}
+    assert cells <= {0, 1, 2, 3}
+    # a centroid must live in its own cell
+    own = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    for c in range(4):
+        assert own[c] == c
+
+
+def test_ivf_topk_subset_of_cell(emb):
+    df, _ = emb
+    centroids = df.where("vec_id < 4").selectExpr("vec_id as cell_id", "embedding as c")
+    queries = df.selectExpr("vec_id as query_id").where("vec_id = 0")
+    out = sorted(ivf_topk(df, centroids, queries, k=5).collect(), key=lambda r: r["rank"])
+    assert 0 < len(out) <= 5
+    assigned = {r["vec_id"]: r["cell"] for r in ivf_assign(df, centroids).collect()}
+    qcell = assigned[0]
+    for r in out:
+        assert assigned[r["neighbor_id"]] == qcell
+        assert r["neighbor_id"] != 0
+    # the planted near-dup lands in the same cell and must be rank 1
+    assert out[0]["neighbor_id"] == 25
+
+
+def test_embedding_near_dupes(emb):
+    df, _ = emb
+    centroids = df.where("vec_id < 4").selectExpr("vec_id as cell_id", "embedding as c")
+    pairs = {(r["id_a"], r["id_b"]): r["sim"] for r in embedding_near_dupes(df, centroids, 0.95).collect()}
+    assert (0, 25) in pairs
+    assert pairs[(0, 25)] > 0.99

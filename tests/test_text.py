@@ -1,0 +1,88 @@
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from mapreduce_assignments_spark.operators import text
+
+
+def as_dict(df, *keycols):
+    rows = df.collect()
+    if len(keycols) == 1:
+        return {r[keycols[0]]: r for r in rows}
+    return {tuple(r[k] for k in keycols): r for r in rows}
+
+
+def test_word_count(docs):
+    wc = as_dict(text.word_count(docs), "word")
+    assert wc["the"]["cnt"] == 5
+    assert wc["fox"]["cnt"] == 6
+    assert wc["dog"]["cnt"] == 2
+    assert wc["jugs"]["cnt"] == 1
+    assert "" not in wc
+
+
+def test_word_count_handles_messy_whitespace(spark):
+    df = spark.createDataFrame([(0, "  a  b\t c "), (1, "   ")], "doc_id long, text string")
+    wc = as_dict(text.word_count(df), "word")
+    assert {w: r["cnt"] for w, r in wc.items()} == {"a": 1, "b": 1, "c": 1}
+
+
+def test_bigram_count(docs):
+    bg = as_dict(text.bigram_count(docs), "w1", "w2")
+    assert bg[("the", "quick")]["cnt"] == 2
+    assert bg[("quick", "brown")]["cnt"] == 2
+    assert bg[("fox", "fox")]["cnt"] == 2  # "fox fox fox"
+    assert bg[("lazy", "dog")]["cnt"] == 1
+    assert ("dog", "the") not in bg  # no cross-document bigrams
+
+
+def test_cooccurrence_window(spark):
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    co = as_dict(text.cooccurrence(df, window=2), "a", "b")
+    # position 0 ('a') sees b,c; position 1 ('b') sees a,c,d; etc.
+    assert co[("a", "b")]["cnt"] == 1
+    assert co[("a", "c")]["cnt"] == 1
+    assert ("a", "d") not in co  # outside ±2
+    assert co[("b", "a")]["cnt"] == 1  # directed
+    total = sum(r["cnt"] for r in co.values())
+    assert total == 2 + 3 + 3 + 2
+
+
+def test_cooccurrence_counts_duplicate_positions(spark):
+    df = spark.createDataFrame([(0, "x x y")], "doc_id long, text string")
+    co = as_dict(text.cooccurrence(df, window=2), "a", "b")
+    assert co[("x", "x")]["cnt"] == 2  # both directions of the x-pair
+    assert co[("x", "y")]["cnt"] == 2  # from each x position
+    assert co[("y", "x")]["cnt"] == 2
+
+
+def test_pmi_matches_hand_computation(spark):
+    # 10 docs where p,q always co-occur; r appears alone in 5.
+    rows = [(i, "p q filler%d" % (i % 3)) for i in range(10)]
+    rows += [(100 + i, "r filler%d" % (i % 3)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = as_dict(text.pmi(df, min_cooccurrence=10), "x", "y")
+    n = 20
+    expected = math.log(10 * n / (10 * 10))
+    got = out[("p", "q")]["pmi"]
+    assert abs(got - expected) < 1e-12
+    assert out[("p", "q")]["cnt"] == 10
+    # per-document distinct semantics: duplicated words count once
+    assert all(r["cnt"] >= 10 for r in out.values())
+
+
+def test_pmi_threshold(spark):
+    rows = [(i, "a b") for i in range(9)]  # only 9 joint docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert text.pmi(df, min_cooccurrence=10).count() == 0
+    assert text.pmi(df, min_cooccurrence=9).count() == 1
+
+
+def test_pmi_canonical_order(spark):
+    rows = [(i, "zeta alpha") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.pmi(df, min_cooccurrence=10).collect()
+    assert len(out) == 1
+    assert (out[0]["x"], out[0]["y"]) == ("alpha", "zeta")

@@ -1,0 +1,45 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from mapreduce_assignments_spark.operators.timeseries import (
+    hourly_counts_events,
+    hourly_counts_tweets,
+)
+
+
+def test_hourly_counts_tweets(spark):
+    rows = [
+        ("1", "Sun Jan 23 00:14:05 +0000 2011", "u1", "hello world"),
+        ("2", "Sun Jan 23 00:59:59 +0000 2011", "u2", "Egypt news"),
+        ("3", "Sun Jan 23 01:00:00 +0000 2011", "u3", "cairo calling"),
+        ("4", "Mon Feb 07 01:00:00 +0000 2011", "u4", "EgYpT mixed case"),
+        ("5", "Tue Mar 01 05:00:00 +0000 2011", "u5", "egypt but march"),  # filtered: month
+    ]
+    df = spark.createDataFrame(rows, "id string, timestamp string, user string, message string")
+    allc = {(r["date"], r["hour"]): r["cnt"] for r in hourly_counts_tweets(df).collect()}
+    assert allc == {("1/23", "00"): 2, ("1/23", "01"): 1, ("2/07", "01"): 1}
+    eg = {
+        (r["date"], r["hour"]): r["cnt"]
+        for r in hourly_counts_tweets(df, message_regex="(?i)(egypt|cairo)").collect()
+    }
+    assert eg == {("1/23", "00"): 1, ("1/23", "01"): 1, ("2/07", "01"): 1}
+
+
+def test_hourly_counts_events(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 10), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 50), 2, "purchase", 2.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 1, 5), 1, "error", 3.0, "{}"),
+        (4, dt.datetime(2024, 1, 2, 0, 5), 3, "purchase", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    allc = {(r["date"], r["hour"]): r["cnt"] for r in hourly_counts_events(df).collect()}
+    assert allc == {("1/1", 0): 2, ("1/1", 1): 1, ("1/2", 0): 1}
+    filt = {
+        (r["date"], r["hour"]): r["cnt"]
+        for r in hourly_counts_events(df, type_regex="(?i)purchase").collect()
+    }
+    assert filt == {("1/1", 0): 1, ("1/2", 0): 1}
