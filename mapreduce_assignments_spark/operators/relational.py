@@ -28,18 +28,34 @@ __all__ = [
     "user_sessions",
 ]
 
-_DEC = "decimal(28,6)"
+# Decimal widths are chosen so every product stays within 38 digits
+# in BOTH Spark and DuckDB (DuckDB errors on decimal overflow rather
+# than reducing scale): measure columns get (18,6), unit factors like
+# (1 - discount) get (8,6) → products peak at (38,18).
+_DEC = "decimal(18,6)"
+_FAC = "decimal(8,6)"
 
 
-def _dec(col: str) -> F.Column:
+def _dec(col: str):
     return F.col(col).cast(_DEC)
 
 
+def _fac(col: str):
+    return F.col(col).cast(_FAC)
+
+
 def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> DataFrame:
-    """TPC-H Q1-style pricing summary report."""
+    """TPC-H Q1-style pricing summary report.
+
+    Aggregates are computed in exact decimal, then rounded and cast to
+    double — so results are bit-identical across engines regardless of
+    summation order (the oracle-parity contract). Averages are exact
+    decimal sums divided by counts in double, same reason.
+    """
     li = lineitem.where(F.col("l_shipdate") < F.lit(ship_before).cast("timestamp"))
-    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
-    charge = disc_price * (F.lit(1).cast(_DEC) + _dec("l_tax"))
+    one = F.lit(1).cast(_FAC)
+    disc_price = _dec("l_extendedprice") * (one - _fac("l_discount"))
+    charge = _dec("l_extendedprice") * ((one - _fac("l_discount")) * (one + _fac("l_tax")))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -47,8 +63,8 @@ def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> Dat
             F.round(F.sum(_dec("l_extendedprice")), 6).cast("double").alias("sum_base_price"),
             F.round(F.sum(disc_price), 6).cast("double").alias("sum_disc_price"),
             F.round(F.sum(charge), 6).cast("double").alias("sum_charge"),
-            F.round(F.avg(_dec("l_quantity")), 6).cast("double").alias("avg_qty"),
-            F.round(F.avg(_dec("l_discount")), 6).cast("double").alias("avg_disc"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -62,7 +78,7 @@ def top_revenue_orders(
     customer segment context. Customer is broadcast; the orders ⋈
     lineitem join shuffles on the key both sides already share."""
     revenue = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+        _dec("l_extendedprice") * (F.lit(1).cast(_FAC) - _fac("l_discount"))
     )
     return (
         lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
@@ -84,7 +100,7 @@ def revenue_by_nation(
     """TPC-H Q5-flavored star join: revenue per nation. All dimension
     tables broadcast; only the lineitem ⋈ orders join shuffles."""
     revenue = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+        _dec("l_extendedprice") * (F.lit(1).cast(_FAC) - _fac("l_discount"))
     )
     return (
         lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
