@@ -101,9 +101,11 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
+    # sizes has one row per document — never force-broadcast it (OOM at
+    # corpus scale); AQE picks broadcast when it actually fits.
     return (
-        inter.join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))), "doc_a")
-        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))), "doc_b")
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
         .select(
             "doc_a",
             "doc_b",

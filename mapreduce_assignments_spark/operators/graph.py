@@ -45,7 +45,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-__all__ = ["pagerank", "personalized_pagerank", "top_k_nodes"]
+__all__ = [
+    "pagerank",
+    "personalized_pagerank",
+    "top_k_nodes",
+    "top_k_per_source",
+    "format_rank_report",
+]
 
 
 def _prepared_structure(graph: DataFrame, num_partitions: int | None) -> DataFrame:
@@ -74,6 +80,7 @@ def pagerank(
         return graph.sparkSession.createDataFrame([], "id int, pr double")
 
     ranks = links.select("id", F.lit(1.0 / n).alias("pr"))
+    prev_state = None
     for i in range(n_iter):
         contribs = (
             ranks.join(links, "id")
@@ -93,6 +100,12 @@ def pagerank(
             .cache()
         )
         total = state.agg(F.sum("recv")).collect()[0][0] or 0.0
+        # the totals collect materialized `state`, so the previous
+        # iteration's cached state is dead — release it now (a long run
+        # must not accumulate one cached DataFrame per iteration).
+        if prev_state is not None:
+            prev_state.unpersist()
+        prev_state = state
         missing = 1.0 - total
         ranks = state.select(
             "id",
@@ -103,6 +116,11 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
+    # materialize the result, then release every cached helper.
+    ranks = ranks.localCheckpoint(eager=True)
+    if prev_state is not None:
+        prev_state.unpersist()
+    links.unpersist()
     return ranks
 
 
@@ -135,6 +153,7 @@ def personalized_pagerank(
             for c, src in zip(cols, sources)
         ],
     )
+    prev_state = None
     for i in range(n_iter):
         contribs = (
             ranks.join(links, "id")
@@ -156,6 +175,9 @@ def personalized_pagerank(
             .cache()
         )
         totals = state.agg(*[F.sum(c).alias(c) for c in cols]).collect()[0]
+        if prev_state is not None:
+            prev_state.unpersist()
+        prev_state = state
         ranks = state.select(
             "id",
             *[
@@ -172,6 +194,10 @@ def personalized_pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
+    if prev_state is not None:
+        prev_state.unpersist()
+    links.unpersist()
 
     # flatten to (source, id, pr)
     slot_structs = F.array(
@@ -201,4 +227,31 @@ def top_k_nodes(ranks: DataFrame, k: int = 10) -> DataFrame:
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
         .select("rank", "id", "pr")
+    )
+
+
+def top_k_per_source(ranks: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k nodes per PPR source: ``(source, rank, id, pr)``.
+
+    The reference runs one bounded priority queue per source slot and
+    prints each source's block (ExtractTopPersonalizedPageRankNodes
+    .java:74-117); here it is a single windowed ranking partitioned by
+    source — one shuffle on ``source`` (tiny: #sources × #nodes rows,
+    with the per-partition TopK pushed into the sort).
+    """
+    w = Window.partitionBy("source").orderBy(F.desc("pr"), F.asc("id"))
+    return (
+        ranks.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("source", "rank", "id", "pr")
+    )
+
+
+def format_rank_report(topk: DataFrame, pr_col: str = "pr") -> DataFrame:
+    """Replace ``pr`` with the reference's ``%.5f`` report rendering
+    (ExtractTopPersonalizedPageRankNodes.java:112) → string column
+    ``pr_fmt``; all other columns pass through unchanged."""
+    others = [c for c in topk.columns if c != pr_col]
+    return topk.select(
+        *others, F.format_string("%.5f", F.col(pr_col)).alias("pr_fmt")
     )

@@ -35,6 +35,7 @@ from .text import tokenize
 __all__ = [
     "term_frequencies",
     "build_inverted_index",
+    "write_index",
     "lookup_postings",
     "tf_histogram",
     "fetch_docs",
@@ -55,17 +56,39 @@ def term_frequencies(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def build_inverted_index(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int | None = None,
 ) -> DataFrame:
     """Nested index ``(term, df, cf, postings ARRAY<STRUCT<docid,tf>>)``
     with postings sorted by docid (reference's secondary-sort
-    guarantee, BuildInvertedIndexCompressed.java:51)."""
+    guarantee, BuildInvertedIndexCompressed.java:51).
+
+    ``max_postings`` splits a giant term's posting list into multiple
+    rows of at most that many entries (adds a ``chunk`` ordinal column)
+    so no single Parquet row balloons past the row-group budget for
+    stopword-frequency terms at 100 TB; readers reassemble with
+    ``explode(postings)`` or ``flatten(collect_list)`` per term.
+    """
     tfs = term_frequencies(docs, text_col=text_col, id_col=id_col)
-    return tfs.groupBy("term").agg(
+    idx = tfs.groupBy("term").agg(
         F.count("*").alias("df"),
         F.sum("tf").alias("cf"),
         F.sort_array(F.collect_list(F.struct("docid", "tf"))).alias("postings"),
     )
+    if max_postings is None:
+        return idx
+    if max_postings < 1:
+        raise ValueError("max_postings must be >= 1")
+    n_chunks = F.ceil(F.size("postings") / F.lit(max_postings)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("postings"), i * max_postings + 1, max_postings),
+    )
+    return idx.select(
+        "term", "df", "cf", F.posexplode(chunks).alias("chunk", "postings")
+    ).select("term", "chunk", "df", "cf", "postings")
 
 
 def write_index(index: DataFrame, path: str) -> None:

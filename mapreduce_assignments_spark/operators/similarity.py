@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "cosine_similarity",
     "brute_force_topk",
+    "ivf_train",
     "ivf_assign",
     "ivf_topk",
     "embedding_near_dupes",
@@ -82,6 +83,52 @@ def brute_force_topk(
     )
 
 
+def ivf_train(embeddings: DataFrame, k: int = 16, n_iter: int = 5) -> DataFrame:
+    """Train IVF centroids with spherical Lloyd's iterations:
+    ``(cell_id, c ARRAY<DOUBLE>)``.
+
+    Deterministic throughout: initial centroids are the ``k`` vectors
+    with the lowest ``vec_id``; assignment ties break to the lowest
+    cell id (``ivf_assign``); the update step is the element-wise mean
+    of each cell's members (cosine assignment is scale-invariant, so
+    the unnormalized mean is a valid spherical-k-means update).
+
+    Scale shape: each iteration is one broadcast-assign scan plus one
+    ``(cell, dim)`` aggregation — rows shuffled = n_vectors × dim,
+    partial-aggregated map-side. Centroids (k × dim doubles) are the
+    only driver-side data; collecting them per iteration is the
+    textbook small-side pattern, not a driver loop over the corpus.
+    A cell that loses every member simply drops out (k shrinks).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    emb = _as_double(embeddings)
+    spark = embeddings.sparkSession
+    seeds = emb.orderBy("vec_id").limit(k).collect()
+    cen_rows = [(i, r["embedding"]) for i, r in enumerate(seeds)]
+    schema = "cell_id int, c array<double>"
+    cen = spark.createDataFrame(cen_rows, schema)
+    for _ in range(n_iter):
+        assigned = ivf_assign(emb, cen)
+        new_rows = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("v"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        cen = spark.createDataFrame(
+            [(r["cell"], r["c"]) for r in new_rows], schema
+        )
+    return cen
+
+
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign each vector to its max-cosine centroid:
     ``(vec_id, embedding, cell)``. Centroids (small) are broadcast;
@@ -112,7 +159,10 @@ def ivf_topk(
     ``(query_id, neighbor_id, rank, sim)`` — rank within the probed
     cell. At scale, ``cell`` is the physical partition key, so each
     probe reads one partition instead of the corpus."""
-    assigned = ivf_assign(embeddings, centroids).cache()
+    # no .cache(): the assignment subplan appears twice below and AQE
+    # exchange reuse dedupes it; an explicit cache here would outlive
+    # the call (the returned DataFrame is lazy) and leak storage memory.
+    assigned = ivf_assign(embeddings, centroids)
     q_assigned = (
         assigned.join(
             queries.select("query_id"), assigned["vec_id"] == F.col("query_id")

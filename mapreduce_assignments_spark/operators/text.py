@@ -139,9 +139,9 @@ def pmi(
     Plan shape: the reference needs two chained MR jobs, a custom
     partitioner and the order-inversion trick, with a lossy text
     round-trip between jobs (PairsPMI.java:172-208). Here it is one
-    DAG: two aggregations + two broadcast-ish joins; Catalyst sees the
-    whole pipeline. The per-word count aggregate is tiny (vocab-sized)
-    so both marginal joins broadcast at any corpus scale.
+    DAG: two aggregations + two joins; Catalyst sees the whole
+    pipeline, and AQE broadcasts the vocab-sized marginal aggregate
+    when (and only when) it actually fits in memory.
 
     Returns ``(x, y, cnt, pmi)``.
     """
@@ -170,12 +170,15 @@ def pmi(
         .agg(F.count("*").alias("wc"))
     )
     n_docs = docs.select(F.count("*").alias("n"))
+    # word_counts is vocab-sized — small for book corpora but unbounded
+    # for web-scale text (typos/URLs/ids), so no forced broadcast: AQE
+    # chooses broadcast vs shuffle from the actual aggregate size.
     return (
         pair_counts.join(
-            F.broadcast(word_counts.select(F.col("w").alias("x"), F.col("wc").alias("cx"))), "x"
+            word_counts.select(F.col("w").alias("x"), F.col("wc").alias("cx")), "x"
         )
         .join(
-            F.broadcast(word_counts.select(F.col("w").alias("y"), F.col("wc").alias("cy"))), "y"
+            word_counts.select(F.col("w").alias("y"), F.col("wc").alias("cy")), "y"
         )
         .crossJoin(F.broadcast(n_docs))
         .select(

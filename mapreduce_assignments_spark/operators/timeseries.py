@@ -28,7 +28,10 @@ __all__ = ["hourly_counts_tweets", "hourly_counts_events"]
 # "EEE MMM dd HH:mm:ss Z yyyy" — e.g. "Sun Jan 23 00:14:05 +0000 2011".
 # The reference slices this positionally (ExtractHourlyCountsAll.java:41-63);
 # we parse the same fields with substrings to stay locale-independent.
-_MONTHS = {"Jan": "1", "Feb": "2"}
+_MONTHS = {
+    "Jan": "1", "Feb": "2", "Mar": "3", "Apr": "4", "May": "5", "Jun": "6",
+    "Jul": "7", "Aug": "8", "Sep": "9", "Oct": "10", "Nov": "11", "Dec": "12",
+}
 
 
 def hourly_counts_tweets(
@@ -42,6 +45,9 @@ def hourly_counts_tweets(
     ``'(?i)(egypt|cairo)'``. Zero-count buckets are absent, matching
     the golden outputs (407 vs 405 rows).
     """
+    unknown = set(months) - set(_MONTHS)
+    if unknown:
+        raise ValueError(f"unknown month abbreviations: {sorted(unknown)}")
     month = F.substring("timestamp", 5, 3)
     day = F.substring("timestamp", 9, 2)
     hour = F.substring("timestamp", 12, 2)

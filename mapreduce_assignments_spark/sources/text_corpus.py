@@ -37,19 +37,33 @@ TWEETS_SCHEMA = T.StructType(
 
 
 def read_text_corpus(
-    spark: SparkSession, path: str, doc_id: str = "offset"
+    spark: SparkSession, path: str, doc_id: str = "unique"
 ) -> DataFrame:
     """Read a one-line-per-document corpus as ``(doc_id, text)``.
 
-    ``doc_id='offset'`` reproduces the reference's byte-offset document
-    ids exactly: Hadoop's TextInputFormat hands each line's starting
-    byte offset to the record reader, so offsets are computed per-split
-    with no global pass — this scales to any corpus size. This is the
-    engine's single deliberate RDD use (SURVEY.md §4 item 3).
+    ``doc_id='unique'`` (default) is the scale path: a pure-DataFrame
+    scan (``spark.read.text`` + ``monotonically_increasing_id``) —
+    every row stays JVM-side in whole-stage codegen, nothing crosses
+    into Python. Ids are unique and stable for a given file layout but
+    are NOT byte offsets; use this unless byte-offset parity with the
+    reference is explicitly required.
 
-    ``doc_id='ordinal'`` assigns 0-based line ordinals instead
-    (zipWithIndex — one extra count job over the partitions).
+    ``doc_id='offset'`` reproduces the reference's byte-offset document
+    ids exactly (assignment3/BuildInvertedIndexCompressed.java:76) via
+    Hadoop's TextInputFormat. This path serializes each row through the
+    Python gateway — opt-in parity mode only, not the 100 TB path.
+
+    ``doc_id='ordinal'`` assigns 0-based line ordinals (zipWithIndex —
+    one extra job over the partitions; also a Python-row path).
     """
+    if doc_id == "unique":
+        return (
+            spark.read.text(path)
+            .select(
+                F.monotonically_increasing_id().alias("doc_id"),
+                F.col("value").alias("text"),
+            )
+        )
     if doc_id == "offset":
         rdd = spark.sparkContext.newAPIHadoopFile(
             path,
@@ -63,7 +77,7 @@ def read_text_corpus(
         return spark.createDataFrame(
             rdd.map(lambda kv: (kv[1], kv[0])), DOCS_SCHEMA
         )
-    raise ValueError(f"doc_id must be 'offset' or 'ordinal', got {doc_id!r}")
+    raise ValueError(f"doc_id must be 'unique', 'offset' or 'ordinal', got {doc_id!r}")
 
 
 def read_adjacency_text(spark: SparkSession, path: str) -> DataFrame:

@@ -125,3 +125,28 @@ def test_top_k_nodes(fixture_graph):
 def test_pagerank_empty_graph(spark):
     df = spark.createDataFrame([], "id int, adj array<int>")
     assert pagerank(df, n_iter=3).count() == 0
+
+
+def test_top_k_per_source_and_format(fixture_graph):
+    from mapreduce_assignments_spark.operators.graph import (
+        format_rank_report,
+        top_k_per_source,
+    )
+
+    df, nodes, edges = fixture_graph
+    ranks = personalized_pagerank(df, sources=[10, 50], n_iter=8)
+    top = top_k_per_source(ranks, k=3)
+    rows = top.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {10, 50}
+    for src in (10, 50):
+        want = numpy_ppr(nodes, edges, src, n_iter=8)
+        ordered = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got = sorted(by_src[src], key=lambda r: r["rank"])
+        assert [r["id"] for r in got] == [v for v, _ in ordered]
+        for r, (_, w) in zip(got, ordered):
+            assert r["pr"] == pytest.approx(w, abs=1e-9)
+    fmt = format_rank_report(top).collect()
+    assert all(len(r["pr_fmt"].split(".")[1]) == 5 for r in fmt)

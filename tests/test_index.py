@@ -72,3 +72,22 @@ def test_rpn_to_sql_matches_duckdb(docs):
     planner = BooleanQueryPlanner(index.term_frequencies(docs))
     spark_hits = sorted(r["docid"] for r in planner.plan("quick barks OR the AND").collect())
     assert spark_hits == oracle == [0, 9, 200]
+
+
+def test_build_inverted_index_max_postings_chunks(docs):
+    from mapreduce_assignments_spark.operators.index import build_inverted_index
+
+    full = {r["term"]: r for r in build_inverted_index(docs).collect()}
+    chunked = build_inverted_index(docs, max_postings=2).collect()
+    assert set(r["term"] for r in chunked) == set(full)
+    by_term = {}
+    for r in chunked:
+        assert len(r["postings"]) <= 2
+        assert r["df"] == full[r["term"]]["df"]
+        assert r["cf"] == full[r["term"]]["cf"]
+        by_term.setdefault(r["term"], []).append(r)
+    for term, rows in by_term.items():
+        rows.sort(key=lambda r: r["chunk"])
+        assert [r["chunk"] for r in rows] == list(range(len(rows)))
+        merged = [p for r in rows for p in r["postings"]]
+        assert merged == list(full[term]["postings"])

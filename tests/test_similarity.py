@@ -93,3 +93,33 @@ def test_embedding_near_dupes(emb):
     pairs = {(r["id_a"], r["id_b"]): r["sim"] for r in embedding_near_dupes(df, centroids, 0.95).collect()}
     assert (0, 25) in pairs
     assert pairs[(0, 25)] > 0.99
+
+
+def test_ivf_train_end_to_end_recall(emb):
+    from mapreduce_assignments_spark.operators.similarity import ivf_train
+
+    df, _ = emb
+    centroids = ivf_train(df, k=4, n_iter=3)
+    got = centroids.collect()
+    assert 1 <= len(got) <= 4
+    assert all(len(r["c"]) == 8 for r in got)
+    # recall of nprobe=1 IVF vs brute force over all 40 queries
+    queries = df.selectExpr("vec_id as query_id", "embedding as q")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(df, centroids, df.selectExpr("vec_id as query_id"), k=3).collect()
+    }
+    assert len(approx & truth) / len(truth) >= 0.5
+
+
+def test_ivf_train_deterministic(emb):
+    from mapreduce_assignments_spark.operators.similarity import ivf_train
+
+    df, _ = emb
+    a = sorted(map(tuple, ivf_train(df, k=3, n_iter=2).collect()))
+    b = sorted(map(tuple, ivf_train(df, k=3, n_iter=2).collect()))
+    assert a == b

@@ -86,3 +86,18 @@ def test_pmi_canonical_order(spark):
     out = text.pmi(df, min_cooccurrence=10).collect()
     assert len(out) == 1
     assert (out[0]["x"], out[0]["y"]) == ("alpha", "zeta")
+
+
+def test_read_text_corpus_unique_is_pure_dataframe(spark, tmp_path):
+    from mapreduce_assignments_spark.sources.text_corpus import read_text_corpus
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("alpha beta\ngamma\ndelta epsilon zeta\n")
+    df = read_text_corpus(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 3
+    assert len({r["doc_id"] for r in rows}) == 3
+    assert {r["text"] for r in rows} == {"alpha beta", "gamma", "delta epsilon zeta"}
+    # scale contract: no Python evaluation anywhere in the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
