@@ -121,8 +121,12 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     user_id with AQE skew-splitting for celebrity users.
     """
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    # microsecond-exact integers: sub-second timestamps must not be
+    # truncated (cast-to-long floors to seconds and disagrees with any
+    # micros-exact engine right at the gap boundary).
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
     return (
         events.select("user_id", "ts")
         .withColumn("new_session", is_new)

@@ -1,0 +1,649 @@
+"""Driver-contract workload registry.
+
+Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+extensions) gets a named query over the driver testdata tables and,
+wherever the semantics are SQL-expressible, a DuckDB oracle query that
+must match row-for-row, value-for-value.
+
+Parity rules applied throughout (both sides identically):
+
+- every computed column is aliased to the same name in Spark and SQL;
+- doubles that pass through non-associative float math are rounded to
+  6 places on BOTH sides before comparison/ranking;
+- Spark INT columns are CAST to INTEGER on the DuckDB side (DuckDB
+  defaults count-ish things to BIGINT/HUGEINT);
+- dates are rendered as 'yyyy-MM-dd' strings (no tz/arrow ambiguity);
+- all hashing is the portable md5 family from functions.hashing, which
+  DuckDB reproduces exactly.
+
+Iterative operators (PageRank, PPR, trained IVF) are not one SQL
+statement; they are registered without an oracle → the driver records
+its weaker rows-only check, and their numeric correctness is covered
+by the NumPy/golden oracles in tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions.hashing import MINHASH_A, MINHASH_B, MINHASH_PRIME, NUM_MINHASHES
+from .operators import dedup, graph, index, relational, similarity, text, text_quality, timeseries
+from .plans.rpn import BooleanQueryPlanner, rpn_to_sql
+from .sources.tables import load_table, register_views
+
+# ----------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+
+# whitespace tokens with empties dropped — mirrors text.tokens_array
+_TOK = r"list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)"
+_H28 = "CAST(CONCAT('0x', substring(md5(shingle), 1, 7)) AS BIGINT)"
+
+
+def _h60_sql(expr: str) -> str:
+    return f"CAST(CONCAT('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+_A_SQL = "[" + ",".join(str(a) for a in MINHASH_A) + "]"
+_B_SQL = "[" + ",".join(str(b) for b in MINHASH_B) + "]"
+
+# distinct 3-gram shingles per doc — mirrors dedup.shingles(n=3)
+_SHINGLES_3 = f"""
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(1, len(ts) - 1),
+             i -> array_to_string(ts[i:i+2], ' ')))) AS shingle
+    FROM (SELECT doc_id, {_TOK} AS ts FROM documents)
+    WHERE len(ts) >= 3)
+"""
+
+# 32 minhashes per doc, flattened (doc_id, i, mh)
+_MINHASH_FLAT = f"""
+  SELECT doc_id, CAST(g.i AS INTEGER) AS i,
+         min(({_A_SQL}[g.i + 1] * h + {_B_SQL}[g.i + 1]) % {MINHASH_PRIME}) AS mh
+  FROM (SELECT doc_id, {_H28} AS h FROM ({_SHINGLES_3})),
+       generate_series(0, {NUM_MINHASHES - 1}) g(i)
+  GROUP BY doc_id, g.i
+"""
+
+_BOOLEAN_QUERY = "hash join AND scan OR"  # (hash AND join) OR scan
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ----------------------------------------------------------------------------
+# queries
+
+def q_word_count(spark, sf_dir):
+    return text.word_count(_docs(spark, sf_dir))
+
+
+def q_bigram_count(spark, sf_dir):
+    return text.bigram_count(_docs(spark, sf_dir))
+
+
+def q_cooccurrence(spark, sf_dir):
+    return text.cooccurrence(_docs(spark, sf_dir), window=2)
+
+
+def q_pmi(spark, sf_dir):
+    out = text.pmi(_docs(spark, sf_dir), min_cooccurrence=10)
+    return out.select("x", "y", "cnt", F.round("pmi", 6).alias("pmi"))
+
+
+def q_term_frequencies(spark, sf_dir):
+    return index.term_frequencies(_docs(spark, sf_dir))
+
+
+def q_inverted_index_stats(spark, sf_dir):
+    return index.build_inverted_index(_docs(spark, sf_dir)).select("term", "df", "cf")
+
+
+def q_tf_histogram(spark, sf_dir):
+    tfs = index.term_frequencies(_docs(spark, sf_dir))
+    return index.tf_histogram(tfs, "join")
+
+
+def q_boolean_retrieval(spark, sf_dir):
+    tfs = index.term_frequencies(_docs(spark, sf_dir))
+    return BooleanQueryPlanner(tfs).plan(_BOOLEAN_QUERY)
+
+
+def q_hourly_counts(spark, sf_dir):
+    return timeseries.hourly_counts_events(_events(spark, sf_dir))
+
+
+def q_hourly_counts_errors(spark, sf_dir):
+    return timeseries.hourly_counts_events(_events(spark, sf_dir), type_regex="error")
+
+
+def q_pricing_summary(spark, sf_dir):
+    return relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    out = relational.top_revenue_orders(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        k=10,
+    )
+    return out.withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    return relational.revenue_by_nation(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_user_sessions(spark, sf_dir):
+    return relational.user_sessions(_events(spark, sf_dir), gap_minutes=30)
+
+
+def q_sql_revenue_by_nation(spark, sf_dir):
+    """The SQL-surface twin of revenue_by_nation: the same star join
+    expressed as ``spark.sql`` over registered views — demonstrates the
+    engine's full SQL front-end (reference's Pig scripts analogue,
+    assignment6/assignment6.md:9-55)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_REVENUE_BY_NATION_SQL)
+
+
+def q_exact_duplicates(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_shingles(spark, sf_dir):
+    return dedup.shingles(_docs(spark, sf_dir), n=3)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir), n=3)
+    return sigs.select("doc_id", F.posexplode("sig").alias("i", "mh"))
+
+
+def q_minhash_lsh_candidates(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir), n=3, bands=8)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    out = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir), bits=32)
+
+
+def q_token_counts(spark, sf_dir):
+    return text_quality.token_counts(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return text_quality.quality_score(_docs(spark, sf_dir))
+
+
+def q_language_id(spark, sf_dir):
+    return text_quality.language_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return text_quality.doc_fingerprint(_docs(spark, sf_dir), n=5)
+
+
+def q_brute_force_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+def q_ivf_assign(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c")
+    )
+    return similarity.ivf_assign(emb, centroids).select("vec_id", "cell")
+
+
+def q_embedding_near_dupes(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c")
+    )
+    return similarity.embedding_near_dupes(emb, centroids, threshold=0.2)
+
+
+# --- iterative / trained operators: rows-only (no single-SQL oracle) --------
+
+def _customer_graph(spark, sf_dir):
+    """Deterministic graph over the customer table: each customer links
+    to (up to) the 10 lowest-keyed OTHER customers of its nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    members = cust.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_list("c_custkey")).alias("ms")
+    )
+    return members.select(
+        F.explode("ms").alias("id"), F.col("ms")
+    ).select(
+        F.col("id").cast("int").alias("id"),
+        F.expr("slice(filter(ms, m -> m != id), 1, 10)").cast("array<int>").alias("adj"),
+    )
+
+
+def q_pagerank(spark, sf_dir):
+    ranks = graph.pagerank(_customer_graph(spark, sf_dir), n_iter=8)
+    top = graph.top_k_nodes(ranks, k=25)
+    return top.select("rank", "id", F.round("pr", 6).alias("pr"))
+
+
+def q_personalized_pagerank(spark, sf_dir):
+    g = _customer_graph(spark, sf_dir)
+    sources = [r["id"] for r in g.select("id").orderBy("id").limit(2).collect()]
+    ranks = graph.personalized_pagerank(g, sources=sources, n_iter=8)
+    top = graph.top_k_per_source(ranks, k=10)
+    return top.select("source", "rank", "id", F.round("pr", 6).alias("pr"))
+
+
+def q_ivf_topk_trained(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    centroids = similarity.ivf_train(emb, k=8, n_iter=2)
+    queries = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"))
+    return similarity.ivf_topk(emb, centroids, queries, k=10)
+
+
+# ----------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; tables pre-registered as views)
+
+_REVENUE_BY_NATION_SQL = """
+SELECT n_name, r_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))), 6)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+ORACLE: dict[str, str] = {}
+
+ORACLE["word_count"] = f"""
+SELECT t AS word, count(*) AS cnt
+FROM (SELECT unnest({_TOK}) AS t FROM documents)
+GROUP BY t
+"""
+
+ORACLE["bigram_count"] = f"""
+SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cnt
+FROM (
+  SELECT unnest(list_transform(range(1, len(ts)),
+                i -> {{'w1': ts[i], 'w2': ts[i + 1]}})) AS p
+  FROM (SELECT {_TOK} AS ts FROM documents))
+GROUP BY p.w1, p.w2
+"""
+
+ORACLE["cooccurrence"] = f"""
+SELECT p.a AS a, p.b AS b, count(*) AS cnt
+FROM (
+  SELECT unnest(flatten(list_transform(range(1, len(ts) + 1), i ->
+           list_transform(
+             list_filter(range(greatest(1, i - 2), least(len(ts), i + 2) + 1),
+                         j -> j != i),
+             j -> {{'a': ts[i], 'b': ts[j]}})))) AS p
+  FROM (SELECT {_TOK} AS ts FROM documents)
+  WHERE len(ts) > 0)
+GROUP BY p.a, p.b
+"""
+
+ORACLE["pmi"] = f"""
+WITH ws AS (
+  SELECT list_sort(list_distinct({_TOK})) AS ws FROM documents
+), pairs AS (
+  SELECT p.x AS x, p.y AS y, count(*) AS cnt
+  FROM (
+    SELECT unnest(flatten(list_transform(range(1, len(ws) + 1), i ->
+             list_transform(range(i + 1, len(ws) + 1),
+                            j -> {{'x': ws[i], 'y': ws[j]}})))) AS p
+    FROM ws)
+  GROUP BY p.x, p.y
+  HAVING count(*) >= 10
+), wc AS (
+  SELECT w, count(*) AS wc FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY w
+), n AS (SELECT count(*) AS n FROM documents)
+SELECT x, y, cnt, round(ln(cnt * n.n / (cx.wc * cy.wc)), 6) AS pmi
+FROM pairs, n
+JOIN wc cx ON cx.w = pairs.x
+JOIN wc cy ON cy.w = pairs.y
+"""
+
+ORACLE["term_frequencies"] = f"""
+SELECT t AS term, doc_id AS docid, count(*) AS tf
+FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+GROUP BY t, doc_id
+"""
+
+ORACLE["inverted_index_stats"] = f"""
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM (
+  SELECT t AS term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+  GROUP BY t, doc_id)
+GROUP BY term
+"""
+
+ORACLE["tf_histogram"] = f"""
+SELECT tf, count(*) AS n_docs
+FROM (
+  SELECT doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+  WHERE t = 'join'
+  GROUP BY doc_id)
+GROUP BY tf
+"""
+
+ORACLE["boolean_retrieval"] = f"""
+WITH postings AS (
+  SELECT t AS term, doc_id AS docid
+  FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents))
+SELECT docid FROM {rpn_to_sql(_BOOLEAN_QUERY)} q
+"""
+
+ORACLE["hourly_counts"] = """
+SELECT CAST(month(ts) AS VARCHAR) || '/' || CAST(day(ts) AS VARCHAR) AS date,
+       CAST(hour(ts) AS INTEGER) AS hour, count(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+ORACLE["hourly_counts_errors"] = """
+SELECT CAST(month(ts) AS VARCHAR) || '/' || CAST(day(ts) AS VARCHAR) AS date,
+       CAST(hour(ts) AS INTEGER) AS hour, count(*) AS cnt
+FROM events
+WHERE regexp_matches(event_type, 'error')
+GROUP BY 1, 2
+"""
+
+ORACLE["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_qty,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))), 6)
+       AS DOUBLE) AS sum_disc_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * ((CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
+                    * (CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6))))), 6)
+       AS DOUBLE) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLE["top_revenue_orders"] = """
+SELECT o_orderkey, c_mktsegment, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))), 6)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderkey, c_mktsegment, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+ORACLE["revenue_by_nation"] = _REVENUE_BY_NATION_SQL
+ORACLE["sql_revenue_by_nation"] = _REVENUE_BY_NATION_SQL
+
+ORACLE["user_sessions"] = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+ORACLE["exact_duplicates"] = """
+SELECT min(doc_id) AS keeper, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+ORACLE["shingles"] = _SHINGLES_3
+
+ORACLE["minhash_signatures"] = _MINHASH_FLAT
+
+ORACLE["minhash_lsh_candidates"] = f"""
+WITH mh AS ({_MINHASH_FLAT}),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bsig
+  FROM mh GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS ag
+  FROM cand c
+  JOIN mh x ON x.doc_id = c.doc_a
+  JOIN mh y ON y.doc_id = c.doc_b AND y.i = x.i
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, CAST(ag AS DOUBLE) / {NUM_MINHASHES} AS est_sim FROM agree
+"""
+
+ORACLE["ngram_jaccard"] = f"""
+WITH sh AS ({_SHINGLES_3}),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.1
+"""
+
+ORACLE["simhash"] = f"""
+WITH tf AS (
+  SELECT doc_id, t AS w, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+  GROUP BY doc_id, t
+), th AS (
+  SELECT doc_id, tf, {_h60_sql('w')} AS h FROM tf
+), c AS (
+  SELECT doc_id, g.b AS b,
+         CASE WHEN (h >> g.b) & 1 = 1 THEN tf ELSE -tf END AS v
+  FROM th, generate_series(0, 31) g(b)
+), s AS (
+  SELECT doc_id, b, sum(v) AS s FROM c GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM s GROUP BY doc_id
+"""
+
+ORACLE["token_counts"] = r"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0))
+            AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+            AS INTEGER) AS bpe_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+"""
+
+_STOP_IN = ", ".join(f"'{w}'" for w in text_quality.STOPWORDS)
+ORACLE["quality_score"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+m AS (
+  SELECT doc_id, len(ts) AS n,
+         CASE WHEN len(ts) > 0
+              THEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) ELSE 0.0 END AS dr,
+         CASE WHEN len(ts) > 0
+              THEN CAST(len(list_filter(ts, w -> w IN ({_STOP_IN}))) AS DOUBLE) / len(ts)
+              ELSE 0.0 END AS sr
+  FROM t)
+SELECT doc_id,
+       round(0.4 * least(1.0, CAST(n AS DOUBLE) / 64.0)
+             + 0.3 * dr
+             + 0.3 * (1.0 - least(1.0, abs(sr - 0.4) * 2.5)), 6) AS quality
+FROM m
+"""
+
+_LANGS = sorted(text_quality.LANG_MARKERS)
+_SCORE_EXPRS = ",\n         ".join(
+    "CAST(len(list_filter(ts, w -> w IN ({}))) AS INTEGER) AS s_{}".format(
+        ", ".join(f"'{m}'" for m in text_quality.LANG_MARKERS[lang]), lang
+    )
+    for lang in _LANGS
+)
+_GREATEST = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANGS) + ")"
+_PRED_CASE = "CASE " + " ".join(
+    f"WHEN s_{lang} = {_GREATEST} THEN '{lang}'" for lang in _LANGS
+) + " END"
+ORACLE["language_id"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+s AS (SELECT doc_id,
+         {_SCORE_EXPRS}
+      FROM t)
+SELECT doc_id, {_PRED_CASE} AS pred_lang, {_GREATEST} AS score FROM s
+"""
+
+ORACLE["doc_fingerprint"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents)
+SELECT doc_id,
+       CASE WHEN len(ts) >= 5
+            THEN list_aggregate(list_transform(
+                   range(1, len(ts) - 3),
+                   i -> {_h60_sql("array_to_string(ts[i:i+4], ' ')")}), 'min')
+            ELSE {_h60_sql("array_to_string(ts, ' ')")} END AS fingerprint
+FROM t
+"""
+
+_COS = (
+    "round(list_dot_product(qv, v) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)"
+)
+ORACLE["brute_force_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id, {_COS} AS sim
+  FROM q, e WHERE e.vec_id != q.query_id)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank,
+       sim
+FROM scored
+QUALIFY rank <= 10
+"""
+
+_CCOS = (
+    "round(list_dot_product(c, v) / "
+    "(sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(v, v))), 6)"
+)
+ORACLE["ivf_assign"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cen AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, cen.cell_id, {_CCOS} AS csim FROM e, cen)
+SELECT vec_id, cell_id AS cell FROM (
+  SELECT vec_id, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cell_id ASC) AS rn
+  FROM scored)
+WHERE rn = 1
+"""
+
+_PCOS = (
+    "round(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+)
+ORACLE["embedding_near_dupes"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cen AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cen.cell_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_CCOS} DESC, cen.cell_id ASC) AS rn
+    FROM e, cen)
+  WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_PCOS} AS sim
+FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {_PCOS} >= 0.2
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "word_count": q_word_count,
+    "bigram_count": q_bigram_count,
+    "cooccurrence": q_cooccurrence,
+    "pmi": q_pmi,
+    "term_frequencies": q_term_frequencies,
+    "inverted_index_stats": q_inverted_index_stats,
+    "tf_histogram": q_tf_histogram,
+    "boolean_retrieval": q_boolean_retrieval,
+    "hourly_counts": q_hourly_counts,
+    "hourly_counts_errors": q_hourly_counts_errors,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "revenue_by_nation": q_revenue_by_nation,
+    "sql_revenue_by_nation": q_sql_revenue_by_nation,
+    "user_sessions": q_user_sessions,
+    "exact_duplicates": q_exact_duplicates,
+    "shingles": q_shingles,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "token_counts": q_token_counts,
+    "quality_score": q_quality_score,
+    "language_id": q_language_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "brute_force_topk": q_brute_force_topk,
+    "ivf_assign": q_ivf_assign,
+    "embedding_near_dupes": q_embedding_near_dupes,
+    # iterative / trained — rows-only checks
+    "pagerank": q_pagerank,
+    "personalized_pagerank": q_personalized_pagerank,
+    "ivf_topk_trained": q_ivf_topk_trained,
+}
