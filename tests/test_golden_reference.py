@@ -1,0 +1,140 @@
+"""Golden-output parity against the reference's OWN data and published
+answers — the strongest end-to-end evidence of semantic parity.
+
+Sources of truth:
+- assignment1/assignment1.md:4-9   — word counts over
+  bible+shakes.nopunc.gz: ''but=1, zorah=8, aaron=416.
+- assignment2/assignment2.md:17-27 — PMI over the same corpus:
+  107,511 pairs at threshold 10; max PMI 9.319931 shared by the
+  (abednego, meshach, shadrach) trio; top-3 for "cloud" and "love".
+- assignment4/assignment4.md:5-31  — personalized PageRank over
+  sample-large.txt (1,458 nodes), sources 9470136 & 9300650,
+  20 iterations: the full published top-10 per source at %.5f.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mapreduce_assignments_spark.operators.graph import (
+    format_rank_report,
+    personalized_pagerank,
+    top_k_per_source,
+)
+from mapreduce_assignments_spark.operators.text import pmi, tokens_array, word_count
+from mapreduce_assignments_spark.sources.text_corpus import (
+    read_adjacency_text,
+    read_text_corpus,
+)
+
+BIBLE_SHAKES = "/root/reference/assignment2/bible+shakes.nopunc.gz"
+SAMPLE_LARGE = "/root/reference/assignment4/sample-large.txt"
+
+# assignment4/assignment4.md:7-17 and :21-31, verbatim.
+GOLDEN_PPR = {
+    9470136: [
+        ("0.38857", 9470136), ("0.09418", 7992850), ("0.08586", 7891871),
+        ("0.08063", 10208640), ("0.06603", 9427340), ("0.06603", 8747858),
+        ("0.03546", 8702415), ("0.03183", 8669492), ("0.02246", 7970234),
+        ("0.01693", 8846238),
+    ],
+    9300650: [
+        ("0.44688", 9300650), ("0.09108", 10765057), ("0.08888", 9074395),
+        ("0.07597", 9621997), ("0.07597", 8832646), ("0.07597", 10687744),
+        ("0.01556", 10448801), ("0.01511", 9785148), ("0.01511", 8846237),
+        ("0.01511", 11890488),
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return read_text_corpus(spark, BIBLE_SHAKES).cache()
+
+
+def test_word_count_goldens(corpus):
+    assert corpus.count() == 156215
+    wc = {
+        r["word"]: r["cnt"]
+        for r in word_count(corpus)
+        .where(F.col("word").isin("aaron", "zorah", "''but"))
+        .collect()
+    }
+    assert wc == {"aaron": 416, "zorah": 8, "''but": 1}
+
+
+def test_pmi_goldens(corpus):
+    p = pmi(corpus, min_cooccurrence=10).cache()
+    # True semantic count (distinct-word pairs co-occurring in >=10
+    # docs): 116,759. The reference publishes 107,511 because its job-2
+    # re-parses job-1's TEXT output with split("-") (PairsPMI.java:258)
+    # and Java renders floats < 1e-3 in scientific notation ("1.2E-4"),
+    # so every pair with c(x,y)/c(x) < 0.001 is silently dropped — the
+    # lossy text round-trip this engine's single-DAG formulation
+    # avoids. We assert BOTH: our true count, and exact reproduction of
+    # the published figure under the reference's survival condition.
+    assert p.count() == 116759
+    df = (
+        corpus.select(F.explode(F.array_distinct(tokens_array("text"))).alias("x"))
+        .groupBy("x")
+        .agg(F.count("*").alias("cx"))
+    )
+    survived = (
+        p.join(df, "x").where((F.col("cnt") / F.col("cx")) >= 0.001).count()
+    )
+    assert survived == 107511
+    top = p.orderBy(F.desc("pmi"), "x", "y").limit(3).collect()
+    assert {(r["x"], r["y"]) for r in top} == {
+        ("abednego", "meshach"),
+        ("abednego", "shadrach"),
+        ("meshach", "shadrach"),
+    }
+    for r in top:
+        assert r["pmi"] == pytest.approx(9.319931, abs=1e-5)
+
+    def top3(term):
+        return [
+            ((r["x"], r["y"]), round(r["pmi"], 6))
+            for r in p.where((F.col("x") == term) | (F.col("y") == term))
+            .orderBy(F.desc("pmi"))
+            .limit(3)
+            .collect()
+        ]
+
+    assert top3("cloud") == [
+        (("cloud", "tabernacle"), pytest.approx(4.153025, abs=1e-5)),
+        (("cloud", "glory"), pytest.approx(3.398875, abs=1e-5)),
+        (("cloud", "fire"), pytest.approx(3.235472, abs=1e-5)),
+    ]
+    assert top3("love") == [
+        (("hate", "love"), pytest.approx(2.575536, abs=1e-5)),
+        (("hermia", "love"), pytest.approx(2.028992, abs=1e-5)),
+        (("commandments", "love"), pytest.approx(1.939547, abs=1e-5)),
+    ]
+    p.unpersist()
+
+
+def test_personalized_pagerank_golden_top10(spark):
+    g = read_adjacency_text(spark, SAMPLE_LARGE)
+    assert g.count() == 1458
+    ranks = personalized_pagerank(
+        g, sources=list(GOLDEN_PPR), n_iter=20
+    )
+    report = format_rank_report(top_k_per_source(ranks, k=10))
+    got: dict[int, list] = {}
+    for r in sorted(report.collect(), key=lambda r: (r["source"], r["rank"])):
+        got.setdefault(r["source"], []).append((r["pr_fmt"], r["id"]))
+    # Ties: nodes sharing a formatted mass may order differently than
+    # the reference (it ranks by log-space FLOAT pr, we by linear
+    # DOUBLE pr — differences below the 5th decimal). Two cases:
+    # within-list ties (same 10 ids, swapped order) and boundary ties
+    # (4 nodes share the rank-10 mass 0.01511; any 3 are a valid
+    # top-10). So: exact formatted-mass sequence, exact (mass, id) set
+    # above the boundary mass.
+    for src, want in GOLDEN_PPR.items():
+        assert [m for m, _ in got[src]] == [m for m, _ in want]
+        boundary = want[-1][0]
+        assert {(m, i) for m, i in got[src] if m != boundary} == {
+            (m, i) for m, i in want if m != boundary
+        }
