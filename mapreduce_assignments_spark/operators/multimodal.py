@@ -1,0 +1,226 @@
+"""Multimodal (image/audio/video) column operators.
+
+The engine's contract for non-text modalities: media is an opaque
+``BINARY`` column plus typed metadata; pipelines never shuffle decoded
+pixels, only compact features. This module provides the four shapes a
+100 TB training-data pipeline needs:
+
+- container sniffing  (pure JVM expressions over the binary prefix),
+- decode + feature extraction  (Arrow-batched ``mapInPandas``),
+- perceptual-hash near-dup grouping  (Pandas UDF hash, JVM group),
+- video frame sampling  (``mapInPandas`` row explosion).
+
+Codec reality: this container has no PIL/cv2/librosa, so REAL codec
+decode is stubbed — ``decode_image`` raises ``NotImplementedError``
+unless the payload is the deterministic FAKEIMG/FAKEVID test format
+below. Everything around the decode (schemas, batch iteration, Arrow
+transfer, partitioning, output shapes) is real and tested; swapping in
+PIL is a one-function change.
+
+Synthetic container formats (deterministic, self-describing):
+
+- FAKEIMG:  b"FAKEIMG" + width:u32be + height:u32be + channels:u8
+            + payload (width*height*channels bytes)
+- FAKEVID:  b"FAKEVID" + n_frames:u32be + frame_len:u32be
+            + n_frames * frame_len payload bytes
+
+Scale notes: ``mapInPandas`` streams Arrow record batches — bound
+batch memory with ``spark.sql.execution.arrow.maxRecordsPerBatch``
+when assets are large (e.g. 128 for multi-MB images). Feature outputs
+are narrow rows, so every downstream join/group is cheap; the binary
+column itself is projected away before any shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "MAGIC_SIGNATURES",
+    "sniff_media",
+    "decode_image",
+    "image_stats",
+    "phash64",
+    "phash_duplicates",
+    "sample_frames",
+    "make_fake_image",
+    "make_fake_video",
+]
+
+# magic-byte prefixes -> container label; checked JVM-side via hex().
+MAGIC_SIGNATURES: dict[str, str] = {
+    "89504E47": "png",
+    "FFD8FF": "jpeg",
+    "47494638": "gif",
+    "52494646": "riff",  # wav/avi wrapper
+    "464C4143": "flac",
+    "66747970": "mp4",   # at offset 4; handled below
+    "46414B45494D47": "fakeimg",  # b"FAKEIMG"
+    "46414B45564944": "fakevid",  # b"FAKEVID"
+}
+
+
+def sniff_media(assets: DataFrame, content_col: str = "content") -> DataFrame:
+    """Add ``(format STRING, n_bytes INT)`` from the binary column —
+    pure JVM expressions (hex prefix match), no Python, no decode.
+    Unknown containers get format='unknown'."""
+    hex16 = F.upper(F.hex(F.substring(F.col(content_col), 1, 8)))
+    expr = F.lit("unknown")
+    # longest prefix wins: check 7-byte fake magics before 3-byte jpeg
+    for magic, label in sorted(MAGIC_SIGNATURES.items(), key=lambda kv: len(kv[0])):
+        if label == "mp4":
+            expr = F.when(F.substring(hex16, 9, 8) == magic, F.lit(label)).otherwise(expr)
+        else:
+            expr = F.when(hex16.startswith(magic), F.lit(label)).otherwise(expr)
+    return assets.withColumn("format", expr).withColumn(
+        "n_bytes", F.length(F.col(content_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic fake containers (test vectors for the decode plumbing)
+
+def make_fake_image(width: int, height: int, channels: int = 1, seed: int = 0) -> bytes:
+    n = width * height * channels
+    payload = bytes((seed + 31 * i) % 256 for i in range(n))
+    return b"FAKEIMG" + struct.pack(">IIB", width, height, channels) + payload
+
+
+def make_fake_video(n_frames: int, frame_len: int, seed: int = 0) -> bytes:
+    payload = bytes((seed + 17 * i) % 256 for i in range(n_frames * frame_len))
+    return b"FAKEVID" + struct.pack(">II", n_frames, frame_len) + payload
+
+
+def decode_image(content: bytes):
+    """Decode one image payload → (width, height, channels, pixel bytes).
+
+    REAL codecs are not available in this environment; only the
+    deterministic FAKEIMG container decodes. A deployment with PIL
+    installed replaces this function body with ``PIL.Image.open`` —
+    nothing else in the pipeline changes.
+    """
+    if content[:7] == b"FAKEIMG":
+        w, h, c = struct.unpack(">IIB", content[7:16])
+        return w, h, c, content[16 : 16 + w * h * c]
+    raise NotImplementedError(
+        "real image codecs (PIL/cv2) are not available in this container; "
+        "only the FAKEIMG test format decodes"
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode + feature extraction
+
+_STATS_SCHEMA = (
+    "asset_id long, width int, height int, channels int, mean_px double"
+)
+
+
+def image_stats(assets: DataFrame, id_col: str = "asset_id", content_col: str = "content") -> DataFrame:
+    """Decode each image and emit ``(asset_id, width, height, channels,
+    mean_px)`` — the canonical decode→feature shape. Arrow-batched
+    ``mapInPandas``; undecodable rows are dropped (a real pipeline
+    would route them to a quarantine sink)."""
+    import numpy as np  # local import: only the executors need it
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    w, h, c, px = decode_image(bytes(content))
+                except NotImplementedError:
+                    continue
+                arr = np.frombuffer(px, dtype=np.uint8)
+                rows.append((aid, w, h, c, round(float(arr.mean()), 6) if arr.size else 0.0))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "channels", "mean_px"]
+            )
+
+    return assets.select(id_col, content_col).mapInPandas(batches, _STATS_SCHEMA)
+
+
+def phash64(content: bytes) -> int:
+    """64-bit average-hash over an 8x8 downsample of the decoded pixel
+    bytes — deterministic, pure-Python/NumPy (no codec needed for the
+    FAKEIMG format)."""
+    import numpy as np
+
+    _, _, _, px = decode_image(content)
+    arr = np.frombuffer(px, dtype=np.uint8).astype(np.float64)
+    if arr.size == 0:
+        return 0
+    cells = np.array_split(arr, 64)
+    means = np.array([c.mean() if c.size else 0.0 for c in cells])
+    bits = means > means.mean()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # fold into signed int64 (Spark LongType)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def phash_duplicates(
+    assets: DataFrame, id_col: str = "asset_id", content_col: str = "content"
+) -> DataFrame:
+    """Perceptual-duplicate groups ``(keeper, n_dups, phash)``: hash in
+    an Arrow-batched UDF (the one sanctioned Python step — it touches
+    pixels), group JVM-side on the 8-byte hash. Mirrors
+    dedup.exact_duplicates' keeper-selection contract."""
+    import pandas as pd
+
+    def hash_batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    rows.append((aid, phash64(bytes(content))))
+                except NotImplementedError:
+                    continue
+            yield pd.DataFrame(rows, columns=["asset_id", "phash"])
+
+    hashed = assets.select(id_col, content_col).mapInPandas(
+        hash_batches, "asset_id long, phash long"
+    )
+    return (
+        hashed.groupBy("phash")
+        .agg(F.min("asset_id").alias("keeper"), F.count("*").alias("n_dups"))
+        .select("keeper", "n_dups", "phash")
+    )
+
+
+def sample_frames(
+    assets: DataFrame,
+    every_k: int = 2,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Sample every k-th frame from FAKEVID containers →
+    ``(asset_id, frame_idx, frame BINARY)`` — one input row explodes to
+    ceil(n_frames/k) output rows inside the Arrow batch iterator (the
+    row-explosion shape real video sampling needs)."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    import pandas as pd
+
+    def frame_batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                raw = bytes(content)
+                if raw[:7] != b"FAKEVID":
+                    continue
+                n, flen = struct.unpack(">II", raw[7:15])
+                body = raw[15:]
+                for idx in range(0, n, every_k):
+                    rows.append((aid, idx, body[idx * flen : (idx + 1) * flen]))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame"])
+
+    return assets.select(id_col, content_col).mapInPandas(
+        frame_batches, "asset_id long, frame_idx int, frame binary"
+    )

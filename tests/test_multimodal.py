@@ -1,0 +1,86 @@
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from mapreduce_assignments_spark.operators.multimodal import (
+    decode_image,
+    image_stats,
+    make_fake_image,
+    make_fake_video,
+    phash64,
+    phash_duplicates,
+    sample_frames,
+    sniff_media,
+)
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        (1, make_fake_image(4, 4, 1, seed=7)),
+        (2, make_fake_image(8, 2, 3, seed=9)),
+        (3, make_fake_image(4, 4, 1, seed=7)),   # exact dup of 1
+        (4, b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),  # real png magic, no codec
+        (5, b"\xff\xd8\xff\xe0" + b"\x00" * 8),    # jpeg magic
+        (6, make_fake_video(6, 10, seed=3)),
+        (7, b"garbage-bytes-here"),
+    ]
+    return spark.createDataFrame(rows, "asset_id long, content binary")
+
+
+def test_sniff_media_formats(assets):
+    got = {r["asset_id"]: (r["format"], r["n_bytes"]) for r in sniff_media(assets).collect()}
+    assert got[1][0] == "fakeimg"
+    assert got[4] == ("png", 24)
+    assert got[5] == ("jpeg", 12)
+    assert got[6][0] == "fakevid"
+    assert got[7][0] == "unknown"
+    # sniffing must stay JVM-side
+    plan = sniff_media(assets)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_decode_image_roundtrip():
+    raw = make_fake_image(3, 2, 1, seed=5)
+    w, h, c, px = decode_image(raw)
+    assert (w, h, c) == (3, 2, 1)
+    assert px == bytes((5 + 31 * i) % 256 for i in range(6))
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_image_stats(assets):
+    got = {r["asset_id"]: r for r in image_stats(assets).collect()}
+    # only the decodable fake images survive
+    assert set(got) == {1, 2, 3}
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (8, 2, 3)
+    px = bytes((7 + 31 * i) % 256 for i in range(16))
+    assert got[1]["mean_px"] == pytest.approx(sum(px) / 16, abs=1e-6)
+    assert got[1]["mean_px"] == got[3]["mean_px"]
+
+
+def test_phash_duplicates(assets):
+    groups = {r["keeper"]: r for r in phash_duplicates(assets).collect()}
+    # 1 and 3 are pixel-identical -> same phash group with keeper=1
+    assert groups[1]["n_dups"] == 2
+    assert groups[1]["phash"] == phash64(make_fake_image(4, 4, 1, seed=7))
+    assert groups[2]["n_dups"] == 1
+
+
+def test_sample_frames(assets):
+    out = sample_frames(assets, every_k=2).collect()
+    assert {r["asset_id"] for r in out} == {6}
+    frames = sorted((r["frame_idx"], bytes(r["frame"])) for r in out)
+    assert [i for i, _ in frames] == [0, 2, 4]
+    raw = make_fake_video(6, 10, seed=3)
+    body = raw[15:]
+    for idx, frame in frames:
+        assert frame == body[idx * 10 : (idx + 1) * 10]
+        assert len(frame) == 10
+
+
+def test_sample_frames_validates():
+    with pytest.raises(ValueError):
+        sample_frames(None, every_k=0)
