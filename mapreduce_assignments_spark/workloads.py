@@ -72,8 +72,23 @@ _MINHASH_FLAT = f"""
 _BOOLEAN_QUERY = "hash join AND scan OR"  # (hash AND join) OR scan
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Small-input parallelization: the testdata documents/embeddings
+    parquet is ONE row group, so Spark's byte-based splitting gives a
+    single partition and every CPU-heavy narrow transform (shingling,
+    minhash, fingerprints, cosine folds) runs on one core. One cheap
+    shuffle of the (tiny) input unlocks all cores. At real scale the
+    input has far more splits than cores, the branch never fires, and
+    no shuffle is added."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return _parallelize(load_table(spark, sf_dir, "documents"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,7 +96,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    return _parallelize(load_table(spark, sf_dir, "embeddings"))
 
 
 # ----------------------------------------------------------------------------
@@ -251,7 +266,10 @@ def _customer_graph(spark, sf_dir):
 
 
 def q_pagerank(spark, sf_dir):
-    ranks = graph.pagerank(_customer_graph(spark, sf_dir), n_iter=8)
+    # partition count sized to the graph (thousands of nodes), not the
+    # core count — iteration latency on a small graph is pure task-
+    # scheduling overhead at 32 partitions (3x slower, measured).
+    ranks = graph.pagerank(_customer_graph(spark, sf_dir), n_iter=8, num_partitions=8)
     top = graph.top_k_nodes(ranks, k=25)
     return top.select("rank", "id", F.round("pr", 6).alias("pr"))
 
@@ -259,7 +277,7 @@ def q_pagerank(spark, sf_dir):
 def q_personalized_pagerank(spark, sf_dir):
     g = _customer_graph(spark, sf_dir)
     sources = [r["id"] for r in g.select("id").orderBy("id").limit(2).collect()]
-    ranks = graph.personalized_pagerank(g, sources=sources, n_iter=8)
+    ranks = graph.personalized_pagerank(g, sources=sources, n_iter=8, num_partitions=8)
     top = graph.top_k_per_source(ranks, k=10)
     return top.select("source", "rank", "id", F.round("pr", 6).alias("pr"))
 
