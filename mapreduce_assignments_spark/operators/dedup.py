@@ -155,13 +155,20 @@ def minhash_lsh_candidates(
 
     Banding: num_hashes/bands rows per band; candidates = equi-join on
     (band_id, band_signature). est_sim >= threshold filters the output.
+
+    Plan shape: the signature rides along through the band explode so
+    agreement is computed directly on the banded self-join — one
+    shuffle on (band, bsig) plus the distinct, instead of the textbook
+    candidates→re-join-signatures-twice (three shuffles). The extra
+    payload is num_hashes longs per banded row; the duplicate-pair
+    dedup happens on the narrow (doc_a, doc_b, est_sim) rows.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
     sigs = minhash_signatures(
         docs, n=n, num_hashes=num_hashes, text_col=text_col, id_col=id_col
-    ).cache()
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -173,31 +180,24 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
+    banded = sigs.select("doc_id", "sig", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "sig", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, ["band", "bsig"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     agree = F.size(
         F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+            F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda eq: eq
         )
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(b, ["band", "bsig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
             (agree.cast("double") / F.lit(float(num_hashes))).alias("est_sim"),
         )
+        .distinct()
         .where(F.col("est_sim") >= threshold)
     )
 
