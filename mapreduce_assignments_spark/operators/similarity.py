@@ -87,13 +87,19 @@ def ivf_train(embeddings: DataFrame, k: int = 16, n_iter: int = 5) -> DataFrame:
     """Train IVF centroids with spherical Lloyd's iterations:
     ``(cell_id, c ARRAY<DOUBLE>)``.
 
-    Deterministic throughout: initial centroids are the ``k`` vectors
-    with the lowest ``vec_id``; assignment ties break to the lowest
-    cell id (``ivf_assign``); the update step is the element-wise mean
-    of each cell's members (cosine assignment is scale-invariant, so
-    the unnormalized mean is a valid spherical-k-means update).
+    Deterministic throughout: initialization is farthest-first — the
+    lowest ``vec_id`` seeds cell 0, then each next centroid is the
+    vector with the smallest max-cosine to the centroids chosen so far
+    (ties to the lowest vec_id). This k-means++-style spread matters:
+    seeding with the first k ids can land every seed in one true
+    cluster and recall never recovers. Assignment ties break to the
+    lowest cell id (``ivf_assign``); the update step is the
+    element-wise mean of each cell's members (cosine assignment is
+    scale-invariant, so the unnormalized mean is a valid
+    spherical-k-means update).
 
-    Scale shape: each iteration is one broadcast-assign scan plus one
+    Scale shape: init is k broadcast-scored corpus scans (k is small);
+    each Lloyd's iteration is one broadcast-assign scan plus one
     ``(cell, dim)`` aggregation — rows shuffled = n_vectors × dim,
     partial-aggregated map-side. Centroids (k × dim doubles) are the
     only driver-side data; collecting them per iteration is the
@@ -104,10 +110,30 @@ def ivf_train(embeddings: DataFrame, k: int = 16, n_iter: int = 5) -> DataFrame:
         raise ValueError("k must be >= 1")
     emb = _as_double(embeddings)
     spark = embeddings.sparkSession
-    seeds = emb.orderBy("vec_id").limit(k).collect()
-    cen_rows = [(i, r["embedding"]) for i, r in enumerate(seeds)]
     schema = "cell_id int, c array<double>"
-    cen = spark.createDataFrame(cen_rows, schema)
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    seeds = [list(first["embedding"])]
+    for _ in range(1, k):
+        cen_df = F.broadcast(
+            spark.createDataFrame(list(enumerate(seeds)), schema)
+        )
+        far = (
+            emb.crossJoin(cen_df)
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.round(cosine_similarity(F.col("c"), F.col("embedding")), 9)
+                ).alias("near"),
+                F.first("embedding").alias("embedding"),
+            )
+            .orderBy(F.asc("near"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break
+        seeds.append(list(far[0]["embedding"]))
+    cen = spark.createDataFrame(list(enumerate(seeds)), schema)
     for _ in range(n_iter):
         assigned = ivf_assign(emb, cen)
         new_rows = (
@@ -153,25 +179,51 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def ivf_topk(
-    embeddings: DataFrame, centroids: DataFrame, queries: DataFrame, k: int = 10
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN: search only the query's own cell (nprobe=1).
+    """IVF ANN: search the query's ``nprobe`` nearest cells.
     ``(query_id, neighbor_id, rank, sim)`` — rank within the probed
-    cell. At scale, ``cell`` is the physical partition key, so each
-    probe reads one partition instead of the corpus."""
-    # no .cache(): the assignment subplan appears twice below and AQE
-    # exchange reuse dedupes it; an explicit cache here would outlive
-    # the call (the returned DataFrame is lazy) and leak storage memory.
+    cells. At scale, ``cell`` is the physical partition key, so each
+    probe reads ``nprobe`` partitions instead of the corpus; nprobe is
+    the standard recall↔throughput dial (recall at nprobe=1 is poor
+    when true neighbors straddle cell boundaries).
+
+    With ``nprobe=1`` this reduces exactly to searching the query
+    vector's own cell (a corpus query's top-1 centroid is its assigned
+    cell)."""
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    # no .cache(): the assignment subplan is reused via exchange reuse;
+    # an explicit cache would outlive the call (the returned DataFrame
+    # is lazy) and leak storage memory.
     assigned = ivf_assign(embeddings, centroids)
-    q_assigned = (
-        assigned.join(
-            queries.select("query_id"), assigned["vec_id"] == F.col("query_id")
+    emb = _as_double(embeddings)
+    cen = centroids.select(
+        F.col("cell_id"), F.col("c").cast("array<double>").alias("c")
+    )
+    qv = emb.join(
+        queries.select("query_id"), emb["vec_id"] == F.col("query_id")
+    ).select("query_id", F.col("embedding").alias("q"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell_id"))
+    q_cells = (
+        qv.crossJoin(F.broadcast(cen))
+        .select(
+            "query_id",
+            "q",
+            "cell_id",
+            F.round(cosine_similarity(F.col("c"), F.col("q")), 6).alias("csim"),
         )
-        .select("query_id", F.col("embedding").alias("q"), F.col("cell").alias("qcell"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "q", F.col("cell_id").alias("qcell"))
     )
     scored = (
         assigned.join(
-            F.broadcast(q_assigned),
+            F.broadcast(q_cells),
             (assigned["cell"] == F.col("qcell"))
             & (assigned["vec_id"] != F.col("query_id")),
         )

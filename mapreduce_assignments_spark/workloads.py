@@ -29,8 +29,20 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+import struct
+
 from .functions.hashing import MINHASH_A, MINHASH_B, MINHASH_PRIME, NUM_MINHASHES
-from .operators import dedup, graph, index, relational, similarity, text, text_quality, timeseries
+from .operators import (
+    dedup,
+    graph,
+    index,
+    multimodal,
+    relational,
+    similarity,
+    text,
+    text_quality,
+    timeseries,
+)
 from .plans.rpn import BooleanQueryPlanner, rpn_to_sql
 from .sources.tables import load_table, register_views
 
@@ -282,11 +294,36 @@ def q_personalized_pagerank(spark, sf_dir):
     return top.select("source", "rank", "id", F.round("pr", 6).alias("pr"))
 
 
+def _fake_image_assets(spark, sf_dir):
+    """Deterministic binary media column: an 8×8 grayscale FAKEIMG per
+    document whose pixels are the first 64 UTF-8 bytes of its text —
+    header attached JVM-side (binary concat/substring), no Python."""
+    header = b"FAKEIMG" + struct.pack(">IIB", 8, 8, 1)
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("n_chars") >= 64)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.concat(
+                F.lit(header), F.expr("substring(encode(text, 'UTF-8'), 1, 64)")
+            ).alias("content"),
+        )
+    )
+
+
+def q_image_stats(spark, sf_dir):
+    return multimodal.image_stats(_fake_image_assets(spark, sf_dir))
+
+
+def q_phash_duplicates(spark, sf_dir):
+    return multimodal.phash_duplicates(_fake_image_assets(spark, sf_dir))
+
+
 def q_ivf_topk_trained(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     centroids = similarity.ivf_train(emb, k=8, n_iter=2)
     queries = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"))
-    return similarity.ivf_topk(emb, centroids, queries, k=10)
+    return similarity.ivf_topk(emb, centroids, queries, k=10, nprobe=2)
 
 
 # ----------------------------------------------------------------------------
@@ -631,6 +668,16 @@ WHERE {_PCOS} >= 0.2
 """
 
 
+# the fake image's pixels are the first 64 UTF-8 bytes of the (ASCII)
+# document text, so the decoded mean pixel equals the mean codepoint.
+ORACLE["image_stats"] = """
+SELECT doc_id AS asset_id, 8 AS width, 8 AS height, 1 AS channels,
+       round(list_aggregate(list_transform(range(1, 65),
+             i -> unicode(substring(text, i, 1))), 'avg'), 6) AS mean_px
+FROM documents WHERE n_chars >= 64
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_count": q_word_count,
     "bigram_count": q_bigram_count,
@@ -660,8 +707,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brute_force_topk": q_brute_force_topk,
     "ivf_assign": q_ivf_assign,
     "embedding_near_dupes": q_embedding_near_dupes,
-    # iterative / trained — rows-only checks
+    # iterative / trained / Python-stage — rows-only checks
     "pagerank": q_pagerank,
     "personalized_pagerank": q_personalized_pagerank,
     "ivf_topk_trained": q_ivf_topk_trained,
+    "image_stats": q_image_stats,
+    "phash_duplicates": q_phash_duplicates,
 }
