@@ -26,6 +26,7 @@ __all__ = [
     "top_revenue_orders",
     "revenue_by_nation",
     "user_sessions",
+    "top_orders_per_customer",
 ]
 
 # Decimal widths are chosen so every product stays within 38 digits
@@ -109,6 +110,22 @@ def revenue_by_nation(
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("n_name", "r_name")
         .agg(F.round(revenue, 6).cast("double").alias("revenue"))
+    )
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window analytics: each customer's ``k`` highest-value orders,
+    ``(o_custkey, o_orderkey, o_totalprice, rn)``. One shuffle on
+    o_custkey; the per-partition rank is computed streaming within the
+    sorted window (AQE skew-splits a celebrity customer). Ties break by
+    ascending order key for cross-engine determinism."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
     )
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["hourly_counts_tweets", "hourly_counts_events"]
+__all__ = ["hourly_counts_tweets", "hourly_counts_events", "event_props_stats"]
 
 # "EEE MMM dd HH:mm:ss Z yyyy" — e.g. "Sun Jan 23 00:14:05 +0000 2011".
 # The reference slices this positionally (ExtractHourlyCountsAll.java:41-63);
@@ -84,4 +84,29 @@ def hourly_counts_events(
         )
         .groupBy("date", "hour")
         .agg(F.count("*").alias("cnt"))
+    )
+
+
+def event_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured ETL: pull a typed field out of the JSON ``props``
+    column and aggregate per event type —
+    ``(event_type, n, sum_k, avg_value)``.
+
+    ``get_json_object`` is a JVM-side expression (no Python, scan-level
+    projection); ``avg_value`` is computed as an exact decimal sum
+    divided by the count so the double result is summation-order-free
+    (the oracle-parity contract of operators.relational)."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_value"),
+        )
     )

@@ -194,6 +194,20 @@ def q_sql_revenue_by_nation(spark, sf_dir):
     return spark.sql(_REVENUE_BY_NATION_SQL)
 
 
+def q_event_props_stats(spark, sf_dir):
+    return timeseries.event_props_stats(_events(spark, sf_dir))
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    return relational.top_orders_per_customer(load_table(spark, sf_dir, "orders"), k=3)
+
+
+def q_boolean_retrieval_text(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    tfs = index.term_frequencies(docs)
+    return BooleanQueryPlanner(tfs).retrieve(_BOOLEAN_QUERY, docs)
+
+
 def q_exact_duplicates(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
@@ -668,6 +682,32 @@ WHERE {_PCOS} >= 0.2
 """
 
 
+ORACLE["event_props_stats"] = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS avg_value
+FROM events GROUP BY event_type
+"""
+
+ORACLE["top_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC)
+            AS INTEGER) AS rn
+FROM orders
+QUALIFY rn <= 3
+"""
+
+ORACLE["boolean_retrieval_text"] = f"""
+WITH postings AS (
+  SELECT t AS term, doc_id AS docid
+  FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents))
+SELECT q.docid, d.text
+FROM {rpn_to_sql(_BOOLEAN_QUERY)} q
+JOIN documents d ON d.doc_id = q.docid
+"""
+
 # the fake image's pixels are the first 64 UTF-8 bytes of the (ASCII)
 # document text, so the decoded mean pixel equals the mean codepoint.
 ORACLE["image_stats"] = """
@@ -687,6 +727,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index_stats": q_inverted_index_stats,
     "tf_histogram": q_tf_histogram,
     "boolean_retrieval": q_boolean_retrieval,
+    "boolean_retrieval_text": q_boolean_retrieval_text,
     "hourly_counts": q_hourly_counts,
     "hourly_counts_errors": q_hourly_counts_errors,
     "pricing_summary": q_pricing_summary,
@@ -694,6 +735,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
     "user_sessions": q_user_sessions,
+    "event_props_stats": q_event_props_stats,
+    "top_orders_per_customer": q_top_orders_per_customer,
     "exact_duplicates": q_exact_duplicates,
     "shingles": q_shingles,
     "minhash_signatures": q_minhash_signatures,

@@ -91,3 +91,26 @@ def test_build_inverted_index_max_postings_chunks(docs):
         assert [r["chunk"] for r in rows] == list(range(len(rows)))
         merged = [p for r in rows for p in r["postings"]]
         assert merged == list(full[term]["postings"])
+
+
+def test_write_index_roundtrip_and_pruned_lookup(docs, tmp_path):
+    from mapreduce_assignments_spark.operators.index import (
+        build_inverted_index,
+        lookup_postings,
+        write_index,
+    )
+
+    idx = build_inverted_index(docs)
+    path = str(tmp_path / "index.parquet")
+    write_index(idx, path)
+    spark = docs.sparkSession
+    back = spark.read.parquet(path)
+    assert sorted(r["term"] for r in back.collect()) == sorted(
+        r["term"] for r in idx.collect()
+    )
+    hit = lookup_postings(back, "fox").collect()
+    assert len(hit) == 1
+    assert [p["docid"] for p in hit[0]["postings"]] == [0, 9, 200, 400]
+    # the point lookup must push the term predicate into the scan
+    plan = lookup_postings(back, "fox")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(term), EqualTo(term,fox)]" in plan
