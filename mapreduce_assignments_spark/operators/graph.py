@@ -32,9 +32,10 @@ on id once, cached, and reused every iteration — the Spark analogue of
 the reference's NonSplitableSequenceFileInputFormat partition-stability
 trick (RunPageRankBasic.java:464-478,491). Per-iteration state is one
 slim (id, pr) DataFrame; the driver-side "side file" aggregation
-becomes a one-line ``agg(sum)`` action. Lineage is truncated with
-localCheckpoint every ``checkpoint_every`` iterations (on a real
-cluster, set a checkpoint dir and use reliable checkpoints instead).
+becomes a one-line ``agg(sum)`` action. Lineage is truncated every
+``checkpoint_every`` iterations — localCheckpoint by default (fast,
+executor-local), or reliable HDFS/S3 checkpoints when
+``checkpoint_dir`` is passed (survives executor loss on a cluster).
 The scatter join (ranks ⋈ structure on id) is co-partitioned, so AQE
 only shuffles the slim ranks side after the first iteration.
 """
@@ -90,12 +91,24 @@ def _prepared_structure(graph: DataFrame, num_partitions: int | None) -> DataFra
     )
 
 
+def _checkpointer(spark, checkpoint_dir: str | None):
+    """localCheckpoint is fast but lives in executor memory/disk — if
+    an executor dies the lineage is gone (fine on local[n]). On a real
+    cluster pass ``checkpoint_dir`` (HDFS/S3) for reliable checkpoints
+    that survive executor loss."""
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        return lambda df: df.checkpoint(eager=True)
+    return lambda df: df.localCheckpoint(eager=True)
+
+
 def pagerank(
     graph: DataFrame,
     n_iter: int = 10,
     alpha: float = 0.15,
     checkpoint_every: int = 5,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """10-ish iteration PageRank over ``graph(id INT, adj ARRAY<INT>)``.
 
@@ -107,6 +120,7 @@ def pagerank(
         return graph.sparkSession.createDataFrame([], "id int, pr double")
 
     ranks = links.select("id", F.lit(1.0 / n).alias("pr"))
+    ckpt = _checkpointer(graph.sparkSession, checkpoint_dir)
     prev_state = None
     with _no_aqe_if_tiny(graph.sparkSession, n):
         for i in range(n_iter):
@@ -143,9 +157,9 @@ def pagerank(
                 ).alias("pr"),
             )
             if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-                ranks = ranks.localCheckpoint(eager=True)
+                ranks = ckpt(ranks)
         # materialize the result, then release every cached helper.
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ckpt(ranks)
     if prev_state is not None:
         prev_state.unpersist()
     links.unpersist()
@@ -159,6 +173,7 @@ def personalized_pagerank(
     alpha: float = 0.15,
     checkpoint_every: int = 5,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Multi-source personalized PageRank.
 
@@ -181,6 +196,7 @@ def personalized_pagerank(
             for c, src in zip(cols, sources)
         ],
     )
+    ckpt = _checkpointer(graph.sparkSession, checkpoint_dir)
     prev_state = None
     with _no_aqe_if_tiny(graph.sparkSession, links.count()):
         for i in range(n_iter):
@@ -222,8 +238,8 @@ def personalized_pagerank(
                 ],
             )
             if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-                ranks = ranks.localCheckpoint(eager=True)
-        ranks = ranks.localCheckpoint(eager=True)
+                ranks = ckpt(ranks)
+        ranks = ckpt(ranks)
     if prev_state is not None:
         prev_state.unpersist()
     links.unpersist()

@@ -150,3 +150,17 @@ def test_top_k_per_source_and_format(fixture_graph):
             assert r["pr"] == pytest.approx(w, abs=1e-9)
     fmt = format_rank_report(top).collect()
     assert all(len(r["pr_fmt"].split(".")[1]) == 5 for r in fmt)
+
+
+def test_pagerank_reliable_checkpoint_matches(fixture_graph, tmp_path):
+    df, nodes, edges = fixture_graph
+    base = {r["id"]: r["pr"] for r in pagerank(df, n_iter=7, checkpoint_every=3).collect()}
+    ckpt = {
+        r["id"]: r["pr"]
+        for r in pagerank(
+            df, n_iter=7, checkpoint_every=3, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert base.keys() == ckpt.keys()
+    for k in base:
+        assert base[k] == pytest.approx(ckpt[k], abs=1e-12)

@@ -138,3 +138,22 @@ def test_rpn_sql_runs_on_both_engines(spark):
 
     assert df_ids == spark_ids == duck_ids
     assert len(df_ids) > 0
+
+
+def test_top_orders_per_customer(spark):
+    from mapreduce_assignments_spark.operators.relational import top_orders_per_customer
+
+    orders = load_table(spark, SF_DIR, "orders")
+    out = top_orders_per_customer(orders, k=2).collect()
+    by_cust = {}
+    for r in out:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    assert all(len(v) <= 2 for v in by_cust.values())
+    full = orders.select("o_custkey", "o_orderkey", "o_totalprice").collect()
+    want_top = {}
+    for r in full:
+        want_top.setdefault(r["o_custkey"], []).append((r["o_totalprice"], -r["o_orderkey"]))
+    for ck, rows in by_cust.items():
+        want = sorted(want_top[ck], reverse=True)[: len(rows)]
+        got = [(r["o_totalprice"], -r["o_orderkey"]) for r in sorted(rows, key=lambda r: r["rn"])]
+        assert got == want

@@ -43,3 +43,21 @@ def test_hourly_counts_events(spark):
         for r in hourly_counts_events(df, type_regex="(?i)purchase").collect()
     }
     assert filt == {("1/1", 0): 1, ("1/2", 0): 1}
+
+
+def test_event_props_stats(spark):
+    from mapreduce_assignments_spark.operators.timeseries import event_props_stats
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 2.5, '{"k": 10}'),
+        (2, "2024-01-01 11:00:00", 1, "click", 3.5, '{"k": 20}'),
+        (3, "2024-01-01 12:00:00", 2, "view", 1.0, '{"k": 5}'),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    got = {r["event_type"]: r for r in event_props_stats(ev).collect()}
+    assert got["click"]["n"] == 2
+    assert got["click"]["sum_k"] == 30
+    assert got["click"]["avg_value"] == 3.0
+    assert got["view"]["sum_k"] == 5
