@@ -11,11 +11,18 @@ this module just re-exports the registry.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mapreduce_assignments_spark import workloads
+# import works regardless of the harness's cwd
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from mapreduce_assignments_spark import workloads  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -36,9 +36,12 @@ HEADLINE = (
     "top_revenue_orders",
     "revenue_by_nation",
     "user_sessions",
+    "event_props_stats",
+    "top_orders_per_customer",
     "exact_duplicates",
     "minhash_lsh_candidates",
     "simhash",
+    "simhash_near_dupes",
     "quality_score",
     "doc_fingerprint",
     "brute_force_topk",

@@ -18,9 +18,12 @@ Scale design notes (the whole point of these operators):
 - MinHash LSH: signatures are narrow (32 int64), banding turns
   near-dup search into an equi-join on (band, band_signature) — the
   textbook shuffle-friendly formulation.
-- SimHash: one 32-bit signature per doc; hamming-adjacent buckets are
-  found by joining on signature bands (not implemented here —
-  signature output is the deliverable; bucketing mirrors MinHash).
+- SimHash: one 32-bit signature per doc; ``simhash_near_dupes`` finds
+  hamming-adjacent pairs by the pigeonhole banding trick — split the
+  signature into max_hamming+1 bit-bands; any pair within the distance
+  budget must agree exactly on at least one band, so candidates are an
+  equi-join on (band, band_bits) and the exact hamming check runs only
+  on candidates.
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "simhash",
+    "simhash_near_dupes",
 ]
 
 
@@ -239,4 +243,55 @@ def simhash(
                 F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END")
             ).alias("simhash")
         )
+    )
+
+
+def simhash_near_dupes(
+    docs: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance:
+    ``(doc_a, doc_b, hamming)`` with doc_a < doc_b and
+    hamming <= max_hamming.
+
+    Pigeonhole banding: the ``bits``-bit signature is split into
+    ``max_hamming + 1`` bands; a pair within the hamming budget cannot
+    differ in every band, so candidates = equi-join on (band,
+    band_bits) — never all-pairs — and ``bit_count(xor)`` verifies
+    exactly on candidates only. All JVM expressions.
+    """
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    bands = max_hamming + 1
+    width = -(-bits // bands)  # ceil
+    sig = simhash(docs, bits=bits, text_col=text_col, id_col=id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    f"shiftright(simhash, {b * width}) & {(1 << width) - 1}"
+                ).alias("bval"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    return (
+        a.join(b, ["band", "bval"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
     )

@@ -38,6 +38,7 @@ __all__ = [
     "write_index",
     "lookup_postings",
     "tf_histogram",
+    "tf_idf",
     "fetch_docs",
 ]
 
@@ -112,6 +113,31 @@ def tf_histogram(tfs: DataFrame, term: str) -> DataFrame:
         tfs.where(F.col("term") == term)
         .groupBy("tf")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def tf_idf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Classic tf-idf weights over the flattened postings:
+    ``(term, docid, tf, tfidf)`` with
+    ``tfidf = tf * ln(N / df)`` (natural log, raw tf).
+
+    One extra aggregation over :func:`term_frequencies` for df, joined
+    back on term — the df table is vocab-sized, so AQE broadcasts it
+    when it fits; N is a scalar cross join. The double is rounded to
+    6dp so ranking ties resolve identically across engines.
+    """
+    tfs = term_frequencies(docs, text_col=text_col, id_col=id_col)
+    dfs = tfs.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n"))
+    return (
+        tfs.join(dfs, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "docid",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
+        )
     )
 
 

@@ -144,6 +144,10 @@ def q_tf_histogram(spark, sf_dir):
     return index.tf_histogram(tfs, "join")
 
 
+def q_tf_idf(spark, sf_dir):
+    return index.tf_idf(_docs(spark, sf_dir))
+
+
 def q_boolean_retrieval(spark, sf_dir):
     tfs = index.term_frequencies(_docs(spark, sf_dir))
     return BooleanQueryPlanner(tfs).plan(_BOOLEAN_QUERY)
@@ -232,6 +236,10 @@ def q_ngram_jaccard(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir), bits=32)
+
+
+def q_simhash_near_dupes(spark, sf_dir):
+    return dedup.simhash_near_dupes(_docs(spark, sf_dir), bits=32, max_hamming=3)
 
 
 def q_token_counts(spark, sf_dir):
@@ -432,6 +440,18 @@ FROM (
 GROUP BY tf
 """
 
+ORACLE["tf_idf"] = f"""
+WITH tfs AS (
+  SELECT t AS term, doc_id AS docid, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+  GROUP BY t, doc_id
+), dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT tfs.term, docid, tf,
+       round(tf * ln(CAST(n.n AS DOUBLE) / dfs.df), 6) AS tfidf
+FROM tfs JOIN dfs ON tfs.term = dfs.term, n
+"""
+
 ORACLE["boolean_retrieval"] = f"""
 WITH postings AS (
   SELECT t AS term, doc_id AS docid
@@ -567,6 +587,41 @@ SELECT doc_id,
        CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
          AS simhash
 FROM s GROUP BY doc_id
+"""
+
+# pigeonhole bands: 32-bit sig, max_hamming=3 → 4 bands of 8 bits
+_SIMHASH_CTE = f"""
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM (
+    SELECT doc_id, b, sum(v) AS s FROM (
+      SELECT doc_id, g.b AS b,
+             CASE WHEN (h >> g.b) & 1 = 1 THEN tf ELSE -tf END AS v
+      FROM (
+        SELECT doc_id, tf, {_h60_sql('w')} AS h FROM (
+          SELECT doc_id, t AS w, count(*) AS tf
+          FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+          GROUP BY doc_id, t)),
+        generate_series(0, 31) g(b))
+    GROUP BY doc_id, b)
+  GROUP BY doc_id
+"""
+ORACLE["simhash_near_dupes"] = f"""
+WITH s AS ({_SIMHASH_CTE}),
+banded AS (
+  SELECT doc_id, simhash, g.b AS band,
+         (simhash >> (g.b * 8)) & 255 AS bval
+  FROM s, generate_series(0, 3) g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 ORACLE["token_counts"] = r"""
@@ -726,6 +781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_frequencies": q_term_frequencies,
     "inverted_index_stats": q_inverted_index_stats,
     "tf_histogram": q_tf_histogram,
+    "tf_idf": q_tf_idf,
     "boolean_retrieval": q_boolean_retrieval,
     "boolean_retrieval_text": q_boolean_retrieval_text,
     "hourly_counts": q_hourly_counts,
@@ -743,6 +799,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
+    "simhash_near_dupes": q_simhash_near_dupes,
     "token_counts": q_token_counts,
     "quality_score": q_quality_score,
     "language_id": q_language_id,

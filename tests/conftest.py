@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from mapreduce_assignments_spark.session import get_spark
@@ -7,7 +9,17 @@ from mapreduce_assignments_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("mras-tests", shuffle_partitions=4, extra_conf={"spark.driver.memory": "4g"})
+    warehouse = tempfile.mkdtemp(prefix="mras-warehouse-")
+    s = get_spark(
+        "mras-tests",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.driver.memory": "4g",
+            # managed tables (bucketed-join tests) go to a temp dir,
+            # not the repo cwd
+            "spark.sql.warehouse.dir": warehouse,
+        },
+    )
     yield s
     s.stop()
 

@@ -77,3 +77,32 @@ def test_simhash_similar_docs_close(dup_docs):
 
     assert hamming(out[1], out[3]) < hamming(out[1], out[4])
     assert 0 <= out[1] < 2**32
+
+
+def test_simhash_near_dupes_pigeonhole(spark):
+    from mapreduce_assignments_spark.operators.dedup import simhash, simhash_near_dupes
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),   # exact dup
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),    # near dup
+        (4, "one two three four five six seven eight"),         # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dupes(docs, bits=32, max_hamming=6).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=32).collect()}
+    for (a, b), h in pairs.items():
+        assert bin(sigs[a] ^ sigs[b]).count("1") == h
+        assert h <= 6
+    # brute-force verification: every pair within budget is found
+    import itertools
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin(sigs[a] ^ sigs[b]).count("1")
+        assert ((a, b) in pairs) == (h <= 6)
+
+    with pytest.raises(ValueError):
+        simhash_near_dupes(docs, max_hamming=-1)
