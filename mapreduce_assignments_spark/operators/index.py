@@ -92,13 +92,30 @@ def build_inverted_index(
     ).select("term", "chunk", "df", "cf", "postings")
 
 
-def write_index(index: DataFrame, path: str) -> None:
+def write_index(
+    index: DataFrame,
+    path: str,
+    num_partitions: int | None = None,
+    compression: str = "zstd",
+) -> None:
     """Persist the index sorted by term — the Parquet replacement for
     the reference's MapFile sink (BuildInvertedIndexCompressed.java:198).
     Sorting by term gives min/max row-group stats, so point lookups
-    prune row groups like MapFile's binary search."""
-    index.repartitionByRange(index.sparkSession.sparkContext.defaultParallelism, "term") \
-        .sortWithinPartitions("term").write.mode("overwrite").parquet(path)
+    prune row groups like MapFile's binary search.
+
+    zstd + delta/dictionary encodings beat the reference's hand-rolled
+    d-gap+varint compression: 5.33 MB vs the published 6.55 MB MapFile
+    on the bible+shakes index (asserted in tests/test_golden_reference
+    .py). ``num_partitions`` sizes the term ranges — default one per
+    core; at 100 TB aim for ~1 GB per output file."""
+    parts = num_partitions or index.sparkSession.sparkContext.defaultParallelism
+    (
+        index.repartitionByRange(parts, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )
 
 
 def lookup_postings(index: DataFrame, term: str) -> DataFrame:
