@@ -337,6 +337,32 @@ def q_image_stats(spark, sf_dir):
     return multimodal.image_stats(_fake_image_assets(spark, sf_dir))
 
 
+def q_media_sniff(spark, sf_dir):
+    out = multimodal.sniff_media(_fake_image_assets(spark, sf_dir))
+    return out.select("asset_id", "format", "n_bytes")
+
+
+def _fake_video_assets(spark, sf_dir):
+    """FAKEVID per document: 4 frames × 16 bytes from the text."""
+    header = b"FAKEVID" + struct.pack(">II", 4, 16)
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("n_chars") >= 64)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.concat(
+                F.lit(header), F.expr("substring(encode(text, 'UTF-8'), 1, 64)")
+            ).alias("content"),
+        )
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    return multimodal.sample_frames(_fake_video_assets(spark, sf_dir), every_k=2).select(
+        "asset_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    )
+
+
 def q_phash_duplicates(spark, sf_dir):
     return multimodal.phash_duplicates(_fake_image_assets(spark, sf_dir))
 
@@ -763,6 +789,19 @@ FROM {rpn_to_sql(_BOOLEAN_QUERY)} q
 JOIN documents d ON d.doc_id = q.docid
 """
 
+ORACLE["media_sniff"] = """
+SELECT doc_id AS asset_id, 'fakeimg' AS format,
+       CAST(16 + 64 AS INTEGER) AS n_bytes
+FROM documents WHERE n_chars >= 64
+"""
+
+ORACLE["frame_sample"] = """
+SELECT doc_id AS asset_id, CAST(g.i AS INTEGER) AS frame_idx,
+       CAST(16 AS INTEGER) AS frame_bytes
+FROM documents, (VALUES (0), (2)) g(i)
+WHERE n_chars >= 64
+"""
+
 # the fake image's pixels are the first 64 UTF-8 bytes of the (ASCII)
 # document text, so the decoded mean pixel equals the mean codepoint.
 ORACLE["image_stats"] = """
@@ -813,4 +852,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_trained": q_ivf_topk_trained,
     "image_stats": q_image_stats,
     "phash_duplicates": q_phash_duplicates,
+    "media_sniff": q_media_sniff,
+    "frame_sample": q_frame_sample,
 }
