@@ -1,0 +1,57 @@
+"""Plan-shape regression guards: the scale-critical physical-plan
+properties that reviews keep checking by hand, asserted so they can't
+silently regress. Bounds are deliberately loose (AQE may legitimately
+vary strategies with data size)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from mapreduce_assignments_spark.operators.dedup import minhash_lsh_candidates
+from mapreduce_assignments_spark.operators.text import cooccurrence, pmi, word_count
+from mapreduce_assignments_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> int:
+    return len(re.findall(r"Exchange (hash|range|single)", plan))
+
+
+@pytest.fixture(scope="module")
+def docs_table(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_word_count_single_shuffle(docs_table):
+    assert _exchanges(_plan(word_count(docs_table))) == 1
+
+
+def test_cooccurrence_single_shuffle_no_join(docs_table):
+    plan = _plan(cooccurrence(docs_table, window=2))
+    assert _exchanges(plan) == 1
+    assert "Join" not in plan  # neighborhood scan is a narrow transform
+
+
+def test_pmi_no_forced_broadcast_no_python(docs_table):
+    plan = _plan(pmi(docs_table, min_cooccurrence=2))
+    # two marginal joins + final agg; must stay <= 4 shuffles
+    assert _exchanges(plan) <= 4
+    assert "Python" not in plan
+
+
+def test_lsh_banded_join_not_cartesian(docs_table):
+    plan = _plan(minhash_lsh_candidates(docs_table, n=3, bands=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_python_in_text_pipeline(docs_table):
+    for df in (word_count(docs_table), cooccurrence(docs_table)):
+        assert "Python" not in _plan(df)
