@@ -163,3 +163,54 @@ def test_inverted_index_distinct_terms_and_size(corpus, tmp_path):
         .stdout.split()[0]
     )
     assert size < 6_553_277
+
+
+def test_boolean_retrieval_and_postings_goldens(spark):
+    """assignment3 goldens (BooleanRetrievalCompressed.out /
+    LookupPostingsCompressed.out): exact doc-id sets for the five
+    canned boolean queries and exact postings/tf-histograms for
+    starcross'd / gold / silver / bronze — using the byte-offset
+    doc-id parity mode, so ids match the reference's printouts."""
+    from mapreduce_assignments_spark.operators.index import (
+        term_frequencies,
+        tf_histogram,
+    )
+    from mapreduce_assignments_spark.plans.rpn import BooleanQueryPlanner
+
+    corpus = read_text_corpus(spark, BIBLE_SHAKES, doc_id="offset")
+    tfs = term_frequencies(corpus).cache()
+
+    star = tfs.where(F.col("term") == "starcross'd").collect()
+    assert [(r["docid"], r["tf"]) for r in star] == [(5047738, 1)]
+
+    gold = tfs.where(F.col("term") == "gold")
+    assert gold.count() == 584
+    assert {r["tf"]: r["n_docs"] for r in tf_histogram(tfs, "gold").collect()} == {
+        1: 523, 2: 58, 3: 3,
+    }
+    silver = tfs.where(F.col("term") == "silver")
+    assert silver.count() == 354
+    assert {r["tf"]: r["n_docs"] for r in tf_histogram(tfs, "silver").collect()} == {
+        1: 314, 2: 39, 3: 1,
+    }
+    assert tfs.where(F.col("term") == "bronze").count() == 0
+
+    planner = BooleanQueryPlanner(tfs)
+    golden_queries = {
+        "outrageous fortune AND": {4442172},
+        "white rose AND": {
+            7841087, 7841354, 7841879, 7841972, 7842315,
+            7842458, 7845524, 8237199, 8275306, 9067070,
+        },
+        "means deceit AND": {6870153, 8135048},
+        "white red OR rose AND pluck AND": {
+            7841087, 7841229, 7841354, 7841396, 7842315,
+        },
+        "unhappy outrageous OR good your AND OR fortune AND": {
+            4442172, 5167827, 7110114,
+        },
+    }
+    for q, want in golden_queries.items():
+        got = {r["docid"] for r in planner.plan(q).collect()}
+        assert got == want, q
+    tfs.unpersist()
