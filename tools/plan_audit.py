@@ -29,7 +29,7 @@ from mapreduce_assignments_spark.session import get_spark  # noqa: E402
 
 # queries allowed to show Python evaluation in their plan (Arrow UDF
 # stages by design)
-PYTHON_OK = {"image_stats", "phash_duplicates"}
+PYTHON_OK = {"image_stats", "phash_duplicates", "frame_sample"}
 
 
 def audit(name: str, plan: str) -> dict:
