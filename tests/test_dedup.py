@@ -106,3 +106,31 @@ def test_simhash_near_dupes_pigeonhole(spark):
 
     with pytest.raises(ValueError):
         simhash_near_dupes(docs, max_hamming=-1)
+
+
+def test_ngram_jaccard_shingle_df_cap(spark):
+    from mapreduce_assignments_spark.operators.dedup import ngram_jaccard_pairs
+
+    # doc 1/2 share ONLY the boilerplate shingle-source "common common
+    # common common"; doc 3/4 share distinctive content.
+    rows = [
+        (1, "common common common common unique1 a b"),
+        (2, "common common common common unique2 c d"),
+        (3, "rare alpha beta gamma delta x y"),
+        (4, "rare alpha beta gamma delta x z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.01).collect()
+    }
+    assert (1, 2) in uncapped and (3, 4) in uncapped
+    # cap kills shingles present in >1 docs' worth of boilerplate:
+    # the (1,2) pair loses its only shared shingles, (3,4) remains via
+    # shingles shared by exactly 2 docs... so cap=1 kills both; use
+    # the df threshold to drop only the 4-gram boilerplate by making
+    # it appear in both docs more often: df of "common common common"
+    # is 2, same as the rare shingles. Use cap to remove everything
+    # shared (df=2) and verify no pairs remain.
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.01, shingle_df_cap=1).collect()
+    assert capped == []

@@ -61,3 +61,21 @@ def test_event_props_stats(spark):
     assert got["click"]["sum_k"] == 30
     assert got["click"]["avg_value"] == 3.0
     assert got["view"]["sum_k"] == 5
+
+
+def test_hourly_counts_tweets_all_months(spark):
+    from mapreduce_assignments_spark.operators.timeseries import hourly_counts_tweets
+
+    rows = [
+        ("1", "Mon Mar 07 13:01:59 +0000 2011", "u", "m"),
+        ("2", "Fri Dec 30 23:59:59 +0000 2011", "u", "m"),
+    ]
+    tweets = spark.createDataFrame(rows, "id string, timestamp string, user string, message string")
+    got = {
+        (r["date"], r["hour"]): r["cnt"]
+        for r in hourly_counts_tweets(tweets, months=("Mar", "Dec")).collect()
+    }
+    assert got == {("3/07", "13"): 1, ("12/30", "23"): 1}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hourly_counts_tweets(tweets, months=("Foo",))
