@@ -1,0 +1,63 @@
+"""Deterministic sampling / dataset splitting.
+
+Training-data pipelines need samples and train/val/test splits that
+are (a) reproducible across runs and engines, (b) computed per-row
+with no shuffle and no driver state, and (c) stable under
+repartitioning. ``rand(seed)`` fails (a)+(c) — its value depends on
+partition layout. The scale-correct primitive is a content hash:
+``pmod(md5-prefix(key), B)`` buckets every row into B deterministic
+bins; a sample is "bins < fraction·B", a split is a range of bins.
+
+md5 (via functions.hashing.h60) rather than xxhash64 so the DuckDB
+oracle reproduces assignments bit-for-bit.
+
+All operators are narrow (zero shuffles) — they compose with any
+downstream plan for free.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.hashing import h60
+
+__all__ = ["deterministic_sample", "hash_split"]
+
+_BINS = 1_000_000
+
+
+def _bin(key_col: str) -> F.Column:
+    return F.pmod(h60(F.col(key_col).cast("string")), F.lit(_BINS))
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows, decided purely by a
+    hash of ``key`` — same rows survive on every run, every engine,
+    every partitioning. Narrow (no shuffle, no RNG state)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.where(_bin(key) < int(fraction * _BINS))
+
+
+def hash_split(df: DataFrame, key: str, weights: dict[str, float]) -> DataFrame:
+    """Add a deterministic ``split`` column partitioning rows into the
+    named fractions (e.g. ``{"train": .8, "val": .1, "test": .1}``).
+    Weights must sum to 1 (±1e-9). A row's split never changes across
+    runs — the invariant training pipelines depend on to avoid
+    train/test leakage when data is re-ingested."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if not weights:
+        raise ValueError("at least one split required")
+    b = _bin(key)
+    expr = None
+    hi = 0.0
+    for name, w in weights.items():
+        hi += w
+        cond = b < int(round(hi * _BINS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # guard the float edge: the last bin always belongs to the last split
+    last = list(weights)[-1]
+    return df.withColumn("split", expr.otherwise(F.lit(last)))

@@ -38,6 +38,7 @@ from .operators import (
     index,
     multimodal,
     relational,
+    sampling,
     similarity,
     text,
     text_quality,
@@ -240,6 +241,22 @@ def q_simhash(spark, sf_dir):
 
 def q_simhash_near_dupes(spark, sf_dir):
     return dedup.simhash_near_dupes(_docs(spark, sf_dir), bits=32, max_hamming=3)
+
+
+def q_deterministic_sample(spark, sf_dir):
+    out = sampling.deterministic_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id", 0.25
+    )
+    return out.select("doc_id")
+
+
+def q_hash_split(spark, sf_dir):
+    out = sampling.hash_split(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.select("doc_id", "split")
 
 
 def q_token_counts(spark, sf_dir):
@@ -650,6 +667,22 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
 
+_DOC_BIN = (
+    "CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 1000000"
+)
+ORACLE["deterministic_sample"] = f"""
+SELECT doc_id FROM documents WHERE {_DOC_BIN} < 250000
+"""
+
+ORACLE["hash_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {_DOC_BIN} < 800000 THEN 'train'
+            WHEN {_DOC_BIN} < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
 ORACLE["token_counts"] = r"""
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0))
@@ -839,6 +872,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     "simhash_near_dupes": q_simhash_near_dupes,
+    "deterministic_sample": q_deterministic_sample,
+    "hash_split": q_hash_split,
     "token_counts": q_token_counts,
     "quality_score": q_quality_score,
     "language_id": q_language_id,

@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_assignments_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+)
+from mapreduce_assignments_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_table(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_deterministic_sample_stable_and_sized(docs_table):
+    a = {r["doc_id"] for r in deterministic_sample(docs_table, "doc_id", 0.25).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(docs_table, "doc_id", 0.25).collect()}
+    assert a == b  # reproducible
+    n = docs_table.count()
+    assert 0.15 * n < len(a) < 0.35 * n  # roughly the asked fraction
+    # monotone: a smaller fraction is a subset of a larger one
+    small = {r["doc_id"] for r in deterministic_sample(docs_table, "doc_id", 0.10).collect()}
+    assert small <= a
+    with pytest.raises(ValueError):
+        deterministic_sample(docs_table, "doc_id", 1.5)
+
+
+def test_deterministic_sample_survives_repartition(docs_table):
+    a = {r["doc_id"] for r in deterministic_sample(docs_table, "doc_id", 0.3).collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(docs_table.repartition(13), "doc_id", 0.3).collect()
+    }
+    assert a == b
+
+
+def test_hash_split_partitions_everything_once(docs_table):
+    out = hash_split(docs_table, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.select("doc_id", "split").collect()
+    assert len(rows) == docs_table.count()
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) <= {"train", "val", "test"}
+    assert len(by["train"]) > len(by.get("val", set()))
+    # disjoint and total
+    assert sum(len(v) for v in by.values()) == len(rows)
+    # stable across runs
+    again = hash_split(docs_table, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert {(r["doc_id"], r["split"]) for r in again.collect()} == {
+        (r["doc_id"], r["split"]) for r in rows
+    }
+    with pytest.raises(ValueError):
+        hash_split(docs_table, "doc_id", {"train": 0.5})
+
+
+def test_split_consistent_with_sample(docs_table):
+    """The first 10% split and a 0.1 sample select the same rows —
+    both are views of the same hash ordering."""
+    sample = {r["doc_id"] for r in deterministic_sample(docs_table, "doc_id", 0.1).collect()}
+    split = hash_split(docs_table, "doc_id", {"a": 0.1, "b": 0.9})
+    first = {r["doc_id"] for r in split.where("split = 'a'").collect()}
+    assert sample == first
