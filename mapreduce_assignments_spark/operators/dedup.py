@@ -94,7 +94,10 @@ def ngram_jaccard_pairs(
     if shingle_df_cap:
         hot = sh.groupBy("shingle").count().where(F.col("count") > shingle_df_cap)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    sh = sh.cache()
+    # no .cache(): the shingle subplan is reused three times below but a
+    # cache here would outlive the call (the returned DataFrame is
+    # lazy); recomputation is a narrow transform and Catalyst reuses
+    # the exchange where one exists.
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
