@@ -34,6 +34,7 @@ __all__ = [
     "word_count",
     "bigram_count",
     "cooccurrence",
+    "cooccurrence_stripes",
     "pmi",
 ]
 
@@ -119,6 +120,38 @@ def cooccurrence(docs: DataFrame, window: int = 2, text_col: str = "text") -> Da
         .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cooccurrence_stripes(docs: DataFrame, window: int = 2, text_col: str = "text") -> DataFrame:
+    """The stripes encoding of :func:`cooccurrence`: one row per left
+    word with its neighbor map — ``(a, stripe MAP<STRING,BIGINT>,
+    stripe_str)``. ``stripe_str`` is the canonical sorted
+    ``"b:cnt,b:cnt"`` rendering (deterministic, SQL-oracle-friendly).
+
+    In this engine stripes are a POST-AGGREGATION re-shaping of the
+    pair counts, not a separate shuffle strategy — Spark's partial
+    aggregation already gives the map-side combining the reference's
+    stripes pattern existed to provide (ComputeCooccurrenceMatrix
+    Stripes.java). One extra shuffle on ``a`` assembles the maps.
+    """
+    pairs = cooccurrence(docs, window=window, text_col=text_col)
+    entries = F.sort_array(
+        F.collect_list(F.struct(F.col("b"), F.col("cnt")))
+    )
+    return (
+        pairs.groupBy("a")
+        .agg(entries.alias("es"))
+        .select(
+            "a",
+            F.map_from_entries("es").alias("stripe"),
+            F.array_join(
+                F.transform(
+                    F.col("es"), lambda e: F.concat_ws(":", e["b"], e["cnt"])
+                ),
+                ",",
+            ).alias("stripe_str"),
+        )
     )
 
 

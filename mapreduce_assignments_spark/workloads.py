@@ -127,6 +127,24 @@ def q_cooccurrence(spark, sf_dir):
     return text.cooccurrence(_docs(spark, sf_dir), window=2)
 
 
+def q_cooccurrence_stripes(spark, sf_dir):
+    out = text.cooccurrence_stripes(_docs(spark, sf_dir), window=2)
+    return out.select("a", "stripe_str")
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact percentiles of the event value per type — the classic
+    analytics rollup; Spark's exact percentile interpolates identically
+    to DuckDB's quantile_cont on the same sorted input."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
 def q_pmi(spark, sf_dir):
     out = text.pmi(_docs(spark, sf_dir), min_cooccurrence=10)
     return out.select("x", "y", "cnt", F.round("pmi", 6).alias("pmi"))
@@ -435,6 +453,32 @@ FROM (
   FROM (SELECT {_TOK} AS ts FROM documents)
   WHERE len(ts) > 0)
 GROUP BY p.a, p.b
+"""
+
+ORACLE["cooccurrence_stripes"] = f"""
+WITH pairs AS (
+  SELECT p.a AS a, p.b AS b, count(*) AS cnt
+  FROM (
+    SELECT unnest(flatten(list_transform(range(1, len(ts) + 1), i ->
+             list_transform(
+               list_filter(range(greatest(1, i - 2), least(len(ts), i + 2) + 1),
+                           j -> j != i),
+               j -> {{'a': ts[i], 'b': ts[j]}})))) AS p
+    FROM (SELECT {_TOK} AS ts FROM documents)
+    WHERE len(ts) > 0)
+  GROUP BY p.a, p.b
+)
+SELECT a, string_agg(b || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY b) AS stripe_str
+FROM pairs GROUP BY a
+"""
+
+ORACLE["value_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events GROUP BY event_type
 """
 
 ORACLE["pmi"] = f"""
@@ -849,6 +893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_count": q_word_count,
     "bigram_count": q_bigram_count,
     "cooccurrence": q_cooccurrence,
+    "cooccurrence_stripes": q_cooccurrence_stripes,
     "pmi": q_pmi,
     "term_frequencies": q_term_frequencies,
     "inverted_index_stats": q_inverted_index_stats,
@@ -864,6 +909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
     "user_sessions": q_user_sessions,
     "event_props_stats": q_event_props_stats,
+    "value_percentiles": q_value_percentiles,
     "top_orders_per_customer": q_top_orders_per_customer,
     "exact_duplicates": q_exact_duplicates,
     "shingles": q_shingles,

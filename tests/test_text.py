@@ -101,3 +101,24 @@ def test_read_text_corpus_unique_is_pure_dataframe(spark, tmp_path):
     # scale contract: no Python evaluation anywhere in the plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_cooccurrence_stripes_consistent_with_pairs(docs):
+    from mapreduce_assignments_spark.operators.text import (
+        cooccurrence,
+        cooccurrence_stripes,
+    )
+
+    pairs = {
+        (r["a"], r["b"]): r["cnt"] for r in cooccurrence(docs, window=2).collect()
+    }
+    stripes = cooccurrence_stripes(docs, window=2).collect()
+    rebuilt = {}
+    for r in stripes:
+        assert dict(r["stripe"]) == {
+            b: c for (a, b), c in pairs.items() if a == r["a"]
+        }
+        for part in r["stripe_str"].split(","):
+            b, c = part.rsplit(":", 1)
+            rebuilt[(r["a"], b)] = int(c)
+    assert rebuilt == pairs
