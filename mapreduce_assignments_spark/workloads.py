@@ -231,6 +231,23 @@ def q_boolean_retrieval_text(spark, sf_dir):
     return BooleanQueryPlanner(tfs).retrieve(_BOOLEAN_QUERY, docs)
 
 
+def q_streaming_hourly_counts(spark, sf_dir):
+    """The hourly rollup computed by the Structured Streaming engine:
+    events re-staged as a micros parquet dir, replayed through the
+    file source with an availableNow trigger into a memory sink. Same
+    oracle as the batch query — streaming and batch must agree on a
+    full replay."""
+    import tempfile
+
+    from .streaming import read_events_stream, run_to_memory, streaming_hourly_counts
+
+    stage = tempfile.mkdtemp(prefix="mras-stream-stage-")
+    _events(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(stage)
+    stream = read_events_stream(spark, stage)
+    run_to_memory(streaming_hourly_counts(stream), "q_stream_hourly_mem", "update")
+    return spark.table("q_stream_hourly_mem")
+
+
 def q_exact_duplicates(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
@@ -551,6 +568,8 @@ SELECT CAST(month(ts) AS VARCHAR) || '/' || CAST(day(ts) AS VARCHAR) AS date,
        CAST(hour(ts) AS INTEGER) AS hour, count(*) AS cnt
 FROM events GROUP BY 1, 2
 """
+
+ORACLE["streaming_hourly_counts"] = ORACLE["hourly_counts"]
 
 ORACLE["hourly_counts_errors"] = """
 SELECT CAST(month(ts) AS VARCHAR) || '/' || CAST(day(ts) AS VARCHAR) AS date,
@@ -903,6 +922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boolean_retrieval_text": q_boolean_retrieval_text,
     "hourly_counts": q_hourly_counts,
     "hourly_counts_errors": q_hourly_counts_errors,
+    "streaming_hourly_counts": q_streaming_hourly_counts,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
