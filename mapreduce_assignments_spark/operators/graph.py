@@ -113,6 +113,12 @@ def pagerank(
     """10-ish iteration PageRank over ``graph(id INT, adj ARRAY<INT>)``.
 
     Returns ``(id, pr)`` with Σpr = 1 (±1e-9) after every iteration.
+
+    Note: on graphs below 100k nodes this temporarily sets
+    ``spark.sql.adaptive.enabled=false`` on the shared session for the
+    duration of the loop (AQE's per-stage re-planning costs 20-40% on
+    micro-stages, measured) and restores the prior value on exit —
+    avoid running concurrent queries on the same session mid-loop.
     """
     links = _prepared_structure(graph, num_partitions)
     n = links.count()  # also materializes the cached structure
@@ -182,6 +188,10 @@ def personalized_pagerank(
     (the reference packs them into a float array per node,
     PersonalizedPageRankNode.java:37-52; columns let Catalyst treat
     each slot as an independent aggregate with a single shuffle).
+
+    Note: shares :func:`pagerank`'s tiny-graph behavior of toggling
+    ``spark.sql.adaptive.enabled`` session-wide for the loop's duration
+    (restored on exit) — see its docstring.
     """
     if not sources:
         raise ValueError("personalized_pagerank requires >=1 source node")

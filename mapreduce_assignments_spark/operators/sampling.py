@@ -46,11 +46,11 @@ def hash_split(df: DataFrame, key: str, weights: dict[str, float]) -> DataFrame:
     Weights must sum to 1 (±1e-9). A row's split never changes across
     runs — the invariant training pipelines depend on to avoid
     train/test leakage when data is re-ingested."""
+    if not weights:
+        raise ValueError("at least one split required")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
-    if not weights:
-        raise ValueError("at least one split required")
     b = _bin(key)
     expr = None
     hi = 0.0

@@ -12,7 +12,10 @@ when the join must be shuffled-hash — the classic fix is salting:
 
 Cost: small side inflates ×salt — use only when the small side is
 modest and broadcast is infeasible (e.g. it exceeds driver/executor
-broadcast budget). Results are exactly equal to the unsalted join.
+broadcast budget). For the supported join types (inner / left /
+left_semi / left_anti) results are exactly equal to the unsalted join;
+right/full joins are rejected because the replicated small side would
+emit every unmatched small row once per salt value.
 """
 
 from __future__ import annotations
@@ -35,9 +38,18 @@ def salted_join(
     a hash of the big side's whole row (xxhash64), not rand().
 
     Returns exactly the columns a plain ``big.join(small, on, how)``
-    would."""
+    would. ``how`` is restricted to join types that preserve the big
+    side only — an outer-preserved small side would surface each
+    unmatched small row ``salt`` times."""
     if salt < 1:
         raise ValueError("salt must be >= 1")
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports only big-side-preserving joins "
+            f"{sorted(allowed)}; got {how!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     big_s = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))

@@ -31,6 +31,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the driver testdata stores TIMESTAMP(NANOS), which the
+        # vectorized parquet reader rejects; read as int64 nanos and let
+        # sources.tables rebuild micro-precision timestamps. Set here
+        # (not per-read) so table loads never mutate a live session.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

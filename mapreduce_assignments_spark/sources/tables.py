@@ -41,7 +41,9 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # session.get_spark sets spark.sql.legacy.parquet.nanosAsLong at
+    # build time; sessions built elsewhere must set it themselves (we
+    # deliberately do NOT mutate a live session's conf here).
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":

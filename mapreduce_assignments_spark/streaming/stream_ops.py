@@ -53,18 +53,29 @@ def streaming_hourly_counts(
 ) -> DataFrame:
     """Incremental ``(date 'M/d', hour, cnt)`` with late-data handling:
     events later than ``watermark`` behind the max seen ts are dropped,
-    so state never grows past (watermark span × buckets/hour)."""
+    so state never grows past (watermark span × buckets/hour).
+
+    The aggregation groups on ``window(ts, '1 hour')`` — a grouping on
+    derived ``month()/hour()`` expressions would strip the event-time
+    metadata and leave the watermark inert (state would grow with every
+    distinct (date, hour) forever); grouping on the event-time window
+    keeps eviction live, and date/hour are derived from ``window.start``
+    afterwards (each 1-hour window has exactly one (date, hour))."""
     out = events.withWatermark("ts", watermark)
     if type_regex:
         out = out.where(F.col("event_type").rlike(type_regex))
     return (
-        out.groupBy(
-            F.concat(
-                F.month("ts").cast("string"), F.lit("/"), F.dayofmonth("ts").cast("string")
-            ).alias("date"),
-            F.hour("ts").alias("hour"),
-        )
+        out.groupBy(F.window("ts", "1 hour").alias("win"))
         .agg(F.count("*").alias("cnt"))
+        .select(
+            F.concat(
+                F.month("win.start").cast("string"),
+                F.lit("/"),
+                F.dayofmonth("win.start").cast("string"),
+            ).alias("date"),
+            F.hour("win.start").alias("hour"),
+            "cnt",
+        )
     )
 
 

@@ -231,21 +231,55 @@ def q_boolean_retrieval_text(spark, sf_dir):
     return BooleanQueryPlanner(tfs).retrieve(_BOOLEAN_QUERY, docs)
 
 
+_STAGED_EVENTS: dict[str, str] = {}
+
+
+def _staged_events_dir(spark, sf_dir: str) -> str:
+    """Stage the events table once per (process, sf_dir) as a plain
+    micros-timestamp parquet dir for streaming replays. The dir is
+    removed at interpreter exit — the round-2 shape (a fresh mkdtemp
+    per call, never removed) leaked a staging dir per run and re-wrote
+    the table every invocation."""
+    if sf_dir not in _STAGED_EVENTS:
+        import atexit
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="mras-stream-stage-")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        _events(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(stage)
+        _STAGED_EVENTS[sf_dir] = stage
+    return _STAGED_EVENTS[sf_dir]
+
+
 def q_streaming_hourly_counts(spark, sf_dir):
     """The hourly rollup computed by the Structured Streaming engine:
     events re-staged as a micros parquet dir, replayed through the
     file source with an availableNow trigger into a memory sink. Same
     oracle as the batch query — streaming and batch must agree on a
     full replay."""
-    import tempfile
-
     from .streaming import read_events_stream, run_to_memory, streaming_hourly_counts
 
-    stage = tempfile.mkdtemp(prefix="mras-stream-stage-")
-    _events(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(stage)
-    stream = read_events_stream(spark, stage)
+    stream = read_events_stream(spark, _staged_events_dir(spark, sf_dir))
     run_to_memory(streaming_hourly_counts(stream), "q_stream_hourly_mem", "update")
     return spark.table("q_stream_hourly_mem")
+
+
+def q_streaming_user_sessions(spark, sf_dir):
+    """Stateful streaming sessionization (applyInPandasWithState)
+    replayed over the staged events and checked against the SAME DuckDB
+    oracle as the batch ``user_sessions`` query: on a full single-batch
+    replay the per-user (n_sessions, n_events) state must equal the
+    batch window computation exactly."""
+    from .streaming import read_events_stream, run_to_memory, streaming_user_sessions
+
+    stream = read_events_stream(spark, _staged_events_dir(spark, sf_dir))
+    run_to_memory(
+        streaming_user_sessions(stream, gap_minutes=30),
+        "q_stream_sessions_mem",
+        "update",
+    )
+    return spark.table("q_stream_sessions_mem")
 
 
 def q_exact_duplicates(spark, sf_dir):
@@ -627,6 +661,8 @@ SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id
 """
 
+ORACLE["streaming_user_sessions"] = ORACLE["user_sessions"]
+
 ORACLE["exact_duplicates"] = """
 SELECT min(doc_id) AS keeper, count(*) AS n_dups
 FROM documents GROUP BY md5(text)
@@ -923,6 +959,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_counts": q_hourly_counts,
     "hourly_counts_errors": q_hourly_counts_errors,
     "streaming_hourly_counts": q_streaming_hourly_counts,
+    "streaming_user_sessions": q_streaming_user_sessions,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,

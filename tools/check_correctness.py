@@ -40,7 +40,9 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # -0.0 == 0.0 but repr()s differently; normalize so the
+        # repr-based row sort can't misalign otherwise-equal rows.
+        return v + 0.0 if v == 0.0 else v
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, datetime.date):
