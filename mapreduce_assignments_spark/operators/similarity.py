@@ -6,7 +6,11 @@ neighbor over ``embeddings(vec_id, embedding ARRAY<FLOAT>, label)``.
 - brute-force cosine top-k: the exactness baseline. Queries are
   broadcast; similarity is a JVM-side higher-order fold
   (zip_with + aggregate), no Python in the loop; top-k per query is a
-  partial/final TakeOrdered via row_number over a per-query window.
+  TWO-PHASE ranking (salted partial top-k, then a final re-rank over
+  the tiny survivor set) so corpus-scale scored rows never funnel into
+  one-partition-per-query — the DataFrame analogue of the reference's
+  mapper-local bounded priority queue + single-reducer merge
+  (assignment4/FindMaxPageRankNodes.java:52-114).
 - IVF (inverted-file) ANN: vectors are bucketed by nearest centroid;
   a query probes only its own cell — the classic recall/throughput
   trade. Centroid assignment is the same broadcast fold; at 100 TB the
@@ -54,6 +58,39 @@ def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn(col, F.col(col).cast("array<double>"))
 
 
+def _topk_per_query(scored: DataFrame, k: int, salt_parts: int | None = None) -> DataFrame:
+    """Two-phase top-k of ``(query_id, neighbor_id, sim)`` rows.
+
+    A single ``Window.partitionBy("query_id")`` ranking shuffles every
+    scored row (corpus × queries) into #queries partitions — with a
+    handful of queries that is a handful of tasks each holding
+    corpus-scale data (straggler/OOM at 100 TB). Instead:
+
+    phase 1: rank within ``(query_id, salt)`` where salt is a
+      deterministic hash of neighbor_id into ``salt_parts`` buckets;
+      every partition sees ~1/salt_parts of one query's rows, and any
+      global top-k row is necessarily top-k within its salt bucket;
+    phase 2: re-rank the ≤ k·salt_parts survivors per query — tiny.
+
+    Output is bit-identical to the naive single-window ranking (same
+    (sim DESC, neighbor_id ASC) ordering in both phases)."""
+    if salt_parts is None:
+        salt_parts = scored.sparkSession.sparkContext.defaultParallelism
+    order = (F.desc("sim"), F.asc("neighbor_id"))
+    w1 = Window.partitionBy("query_id", "__salt").orderBy(*order)
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn(
+            "__salt", F.pmod(F.xxhash64("neighbor_id"), F.lit(salt_parts))
+        )
+        .withColumn("__prank", F.row_number().over(w1))
+        .where(F.col("__prank") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 10, include_self: bool = False
 ) -> DataFrame:
@@ -75,20 +112,21 @@ def brute_force_topk(
             F.round(cosine_similarity(F.col("q"), F.col("embedding")), 6).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _topk_per_query(scored, k)
 
 
-def ivf_train(embeddings: DataFrame, k: int = 16, n_iter: int = 5) -> DataFrame:
+def ivf_train(
+    embeddings: DataFrame,
+    k: int = 16,
+    n_iter: int = 5,
+    init_sample_size: int = 4096,
+) -> DataFrame:
     """Train IVF centroids with spherical Lloyd's iterations:
     ``(cell_id, c ARRAY<DOUBLE>)``.
 
-    Deterministic throughout: initialization is farthest-first — the
-    lowest ``vec_id`` seeds cell 0, then each next centroid is the
+    Deterministic throughout: initialization is farthest-first over a
+    deterministic hash-sample of the corpus — the lowest sampled
+    ``vec_id`` seeds cell 0, then each next centroid is the sampled
     vector with the smallest max-cosine to the centroids chosen so far
     (ties to the lowest vec_id). This k-means++-style spread matters:
     seeding with the first k ids can land every seed in one true
@@ -98,41 +136,57 @@ def ivf_train(embeddings: DataFrame, k: int = 16, n_iter: int = 5) -> DataFrame:
     scale-invariant, so the unnormalized mean is a valid
     spherical-k-means update).
 
-    Scale shape: init is k broadcast-scored corpus scans (k is small);
-    each Lloyd's iteration is one broadcast-assign scan plus one
-    ``(cell, dim)`` aggregation — rows shuffled = n_vectors × dim,
-    partial-aggregated map-side. Centroids (k × dim doubles) are the
-    only driver-side data; collecting them per iteration is the
-    textbook small-side pattern, not a driver loop over the corpus.
-    A cell that loses every member simply drops out (k shrinks).
+    Scale shape: init reads the FULL corpus zero times — one count,
+    then one narrow hash-sample scan (``sampling.deterministic_sample``,
+    same rows every run/engine/partitioning) collects ≤
+    ``init_sample_size`` vectors to the driver, and farthest-first runs
+    driver-local in NumPy (sample_size × k × dim flops on ≤ a few MB).
+    The round-2 shape — k−1 full-corpus cross-join scans each ending in
+    a 1-row collect — was O(k) passes over 100 TB. Each Lloyd's
+    iteration is one broadcast-assign scan plus one ``(cell, dim)``
+    aggregation — rows shuffled = n_vectors × dim, partial-aggregated
+    map-side. Centroids (k × dim doubles) are the only driver-side
+    data; collecting them per iteration is the textbook small-side
+    pattern, not a driver loop over the corpus. A cell that loses every
+    member simply drops out (k shrinks).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if init_sample_size < 1:
+        raise ValueError("init_sample_size must be >= 1")
+    import numpy as np
+
+    from .sampling import deterministic_sample
+
     emb = _as_double(embeddings)
     spark = embeddings.sparkSession
     schema = "cell_id int, c array<double>"
-    first = emb.orderBy("vec_id").limit(1).collect()[0]
-    seeds = [list(first["embedding"])]
-    for _ in range(1, k):
-        cen_df = F.broadcast(
-            spark.createDataFrame(list(enumerate(seeds)), schema)
-        )
-        far = (
-            emb.crossJoin(cen_df)
-            .groupBy("vec_id")
-            .agg(
-                F.max(
-                    F.round(cosine_similarity(F.col("c"), F.col("embedding")), 9)
-                ).alias("near"),
-                F.first("embedding").alias("embedding"),
-            )
-            .orderBy(F.asc("near"), F.asc("vec_id"))
-            .limit(1)
-            .collect()
-        )
-        if not far:
-            break
-        seeds.append(list(far[0]["embedding"]))
+    n = emb.count()
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    fraction = min(1.0, init_sample_size / n)
+    sample = (
+        deterministic_sample(emb, "vec_id", fraction)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not sample:  # degenerate fraction rounding: fall back to one row
+        sample = emb.orderBy("vec_id").limit(1).collect()
+    vecs = np.array([list(r["embedding"]) for r in sample], dtype=np.float64)
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    norms[norms == 0.0] = 1.0  # zero vectors: cos defined as 0 via 0/1
+    seed_idx = [0]  # rows sorted by vec_id → index 0 is the lowest id
+    near = np.full(len(sample), -np.inf)
+    for _ in range(1, min(k, len(sample))):
+        s = vecs[seed_idx[-1]]
+        s_norm = norms[seed_idx[-1]]
+        cos = (vecs @ s) / (norms * s_norm)
+        # same 9-dp pre-max rounding as the round-2 distributed init
+        near = np.maximum(near, np.round(cos, 9))
+        # argmin takes the first minimum → lowest vec_id tiebreak
+        seed_idx.append(int(near.argmin()))
+    seeds = [[float(x) for x in vecs[i]] for i in seed_idx]
     cen = spark.createDataFrame(list(enumerate(seeds)), schema)
     for _ in range(n_iter):
         assigned = ivf_assign(emb, cen)
@@ -233,21 +287,35 @@ def ivf_topk(
             F.round(cosine_similarity(F.col("q"), F.col("embedding")), 6).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _topk_per_query(scored, k)
 
 
 def embedding_near_dupes(
-    embeddings: DataFrame, centroids: DataFrame, threshold: float = 0.95
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    max_cell_size: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ``(id_a, id_b, sim)``
     (id_a < id_b, sim >= threshold), candidate-limited to IVF cells:
-    the pairwise comparison is quadratic only within a cell."""
+    the pairwise comparison is quadratic only within a cell.
+
+    ``max_cell_size`` bounds the quadratic term: a skewed embedding
+    space can put a huge fraction of the corpus in one cell, and that
+    single mega-cell re-creates the all-pairs blowup the bucketing
+    exists to prevent (cap² pairs per cell is the hard ceiling).
+    Members of an over-cap cell are excluded from pairing entirely —
+    the same documented recall-for-boundedness trade as
+    ``dedup.ngram_jaccard_pairs``'s hot-shingle ``df_cap``; pass
+    ``None`` to disable."""
     assigned = ivf_assign(embeddings, centroids)
+    if max_cell_size is not None:
+        cell_n = Window.partitionBy("cell")
+        assigned = (
+            assigned.withColumn("__cell_n", F.count("*").over(cell_n))
+            .where(F.col("__cell_n") <= max_cell_size)
+            .drop("__cell_n")
+        )
     a = assigned.select("cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = assigned.select("cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     return (

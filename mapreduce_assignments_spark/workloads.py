@@ -888,7 +888,9 @@ assigned AS (
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {_CCOS} DESC, cen.cell_id ASC) AS rn
     FROM e, cen)
-  WHERE rn = 1)
+  WHERE rn = 1
+  -- mirror the operator's max_cell_size=4096 mega-cell exclusion
+  QUALIFY count(*) OVER (PARTITION BY cell) <= 4096)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_PCOS} AS sim
 FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE {_PCOS} >= 0.2

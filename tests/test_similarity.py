@@ -95,6 +95,37 @@ def test_embedding_near_dupes(emb):
     assert pairs[(0, 25)] > 0.99
 
 
+def test_embedding_near_dupes_cell_cap(emb):
+    """A mega-cell must be excluded from pairing: with the cap below
+    the planted pair's cell size the pair disappears; with no cap (or a
+    generous one) it is found. Bounds the quadratic blowup a skewed
+    embedding space would otherwise re-create."""
+    df, _ = emb
+    centroids = df.where("vec_id < 4").selectExpr("vec_id as cell_id", "embedding as c")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dupes(df, centroids, 0.95, max_cell_size=None).collect()
+    }
+    assert (0, 25) in uncapped
+    # every cell holds ~10 of the 40 vectors; cap=2 drops them all
+    capped = embedding_near_dupes(df, centroids, 0.95, max_cell_size=2).collect()
+    assert capped == []
+
+
+def test_ivf_train_sampled_init(emb):
+    """Init must work (and stay deterministic) when the farthest-first
+    seeds come from a hash-sample smaller than the corpus — the 100 TB
+    path where the trainer never scans the full corpus during init."""
+    from mapreduce_assignments_spark.operators.similarity import ivf_train
+
+    df, _ = emb
+    a = sorted(map(tuple, ivf_train(df, k=3, n_iter=2, init_sample_size=10).collect()))
+    b = sorted(map(tuple, ivf_train(df, k=3, n_iter=2, init_sample_size=10).collect()))
+    assert a == b
+    assert 1 <= len(a) <= 3
+    assert all(len(c) == 8 for _, c in a)
+
+
 def test_ivf_train_end_to_end_recall(emb):
     from mapreduce_assignments_spark.operators.similarity import ivf_train
 
