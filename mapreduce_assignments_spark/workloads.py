@@ -390,16 +390,22 @@ def q_pagerank(spark, sf_dir):
     # core count — iteration latency on a small graph is pure task-
     # scheduling overhead at 32 partitions (3x slower, measured).
     ranks = graph.pagerank(_customer_graph(spark, sf_dir), n_iter=8, num_partitions=8)
-    top = graph.top_k_nodes(ranks, k=25)
-    return top.select("rank", "id", F.round("pr", 6).alias("pr"))
+    # round BEFORE ranking: _customer_graph gives each nation's 10
+    # lowest-keyed members mathematically identical pr (same in-link
+    # structure), so ranking raw doubles would tie-break on float noise
+    # that differs per engine; on the rounded value the id-asc
+    # tiebreak is deterministic in Spark and DuckDB alike.
+    rounded = ranks.select("id", F.round("pr", 6).alias("pr"))
+    return graph.top_k_nodes(rounded, k=25)
 
 
 def q_personalized_pagerank(spark, sf_dir):
     g = _customer_graph(spark, sf_dir)
     sources = [r["id"] for r in g.select("id").orderBy("id").limit(2).collect()]
     ranks = graph.personalized_pagerank(g, sources=sources, n_iter=8, num_partitions=8)
-    top = graph.top_k_per_source(ranks, k=10)
-    return top.select("source", "rank", "id", F.round("pr", 6).alias("pr"))
+    # round before ranking — same exact-tie reasoning as q_pagerank.
+    rounded = ranks.select("source", "id", F.round("pr", 6).alias("pr"))
+    return graph.top_k_per_source(rounded, k=10)
 
 
 def _fake_image_assets(spark, sf_dir):
@@ -896,6 +902,108 @@ FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE {_PCOS} >= 0.2
 """
 
+
+# --- iterative graph oracles: the 8-iteration power method, unrolled --------
+# One CTE pair per iteration over the _customer_graph derivation. The
+# per-step SQL mirrors operators.graph's update rule term-for-term —
+# same literal placement and operation order — so the doubles agree to
+# a few ulps and round(...,6) is engine-stable; ranking happens on the
+# ROUNDED value (see q_pagerank) because each nation's 10 lowest-keyed
+# members are mathematically tied. Reference semantics:
+# RunPageRankBasic.java:337-348, RunPersonalizedPageRankBasic.java:316-336.
+
+_GRAPH_CTES = """
+nodes AS (
+  SELECT CAST(unnest(ms) AS INTEGER) AS id, ms
+  FROM (SELECT list_sort(list(c_custkey)) AS ms FROM customer GROUP BY c_nationkey)
+),
+g AS (
+  SELECT id,
+         list_transform(list_filter(ms, m -> m != id)[1:10],
+                        m -> CAST(m AS INTEGER)) AS adj
+  FROM nodes
+),
+nn AS (SELECT count(*) AS n FROM g),
+edges AS (SELECT id AS src, len(adj) AS outdeg, unnest(adj) AS dst FROM g)
+"""
+
+
+def _pagerank_oracle_sql(n_iter: int = 8, k: int = 25) -> str:
+    steps = [
+        "pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM g)"
+    ]
+    for i in range(1, n_iter + 1):
+        steps.append(f"""
+s{i} AS (
+  SELECT g.id, coalesce(r.recv, CAST(0.0 AS DOUBLE)) AS recv
+  FROM g LEFT JOIN (
+    SELECT e.dst AS id, sum(p.pr / e.outdeg) AS recv
+    FROM pr{i - 1} p JOIN edges e ON e.src = p.id
+    GROUP BY e.dst) r ON r.id = g.id
+),
+t{i} AS (SELECT sum(recv) AS total FROM s{i}),
+pr{i} AS (
+  SELECT id, CAST(0.15 AS DOUBLE) / nn.n
+           + CAST(0.85 AS DOUBLE)
+             * (recv + (CAST(1.0 AS DOUBLE) - t.total) / nn.n) AS pr
+  FROM s{i}, t{i} t, nn
+)""")
+    return f"""
+WITH {_GRAPH_CTES},
+{",".join(steps)}
+SELECT CAST(row_number() OVER (ORDER BY pr DESC, id ASC) AS INTEGER) AS rank, id, pr
+FROM (SELECT id, round(pr, 6) AS pr FROM pr{n_iter})
+QUALIFY rank <= {k}
+"""
+
+
+def _ppr_oracle_sql(n_iter: int = 8, k: int = 10) -> str:
+    steps = [
+        """srcs AS (
+  SELECT CAST(c_custkey AS INTEGER) AS source
+  FROM customer ORDER BY c_custkey LIMIT 2
+),
+slots AS (SELECT s.source, g.id FROM g CROSS JOIN srcs s),
+ppr0 AS (
+  SELECT source, id,
+         CASE WHEN id = source THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS pr
+  FROM slots
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        steps.append(f"""
+ps{i} AS (
+  SELECT x.source, x.id, coalesce(r.recv, CAST(0.0 AS DOUBLE)) AS recv
+  FROM slots x LEFT JOIN (
+    SELECT p.source, e.dst AS id, sum(p.pr / e.outdeg) AS recv
+    FROM ppr{i - 1} p JOIN edges e ON e.src = p.id
+    GROUP BY p.source, e.dst) r ON r.source = x.source AND r.id = x.id
+),
+pt{i} AS (SELECT source, sum(recv) AS total FROM ps{i} GROUP BY source),
+ppr{i} AS (
+  SELECT s.source, s.id,
+         CASE WHEN s.id = s.source
+              THEN CAST(0.15 AS DOUBLE)
+                   + CAST(0.85 AS DOUBLE)
+                     * (s.recv + (CAST(1.0 AS DOUBLE) - t.total))
+              ELSE CAST(0.85 AS DOUBLE) * s.recv END AS pr
+  FROM ps{i} s JOIN pt{i} t ON t.source = s.source
+)""")
+    return f"""
+WITH {_GRAPH_CTES},
+{",".join(steps)}
+SELECT source,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY pr DESC, id ASC) AS INTEGER) AS rank,
+       id, pr
+FROM (SELECT source, id, round(pr, 6) AS pr FROM ppr{n_iter})
+QUALIFY rank <= {k}
+"""
+
+
+ORACLE["pagerank"] = _pagerank_oracle_sql()
+ORACLE["personalized_pagerank"] = _ppr_oracle_sql()
 
 ORACLE["event_props_stats"] = """
 SELECT event_type, count(*) AS n,
