@@ -1031,17 +1031,77 @@ FROM {rpn_to_sql(_BOOLEAN_QUERY)} q
 JOIN documents d ON d.doc_id = q.docid
 """
 
-ORACLE["media_sniff"] = """
-SELECT doc_id AS asset_id, 'fakeimg' AS format,
-       CAST(16 + 64 AS INTEGER) AS n_bytes
-FROM documents WHERE n_chars >= 64
+# Media oracles rebuild the SAME binary container the Spark query
+# builds (header hex || first 64 payload bytes of the UTF-8 text,
+# represented as a hex string since this DuckDB cannot slice BLOBs:
+# byte i of the container = hex chars 2i-1..2i) and then RE-DERIVE
+# format / sizes / frame offsets from those bytes — they recompute the
+# operator's parse, not the fixture's constants.
+
+# b"FAKEIMG" + u32be w=8 + u32be h=8 + u8 channels=1  (16 bytes)
+_FAKEIMG_HEADER_HEX = "46414B45494D47" + "00000008" + "00000008" + "01"
+# b"FAKEVID" + u32be n_frames=4 + u32be frame_len=16  (15 bytes)
+_FAKEVID_HEADER_HEX = "46414B45564944" + "00000004" + "00000010"
+
+ORACLE["media_sniff"] = f"""
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         '{_FAKEIMG_HEADER_HEX}'
+           || substring(to_hex(encode(text)), 1, 128) AS hex
+  FROM documents WHERE n_chars >= 64
+)
+SELECT asset_id,
+       CASE WHEN substring(hex, 1, 14) = '46414B45494D47' THEN 'fakeimg'
+            WHEN substring(hex, 1, 14) = '46414B45564944' THEN 'fakevid'
+            ELSE 'unknown' END AS format,
+       CAST(length(hex) / 2 AS INTEGER) AS n_bytes
+FROM assets
 """
 
-ORACLE["frame_sample"] = """
-SELECT doc_id AS asset_id, CAST(g.i AS INTEGER) AS frame_idx,
-       CAST(16 AS INTEGER) AS frame_bytes
-FROM documents, (VALUES (0), (2)) g(i)
-WHERE n_chars >= 64
+ORACLE["frame_sample"] = f"""
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         '{_FAKEVID_HEADER_HEX}'
+           || substring(to_hex(encode(text)), 1, 128) AS hex
+  FROM documents WHERE n_chars >= 64
+),
+parsed AS (
+  SELECT asset_id,
+         CAST(CONCAT('0x', substring(hex, 15, 8)) AS INTEGER) AS n_frames,
+         CAST(CONCAT('0x', substring(hex, 23, 8)) AS INTEGER) AS frame_len,
+         substring(hex, 31) AS body_hex
+  FROM assets
+)
+SELECT asset_id, CAST(i AS INTEGER) AS frame_idx,
+       CAST(length(substring(body_hex, CAST(i AS INTEGER) * frame_len * 2 + 1,
+                             frame_len * 2)) / 2 AS INTEGER) AS frame_bytes
+FROM (SELECT asset_id, frame_len, body_hex,
+             unnest(range(0, CAST(n_frames AS BIGINT), 2)) AS i
+      FROM parsed)
+"""
+
+# 8x8 average-hash over the FAKEIMG payload: pixel i is the i-th byte
+# of the (ASCII) text, bit i is pixel > mean, packed big-endian with
+# the MSB folded to keep the value in signed int64 (Spark LongType).
+ORACLE["phash_duplicates"] = """
+WITH px AS (
+  SELECT doc_id, g.i AS i, unicode(substring(text, CAST(g.i AS INTEGER), 1)) AS px
+  FROM documents, generate_series(1, 64) g(i)
+  WHERE n_chars >= 64
+),
+pm AS (
+  SELECT doc_id, i, px, avg(px) OVER (PARTITION BY doc_id) AS m FROM px
+),
+h AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN px > m AND i = 1
+                       THEN CAST('-9223372036854775808' AS BIGINT)
+                       WHEN px > m
+                       THEN (CAST(1 AS BIGINT) << CAST(64 - i AS INTEGER))
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash
+  FROM pm GROUP BY doc_id
+)
+SELECT min(doc_id) AS keeper, count(*) AS n_dups, phash FROM h GROUP BY phash
 """
 
 # the fake image's pixels are the first 64 UTF-8 bytes of the (ASCII)
