@@ -282,6 +282,78 @@ def q_streaming_user_sessions(spark, sf_dir):
     return spark.table("q_stream_sessions_mem")
 
 
+_STAGED_TWEETS: dict[str, str] = {}
+
+# deterministic message derivation so the egypt-regex oracle can
+# reconstruct the exact strings the regex ran against ("Cairo" with a
+# capital C exercises the reference's (?i) flag,
+# ExtractHourlyCountsEgypt.java:42-44). Built lazily — Column
+# construction needs a live SparkContext.
+def _tweet_message() -> F.Column:
+    return F.when(
+        F.col("event_type") == "error", F.lit("Trouble near Cairo")
+    ).otherwise(F.concat(F.lit("all quiet: "), F.col("event_type")))
+
+
+_TWEET_MESSAGE_SQL = (
+    "CASE WHEN event_type = 'error' THEN 'Trouble near Cairo' "
+    "ELSE 'all quiet: ' || event_type END"
+)
+
+
+def _staged_tweets_dir(spark, sf_dir: str) -> str:
+    """Render events as the reference's 4-column tweet TSV
+    (``id \\t timestamp \\t user \\t message`` with the RFC-822-style
+    "EEE MMM dd HH:mm:ss Z yyyy" timestamp, ExtractHourlyCountsAll
+    .java:38-48) so the driver exercises the real TSV scan, the
+    DROPMALFORMED parse, the positional timestamp slicing and the
+    month-name map — the round-2 gaps only unit tests could reach. Two
+    malformed lines are planted; the scan must drop them. Staged once
+    per (process, sf_dir), removed at exit."""
+    if sf_dir not in _STAGED_TWEETS:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="mras-tweets-stage-")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        (
+            _events(spark, sf_dir)
+            .select(
+                F.col("event_id").cast("string").alias("id"),
+                F.date_format("ts", "EEE MMM dd HH:mm:ss Z yyyy").alias("timestamp"),
+                F.col("user_id").cast("string").alias("user"),
+                _tweet_message().alias("message"),
+            )
+            .repartition(2)
+            .write.mode("overwrite")
+            .option("sep", "\t")
+            .csv(stage)
+        )
+        with open(os.path.join(stage, "part-malformed.csv"), "w") as fh:
+            fh.write("a line with no tabs at all\n")
+            fh.write("42\tTue Jan 02 03:04:05 +0000 2024\n")  # 2 of 4 cols
+        _STAGED_TWEETS[sf_dir] = stage
+    return _STAGED_TWEETS[sf_dir]
+
+
+def q_hourly_counts_tweets(spark, sf_dir):
+    from .sources.text_corpus import read_tweets_tsv
+
+    tweets = read_tweets_tsv(spark, _staged_tweets_dir(spark, sf_dir))
+    return timeseries.hourly_counts_tweets(tweets)
+
+
+def q_hourly_counts_tweets_egypt(spark, sf_dir):
+    from .sources.text_corpus import read_tweets_tsv
+
+    tweets = read_tweets_tsv(spark, _staged_tweets_dir(spark, sf_dir))
+    return timeseries.hourly_counts_tweets(
+        tweets, message_regex="(?i)(egypt|cairo)"
+    )
+
+
 def q_exact_duplicates(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
@@ -616,6 +688,26 @@ SELECT CAST(month(ts) AS VARCHAR) || '/' || CAST(day(ts) AS VARCHAR) AS date,
        CAST(hour(ts) AS INTEGER) AS hour, count(*) AS cnt
 FROM events
 WHERE regexp_matches(event_type, 'error')
+GROUP BY 1, 2
+"""
+
+# tweets oracles recompute the wall-clock fields straight from ts
+# (the staged TSV's rendered string is sliced positionally by the
+# Spark side; month/day/hour of the render equal month/day/hour of the
+# timestamp under the same UTC session zone). date is "M/dd" and hour
+# "HH" — the tweet path keeps the reference's zero-padded text fields,
+# unlike the events path's "M/d" + int hour.
+ORACLE["hourly_counts_tweets"] = """
+SELECT CAST(month(ts) AS VARCHAR) || '/' || strftime(ts, '%d') AS date,
+       strftime(ts, '%H') AS hour, count(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+ORACLE["hourly_counts_tweets_egypt"] = f"""
+SELECT CAST(month(ts) AS VARCHAR) || '/' || strftime(ts, '%d') AS date,
+       strftime(ts, '%H') AS hour, count(*) AS cnt
+FROM events
+WHERE regexp_matches({_TWEET_MESSAGE_SQL}, '(?i)(egypt|cairo)')
 GROUP BY 1, 2
 """
 
@@ -1128,6 +1220,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boolean_retrieval_text": q_boolean_retrieval_text,
     "hourly_counts": q_hourly_counts,
     "hourly_counts_errors": q_hourly_counts_errors,
+    "hourly_counts_tweets": q_hourly_counts_tweets,
+    "hourly_counts_tweets_egypt": q_hourly_counts_tweets_egypt,
     "streaming_hourly_counts": q_streaming_hourly_counts,
     "streaming_user_sessions": q_streaming_user_sessions,
     "pricing_summary": q_pricing_summary,
