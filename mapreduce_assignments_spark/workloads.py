@@ -1097,6 +1097,105 @@ QUALIFY rank <= {k}
 ORACLE["pagerank"] = _pagerank_oracle_sql()
 ORACLE["personalized_pagerank"] = _ppr_oracle_sql()
 
+# --- trained-IVF oracle: the deterministic trainer, reproduced in SQL -------
+# ivf_train is deterministic by construction (hash-sampled farthest-
+# first init + Lloyd's with fixed tiebreaks), so the whole
+# train→assign→probe pipeline unrolls into CTEs: 7 seed-selection
+# steps (k=8), n_iter=2 assignment/mean pairs, then the nprobe=2
+# probe + two-phase-equivalent top-k. The 9-dp (init) and 6-dp
+# (assign/score) roundings that make Spark's own runs reproducible are
+# what make this cross-engine comparison stable too. Assumes the
+# testdata's fixed dim=64 (generate_series cannot take a column arg in
+# this DuckDB) and that the corpus fits the trainer's
+# init_sample_size=4096, i.e. the hash-sample is the full table — true
+# at the driver's correctness scales (50 / 500 / 5000 vectors).
+
+
+def _ivf_topk_trained_oracle_sql(
+    k: int = 8, n_iter: int = 2, dim: int = 64,
+    topk: int = 10, nprobe: int = 2,
+) -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), {p})"
+    )
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "seeds0 AS (SELECT 0 AS cell_id, v AS c FROM e ORDER BY vec_id LIMIT 1)",
+    ]
+    for j in range(1, k):
+        ncos = cos.format(a="s.c", b="e.v", p=9)
+        parts.append(f"""
+near{j} AS (
+  SELECT e.vec_id, max({ncos}) AS near
+  FROM e, seeds{j - 1} s GROUP BY e.vec_id
+),
+pick{j} AS (
+  SELECT e.v FROM near{j} n JOIN e ON e.vec_id = n.vec_id
+  ORDER BY n.near ASC, n.vec_id ASC LIMIT 1
+),
+seeds{j} AS (
+  SELECT * FROM seeds{j - 1}
+  UNION ALL SELECT {j} AS cell_id, v AS c FROM pick{j}
+)""")
+    cen = f"seeds{k - 1}"
+    acos = cos.format(a="c.c", b="e.v", p=6)
+    for t in range(n_iter):
+        parts.append(f"""
+asg{t} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {acos} DESC, c.cell_id ASC) AS rn
+    FROM e, {cen} c) WHERE rn = 1
+),
+cen{t + 1} AS (
+  SELECT cell AS cell_id, list(m ORDER BY pos) AS c
+  FROM (
+    SELECT cell, g.i AS pos, avg(v[g.i]) AS m
+    FROM asg{t}, generate_series(1, {dim}) g(i)
+    GROUP BY cell, g.i)
+  GROUP BY cell
+)""")
+        cen = f"cen{t + 1}"
+    qccos = cos.format(a="c.c", b="qv.q", p=6)
+    scos = cos.format(a="qc.q", b="a.v", p=6)
+    parts.append(f"""
+asgF AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {acos} DESC, c.cell_id ASC) AS rn
+    FROM e, {cen} c) WHERE rn = 1
+),
+qv AS (SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < 5),
+qcells AS (
+  SELECT query_id, q, qcell FROM (
+    SELECT qv.query_id, qv.q, c.cell_id AS qcell,
+           row_number() OVER (PARTITION BY qv.query_id
+                              ORDER BY {qccos} DESC, c.cell_id ASC) AS rn
+    FROM qv, {cen} c) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT qc.query_id, a.vec_id AS neighbor_id, {scos} AS sim
+  FROM asgF a JOIN qcells qc
+    ON a.cell = qc.qcell AND a.vec_id != qc.query_id
+)""")
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS INTEGER)
+         AS rank,
+       sim
+FROM scored
+QUALIFY rank <= {topk}
+"""
+
+
+ORACLE["ivf_topk_trained"] = _ivf_topk_trained_oracle_sql()
+
 ORACLE["event_props_stats"] = """
 SELECT event_type, count(*) AS n,
        CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
