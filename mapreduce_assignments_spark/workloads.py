@@ -40,6 +40,7 @@ from .operators import (
     relational,
     sampling,
     similarity,
+    skew,
     text,
     text_quality,
     timeseries,
@@ -440,6 +441,89 @@ def q_embedding_near_dupes(spark, sf_dir):
     return similarity.embedding_near_dupes(emb, centroids, threshold=0.2)
 
 
+def q_salted_order_revenue(spark, sf_dir):
+    """End-to-end salted_join demonstration: lineitem (the big,
+    potentially hot-keyed side) joined to orders over an 8-way salt,
+    then decimal-exact revenue per customer. The oracle is the PLAIN
+    join — salting must be invisible in the result."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    joined = skew.salted_join(li, orders, on="l_orderkey", how="inner", salt=8)
+    one = F.lit(1).cast("decimal(8,6)")
+    revenue = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        one - F.col("l_discount").cast("decimal(8,6)")
+    )
+    return joined.groupBy("o_custkey").agg(
+        F.round(F.sum(revenue), 6).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_STAGED_BUCKETED: dict[str, tuple[str, str]] = {}
+
+
+def _staged_bucketed_tables(spark, sf_dir: str) -> tuple[str, str]:
+    """Stage orders + customer as co-bucketed EXTERNAL parquet tables
+    (8 buckets on the customer key, bucket-sorted) once per process —
+    the layout that lets every later join/agg on that key skip its
+    exchange. External paths (``option("path")``) keep the catalog's
+    warehouse dir out of the repo CWD."""
+    if sf_dir not in _STAGED_BUCKETED:
+        import atexit
+        import hashlib
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="mras-bucketed-")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        ot, ct = f"mras_orders_b{tag}", f"mras_customer_b{tag}"
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", f"{stage}/{ot}")
+            .saveAsTable(ot)
+        )
+        (
+            load_table(spark, sf_dir, "customer")
+            .write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .option("path", f"{stage}/{ct}")
+            .saveAsTable(ct)
+        )
+        _STAGED_BUCKETED[sf_dir] = (ot, ct)
+    return _STAGED_BUCKETED[sf_dir]
+
+
+def q_bucketed_customer_orders(spark, sf_dir):
+    """Bucketed-layout demonstration under the oracle: orders ⋈
+    customer on the bucket key, rolled up per market segment. With both
+    sides co-bucketed the join and the aggregation read co-located
+    buckets (the zero-exchange property is plan-asserted in
+    tests/test_bucketed.py); values must equal the plain-layout SQL."""
+    from .sources.bucketed import read_bucketed
+
+    ot, ct = _staged_bucketed_tables(spark, sf_dir)
+    orders = read_bucketed(spark, ot)
+    cust = read_bucketed(spark, ct)
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 # --- iterative / trained operators: rows-only (no single-SQL oracle) --------
 
 def _customer_graph(spark, sf_dir):
@@ -760,6 +844,24 @@ FROM g GROUP BY user_id
 """
 
 ORACLE["streaming_user_sessions"] = ORACLE["user_sessions"]
+
+ORACLE["salted_order_revenue"] = """
+SELECT o_custkey,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))), 6)
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+"""
+
+ORACLE["bucketed_customer_orders"] = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DOUBLE)
+         AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
 
 ORACLE["exact_duplicates"] = """
 SELECT min(doc_id) AS keeper, count(*) AS n_dups
@@ -1331,6 +1433,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_props_stats": q_event_props_stats,
     "value_percentiles": q_value_percentiles,
     "top_orders_per_customer": q_top_orders_per_customer,
+    "salted_order_revenue": q_salted_order_revenue,
+    "bucketed_customer_orders": q_bucketed_customer_orders,
     "exact_duplicates": q_exact_duplicates,
     "shingles": q_shingles,
     "minhash_signatures": q_minhash_signatures,
