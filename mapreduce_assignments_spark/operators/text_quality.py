@@ -19,9 +19,13 @@ __all__ = [
     "quality_score",
     "language_id",
     "doc_fingerprint",
+    "repetition_stats",
+    "pii_scrub",
     "LANG_MARKERS",
     "BPE_ISH_REGEX",
     "STOPWORDS",
+    "EMAIL_REGEX",
+    "URL_REGEX",
 ]
 
 # A BPE-ish pre-tokenization: letter runs, digit runs, single other
@@ -115,6 +119,107 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         "doc_id",
         best["lang"].alias("pred_lang"),
         best["s"].alias("score"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition signals per document:
+    ``(doc_id, n_trigrams, dup_trigram_frac, top_bigram_share)`` —
+    the fraction of n-gram positions whose n-gram occurs more than once
+    in the doc, and the share of the single most frequent bigram.
+    Heavily repetitive documents (boilerplate, keyword stuffing, decode
+    loops) score high on both and are standard pre-training filters.
+
+    Scale shape: explode → one (doc_id, gram) hash aggregation → one
+    per-doc rollup; no per-doc quadratic expression (an in-row
+    ``filter(grams, g -> count..)`` would be O(len²) per doc and blow
+    up on long documents)."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens_array(text_col).alias("ts"))
+
+    def gram_rollup(k: int):
+        grams = toks.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("ts") >= k,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ts") - k),
+                        lambda i: F.concat_ws(" ", F.slice("ts", i + 1, k)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        return grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+
+    ng = (
+        gram_rollup(n)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+        )
+    )
+    bi = (
+        gram_rollup(2)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bi"), F.max("c").alias("max_bi"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(ng, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_trigrams"),
+            F.round(
+                F.when(
+                    F.col("n_ngrams") > 0,
+                    F.col("dup").cast("double") / F.col("n_ngrams"),
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_trigram_frac"),
+            F.round(
+                F.when(
+                    F.col("n_bi") > 0,
+                    F.col("max_bi").cast("double") / F.col("n_bi"),
+                ).otherwise(0.0),
+                6,
+            ).alias("top_bigram_share"),
+        )
+    )
+
+
+# deliberately simple, RE2-compatible patterns: identical semantics in
+# Spark (Java regex) and DuckDB (RE2), no lookaround, no backrefs.
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_REGEX = r"https?://[^\s]+"
+
+
+def pii_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    email_token: str = "<EMAIL>",
+    url_token: str = "<URL>",
+) -> DataFrame:
+    """Redact emails and URLs:
+    ``(doc_id, clean_text, n_emails, n_urls)`` — counts are taken on
+    the ORIGINAL text, then emails are replaced before URLs. Pure JVM
+    ``regexp_replace``/``regexp_count`` (global by default in Spark;
+    the oracle passes the 'g' flag)."""
+    text = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_REGEX, email_token), URL_REGEX, url_token
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        F.regexp_count(text, F.lit(EMAIL_REGEX)).alias("n_emails"),
+        F.regexp_count(text, F.lit(URL_REGEX)).alias("n_urls"),
     )
 
 

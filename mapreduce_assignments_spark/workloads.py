@@ -417,6 +417,30 @@ def q_doc_fingerprint(spark, sf_dir):
     return text_quality.doc_fingerprint(_docs(spark, sf_dir), n=5)
 
 
+def q_repetition_stats(spark, sf_dir):
+    return text_quality.repetition_stats(_docs(spark, sf_dir), n=3)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over documents with deterministic synthetic PII
+    (an email + a URL derived from doc_id) appended — the testdata
+    itself contains none, and a zero-match regex proves nothing. The
+    oracle rebuilds the identical input and re-runs the scrub."""
+    docs = _docs(spark, sf_dir)
+    withpii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex.am/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return text_quality.pii_scrub(withpii)
+
+
 def q_brute_force_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -1040,6 +1064,57 @@ SELECT doc_id,
 FROM t
 """
 
+ORACLE["repetition_stats"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+ng AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ts) - 1),
+                                 i -> array_to_string(ts[i:i+2], ' '))) AS g
+    FROM t WHERE len(ts) >= 3)
+  GROUP BY doc_id, g),
+ns AS (
+  SELECT doc_id, sum(c) AS n_ngrams,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM ng GROUP BY doc_id),
+bg AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ts)),
+                                 i -> array_to_string(ts[i:i+1], ' '))) AS g
+    FROM t WHERE len(ts) >= 2)
+  GROUP BY doc_id, g),
+bs AS (SELECT doc_id, sum(c) AS n_bi, max(c) AS max_bi FROM bg GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(ns.n_ngrams, 0) AS BIGINT) AS n_trigrams,
+       round(CASE WHEN ns.n_ngrams > 0
+                  THEN CAST(ns.dup AS DOUBLE) / ns.n_ngrams
+                  ELSE 0.0 END, 6) AS dup_trigram_frac,
+       round(CASE WHEN bs.n_bi > 0
+                  THEN CAST(bs.max_bi AS DOUBLE) / bs.n_bi
+                  ELSE 0.0 END, 6) AS top_bigram_share
+FROM t
+LEFT JOIN ns ON ns.doc_id = t.doc_id
+LEFT JOIN bs ON bs.doc_id = t.doc_id
+"""
+
+ORACLE["pii_scrub"] = f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@example.com or https://ex.am/p/' || CAST(doc_id AS VARCHAR)
+              || ' now' AS t
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t, '{text_quality.EMAIL_REGEX}', '<EMAIL>', 'g'),
+                      '{text_quality.URL_REGEX}', '<URL>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(t, '{text_quality.EMAIL_REGEX}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '{text_quality.URL_REGEX}')) AS INTEGER)
+         AS n_urls
+FROM p
+"""
+
 _COS = (
     "round(list_dot_product(qv, v) / "
     "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)"
@@ -1448,6 +1523,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "language_id": q_language_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
     "brute_force_topk": q_brute_force_topk,
     "ivf_assign": q_ivf_assign,
     "embedding_near_dupes": q_embedding_near_dupes,

@@ -5,7 +5,9 @@ import pytest
 from mapreduce_assignments_spark.operators.text_quality import (
     doc_fingerprint,
     language_id,
+    pii_scrub,
     quality_score,
+    repetition_stats,
     token_counts,
 )
 
@@ -69,3 +71,48 @@ def test_doc_fingerprint_deterministic_and_dup_sensitive(spark):
     # short doc: whole-text fingerprint, no crash
     short = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
     assert doc_fingerprint(short).collect()[0]["fingerprint"] is not None
+
+
+def test_repetition_stats_hand_checked(spark):
+    rows = [
+        # "a b a b a b": trigrams = [aba, bab, aba, bab] -> all 4
+        # positions duplicated; bigrams = [ab, ba, ab, ba, ab] ->
+        # top share 3/5
+        (1, "a b a b a b"),
+        # all-distinct trigrams, top bigram share 1/4
+        (2, "v w x y z"),
+        # too short for trigrams (fracs 0, count 0), 1 bigram
+        (3, "p q"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df, n=3).collect()}
+    assert out[1]["n_trigrams"] == 4
+    assert out[1]["dup_trigram_frac"] == 1.0
+    assert out[1]["top_bigram_share"] == pytest.approx(0.6)
+    assert out[2]["n_trigrams"] == 3
+    assert out[2]["dup_trigram_frac"] == 0.0
+    assert out[2]["top_bigram_share"] == 0.25
+    assert out[3]["n_trigrams"] == 0
+    assert out[3]["dup_trigram_frac"] == 0.0
+    assert out[3]["top_bigram_share"] == 1.0
+    assert out[4]["n_trigrams"] == 0
+    assert out[4]["top_bigram_share"] == 0.0
+    with pytest.raises(ValueError):
+        repetition_stats(df, n=1)
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@corp.example.org or see https://a.b/c?d=1 ok"),
+        (2, "no pii here"),
+        (3, "two mails a@b.co c@d.org and http://plain.url end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[1]["clean_text"] == "mail me at <EMAIL> or see <URL> ok"
+    assert (out[1]["n_emails"], out[1]["n_urls"]) == (1, 1)
+    assert out[2]["clean_text"] == "no pii here"
+    assert (out[2]["n_emails"], out[2]["n_urls"]) == (0, 0)
+    assert out[3]["clean_text"] == "two mails <EMAIL> <EMAIL> and <URL> end"
+    assert (out[3]["n_emails"], out[3]["n_urls"]) == (2, 1)
