@@ -21,6 +21,7 @@ __all__ = [
     "doc_fingerprint",
     "repetition_stats",
     "pii_scrub",
+    "chunk_documents",
     "LANG_MARKERS",
     "BPE_ISH_REGEX",
     "STOPWORDS",
@@ -190,6 +191,47 @@ def repetition_stats(
                 6,
             ).alias("top_bigram_share"),
         )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows for training:
+    ``(doc_id, chunk_idx, chunk_text, n_tokens)`` — window ``size``
+    tokens, advancing ``stride`` tokens (overlap = size - stride).
+    Chunk starts are 0, stride, 2·stride, … while < the token count,
+    so the tail is kept as a short final chunk; empty documents yield
+    no chunks.
+
+    Pure JVM (sequence + slice inside one narrow projection, then one
+    explode) — no shuffle, composes with any downstream plan."""
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    toks = tokens_array(text_col)
+    starts = F.when(
+        F.size(toks) > 0,
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, s + 1, size)).alias("chunk_text"),
+            F.least(F.lit(size), F.size(toks) - s).alias("n_tokens"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
     )
 
 

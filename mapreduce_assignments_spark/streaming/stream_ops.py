@@ -32,6 +32,7 @@ __all__ = [
     "read_events_stream",
     "streaming_hourly_counts",
     "streaming_user_sessions",
+    "streaming_exact_dedup",
     "run_to_memory",
 ]
 
@@ -137,6 +138,24 @@ def streaming_user_sessions(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def streaming_exact_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key streaming dedup: each key's first arrival
+    is emitted, later duplicates arriving within the watermark are
+    dropped. ``dropDuplicatesWithinWatermark`` keeps one state entry
+    per key seen within the watermark span and EVICTS it afterwards —
+    the bounded-state form (plain streaming ``dropDuplicates`` state
+    grows with every key forever, a 100 TB non-starter). The dedup key
+    for an at-least-once source is the event id; content dedup swaps in
+    a digest column."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
     )
 
 

@@ -266,6 +266,42 @@ def q_streaming_hourly_counts(spark, sf_dir):
     return spark.table("q_stream_hourly_mem")
 
 
+_STAGED_DUP_EVENTS: dict[str, str] = {}
+
+
+def _staged_dup_events_dir(spark, sf_dir: str) -> str:
+    """Events staged TWICE (append of a second identical copy) — the
+    at-least-once-delivery fixture the streaming dedup must collapse
+    back to exactly-once."""
+    if sf_dir not in _STAGED_DUP_EVENTS:
+        import atexit
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="mras-dup-events-stage-")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        ev = _events(spark, sf_dir).repartition(4)
+        ev.write.mode("overwrite").parquet(stage)
+        ev.write.mode("append").parquet(stage)
+        _STAGED_DUP_EVENTS[sf_dir] = stage
+    return _STAGED_DUP_EVENTS[sf_dir]
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup under the oracle: the input stream
+    carries every event twice (duplicated staging); the deduped output
+    must equal the plain batch projection of the events table — each
+    event exactly once."""
+    from .streaming import read_events_stream, run_to_memory, streaming_exact_dedup
+
+    stream = read_events_stream(spark, _staged_dup_events_dir(spark, sf_dir))
+    deduped = streaming_exact_dedup(stream).select(
+        "event_id", "user_id", "event_type"
+    )
+    run_to_memory(deduped, "q_stream_dedup_mem", "append")
+    return spark.table("q_stream_dedup_mem")
+
+
 def q_streaming_user_sessions(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState)
     replayed over the staged events and checked against the SAME DuckDB
@@ -419,6 +455,10 @@ def q_doc_fingerprint(spark, sf_dir):
 
 def q_repetition_stats(spark, sf_dir):
     return text_quality.repetition_stats(_docs(spark, sf_dir), n=3)
+
+
+def q_chunk_documents(spark, sf_dir):
+    return text_quality.chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -869,6 +909,10 @@ FROM g GROUP BY user_id
 
 ORACLE["streaming_user_sessions"] = ORACLE["user_sessions"]
 
+ORACLE["streaming_dedup"] = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
 ORACLE["salted_order_revenue"] = """
 SELECT o_custkey,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
@@ -1096,6 +1140,15 @@ SELECT t.doc_id,
 FROM t
 LEFT JOIN ns ON ns.doc_id = t.doc_id
 LEFT JOIN bs ON bs.doc_id = t.doc_id
+"""
+
+ORACLE["chunk_documents"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents)
+SELECT doc_id,
+       CAST(s // 24 AS INTEGER) AS chunk_idx,
+       array_to_string(ts[s + 1 : s + 32], ' ') AS chunk_text,
+       CAST(least(32, len(ts) - s) AS INTEGER) AS n_tokens
+FROM (SELECT doc_id, ts, unnest(range(0, len(ts), 24)) AS s FROM t)
 """
 
 ORACLE["pii_scrub"] = f"""
@@ -1500,6 +1553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_counts_tweets_egypt": q_hourly_counts_tweets_egypt,
     "streaming_hourly_counts": q_streaming_hourly_counts,
     "streaming_user_sessions": q_streaming_user_sessions,
+    "streaming_dedup": q_streaming_dedup,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1525,6 +1579,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
+    "chunk_documents": q_chunk_documents,
     "brute_force_topk": q_brute_force_topk,
     "ivf_assign": q_ivf_assign,
     "embedding_near_dupes": q_embedding_near_dupes,

@@ -79,3 +79,34 @@ def test_streaming_user_sessions_matches_batch(spark, events_dir):
         for r in user_sessions(batch, 30).collect()
     }
     assert got == want
+
+
+def test_streaming_exact_dedup_collapses_duplicates(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        streaming_exact_dedup,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:01", 10, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:10:00", 11, "view", 2.0, "{}"),
+        (3, "2024-01-01 00:20:00", 10, "error", 3.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    stage = str(tmp_path / "dup-events")
+    ev.write.mode("overwrite").parquet(stage)
+    ev.write.mode("append").parquet(stage)  # every event twice
+    deduped = streaming_exact_dedup(read_events_stream(spark, stage)).select(
+        "event_id", "event_type"
+    )
+    run_to_memory(deduped, "t_stream_dedup_mem", "append")
+    got = sorted(
+        (r["event_id"], r["event_type"])
+        for r in spark.table("t_stream_dedup_mem").collect()
+    )
+    assert got == [(1, "click"), (2, "view"), (3, "error")]

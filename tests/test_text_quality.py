@@ -116,3 +116,26 @@ def test_pii_scrub(spark):
     assert (out[2]["n_emails"], out[2]["n_urls"]) == (0, 0)
     assert out[3]["clean_text"] == "two mails <EMAIL> <EMAIL> and <URL> end"
     assert (out[3]["n_emails"], out[3]["n_urls"]) == (2, 1)
+
+
+def test_chunk_documents_hand_checked(spark):
+    from mapreduce_assignments_spark.operators.text_quality import chunk_documents
+
+    rows = [
+        (1, "t0 t1 t2 t3 t4 t5 t6"),  # 7 tokens
+        (2, "a b"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, size=4, stride=3).collect()
+    )
+    assert out == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t3 t4 t5 t6", 4),
+        (1, 2, "t6", 1),
+        (2, 0, "a b", 2),
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=0)
