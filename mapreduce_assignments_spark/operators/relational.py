@@ -27,6 +27,7 @@ __all__ = [
     "revenue_by_nation",
     "user_sessions",
     "top_orders_per_customer",
+    "customers_without_orders",
 ]
 
 # Decimal widths are chosen so every product stays within 38 digits
@@ -153,3 +154,21 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customers that never placed an order — the relational
+    set-difference, as a LEFT ANTI join.
+
+    The anti join is the right physical primitive: one hash equi-join
+    shuffle on the key with NO materialization of the orders payload
+    (only the key column crosses the wire) and no distinct/aggregate
+    pre-pass — Spark's anti join short-circuits on the first probe
+    match. Survives 100 TB: both sides shuffle on custkey once; a
+    NOT IN / except-based rewrite would add a distinct shuffle.
+    """
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    ).select("c_custkey", "c_name", "c_mktsegment")

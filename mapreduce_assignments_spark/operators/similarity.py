@@ -37,6 +37,9 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "embedding_near_dupes",
+    "lsh_hyperplanes",
+    "lsh_buckets",
+    "lsh_topk",
 ]
 
 
@@ -328,3 +331,127 @@ def embedding_near_dupes(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+# ----------------------------------------------------------------------------
+# random-hyperplane LSH — the second ANN scale path beside IVF
+
+def lsh_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH.
+
+    Coefficient (p, d) = md5("hp:p:d") first 7 hex digits / 2^28 - 0.5,
+    i.e. uniform in [-0.5, 0.5) — the same portable md5 construction as
+    functions.hashing, so the EXACT SAME doubles can be embedded as
+    literals in the DuckDB oracle (no cross-engine RNG to trust). No
+    seed state, no NumPy: reproducible from the formula alone.
+    """
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"hp:{p}:{d}".encode()).hexdigest()[:7], 16) / 2**28 - 0.5
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH band buckets: ``(id, band, bucket)`` — one row per band.
+
+    Bit p of the signature is ``round(v · plane_p, 6) >= 0`` (rounded
+    before the sign test so Spark's fold and DuckDB's unordered sum
+    agree at the boundary); bands of ``n_planes / n_bands`` bits become
+    small integer bucket ids. Entirely narrow: per-row JVM expressions
+    plus a ``posexplode`` of ``n_bands`` ints — no shuffle, no Python.
+    Cosine-similar vectors agree on many signs, so they collide in at
+    least one band with high probability (the banded OR-of-ANDs
+    amplification, same shape as dedup.minhash_lsh_candidates).
+    """
+    if n_planes % n_bands:
+        raise ValueError(f"n_planes={n_planes} not divisible by n_bands={n_bands}")
+    r = n_planes // n_bands
+    planes = lsh_hyperplanes(n_planes, dim)
+    v = F.col(vec_col).cast("array<double>")
+    bits = [
+        (
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, F.array(*[F.lit(w) for w in planes[p]]), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            >= 0
+        ).cast("int")
+        for p in range(n_planes)
+    ]
+    buckets = [
+        sum((bits[b * r + j] * F.lit(1 << j)) for j in range(r)).cast("int")
+        for b in range(n_bands)
+    ]
+    return embeddings.select(
+        F.col(id_col), F.posexplode(F.array(*buckets)).alias("band", "bucket")
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k:
+    ``(query_id, neighbor_id, rank, sim)``.
+
+    The scale path where IVF's trained centroids aren't available:
+    corpus and queries are bucketed by :func:`lsh_buckets`; a corpus
+    row is scored against a query only when they share a (band,
+    bucket). Plan shape at 100 TB:
+
+    - bucketing is narrow (no shuffle) on both sides;
+    - the query bucket table (n_bands rows per query, query vector
+      riding along) is BROADCAST, so candidate generation is a map-side
+      hash join — the corpus never shuffles to find its candidates;
+    - exact cosine is computed in the same map stage; the only wide
+      operations are a distinct over scored candidate pairs (a pair
+      colliding in several bands must score once) and the two-phase
+      salted top-k — both over the candidate set, which banding has
+      already cut by ~bucket-count× relative to brute force.
+
+    Exact-on-candidates: any returned (query, neighbor) carries the
+    true cosine; approximation only loses neighbors that collide in no
+    band. Deterministic: hyperplanes are md5-derived constants and
+    ranking happens on round(sim, 6) with neighbor_id tiebreak.
+    """
+    emb = _as_double(embeddings)
+    q = queries.select(
+        F.col("query_id"), F.col("q").cast("array<double>").alias("q")
+    )
+    qb = lsh_buckets(q, "query_id", "q", n_planes, n_bands, dim).join(
+        q, "query_id"
+    )
+    cb = lsh_buckets(emb, "vec_id", "embedding", n_planes, n_bands, dim).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("q"), F.col("embedding")), 6).alias("sim"),
+        )
+        .distinct()
+    )
+    return _topk_per_query(scored, k)

@@ -1,0 +1,201 @@
+"""Temporal / interval operators: as-of join, bucketed range join,
+multi-resolution (hypertable-style) rollup, sliding-window statistics.
+
+The reference engine's time-series surface is the hourly-count family
+(ExtractHourlyCounts*.java); these operators extend it with the
+interval primitives a time-series analytics engine needs, each
+expressed as a shuffle-minimal DataFrame plan:
+
+- :func:`asof_join` — the "attach most recent quote to each trade"
+  join. One shuffle on the key; no range explode, no per-key collect.
+- :func:`range_join` — point-in-interval theta-join rewritten as a
+  bounded-fan-out equi-join on coarse time buckets.
+- :func:`hypertable_rollup` — (day, hour) → day → grand-total rollup
+  in ONE pass via grouping sets (partial aggregation does the work of
+  the three separate jobs a naive plan would run).
+- :func:`sliding_hourly_stats` — per-key moving aggregates over an
+  ordered bounded row frame.
+
+All expressions are JVM-side (no Python in the plan); every operator
+has a DuckDB oracle in workloads.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+__all__ = [
+    "asof_join",
+    "range_join",
+    "hypertable_rollup",
+    "sliding_hourly_stats",
+]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    carry: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: attach to every ``left`` row the most recent
+    ``right`` row with the same ``on`` key and ``right_ts <= left_ts``
+    (``< left_ts`` when ``strict``).
+
+    Carried right columns (``carry``, default: everything but the key
+    and timestamp — the matched timestamp always rides along) appear
+    suffixed ``_r``; left rows with no prior right row keep NULLs
+    (left-join semantics — filter afterwards for inner).
+
+    Plan shape: the classic sorted-merge formulation. Both inputs are
+    unioned with a side tag, shuffled ONCE on the key, sorted by
+    (ts, side) within the partition, and each left row picks up the
+    running ``last(right column, ignorenulls)`` — an O(n) running
+    frame, not a per-row rescan. No interval explode, no driver
+    collect; at 100 TB this is one shuffle of each input, and AQE
+    skew-splitting handles celebrity keys. Ties: a right row at
+    exactly ``left_ts`` is visible unless ``strict`` (the side tag
+    orders it after the left row); multiple right rows on the same
+    (key, timestamp) are resolved by the later one in sort order.
+    """
+    carry = (
+        list(carry)
+        if carry is not None
+        else [c for c in right.columns if c not in {on, right_ts}]
+    )
+    carried = [right_ts, *carry]
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        # strict: right rows at the same timestamp sort AFTER the left
+        # row (side 2 > 1) so the running last() cannot see them.
+        F.lit(2 if strict else 0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in carried],
+    )
+    l = left.select("*", F.col(left_ts).alias("__t"), F.lit(1).alias("__side"))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried_out = [
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}_r") for c in carried
+    ]
+    return (
+        u.select("*", *carried_out)
+        .where(F.col("__side") == 1)
+        .drop("__t", "__side", *[f"__r_{c}" for c in carried])
+    )
+
+
+def range_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """Point-in-interval join: every ``fact`` row paired with every
+    interval where ``start_ts <= ts < end_ts`` (end-exclusive).
+
+    A naive ``fact JOIN intervals ON ts BETWEEN ...`` is a theta-join —
+    Catalyst can only nested-loop it (broadcast the intervals and scan,
+    or worse). Instead each interval is exploded into the 1-day buckets
+    it covers (fan-out bounded by the interval's length in days), the
+    fact row maps to its single day bucket, and the join becomes a hash
+    equi-join on the bucket followed by the exact range predicate —
+    the standard bucketed interval-join rewrite. At 100 TB: one narrow
+    scan of each side, one equi-join shuffle (or broadcast when the
+    exploded interval table is small), no cartesian anywhere.
+    """
+    b = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.expr(
+                f"sequence(date_trunc('DAY', {start_col}),"
+                f" date_trunc('DAY', {end_col} - interval 1 microsecond),"
+                f" interval 1 day)"
+            )
+        ),
+    )
+    f = fact.withColumn("__bucket", F.date_trunc("DAY", F.col(ts_col)))
+    return (
+        f.join(b, "__bucket")
+        .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("__bucket")
+    )
+
+
+def hypertable_rollup(
+    events: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Multi-resolution time rollup in one pass: counts and sums at
+    (day, hour), per day, and grand total, distinguished by ``grain``
+    (the grouping-set bitmask: 0 = hourly, 1 = daily, 3 = total).
+
+    The hypertable "continuous aggregate" ladder — hour → day → total —
+    computed as ONE grouping-sets aggregation instead of three jobs:
+    partial (map-side) aggregation shrinks each partition to its
+    distinct (day, hour) keys before the single shuffle, and the
+    coarser grains reuse those partials. Sums go through
+    DECIMAL(18,6) so the result is addition-order independent (double
+    summation would differ per engine/partitioning).
+    """
+    d = events.select(
+        F.date_format(ts_col, "yyyy-MM-dd").alias("day"),
+        F.hour(ts_col).cast("int").alias("hr"),
+        F.col(value_col).cast("decimal(18,6)").alias("__v"),
+    )
+    return d.rollup("day", "hr").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("__v"), 6).cast("double").alias("total_value"),
+        # grouping_id() is only legal inside the rollup's agg list
+        F.grouping_id().cast("int").alias("grain"),
+    )
+
+
+def sliding_hourly_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    preceding: int = 3,
+) -> DataFrame:
+    """Hourly counts per event_type with a trailing moving average over
+    the current + ``preceding`` observed hours (ROWS frame, so gaps in
+    the hour sequence don't change the window size).
+
+    Two shuffles total: the (event_type, hour) pre-aggregation — with
+    map-side partials — then the per-event_type window. The window
+    partitions on event_type only, but its input is the ALREADY
+    AGGREGATED hourly table (≤ 24×365 rows per type per year), so the
+    low-cardinality partitioning that would be a straggler risk on raw
+    rows is safe here — the reduction happens before the narrow key.
+    """
+    hourly = (
+        events.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("HOUR", F.col(ts_col)), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            ),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-preceding, 0)
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        "total_value",
+        F.round(F.avg("n").over(w), 6).alias("moving_avg_n"),
+        F.round(F.sum("total_value").over(w), 6).alias("moving_total_value"),
+    )

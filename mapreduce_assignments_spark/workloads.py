@@ -41,6 +41,7 @@ from .operators import (
     sampling,
     similarity,
     skew,
+    temporal,
     text,
     text_quality,
     timeseries,
@@ -503,6 +504,85 @@ def q_embedding_near_dupes(spark, sf_dir):
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c")
     )
     return similarity.embedding_near_dupes(emb, centroids, threshold=0.2)
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN — same query/corpus split as
+    brute_force_topk so the two scale paths are directly comparable.
+    The oracle reproduces the md5-derived hyperplanes as literals."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    return similarity.lsh_topk(emb, queries, k=10)
+
+
+# 6 overlapping 42-hour promo windows across the events month — the
+# same literals appear in the range_join oracle's VALUES list.
+_PROMO_WINDOWS = [
+    (i, f"2024-01-{1 + 4 * i:02d} 18:00:00", f"2024-01-{3 + 4 * i:02d} 12:00:00")
+    for i in range(6)
+]
+
+
+def q_range_join(spark, sf_dir):
+    """Point-in-interval join (events × promo windows) via the bucketed
+    equi-join rewrite, rolled up per window."""
+    promos = spark.createDataFrame(
+        _PROMO_WINDOWS, "promo_id int, start_s string, end_s string"
+    ).select(
+        "promo_id",
+        F.to_timestamp("start_s").alias("start_ts"),
+        F.to_timestamp("end_s").alias("end_ts"),
+    )
+    j = temporal.range_join(_events(spark, sf_dir), promos)
+    return j.groupBy("promo_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """Each purchase event matched to the same user's most recent
+    prior-or-simultaneous click (inner as-of). The oracle is DuckDB's
+    native ASOF JOIN — an independent algorithm that must agree."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    j = temporal.asof_join(purchases, clicks, on="user_id", carry=["value"])
+    return j.where(F.col("ts_r").isNotNull()).select(
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.round("value", 6).alias("purchase_value"),
+        F.unix_micros("ts_r").alias("click_ts_us"),
+        F.round("value_r", 6).alias("click_value"),
+    )
+
+
+def q_hypertable_rollup(spark, sf_dir):
+    return temporal.hypertable_rollup(_events(spark, sf_dir))
+
+
+def q_sliding_hourly_stats(spark, sf_dir):
+    return temporal.sliding_hourly_stats(_events(spark, sf_dir))
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti join with a pushed-down filter on the probe side. The plain
+    "no orders at all" variant is empty in this synthetic data (every
+    customer ordered), so the query anti-joins against URGENT orders —
+    non-empty at every sf, same plan shape."""
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return relational.customers_without_orders(
+        load_table(spark, sf_dir, "customer"), urgent
+    )
 
 
 def q_salted_order_revenue(spark, sf_dir):
@@ -1225,6 +1305,102 @@ WHERE {_PCOS} >= 0.2
 """
 
 
+def _lsh_topk_oracle_sql() -> str:
+    """The sign-LSH pipeline in DuckDB: the md5-derived hyperplanes are
+    embedded as a VALUES literal (identical doubles to the Spark side —
+    repr() round-trips exactly), then bits → band buckets → candidate
+    pairs → exact cosine → top-10, mirroring similarity.lsh_topk with
+    n_planes=16, n_bands=4 term-for-term."""
+    planes = similarity.lsh_hyperplanes(16, 64)
+    vals = ",".join(
+        f"({p},{d},{w!r})" for p, row in enumerate(planes) for d, w in enumerate(row)
+    )
+    return f"""
+WITH planes(p, d, w) AS (VALUES {vals}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bits AS (
+  SELECT vec_id, p,
+         CASE WHEN round(sum(v[d + 1] * w), 6) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM e, planes GROUP BY vec_id, p),
+buckets AS (
+  SELECT vec_id, CAST(p // 4 AS INTEGER) AS band,
+         CAST(sum(bit * CAST(power(2, p % 4) AS INTEGER)) AS INTEGER) AS bucket
+  FROM bits GROUP BY vec_id, p // 4),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM buckets cb JOIN buckets qb USING (band, bucket)
+  WHERE qb.vec_id < 5 AND cb.vec_id != qb.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(q.v, n.v) /
+               (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(n.v, n.v))), 6) AS sim
+  FROM cand JOIN e q ON q.vec_id = cand.query_id
+            JOIN e n ON n.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank,
+       sim
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+ORACLE["lsh_topk"] = _lsh_topk_oracle_sql()
+
+_PROMO_VALUES = ",".join(
+    f"({i}, TIMESTAMP '{s}', TIMESTAMP '{e}')" for i, s, e in _PROMO_WINDOWS
+)
+
+ORACLE["range_join"] = f"""
+WITH promos(promo_id, start_ts, end_ts) AS (VALUES {_PROMO_VALUES})
+SELECT promo_id, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS total_value
+FROM events e JOIN promos p ON e.ts >= p.start_ts AND e.ts < p.end_ts
+GROUP BY promo_id
+"""
+
+ORACLE["asof_join"] = """
+WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us, round(p.value, 6) AS purchase_value,
+       epoch_us(c.ts) AS click_ts_us, round(c.value, 6) AS click_value
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+ORACLE["hypertable_rollup"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(hour(ts) AS INTEGER) AS hr,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS total_value,
+       CAST(GROUPING(day, hr) AS INTEGER) AS grain
+FROM events GROUP BY ROLLUP (day, hr)
+"""
+
+ORACLE["sliding_hourly_stats"] = """
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         count(*) AS n,
+         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2)
+SELECT event_type, hour, n, total_value,
+       round(avg(n) OVER w, 6) AS moving_avg_n,
+       round(sum(total_value) OVER w, 6) AS moving_total_value
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLE["customers_without_orders"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
 # --- iterative graph oracles: the 8-iteration power method, unrolled --------
 # One CTE pair per iteration over the _customer_graph derivation. The
 # per-step SQL mirrors operators.graph's update rule term-for-term —
@@ -1583,6 +1759,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brute_force_topk": q_brute_force_topk,
     "ivf_assign": q_ivf_assign,
     "embedding_near_dupes": q_embedding_near_dupes,
+    "lsh_topk": q_lsh_topk,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "hypertable_rollup": q_hypertable_rollup,
+    "sliding_hourly_stats": q_sliding_hourly_stats,
+    "customers_without_orders": q_customers_without_orders,
     # iterative / trained / Python-stage — rows-only checks
     "pagerank": q_pagerank,
     "personalized_pagerank": q_personalized_pagerank,

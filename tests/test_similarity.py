@@ -195,3 +195,57 @@ def test_ivf_recall_high_on_clustered_data(spark):
         for r in ivf_topk(df, centroids, qids, k=10, nprobe=1).collect()
     }
     assert len(approx & truth) / len(truth) >= 0.8
+
+
+def test_lsh_planted_duplicate_always_found(emb):
+    """An identical vector shares every sign bit, so it collides in all
+    bands and MUST surface as the top-1 regardless of hash luck."""
+    from mapreduce_assignments_spark.operators.similarity import lsh_topk
+
+    df, vecs = emb
+    dup = df.where("vec_id = 7").selectExpr("9999L as vec_id", "embedding", "label")
+    corpus = df.unionByName(dup)
+    queries = df.selectExpr("vec_id as query_id", "embedding as q").where("vec_id = 7")
+    out = lsh_topk(corpus, queries, k=3, dim=8).collect()
+    assert out[0]["neighbor_id"] == 9999
+    assert out[0]["sim"] == 1.0
+
+
+def test_lsh_exact_on_candidates_and_pruning(emb):
+    """Every returned pair carries the TRUE cosine (approximation only
+    loses pairs, never mis-scores them), and banding actually prunes:
+    the scored candidate set is smaller than queries x corpus."""
+    from mapreduce_assignments_spark.operators.similarity import (
+        lsh_buckets,
+        lsh_topk,
+    )
+
+    df, vecs = emb
+    queries = df.selectExpr("vec_id as query_id", "embedding as q").where("vec_id < 3")
+    out = lsh_topk(df, queries, k=40, dim=8).collect()
+
+    def true_sim(qid, nid):
+        q, v = vecs[qid].astype("float64"), vecs[nid].astype("float64")
+        return round(float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v))), 6)
+
+    assert out, "LSH returned nothing"
+    for r in out:
+        assert r["sim"] == pytest.approx(true_sim(r["query_id"], r["neighbor_id"]), abs=1e-9)
+    # pruning: with k=40 >= corpus size the result IS the candidate set;
+    # it must be strictly smaller than the 3 x 39 brute-force pair count
+    assert len(out) < 3 * 39
+
+    # bucket table shape: one row per (vector, band)
+    b = lsh_buckets(df, "vec_id", "embedding", dim=8)
+    assert b.count() == 40 * 4
+    assert b.select("band").distinct().count() == 4
+
+
+def test_lsh_deterministic(emb):
+    from mapreduce_assignments_spark.operators.similarity import lsh_topk
+
+    df, _ = emb
+    queries = df.selectExpr("vec_id as query_id", "embedding as q").where("vec_id < 2")
+    a = sorted(map(tuple, lsh_topk(df, queries, k=5, dim=8).collect()))
+    b = sorted(map(tuple, lsh_topk(df, queries, k=5, dim=8).collect()))
+    assert a == b

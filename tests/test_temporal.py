@@ -1,0 +1,171 @@
+"""Unit tests for the temporal/interval operators with hand-checkable
+fixtures: as-of join tie/strict semantics, range-join boundary
+inclusion, rollup grain arithmetic, sliding-window frames, and the
+anti join. (Driver-oracle coverage lives in workloads.py; these pin
+the edge cases the sf-data never exercises.)"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from mapreduce_assignments_spark.operators import relational, temporal
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        (1, _ts("2024-01-01 10:00:00"), 100.0),
+        (1, _ts("2024-01-01 10:05:00"), 101.0),
+        (2, _ts("2024-01-01 09:00:00"), 50.0),  # before any quote
+    ]
+    return spark.createDataFrame(rows, "k int, ts timestamp, px double")
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = [
+        (1, _ts("2024-01-01 09:59:00"), 99.5),
+        (1, _ts("2024-01-01 10:00:00"), 99.9),  # exactly at trade 1's ts
+        (1, _ts("2024-01-01 10:04:00"), 100.5),
+        (2, _ts("2024-01-01 09:30:00"), 49.0),
+    ]
+    return spark.createDataFrame(rows, "k int, ts timestamp, bid double")
+
+
+def test_asof_inclusive_picks_latest_at_or_before(spark, trades, quotes):
+    out = temporal.asof_join(trades, quotes, on="k", carry=["bid"])
+    got = {(r["k"], r["px"]): (r["ts_r"], r["bid_r"]) for r in out.collect()}
+    # trade at 10:00 sees the 10:00 quote (inclusive), not 09:59
+    assert got[(1, 100.0)] == (_ts("2024-01-01 10:00:00"), 99.9)
+    assert got[(1, 101.0)] == (_ts("2024-01-01 10:04:00"), 100.5)
+    # key 2's trade predates every quote -> left row kept with NULLs
+    assert got[(2, 50.0)] == (None, None)
+
+
+def test_asof_strict_excludes_simultaneous(spark, trades, quotes):
+    out = temporal.asof_join(trades, quotes, on="k", carry=["bid"], strict=True)
+    got = {(r["k"], r["px"]): r["bid_r"] for r in out.collect()}
+    assert got[(1, 100.0)] == 99.5  # 10:00 quote no longer visible
+    assert got[(1, 101.0)] == 100.5
+
+
+def test_asof_matches_naive_theta_join(spark):
+    """Property check on a bigger deterministic fixture: the one-shuffle
+    formulation equals the obvious (quadratic) greatest-qualifying-row
+    join."""
+    left = spark.createDataFrame(
+        [(i % 5, _ts("2024-01-01 00:00:00").replace(minute=i % 60), float(i)) for i in range(200)],
+        "k int, ts timestamp, px double",
+    ).distinct()
+    right = spark.createDataFrame(
+        [(i % 5, _ts("2024-01-01 00:00:00").replace(minute=(i * 7) % 60), float(i)) for i in range(100)],
+        "k int, ts timestamp, bid double",
+    ).groupBy("k", "ts").agg(F.max("bid").alias("bid"))  # unique (k, ts)
+    fast = temporal.asof_join(left, right, on="k", carry=["bid"])
+    naive = (
+        left.alias("l")
+        .join(right.alias("r"), (F.col("l.k") == F.col("r.k")) & (F.col("r.ts") <= F.col("l.ts")), "left")
+        .groupBy("l.k", "l.ts", "l.px")
+        .agg(F.max_by(F.col("r.bid"), F.col("r.ts")).alias("bid_r"))
+    )
+    a = {(r["k"], r["ts"], r["px"], r["bid_r"]) for r in fast.select("k", "ts", "px", "bid_r").collect()}
+    b = {(r["k"], r["ts"], r["px"], r["bid_r"]) for r in naive.collect()}
+    assert a == b
+
+
+def test_range_join_boundaries(spark):
+    facts = spark.createDataFrame(
+        [
+            (0, _ts("2024-01-01 17:59:59")),
+            (1, _ts("2024-01-01 18:00:00")),  # == start: included
+            (2, _ts("2024-01-02 03:00:00")),  # next day, same interval
+            (3, _ts("2024-01-03 12:00:00")),  # == end: excluded
+        ],
+        "fid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(7, _ts("2024-01-01 18:00:00"), _ts("2024-01-03 12:00:00"))],
+        "iid int, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        r["fid"] for r in temporal.range_join(facts, intervals).select("fid").collect()
+    )
+    assert got == [1, 2]
+
+
+def test_range_join_overlapping_intervals_fan_out(spark):
+    facts = spark.createDataFrame([(0, _ts("2024-01-02 00:00:00"))], "fid int, ts timestamp")
+    intervals = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), _ts("2024-01-03 00:00:00")),
+            (2, _ts("2024-01-01 12:00:00"), _ts("2024-01-02 12:00:00")),
+            (3, _ts("2024-01-02 00:00:01"), _ts("2024-01-02 02:00:00")),
+        ],
+        "iid int, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        r["iid"] for r in temporal.range_join(facts, intervals).select("iid").collect()
+    )
+    assert got == [1, 2]
+
+
+def test_hypertable_rollup_grains(spark):
+    ev = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 10:15:00"), 1.0),
+            (_ts("2024-01-01 10:45:00"), 2.0),
+            (_ts("2024-01-01 11:00:00"), 4.0),
+            (_ts("2024-01-02 10:00:00"), 8.0),
+        ],
+        "ts timestamp, value double",
+    )
+    rows = temporal.hypertable_rollup(ev).collect()
+    by_key = {(r["day"], r["hr"], r["grain"]): (r["n_events"], r["total_value"]) for r in rows}
+    assert by_key[("2024-01-01", 10, 0)] == (2, 3.0)
+    assert by_key[("2024-01-01", 11, 0)] == (1, 4.0)
+    assert by_key[("2024-01-01", None, 1)] == (3, 7.0)
+    assert by_key[("2024-01-02", None, 1)] == (1, 8.0)
+    assert by_key[(None, None, 3)] == (4, 15.0)
+    assert len(rows) == 3 + 2 + 1
+
+
+def test_sliding_hourly_stats_frame(spark):
+    ev = spark.createDataFrame(
+        [
+            ("click", _ts("2024-01-01 00:30:00"), 1.0),
+            ("click", _ts("2024-01-01 01:30:00"), 2.0),
+            ("click", _ts("2024-01-01 01:45:00"), 2.0),
+            # hour 02 missing: ROWS frame skips the gap
+            ("click", _ts("2024-01-01 03:30:00"), 4.0),
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    rows = {r["hour"]: r for r in temporal.sliding_hourly_stats(ev, preceding=1).collect()}
+    assert rows["2024-01-01 00:00"]["moving_avg_n"] == 1.0
+    assert rows["2024-01-01 01:00"]["n"] == 2
+    assert rows["2024-01-01 01:00"]["moving_avg_n"] == 1.5  # (1 + 2) / 2
+    # the 03:00 row's frame holds {01:00, 03:00} because ROWS, not RANGE
+    assert rows["2024-01-01 03:00"]["moving_avg_n"] == 1.5
+    assert rows["2024-01-01 03:00"]["moving_total_value"] == 8.0
+
+
+def test_customers_without_orders(spark):
+    customer = spark.createDataFrame(
+        [(1, "a", "SEG1"), (2, "b", "SEG1"), (3, "c", "SEG2")],
+        "c_custkey long, c_name string, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1)], "o_orderkey long, o_custkey long"
+    )
+    got = sorted(
+        r["c_custkey"]
+        for r in relational.customers_without_orders(customer, orders).collect()
+    )
+    assert got == [2, 3]

@@ -70,7 +70,9 @@ def _approx_eq(a, b, rel=1e-9, abs_=1e-9):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="0.001")
-    ap.add_argument("--only", default=None, help="run a single query by name")
+    ap.add_argument(
+        "--only", default=None, help="comma-separated query names to run"
+    )
     args = ap.parse_args()
     sf_dir = f"/root/testdata/sf{args.sf}"
 
@@ -86,7 +88,7 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = [args.only] if args.only else list(queries)
+    names = args.only.split(",") if args.only else list(queries)
     results: dict[str, dict] = {}
     n_fail = 0
     for name in names:
