@@ -33,13 +33,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 plus the
-    LLM-data-pipeline extensions."""
+    LLM-data-pipeline extensions — exactly 50 entries so every one
+    lands inside the driver's correctness check window. Strict
+    sub-plan queries live in ``workloads.EXTRA_QUERIES`` (checked by
+    ``tools/check_correctness.py --all`` and pytest)."""
     return dict(workloads.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle for every SQL-expressible query; the
-    iterative operators (pagerank, personalized_pagerank,
-    ivf_topk_trained) are deliberately absent → rows-only check, their
-    numerics are covered by NumPy/golden oracles in tests/."""
-    return dict(workloads.ORACLE)
+    """DuckDB-runnable oracle for every registered query (all 50 have
+    one, including the unrolled power-method oracles for pagerank /
+    personalized_pagerank and the full IVF trainer in SQL)."""
+    return {k: workloads.ORACLE[k] for k in workloads.QUERIES if k in workloads.ORACLE}

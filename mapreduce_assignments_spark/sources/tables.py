@@ -41,9 +41,17 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    # session.get_spark sets spark.sql.legacy.parquet.nanosAsLong at
-    # build time; sessions built elsewhere must set it themselves (we
-    # deliberately do NOT mutate a live session's conf here).
+    # Both confs are runtime-settable SQL confs; callers' sessions
+    # (the correctness harness builds its own vanilla SparkSession)
+    # won't have them. Without nanosAsLong the vectorized reader
+    # rejects TIMESTAMP(NANOS) columns outright [PARQUET_TYPE_ILLEGAL].
+    # The UTC pin makes hour()/month()/date_format() over these
+    # timestamps agree with the tz-naive DuckDB oracles regardless of
+    # the host session's default timezone — the engine's documented
+    # contract is "all timestamps are UTC instants".
+    if name in _NANO_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":

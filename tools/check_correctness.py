@@ -73,13 +73,38 @@ def main() -> int:
     ap.add_argument(
         "--only", default=None, help="comma-separated query names to run"
     )
+    ap.add_argument(
+        "--all", action="store_true",
+        help="also check workloads.EXTRA_QUERIES (sub-plan queries "
+        "outside the 50-entry driver registry)",
+    )
+    ap.add_argument(
+        "--vanilla-session", action="store_true",
+        help="run on an unconfigured SparkSession (like the driver's "
+        "harness) instead of session.get_spark — catches any workload "
+        "that silently depends on our session conf",
+    )
     args = ap.parse_args()
     sf_dir = f"/root/testdata/sf{args.sf}"
 
     import __spark_entry__ as entrymod
-    from mapreduce_assignments_spark.session import get_spark
+    from mapreduce_assignments_spark import workloads
 
-    spark = get_spark("check-correctness")
+    if args.vanilla_session:
+        from pyspark.sql import SparkSession
+
+        # deliberately NOT UTC: flushes out timezone-sensitive
+        # timestamp rendering that only works under our own session
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .appName("check-correctness-vanilla")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .getOrCreate()
+        )
+    else:
+        from mapreduce_assignments_spark.session import get_spark
+
+        spark = get_spark("check-correctness")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -87,8 +112,12 @@ def main() -> int:
         )
 
     queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    oracles = {k: workloads.ORACLE[k] for k in workloads.ALL_QUERIES if k in workloads.ORACLE}
+    if args.all:
+        queries = dict(workloads.ALL_QUERIES)
     names = args.only.split(",") if args.only else list(queries)
+    if args.only:
+        queries = dict(workloads.ALL_QUERIES)  # --only may name an extra query
     results: dict[str, dict] = {}
     n_fail = 0
     for name in names:

@@ -52,11 +52,11 @@ def main() -> int:
     args = ap.parse_args()
     sf_dir = f"/root/testdata/sf{args.sf}"
     spark = get_spark("plan-audit")
-    names = [args.only] if args.only else list(workloads.QUERIES)
+    names = [args.only] if args.only else list(workloads.ALL_QUERIES)
     bad = []
     for name in names:
         try:
-            df = workloads.QUERIES[name](spark, sf_dir)
+            df = workloads.ALL_QUERIES[name](spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ERROR {type(e).__name__}: {e}"[:200])
