@@ -31,10 +31,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # the driver testdata stores TIMESTAMP(NANOS), which the
-        # vectorized parquet reader rejects; read as int64 nanos and let
-        # sources.tables rebuild micro-precision timestamps. Set here
-        # (not per-read) so table loads never mutate a live session.
+        # some driver testdata generations store TIMESTAMP(NANOS),
+        # which the vectorized parquet reader rejects; read as int64
+        # nanos and let sources.tables rebuild micro-precision
+        # timestamps (it also re-sets this at load time so foreign
+        # sessions — e.g. the driver's own harness — behave the same).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

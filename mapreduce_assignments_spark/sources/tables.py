@@ -27,11 +27,12 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# The driver's parquet stores timestamps as TIMESTAMP(NANOS), which
-# Spark's vectorized reader rejects outright. We read them as int64
-# nanos (legacy conf below) and rebuild proper TimestampType columns
-# at microsecond precision (matching what DuckDB reads natively).
-_NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+# The driver's parquet has stored timestamps as TIMESTAMP(NANOS) in
+# some rounds and as TIMESTAMP(MICROS, isAdjustedToUTC=false) in
+# others; the loader normalizes EITHER encoding to a TimestampType
+# (UTC instant) column at microsecond precision, matching what DuckDB
+# renders for the same file. Callers never see the physical encoding.
+_TS_COLS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
     "events": ("ts",),
@@ -46,18 +47,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # won't have them. Without nanosAsLong the vectorized reader
     # rejects TIMESTAMP(NANOS) columns outright [PARQUET_TYPE_ILLEGAL].
     # The UTC pin makes hour()/month()/date_format() over these
-    # timestamps agree with the tz-naive DuckDB oracles regardless of
-    # the host session's default timezone — the engine's documented
-    # contract is "all timestamps are UTC instants".
-    if name in _NANO_TS_COLS:
+    # timestamps — and the NTZ→instant cast below — agree with the
+    # tz-naive DuckDB oracles regardless of the host session's default
+    # timezone: the engine's documented contract is "all timestamps
+    # are UTC instants".
+    if name in _TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANO_TS_COLS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+    for col in _TS_COLS.get(name, ()):
+        if col not in df.columns:
+            continue
+        dt = dict(df.dtypes)[col]
+        if dt == "bigint":  # TIMESTAMP(NANOS) read via nanosAsLong
             df = df.withColumn(
                 col, F.expr(f"timestamp_micros(CAST({col} DIV 1000 AS BIGINT))")
             )
+        elif dt == "timestamp_ntz":
+            # isAdjustedToUTC=false micros: the wall-clock digits ARE
+            # the UTC instant; under the UTC session pin above this
+            # cast is value-preserving (and unlocks unix_micros &
+            # streaming event-time, which require TimestampType).
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -97,7 +97,12 @@ def _parallelize(df: DataFrame) -> DataFrame:
     no shuffle is added."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    # JVM-side partition count (queryExecution().rdd() — physical
+    # planning only, no job, no Python-RDD serializer conversion; the
+    # Python df.rdd property would bolt a javaToPython stage onto
+    # every query's setup).
+    n_parts = df._jdf.rdd().getNumPartitions()
+    if n_parts < max(2, target // 2):
         return df.repartition(target)
     return df
 

@@ -51,6 +51,54 @@ def test_brute_force_topk_matches_numpy(emb):
             assert s == pytest.approx(ws, abs=2e-6)
 
 
+def test_topk_salted_equals_single_phase(emb):
+    """The cost gate switches plans, never results: forcing the
+    two-phase salted ranking must reproduce the single-window ranking
+    bit-for-bit (including rank order under sim ties)."""
+    from mapreduce_assignments_spark.operators.similarity import (
+        _max_leaf_bytes,
+        _topk_per_query,
+        _as_double,
+        cosine_similarity,
+    )
+    import pyspark.sql.functions as F
+
+    df, _ = emb
+    q = df.selectExpr("vec_id as query_id", "embedding as q").where("vec_id < 3")
+    scored = (
+        _as_double(df)
+        .crossJoin(F.broadcast(q.withColumn("q", F.col("q").cast("array<double>"))))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("q"), F.col("embedding")), 6).alias("sim"),
+        )
+    )
+    single = _topk_per_query(scored, 5, salt_parts=1).collect()
+    salted = _topk_per_query(scored, 5, salt_parts=8).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(single, key=key) == sorted(salted, key=key)
+    # createDataFrame input (LogicalRDD, no stats) → gate reports huge,
+    # i.e. errs toward the scale-safe salted plan
+    assert _max_leaf_bytes(scored) >= 256 << 20
+    # parquet-backed input: accurate (small) file stats → gate picks
+    # the cheap single-phase plan
+    pq = df.sparkSession.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pq_scored = (
+        _as_double(pq)
+        .crossJoin(F.broadcast(q.withColumn("q", F.col("q").cast("array<double>"))))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("q"), F.col("embedding")), 6).alias("sim"),
+        )
+    )
+    assert _max_leaf_bytes(pq_scored) < 256 << 20
+    plan = _topk_per_query(pq_scored, 5)._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" not in plan
+
+
 def test_brute_force_finds_planted_near_dup(emb):
     df, _ = emb
     queries = df.selectExpr("vec_id as query_id", "embedding as q").where("vec_id = 0")
