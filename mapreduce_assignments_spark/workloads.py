@@ -602,10 +602,11 @@ def q_salted_order_revenue(spark, sf_dir):
         F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
     )
     joined = skew.salted_join(li, orders, on="l_orderkey", how="inner", salt=8)
-    one = F.lit(1).cast("decimal(8,6)")
-    revenue = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        one - F.col("l_discount").cast("decimal(8,6)")
-    )
+    # exact double-product → decimal(18,6) term (see
+    # relational._exact_product_dec for the exactness argument)
+    revenue = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
     return joined.groupBy("o_custkey").agg(
         F.round(F.sum(revenue), 6).cast("double").alias("revenue"),
         F.count("*").alias("n_items"),
