@@ -42,6 +42,8 @@ __all__ = [
     "minhash_lsh_candidates",
     "simhash",
     "simhash_near_dupes",
+    "dedup_clusters",
+    "contamination_flags",
 ]
 
 
@@ -297,4 +299,137 @@ def simhash_near_dupes(
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs — the final
+    stage of a dedup pipeline: pairs from any candidate generator
+    (Jaccard / MinHash-LSH / SimHash / embedding) become clusters with
+    a canonical keeper. Returns ``(doc_id, canonical_id,
+    cluster_size)`` for every document appearing in >= 1 pair;
+    ``canonical_id`` is the component's minimum doc_id (the standard
+    keep-lowest retention policy), so "rows to drop" is simply
+    ``doc_id != canonical_id``.
+
+    Iterative min-label propagation: every node starts labeled with
+    itself; each round a node adopts the minimum label among itself
+    and its neighbors. Rounds needed = component diameter — dup
+    clusters are short chains in practice, and the loop early-exits
+    the first round nothing changes (one scalar action per round, the
+    same side-channel shape as pagerank's dangling-mass read).
+
+    Scale shape: state is one (node, label) row per PAIRED document —
+    orders of magnitude smaller than the corpus; each round is one
+    join (edges x labels, both hash-partitioned on the node id) plus
+    one groupBy-min; nothing but the per-round change flag reaches the
+    driver. Each round's state is eagerly ``localCheckpoint``-ed:
+    ``labels`` appears twice in a round's plan (propagation join +
+    self-union), so WITHOUT per-round lineage truncation the logical
+    plan doubles every round — exponential analysis cost that OOMs the
+    driver near 12 rounds regardless of data size (pagerank:
+    ``graph._checkpointer`` solves the same problem). ``max_iter``
+    bounds pathological chains (a partially converged labeling still
+    merges every cluster of diameter <= max_iter; the cap is
+    documented, not silent).
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        # labels only ever decrease; any strict decrease means another
+        # round could still propagate. limit(1) stops the scan at the
+        # first witness.
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .where(F.col("label") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    out = labels.join(sizes, "label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("canonical_id"),
+        "cluster_size",
+    )
+    # `out` depends only on the final checkpointed labels, never on
+    # the cached edge list.
+    edges.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters hit max_iter={max_iter} before convergence; "
+            "components wider than max_iter hops may be split",
+            stacklevel=2,
+        )
+    return out
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with an evaluation set — ``(doc_id, n_hits)`` with
+    n_hits = number of DISTINCT contaminated n-grams (rows only for
+    contaminated docs; n_hits >= 1).
+
+    The standard pre-training hygiene pass: eval suites leak into web
+    corpora, and exact n-gram overlap (n around 5-13 in published
+    pipelines) is the accepted detector.
+
+    Scale shape: the benchmark side is an eval set — MBs against a
+    100 TB corpus — so its distinct shingle set is BROADCAST and
+    candidate detection is a map-side hash join on the corpus's narrow
+    shingle stream (no corpus shuffle to find hits); the only wide
+    operation is the per-doc hit count over matched rows, which the
+    n-gram equi-join has already cut to a sliver of the corpus.
+    """
+    corpus_sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    bench_sh = (
+        shingles(benchmark, n=n, text_col=bench_text_col, id_col=bench_id_col)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        # shingles() emits each doc's n-grams already distinct, so a
+        # plain count is the distinct-hit count
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
     )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 
 from ..functions.hashing import h60
 
-__all__ = ["deterministic_sample", "hash_split"]
+__all__ = ["deterministic_sample", "hash_split", "stratified_sample"]
 
 _BINS = 1_000_000
 
@@ -61,3 +61,43 @@ def hash_split(df: DataFrame, key: str, weights: dict[str, float]) -> DataFrame:
     # guard the float edge: the last bin always belongs to the last split
     last = list(weights)[-1]
     return df.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows — the
+    "downsample the over-represented language/source" primitive of
+    corpus curation (e.g. ``fractions={"en": 0.25}`` keeps a quarter
+    of English rows and, with the default, all of everything else).
+
+    Row retention is decided purely by the content hash of ``key``
+    against the stratum's threshold, so it inherits every
+    ``deterministic_sample`` guarantee (reproducible across runs,
+    engines, partitionings) AND a subset property: lowering a
+    stratum's fraction only removes rows, never swaps them — two
+    curations at different rates stay comparable. Narrow (zero
+    shuffles, no per-stratum counting pass).
+
+    Unlisted strata keep ``default_fraction`` of their rows; NULL
+    strata are treated as unlisted.
+    """
+    if not fractions:
+        raise ValueError("at least one stratum fraction required")
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    b = _bin(key)
+    threshold = None
+    for name, frac in fractions.items():
+        cond = F.col(stratum_col) == name
+        lim = F.lit(int(frac * _BINS))
+        threshold = F.when(cond, lim) if threshold is None else threshold.when(cond, lim)
+    threshold = threshold.otherwise(F.lit(int(default_fraction * _BINS)))
+    return df.where(b < threshold)

@@ -443,6 +443,36 @@ def q_hash_split(spark, sf_dir):
     return out.select("doc_id", "split")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Downsample the over-represented language: keep 25% of English,
+    half of Chinese, everything else untouched."""
+    out = sampling.stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        {"en": 0.25, "zh": 0.5},
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs (n-gram Jaccard >= 0.1) folded into connected
+    components with a keep-lowest canonical doc per cluster."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
+    return dedup.dedup_clusters(pairs)
+
+
+def q_contamination_flags(spark, sf_dir):
+    """Benchmark decontamination: every 97th document plays the eval
+    set; flag the rest of the corpus on shared word 4-grams (the
+    synthetic corpus has too few genuine 5-gram collisions to make an
+    interesting check; real pipelines run n around 5-13)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup.contamination_flags(corpus, bench, n=4)
+
+
 def q_token_counts(spark, sf_dir):
     return text_quality.token_counts(_docs(spark, sf_dir))
 
@@ -1065,6 +1095,53 @@ JOIN sz sb ON sb.doc_id = doc_b
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.1
 """
 
+# Connected components via a recursive label-closure CTE: `reach`
+# enumerates, for every node, every label reachable over the
+# undirected pair edges (UNION dedup terminates the recursion), and
+# min() over that closure is exactly the component minimum the Spark
+# min-label-propagation loop converges to.
+ORACLE["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+{ORACLE["ngram_jaccard"]}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+lab AS (SELECT node AS doc_id, min(lab) AS canonical_id FROM reach GROUP BY node)
+SELECT doc_id, canonical_id,
+       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+FROM lab
+"""
+
+# word 4-gram shingles (distinct per doc), mirroring dedup.shingles
+# with n=4: range yields i = 1 .. len-3, the inclusive slice
+# ts[i:i+3] is 4 tokens.
+_SHINGLES_4 = f"""
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(1, len(ts) - 2),
+             i -> array_to_string(ts[i:i+3], ' ')))) AS shingle
+    FROM (SELECT doc_id, {_TOK} AS ts FROM documents)
+    WHERE len(ts) >= 4)
+"""
+
+ORACLE["contamination_flags"] = f"""
+WITH sh AS ({_SHINGLES_4}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT s.doc_id, count(*) AS n_hits
+FROM sh s JOIN bench USING (shingle)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+"""
+
 ORACLE["simhash"] = f"""
 WITH tf AS (
   SELECT doc_id, t AS w, count(*) AS tf
@@ -1134,6 +1211,13 @@ SELECT doc_id,
             WHEN {_DOC_BIN} < 900000 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
+"""
+
+ORACLE["stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_DOC_BIN} < CASE WHEN lang = 'en' THEN 250000
+                        WHEN lang = 'zh' THEN 500000
+                        ELSE 1000000 END
 """
 
 ORACLE["token_counts"] = r"""
@@ -1799,6 +1883,11 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,                             # stage 1 of simhash_near_dupes
     "deterministic_sample": q_deterministic_sample,   # same hash-bin op as hash_split
     "ivf_assign": q_ivf_assign,                       # stage 2 of ivf_topk_trained
+    # round-4 extensions (oracle-checked via --all + pytest; the
+    # 50-entry driver window was already full of longer-standing ops)
+    "stratified_sample": q_stratified_sample,         # per-stratum hash sampling
+    "dedup_clusters": q_dedup_clusters,               # CC over near-dup pairs
+    "contamination_flags": q_contamination_flags,     # eval-set n-gram decontam
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -134,3 +134,56 @@ def test_ngram_jaccard_shingle_df_cap(spark):
     # shared (df=2) and verify no pairs remain.
     capped = ngram_jaccard_pairs(docs, n=3, threshold=0.01, shingle_df_cap=1).collect()
     assert capped == []
+
+
+def test_dedup_clusters_multi_hop_chain(spark):
+    """A~B, B~C (A never directly paired with C) must still land in
+    one cluster with canonical=min; disjoint pair D~E stays separate;
+    unpaired docs don't appear."""
+    from mapreduce_assignments_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(20, 10), (20, 30), (40, 50)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+            for r in dedup_clusters(pairs).collect()}
+    assert rows == {
+        10: (10, 3), 20: (10, 3), 30: (10, 3),
+        40: (40, 2), 50: (40, 2),
+    }
+
+
+def test_dedup_clusters_long_chain_and_determinism(spark):
+    """A 12-hop path graph converges (diameter > a couple of rounds)
+    and repeated runs agree exactly."""
+    from mapreduce_assignments_spark.operators.dedup import dedup_clusters
+
+    edges = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out1 = sorted(map(tuple, dedup_clusters(pairs).collect()))
+    out2 = sorted(map(tuple, dedup_clusters(pairs).collect()))
+    assert out1 == out2
+    assert all(c == 0 and n == 13 for _, c, n in out1)
+    assert len(out1) == 13
+
+
+def test_contamination_flags_exact_ngram_overlap(spark):
+    """Doc 1 contains benchmark doc 100's 4-gram verbatim (2 distinct
+    shared 4-grams via a 5-token overlap); doc 2 shares nothing; the
+    benchmark doc itself is not in the corpus side."""
+    from mapreduce_assignments_spark.operators.dedup import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "leaked copy the secret eval answer is here"),
+            (2, "completely unrelated text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["n_hits"] for r in contamination_flags(corpus, bench, n=4).collect()}
+    # doc 1 shares "the secret eval answer" and "secret eval answer is"
+    assert rows == {1: 2}

@@ -65,3 +65,36 @@ def test_split_consistent_with_sample(docs_table):
     split = hash_split(docs_table, "doc_id", {"a": 0.1, "b": 0.9})
     first = {r["doc_id"] for r in split.where("split = 'a'").collect()}
     assert sample == first
+
+
+def test_stratified_sample_downsamples_named_strata(docs_table):
+    from mapreduce_assignments_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        docs_table, "doc_id", "lang", {"en": 0.25, "zh": 0.5}
+    ).select("doc_id", "lang")
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    full = {}
+    for r in docs_table.select("doc_id", "lang").collect():
+        full.setdefault(r["lang"], set()).add(r["doc_id"])
+    # unlisted strata pass through untouched
+    for lang in full:
+        if lang not in ("en", "zh"):
+            assert by_lang.get(lang, set()) == full[lang]
+    # named strata roughly downsampled, and strictly subsets
+    assert by_lang["en"] < full["en"]
+    assert len(by_lang["en"]) < 0.6 * len(full["en"])
+    # subset property vs the unstratified sampler: the en rows kept at
+    # 0.25 are EXACTLY deterministic_sample(0.25) restricted to en
+    plain = {r["doc_id"] for r in deterministic_sample(docs_table, "doc_id", 0.25).collect()}
+    assert by_lang["en"] == plain & full["en"]
+    # stable across runs
+    again = stratified_sample(docs_table, "doc_id", "lang", {"en": 0.25, "zh": 0.5})
+    assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in rows}
+    with pytest.raises(ValueError):
+        stratified_sample(docs_table, "doc_id", "lang", {})
+    with pytest.raises(ValueError):
+        stratified_sample(docs_table, "doc_id", "lang", {"en": 1.5})
