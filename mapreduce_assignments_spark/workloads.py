@@ -533,6 +533,13 @@ def q_ivf_assign(spark, sf_dir):
     return similarity.ivf_assign(emb, centroids).select("vec_id", "cell")
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 scalar quantization, flattened to (vec_id, pos, code) for
+    the order-insensitive oracle compare."""
+    q = similarity.quantize_embeddings(_emb(spark, sf_dir))
+    return q.select("vec_id", F.posexplode("codes").alias("pos", "code"))
+
+
 def q_embedding_near_dupes(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     centroids = emb.where(F.col("vec_id") < 8).select(
@@ -1373,6 +1380,22 @@ SELECT vec_id, cell_id AS cell FROM (
 WHERE rn = 1
 """
 
+# floor(x + 0.5) rather than round() on both engines — their round()
+# tie-break conventions differ; floor agrees bit-for-bit.
+ORACLE["quantize_embeddings"] = """
+WITH flat AS (
+  SELECT vec_id, CAST(g.i AS INTEGER) AS pos,
+         CAST(embedding[CAST(g.i AS INTEGER) + 1] AS DOUBLE) AS v
+  FROM embeddings, generate_series(0, 63) g(i)
+),
+dims AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM flat GROUP BY pos)
+SELECT f.vec_id, f.pos,
+       CASE WHEN d.mx = d.mn THEN 0
+            ELSE CAST(floor((f.v - d.mn) / (d.mx - d.mn) * 255 + 0.5) AS INTEGER) - 128
+       END AS code
+FROM flat f JOIN dims d USING (pos)
+"""
+
 _PCOS = (
     "round(list_dot_product(a.v, b.v) / "
     "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
@@ -1888,6 +1911,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,         # per-stratum hash sampling
     "dedup_clusters": q_dedup_clusters,               # CC over near-dup pairs
     "contamination_flags": q_contamination_flags,     # eval-set n-gram decontam
+    "quantize_embeddings": q_quantize_embeddings,     # int8 scalar quantization
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -297,3 +297,34 @@ def test_lsh_deterministic(emb):
     a = sorted(map(tuple, lsh_topk(df, queries, k=5, dim=8).collect()))
     b = sorted(map(tuple, lsh_topk(df, queries, k=5, dim=8).collect()))
     assert a == b
+
+
+def test_quantize_embeddings_roundtrip_and_edges(emb):
+    from mapreduce_assignments_spark.operators.similarity import quantize_embeddings
+    import numpy as np
+
+    df, vecs = emb
+    out = quantize_embeddings(df).collect()
+    assert len(out) == len(vecs)
+    codes = {r["vec_id"]: r["codes"] for r in out}
+    norms = {r["vec_id"]: r["norm"] for r in out}
+    mn, mx = vecs.min(axis=0).astype("float64"), vecs.max(axis=0).astype("float64")
+    for vid, cs in codes.items():
+        assert all(-128 <= c <= 127 for c in cs)
+        # dequantized value within half a quantization step of the original
+        v = vecs[vid].astype("float64")
+        deq = mn + (np.array(cs, dtype="float64") + 128) / 255.0 * (mx - mn)
+        step = (mx - mn) / 255.0
+        assert np.all(np.abs(deq - v) <= step / 2 + 1e-9)
+        assert norms[vid] == pytest.approx(float(np.linalg.norm(v)), rel=1e-9)
+    # determinism
+    again = {r["vec_id"]: r["codes"] for r in quantize_embeddings(df).collect()}
+    assert again == codes
+    # constant dimension quantizes to 0 everywhere
+    spark = df.sparkSession
+    const = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [1.0, 7.0])], "vec_id long, embedding array<double>"
+    )
+    cc = {r["vec_id"]: r["codes"] for r in quantize_embeddings(const).collect()}
+    assert cc[0][0] == 0 and cc[1][0] == 0      # dim 0 is constant
+    assert cc[0][1] == -128 and cc[1][1] == 127  # dim 1 spans the range
