@@ -381,6 +381,45 @@ def _staged_tweets_dir(spark, sf_dir: str) -> str:
     return _STAGED_TWEETS[sf_dir]
 
 
+_STAGED_JSONL: dict[str, str] = {}
+
+
+def _staged_docs_jsonl_dir(spark, sf_dir: str) -> str:
+    """Stage the documents table as JSONL with planted malformed lines
+    (invalid JSON and a valid object with no id) — once per
+    (process, sf_dir), removed at exit."""
+    if sf_dir not in _STAGED_JSONL:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="mras-jsonl-stage-")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartition(2)
+            .write.mode("overwrite")
+            .json(stage)
+        )
+        with open(os.path.join(stage, "part-malformed.json"), "w") as fh:
+            fh.write("{this is not json\n")
+            fh.write('{"text": "valid json, but no doc_id"}\n')
+        _STAGED_JSONL[sf_dir] = stage
+    return _STAGED_JSONL[sf_dir]
+
+
+def q_jsonl_roundtrip(spark, sf_dir):
+    """Documents → JSONL → schema-enforced read with DROPMALFORMED:
+    full row parity with the original table proves the serialization
+    round-trips exactly (unicode escapes, nulls) and the malformed
+    plants are dropped."""
+    from .sources.text_corpus import read_documents_jsonl
+
+    docs = read_documents_jsonl(spark, _staged_docs_jsonl_dir(spark, sf_dir))
+    return docs.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def q_hourly_counts_tweets(spark, sf_dir):
     from .sources.text_corpus import read_tweets_tsv
 
@@ -1220,6 +1259,13 @@ SELECT doc_id,
 FROM documents
 """
 
+# the staging (Spark-side write + malformed plants) is invisible to
+# the oracle by design: the reader's contract is that the roundtrip
+# reproduces the source table exactly and drops the garbage.
+ORACLE["jsonl_roundtrip"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
 ORACLE["stratified_sample"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE {_DOC_BIN} < CASE WHEN lang = 'en' THEN 250000
@@ -1912,6 +1958,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,               # CC over near-dup pairs
     "contamination_flags": q_contamination_flags,     # eval-set n-gram decontam
     "quantize_embeddings": q_quantize_embeddings,     # int8 scalar quantization
+    "jsonl_roundtrip": q_jsonl_roundtrip,             # JSONL source + DROPMALFORMED
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
