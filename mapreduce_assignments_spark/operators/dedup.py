@@ -58,6 +58,19 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _shingle_array(n: int, text_col: str) -> F.Column:
+    """Distinct word n-gram shingles of a document as an ARRAY —
+    a higher-order transform over the token array (narrow, no
+    shuffle). NULL-sized (< n tokens) docs are the caller's filter."""
+    toks = tokens_array(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
 def shingles(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -67,14 +80,9 @@ def shingles(
     array — narrow stage, no shuffle.
     """
     toks = tokens_array(text_col)
-    shingle_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
     return docs.where(F.size(toks) >= n).select(
-        F.col(id_col).alias("doc_id"), F.explode(shingle_arr).alias("shingle")
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingle_array(n, text_col)).alias("shingle"),
     )
 
 
@@ -136,17 +144,27 @@ def minhash_signatures(
     """MinHash signatures ``(doc_id, sig ARRAY<BIGINT>[num_hashes])``.
 
     One md5 per distinct shingle, then ``num_hashes`` cheap universal
-    hashes (a*h+b mod p) folded with min() — all JVM-side; the only
-    shuffle is the per-doc min aggregation.
+    hashes (a*h+b mod p) folded with ``array_min`` — ZERO shuffles:
+    the whole signature is a per-row higher-order expression over the
+    document's shingle array, so signatures stream straight into
+    whatever wide operator follows (the LSH band join is then the
+    pipeline's ONLY exchange). The earlier formulation exploded
+    (doc_id, shingle-hash) rows into a num_hashes-buffer hash
+    aggregation — same values, one corpus-sized shuffle more.
     """
-    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
-    base = sh.select("doc_id", h28("shingle").alias("h"))
-    mins = base.groupBy("doc_id").agg(
-        *[F.min(minhash_value(F.col("h"), i)).alias(f"m{i}") for i in range(num_hashes)]
+
+    def mh(i: int):
+        # single-arg lambda: F.transform passes the element index to
+        # two-arg lambdas, which would shadow a default-bound i
+        return lambda h: minhash_value(h, i)
+
+    toks = tokens_array(text_col)
+    base = docs.where(F.size(toks) >= n).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(_shingle_array(n, text_col), h28).alias("hs"),
     )
-    return mins.select(
-        "doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
-    )
+    sig = F.array(*[F.array_min(F.transform(F.col("hs"), mh(i))) for i in range(num_hashes)])
+    return base.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
