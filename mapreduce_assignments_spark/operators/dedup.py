@@ -235,38 +235,37 @@ def simhash(
     """SimHash signatures ``(doc_id, simhash BIGINT)`` over token
     60-bit hashes weighted by term frequency.
 
-    Formulation: per (doc, token) compute tf and the token hash once,
-    then for each bit position sum +tf/-tf by bit value; bit b of the
-    signature is 1 iff the sum > 0. Everything is expression-level;
-    the shuffle is one groupBy(doc_id) over doc×bits rows.
+    Bit b's vote is Σ over TOKEN INSTANCES of ±1 by the hash's bit
+    value — mathematically identical to the textbook Σ over distinct
+    tokens of ±tf, but it needs no tf aggregation: hash the token
+    array once per row, then each bit is an ``aggregate`` fold over
+    that array. ZERO shuffles (the earlier tf-groupBy formulation
+    paid three corpus-sized exchanges for the same integers); the
+    signature streams straight into ``simhash_near_dupes``'s banded
+    join, which becomes the pipeline's only exchange.
     """
-    tf = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_array(text_col)).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
-        .select("doc_id", "tf", h60("w").alias("h"))
+    toks = tokens_array(text_col)
+    base = docs.where(F.size(toks) >= 1).select(
+        F.col(id_col).alias("doc_id"), F.transform(toks, h60).alias("hs")
     )
-    contrib = tf.select(
-        "doc_id",
-        "tf",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-    ).select(
-        "doc_id",
-        "b",
-        # shiftright/shiftleft with a column shift amount need the SQL form
-        F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN tf ELSE -tf END").alias("v"),
-    )
-    return (
-        contrib.groupBy("doc_id", "b")
-        .agg(F.sum("v").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END")
-            ).alias("simhash")
+
+    def vote(b: int) -> F.Column:
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == F.lit(1), F.lit(1)
+            ).otherwise(F.lit(-1)),
         )
-    )
+
+    sig = None
+    for b in range(bits):
+        term = F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return base.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_dupes(
