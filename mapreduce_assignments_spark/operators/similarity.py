@@ -550,3 +550,71 @@ def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding") -> Da
         code.alias("codes"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
     )
+
+
+def write_ivf_index(
+    embeddings: DataFrame, centroids: DataFrame, path: str
+) -> None:
+    """Materialize the IVF index as CELL-PARTITIONED parquet — the
+    physical layout behind the "at 100 TB the cell id becomes a
+    partition column" claim: each cell is a directory, so a probe
+    reads only its ``nprobe`` directories and the other ~k-1/k of the
+    corpus is never opened (partition pruning, asserted in
+    tests/test_plan_shapes.py)."""
+    ivf_assign(embeddings, centroids).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+) -> DataFrame:
+    """ANN search against a :func:`write_ivf_index` materialization:
+    ``(query_id, neighbor_id, rank, sim)`` — same semantics as
+    :func:`ivf_topk` (which recomputes assignment in-flight), but the
+    scan touches only the probed cells' partitions.
+
+    ``queries`` carries explicit vectors ``(query_id, q)``. The probed
+    cell ids (n_queries x nprobe ints) are collected to the driver to
+    become a partition-pruning IN-filter on the parquet read — the
+    same small-side pattern as broadcasting the centroids themselves.
+    """
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    cen = centroids.select(
+        F.col("cell_id"), F.col("c").cast("array<double>").alias("c")
+    )
+    q = queries.select(
+        F.col("query_id"), F.col("q").cast("array<double>").alias("q")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cen))
+        .select(
+            "query_id",
+            "q",
+            "cell_id",
+            F.round(cosine_similarity(F.col("c"), F.col("q")), 6).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "q", F.col("cell_id").alias("qcell"))
+    )
+    cells = [r["qcell"] for r in probes.select("qcell").distinct().collect()]
+    idx = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    scored = idx.join(
+        F.broadcast(probes),
+        (idx["cell"] == F.col("qcell")) & (idx["vec_id"] != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            cosine_similarity(F.col("q"), F.col("embedding").cast("array<double>")), 6
+        ).alias("sim"),
+    )
+    return _topk_per_query(scored, k)

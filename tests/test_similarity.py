@@ -328,3 +328,30 @@ def test_quantize_embeddings_roundtrip_and_edges(emb):
     cc = {r["vec_id"]: r["codes"] for r in quantize_embeddings(const).collect()}
     assert cc[0][0] == 0 and cc[1][0] == 0      # dim 0 is constant
     assert cc[0][1] == -128 and cc[1][1] == 127  # dim 1 spans the range
+
+
+def test_ivf_index_partition_pruned_probe(emb, tmp_path):
+    """The materialized cell-partitioned index returns exactly what
+    the in-flight ivf_topk computes, and its parquet scan carries a
+    partition filter on cell — i.e. a probe READS only the probed
+    directories, the 100 TB story made concrete."""
+    from mapreduce_assignments_spark.operators.similarity import (
+        write_ivf_index,
+        probe_ivf_index,
+    )
+
+    df, _ = emb
+    spark = df.sparkSession
+    centroids = df.where("vec_id < 4").selectExpr("vec_id as cell_id", "embedding as c")
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(df, centroids, path)
+    queries = df.selectExpr("vec_id as query_id", "embedding as q").where("vec_id = 0")
+    probed = probe_ivf_index(spark, path, queries, centroids, k=5)
+    flight = ivf_topk(df, centroids, df.selectExpr("vec_id as query_id").where("vec_id = 0"), k=5)
+    assert sorted(map(tuple, probed.collect())) == sorted(
+        map(tuple, flight.collect())
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), f"no partition filter in scan:\n{plan[:2000]}"
