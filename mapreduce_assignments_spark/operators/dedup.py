@@ -243,7 +243,14 @@ def simhash(
     paid three corpus-sized exchanges for the same integers); the
     signature streams straight into ``simhash_near_dupes``'s banded
     join, which becomes the pipeline's only exchange.
+
+    ``bits`` is capped at 62: bit b contributes the literal ``1 << b``,
+    and 1 << 63 no longer fits Spark's signed LongType (round-4
+    ADVICE — the old shiftleft formulation silently wrapped instead of
+    erroring).
     """
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in [1, 62], got {bits}")
     toks = tokens_array(text_col)
     base = docs.where(F.size(toks) >= 1).select(
         F.col(id_col).alias("doc_id"), F.transform(toks, h60).alias("hs")
@@ -431,11 +438,18 @@ def contamination_flags(
     pipelines) is the accepted detector.
 
     Scale shape: the benchmark side is an eval set — MBs against a
-    100 TB corpus — so its distinct shingle set is BROADCAST and
-    candidate detection is a map-side hash join on the corpus's narrow
-    shingle stream (no corpus shuffle to find hits); the only wide
-    operation is the per-doc hit count over matched rows, which the
-    n-gram equi-join has already cut to a sliver of the corpus.
+    100 TB corpus — so its distinct shingle set typically broadcasts
+    and candidate detection is a map-side hash join on the corpus's
+    narrow shingle stream (no corpus shuffle to find hits); the only
+    wide operation is the per-doc hit count over matched rows, which
+    the n-gram equi-join has already cut to a sliver of the corpus.
+
+    The broadcast is NOT forced (round-4 ADVICE): a caller-supplied
+    "benchmark" has no size contract, and a hard ``F.broadcast()`` hint
+    overrides ``autoBroadcastJoinThreshold`` — an oversized eval side
+    would OOM every executor. Left to the threshold (plus AQE's
+    runtime re-plan), a small side still broadcasts and a large one
+    degrades to a shuffle join instead of a crash.
     """
     corpus_sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
     bench_sh = (
@@ -444,7 +458,7 @@ def contamination_flags(
         .distinct()
     )
     return (
-        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        corpus_sh.join(bench_sh, "shingle")
         # shingles() emits each doc's n-grams already distinct, so a
         # plain count is the distinct-hit count
         .groupBy("doc_id")

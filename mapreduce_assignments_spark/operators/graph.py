@@ -43,7 +43,7 @@ only shuffles the slim ranks side after the first iteration.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql.window import Window
 
 __all__ = [
@@ -162,14 +162,24 @@ def pagerank(
             # inner-join semantics: mass sent to ids without a row
             # vanishes into the missing mass (reference :288-296).
             recv = contribs.groupBy("id").agg(F.sum("m").alias("recv"))
+            # the received-mass total rides the state materialization
+            # as an observe metric (functions/telemetry.py pattern):
+            # ONE pass computes and caches state AND the scalar the
+            # driver needs — the reference needed a second job plus an
+            # HDFS side file for this (RunPageRankBasic.java:304-318);
+            # the round-4 loop still paid a separate agg stage re-
+            # scanning the fresh cache.
+            obs = Observation()
             state = (
                 links.select("id")
                 .join(recv, "id", "left")
                 .select("id", F.coalesce("recv", F.lit(0.0)).alias("recv"))
+                .observe(obs, F.sum("recv").alias("total"))
                 .cache()
             )
-            total = state.agg(F.sum("recv")).collect()[0][0] or 0.0
-            # the totals collect materialized `state`, so the previous
+            state.write.format("noop").mode("overwrite").save()
+            total = obs.get["total"] or 0.0
+            # the noop write materialized `state`, so the previous
             # iteration's cached state is dead — release it now (a long
             # run must not accumulate one cached DataFrame per iter).
             if prev_state is not None:
@@ -242,15 +252,21 @@ def personalized_pagerank(
             recv = contribs.groupBy("id").agg(
                 *[F.sum(c).alias(c) for c in cols]
             )
+            # all per-source totals ride the state materialization as
+            # one observe metric set — single pass, no separate agg
+            # stage (see the basic pagerank loop).
+            obs = Observation()
             state = (
                 links.select("id")
                 .join(recv, "id", "left")
                 .select(
                     "id", *[F.coalesce(c, F.lit(0.0)).alias(c) for c in cols]
                 )
+                .observe(obs, *[F.sum(c).alias(c) for c in cols])
                 .cache()
             )
-            totals = state.agg(*[F.sum(c).alias(c) for c in cols]).collect()[0]
+            state.write.format("noop").mode("overwrite").save()
+            totals = obs.get
             if prev_state is not None:
                 prev_state.unpersist()
             prev_state = state

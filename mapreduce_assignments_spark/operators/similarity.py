@@ -41,6 +41,8 @@ __all__ = [
     "lsh_buckets",
     "lsh_topk",
     "quantize_embeddings",
+    "write_ivf_index",
+    "probe_ivf_index",
 ]
 
 
@@ -75,12 +77,15 @@ def _max_leaf_bytes(df: DataFrame) -> int:
     (actual file sizes for parquet scans). Pure plan inspection — no
     job runs.
 
-    Leaves whose stats are the unknown sentinel (~Long.MaxValue, e.g.
-    LogicalRDD from ``createDataFrame``) are ignored when any sized
-    leaf exists: in this API surface those are always driver-local
-    literals (query vectors, centroids) riding a broadcast, while
-    corpus-scale data always enters through file scans. If NO leaf has
-    usable stats the plan reports huge — i.e. errs scale-safe."""
+    A leaf whose stats are the unknown sentinel (~Long.MaxValue, e.g.
+    LogicalRDD from ``createDataFrame`` or an uncomputed ``cache()``)
+    counts as HUGE: an unsized input might be corpus-scale, and the
+    only safe answer for an unsized plan is the scale-safe one. Sides
+    that are small by construction (broadcast query vectors, centroid
+    lists) are excluded by the CALLER gating on the corpus DataFrame
+    alone (``_topk_per_query(gate_df=...)``), not by guessing which
+    unknown leaves are benign — a cached corpus joined to a small
+    file-backed side must still read huge (round-4 ADVICE)."""
     _UNKNOWN = 1 << 62
     try:
         leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
@@ -88,13 +93,17 @@ def _max_leaf_bytes(df: DataFrame) -> int:
             int(str(leaves.apply(i).stats().sizeInBytes()))
             for i in range(leaves.size())
         ]
-        known = [s for s in sizes if s < _UNKNOWN]
-        return max(known) if known else 1 << 60
+        return max((min(s, 1 << 60) for s in sizes), default=1 << 60)
     except Exception:
         return 1 << 60
 
 
-def _topk_per_query(scored: DataFrame, k: int, salt_parts: int | None = None) -> DataFrame:
+def _topk_per_query(
+    scored: DataFrame,
+    k: int,
+    salt_parts: int | None = None,
+    gate_df: DataFrame | None = None,
+) -> DataFrame:
     """Top-k of ``(query_id, neighbor_id, sim)`` rows, cost-gated
     between one- and two-phase ranking.
 
@@ -114,11 +123,18 @@ def _topk_per_query(scored: DataFrame, k: int, salt_parts: int | None = None) ->
     the salt phase is pure overhead and the naive single window runs
     instead. Both paths order by (sim DESC, neighbor_id ASC), so the
     output is bit-identical either way. Pass ``salt_parts`` explicitly
-    to override the gate (1 forces single-phase)."""
+    to override the gate (1 forces single-phase).
+
+    ``gate_df`` is the DataFrame whose leaf stats drive the gate —
+    callers pass the CORPUS side, because a per-query window partition
+    holds at most one corpus's worth of rows and the broadcast query
+    side never lands in it. Unsized inputs (cache/createDataFrame)
+    read huge, so an unsized corpus always takes the salted plan."""
     if salt_parts is None:
         salt_parts = (
             scored.sparkSession.sparkContext.defaultParallelism
-            if _max_leaf_bytes(scored) >= _SALT_MIN_LEAF_BYTES
+            if _max_leaf_bytes(gate_df if gate_df is not None else scored)
+            >= _SALT_MIN_LEAF_BYTES
             else 1
         )
     order = (F.desc("sim"), F.asc("neighbor_id"))
@@ -163,7 +179,7 @@ def brute_force_topk(
             F.round(cosine_similarity(F.col("q"), F.col("embedding")), 6).alias("sim"),
         )
     )
-    return _topk_per_query(scored, k)
+    return _topk_per_query(scored, k, gate_df=emb)
 
 
 def ivf_train(
@@ -338,7 +354,7 @@ def ivf_topk(
             F.round(cosine_similarity(F.col("q"), F.col("embedding")), 6).alias("sim"),
         )
     )
-    return _topk_per_query(scored, k)
+    return _topk_per_query(scored, k, gate_df=emb)
 
 
 def embedding_near_dupes(
@@ -502,7 +518,7 @@ def lsh_topk(
         )
         .distinct()
     )
-    return _topk_per_query(scored, k)
+    return _topk_per_query(scored, k, gate_df=emb)
 
 
 def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -617,4 +633,4 @@ def probe_ivf_index(
             cosine_similarity(F.col("q"), F.col("embedding").cast("array<double>")), 6
         ).alias("sim"),
     )
-    return _topk_per_query(scored, k)
+    return _topk_per_query(scored, k, gate_df=idx)

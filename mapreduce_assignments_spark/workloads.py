@@ -848,6 +848,56 @@ def q_ivf_topk_trained(spark, sf_dir):
     return similarity.ivf_topk(emb, centroids, queries, k=10, nprobe=2)
 
 
+_STAGED_IVF_INDEX: dict[str, str] = {}
+
+
+def _ivf_centroids(spark, sf_dir):
+    """Fixed (untrained) centroids shared by the index write and the
+    probe — vec_id < 8, same as q_ivf_assign, so the oracle can replay
+    the assignment without reproducing the trainer."""
+    return _emb(spark, sf_dir).where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c")
+    )
+
+
+def _staged_ivf_index_dir(spark, sf_dir: str) -> str:
+    """Materialize the cell-partitioned IVF index once per (process,
+    sf_dir) — same staging lifecycle as _staged_events_dir."""
+    if sf_dir not in _STAGED_IVF_INDEX:
+        import atexit
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="mras-ivf-index-")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        similarity.write_ivf_index(
+            _emb(spark, sf_dir), _ivf_centroids(spark, sf_dir), stage
+        )
+        _STAGED_IVF_INDEX[sf_dir] = stage
+    return _STAGED_IVF_INDEX[sf_dir]
+
+
+def q_ivf_index_probe(spark, sf_dir):
+    """ANN probe against the MATERIALIZED cell-partitioned index
+    (similarity.write_ivf_index → probe_ivf_index): the at-rest scale
+    path where a probe opens only its nprobe cell directories
+    (partition pruning plan-asserted in tests/test_plan_shapes.py).
+    Same (queries, k, nprobe) shape as ivf_topk_trained so results are
+    directly comparable across the in-flight and at-rest paths."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    return similarity.probe_ivf_index(
+        spark,
+        _staged_ivf_index_dir(spark, sf_dir),
+        queries,
+        _ivf_centroids(spark, sf_dir),
+        k=10,
+        nprobe=2,
+    )
+
+
 # ----------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect; tables pre-registered as views)
 
@@ -1426,6 +1476,48 @@ SELECT vec_id, cell_id AS cell FROM (
 WHERE rn = 1
 """
 
+# Replays the WHOLE at-rest probe path: nearest-cell assignment (the
+# index write), the per-query nprobe=2 probed cells, then exact cosine
+# top-10 within probed cells — so a pruning bug that dropped a cell
+# directory would hash-mismatch, not just slow down.
+_QCOS = (
+    "round(list_dot_product(c, qv) / "
+    "(sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv))), 6)"
+)
+_PQCOS = (
+    "round(list_dot_product(p.qv, a.v) / "
+    "(sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6)"
+)
+ORACLE["ivf_index_probe"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cen AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cen.cell_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_CCOS} DESC, cen.cell_id ASC) AS rn
+    FROM e, cen)
+  WHERE rn = 1),
+qt AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, cell_id AS qcell FROM (
+    SELECT qt.query_id, qt.qv, cen.cell_id,
+           row_number() OVER (PARTITION BY qt.query_id
+                              ORDER BY {_QCOS} DESC, cen.cell_id ASC) AS rn
+    FROM qt, cen)
+  WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {_PQCOS} AS sim
+  FROM probes p
+  JOIN assigned a ON a.cell = p.qcell AND a.vec_id != p.query_id)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank,
+       sim
+FROM scored
+QUALIFY rank <= 10
+"""
+
 # floor(x + 0.5) rather than round() on both engines — their round()
 # tie-break conventions differ; floor agrees bit-for-bit.
 ORACLE["quantize_embeddings"] = """
@@ -1883,6 +1975,13 @@ FROM documents WHERE n_chars >= 64
 # 51-60 in round 3) and the round-3 red events family come first, so
 # a future shrink of the check window hits long-proven entries last.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- rotated INTO the 50-entry driver window in round 5 (were
+    # EXTRA_QUERIES; every declared query should periodically earn a
+    # driver-visible green row, not just a local --all one) --
+    "dedup_clusters": q_dedup_clusters,
+    "quantize_embeddings": q_quantize_embeddings,
+    "stratified_sample": q_stratified_sample,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     # -- never driver-checked before round 4, or red in round 3 --
     "word_count": q_word_count,
     "pagerank": q_pagerank,
@@ -1911,7 +2010,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cooccurrence": q_cooccurrence,
     "pmi": q_pmi,
     "inverted_index_stats": q_inverted_index_stats,
-    "tf_histogram": q_tf_histogram,
     "tf_idf": q_tf_idf,
     "boolean_retrieval_text": q_boolean_retrieval_text,
     "pricing_summary": q_pricing_summary,
@@ -1924,13 +2022,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_near_dupes": q_simhash_near_dupes,
-    "hash_split": q_hash_split,
-    "token_counts": q_token_counts,
     "quality_score": q_quality_score,
     "language_id": q_language_id,
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_stats": q_repetition_stats,
-    "pii_scrub": q_pii_scrub,
     "chunk_documents": q_chunk_documents,
     "brute_force_topk": q_brute_force_topk,
     "embedding_near_dupes": q_embedding_near_dupes,
@@ -1952,13 +2047,17 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,                             # stage 1 of simhash_near_dupes
     "deterministic_sample": q_deterministic_sample,   # same hash-bin op as hash_split
     "ivf_assign": q_ivf_assign,                       # stage 2 of ivf_topk_trained
-    # round-4 extensions (oracle-checked via --all + pytest; the
-    # 50-entry driver window was already full of longer-standing ops)
-    "stratified_sample": q_stratified_sample,         # per-stratum hash sampling
-    "dedup_clusters": q_dedup_clusters,               # CC over near-dup pairs
     "contamination_flags": q_contamination_flags,     # eval-set n-gram decontam
-    "quantize_embeddings": q_quantize_embeddings,     # int8 scalar quantization
-    "jsonl_roundtrip": q_jsonl_roundtrip,             # JSONL source + DROPMALFORMED
+    # round-5 extension: ANN probe of the materialized cell-partitioned
+    # index — the oracle replays assignment + probed cells + top-k
+    "ivf_index_probe": q_ivf_index_probe,
+    # -- rotated OUT of the driver window in round 5 (driver-green in
+    # rounds 3 AND 4 on unchanged code; still oracle-checked here via
+    # --all and pytest every round) --
+    "tf_histogram": q_tf_histogram,
+    "hash_split": q_hash_split,
+    "token_counts": q_token_counts,
+    "pii_scrub": q_pii_scrub,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

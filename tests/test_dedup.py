@@ -187,3 +187,17 @@ def test_contamination_flags_exact_ngram_overlap(spark):
     rows = {r["doc_id"]: r["n_hits"] for r in contamination_flags(corpus, bench, n=4).collect()}
     # doc 1 shares "the secret eval answer" and "secret eval answer is"
     assert rows == {1: 2}
+
+
+def test_simhash_bits_bounds(spark):
+    """bits=63 would need the literal 1 << 63, which overflows Spark's
+    signed LongType — the parameter is guarded (round-4 ADVICE)."""
+    from mapreduce_assignments_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        simhash(docs, bits=63)
+    with pytest.raises(ValueError):
+        simhash(docs, bits=0)
+    # the documented max works end-to-end
+    assert simhash(docs, bits=62).count() == 1

@@ -84,3 +84,65 @@ def test_sample_frames(assets):
 def test_sample_frames_validates():
     with pytest.raises(ValueError):
         sample_frames(None, every_k=0)
+
+
+# --- pluggable codec seam (round-4 VERDICT item 3) ------------------------
+# A deployment with real codecs passes its own callable; the swap must be
+# pure configuration — same operators, same schemas, no module edits.
+# The codecs are defined INSIDE the tests: a closure pickles by value, so
+# executors need nothing importable — exactly the deployment contract.
+
+def test_injected_image_decoder(spark):
+    def _custom_decoder(content: bytes):
+        # decodes b"CUSTOM" + w:u8 + h:u8 + payload — a format the
+        # default decoder rejects
+        if content[:6] != b"CUSTOM":
+            raise NotImplementedError("not CUSTOM")
+        w, h = content[6], content[7]
+        return w, h, 1, content[8 : 8 + w * h]
+
+    rows = [
+        (1, b"CUSTOM" + bytes([2, 2]) + bytes([10, 20, 30, 40])),
+        (2, make_fake_image(4, 4, 1, seed=7)),  # default format: undecodable here
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, content binary")
+    got = {r["asset_id"]: r for r in image_stats(df, decoder=_custom_decoder).collect()}
+    assert set(got) == {1}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (2, 2, 1)
+    assert got[1]["mean_px"] == pytest.approx(25.0)
+    # phash goes through the same seam
+    dups = phash_duplicates(
+        spark.createDataFrame(
+            [(1, rows[0][1]), (2, rows[0][1])], "asset_id long, content binary"
+        ),
+        decoder=_custom_decoder,
+    ).collect()
+    assert len(dups) == 1 and dups[0]["keeper"] == 1 and dups[0]["n_dups"] == 2
+
+
+def test_injected_video_demuxer(spark):
+    def _custom_demuxer(content: bytes):
+        # splits b"VID!" + payload into fixed 4-byte frames
+        if content[:4] != b"VID!":
+            raise NotImplementedError("not VID!")
+        body = content[4:]
+        return [body[i : i + 4] for i in range(0, len(body), 4)]
+
+    df = spark.createDataFrame(
+        [(9, b"VID!" + b"aaaabbbbccccdddd"), (10, make_fake_video(4, 2))],
+        "asset_id long, content binary",
+    )
+    out = sample_frames(df, every_k=2, demuxer=_custom_demuxer).collect()
+    got = {(r["asset_id"], r["frame_idx"]): bytes(r["frame"]) for r in out}
+    # only the VID! row demuxes; frames 0 and 2 of 4
+    assert set(got) == {(9, 0), (9, 2)}
+    assert got[(9, 0)] == b"aaaa" and got[(9, 2)] == b"cccc"
+
+
+def test_default_decoder_unchanged_by_seam(assets):
+    """The no-argument path must behave exactly as before the seam —
+    the oracle-checked queries ride this default."""
+    stats = {r["asset_id"] for r in image_stats(assets).collect()}
+    assert stats == {1, 2, 3}
+    frames = {r["asset_id"] for r in sample_frames(assets).collect()}
+    assert frames == {6}

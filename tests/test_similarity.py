@@ -51,7 +51,7 @@ def test_brute_force_topk_matches_numpy(emb):
             assert s == pytest.approx(ws, abs=2e-6)
 
 
-def test_topk_salted_equals_single_phase(emb):
+def test_topk_salted_equals_single_phase(emb, tmp_path):
     """The cost gate switches plans, never results: forcing the
     two-phase salted ranking must reproduce the single-window ranking
     bit-for-bit (including rank order under sim ties)."""
@@ -82,9 +82,10 @@ def test_topk_salted_equals_single_phase(emb):
     # createDataFrame input (LogicalRDD, no stats) → gate reports huge,
     # i.e. errs toward the scale-safe salted plan
     assert _max_leaf_bytes(scored) >= 256 << 20
-    # parquet-backed input: accurate (small) file stats → gate picks
-    # the cheap single-phase plan
-    pq = df.sparkSession.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # parquet-backed input (written to tmp_path so the gate sees real
+    # file-scan stats): accurate small size → single-phase plan
+    df.write.mode("overwrite").parquet(str(tmp_path / "emb.parquet"))
+    pq = df.sparkSession.read.parquet(str(tmp_path / "emb.parquet"))
     pq_scored = (
         _as_double(pq)
         .crossJoin(F.broadcast(q.withColumn("q", F.col("q").cast("array<double>"))))
@@ -94,9 +95,39 @@ def test_topk_salted_equals_single_phase(emb):
             F.round(cosine_similarity(F.col("q"), F.col("embedding")), 6).alias("sim"),
         )
     )
-    assert _max_leaf_bytes(pq_scored) < 256 << 20
-    plan = _topk_per_query(pq_scored, 5)._jdf.queryExecution().optimizedPlan().toString()
+    # the gate runs on the CORPUS side (gate_df), whose file-backed
+    # stats are accurate and small → single-phase plan; the scored
+    # join itself still carries the unsized broadcast query leaf
+    assert _max_leaf_bytes(pq) < 256 << 20
+    plan = (
+        _topk_per_query(pq_scored, 5, gate_df=pq)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
     assert "__salt" not in plan
+    # public API, all-file-backed: small corpus stays single-phase
+    plan_pub = (
+        brute_force_topk(pq, pq.selectExpr(
+            "vec_id as query_id", "embedding as q").limit(3), k=5)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "__salt" not in plan_pub
+    # the round-4 ADVICE hazard: an UNSIZED corpus (cache /
+    # createDataFrame) joined to a small file-backed side must still
+    # read huge — any unknown-stat leaf is treated as corpus-scale,
+    # never masked by a sized sibling leaf
+    mixed = _as_double(df).crossJoin(F.broadcast(pq.selectExpr(
+        "vec_id as query_id", "cast(embedding as array<double>) as q"
+    ).limit(3)))
+    assert _max_leaf_bytes(mixed) >= 256 << 20
+    # and the public API gates on the CORPUS side, so the small
+    # file-backed query table cannot flip a big corpus to single-phase:
+    # with an unsized corpus the salted plan must appear
+    plan_mixed = (
+        brute_force_topk(df, pq.selectExpr(
+            "vec_id as query_id", "embedding as q").limit(3), k=5)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "__salt" in plan_mixed
 
 
 def test_brute_force_finds_planted_near_dup(emb):
