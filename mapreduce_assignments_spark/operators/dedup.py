@@ -80,9 +80,13 @@ def shingles(
     array — narrow stage, no shuffle.
     """
     toks = tokens_array(text_col)
+    # explode_outer: a plain explode would make the optimizer infer a
+    # size()>0 filter that inlines the whole shingle pipeline at the
+    # scan (see operators/text.py note); the size(toks) >= n guard
+    # already proves the array non-empty, so outer emits no null rows.
     return docs.where(F.size(toks) >= n).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(_shingle_array(n, text_col)).alias("shingle"),
+        F.explode_outer(_shingle_array(n, text_col)).alias("shingle"),
     )
 
 
@@ -207,7 +211,10 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = sigs.select("doc_id", "sig", F.explode(band_structs).alias("bs")).select(
+    # outer: band_structs is a length-`bands` literal array (never
+    # empty); inner explode would infer a pushed-down filter inlining
+    # the full signature fold below the join (operators/text.py note).
+    banded = sigs.select("doc_id", "sig", F.explode_outer(band_structs).alias("bs")).select(
         "doc_id", "sig", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -308,7 +315,8 @@ def simhash_near_dupes(
             for b in range(bands)
         ]
     )
-    banded = sig.select("doc_id", "simhash", F.explode(band_structs).alias("bs")).select(
+    # outer: length-`bands` literal array, never empty (text.py note).
+    banded = sig.select("doc_id", "simhash", F.explode_outer(band_structs).alias("bs")).select(
         "doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval")
     )
     a, b = banded.alias("a"), banded.alias("b")

@@ -298,7 +298,10 @@ def personalized_pagerank(
             for c, src in zip(cols, sources)
         ]
     )
-    return ranks.select("id", F.explode(slot_structs).alias("s")).select(
+    # outer: length-len(sources) literal array, never empty — avoids
+    # the inferred size()>0 filter re-evaluating the slot construction
+    # (see operators/text.py note on InferFiltersFromGenerate).
+    return ranks.select("id", F.explode_outer(slot_structs).alias("s")).select(
         F.col("s.source").alias("source"), "id", F.col("s.pr").alias("pr")
     )
 

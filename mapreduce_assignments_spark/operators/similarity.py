@@ -278,24 +278,64 @@ def ivf_train(
 
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign each vector to its max-cosine centroid:
-    ``(vec_id, embedding, cell)``. Centroids (small) are broadcast;
-    ties break to the lowest centroid id."""
+    ``(vec_id, embedding, cell)``; ties break to the lowest cell id.
+
+    ZERO-shuffle plan: the centroids are collected to the driver
+    (k × dim doubles — the same small-side contract as broadcasting
+    them) and inlined as literal arrays, so assignment is a narrow
+    per-row argmax fold over k cosine expressions. The round-4 shape —
+    crossJoin(broadcast(cen)) then ``row_number() OVER (PARTITION BY
+    vec_id)`` — shuffled the corpus k-fold wide on vec_id just to pick
+    each row's max; at 100 TB that exchange dwarfs the whole pipeline,
+    and locally its removal halved every IVF query. The eager collect
+    is bounded and matches :func:`ivf_train`'s per-iteration pattern
+    (reference analogue: the side-file centroid state,
+    RunPageRankBasic.java:304-318)."""
+    import math
+
     emb = _as_double(embeddings)
-    cen = centroids.select(
-        F.col("cell_id"), F.col("c").cast("array<double>").alias("c")
+    rows = sorted(
+        (int(r["cell_id"]), [float(x) for x in r["c"]])
+        for r in centroids.select("cell_id", "c").collect()
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell_id"))
-    return (
-        emb.crossJoin(F.broadcast(cen))
-        .select(
-            "vec_id",
-            "embedding",
-            "cell_id",
-            F.round(cosine_similarity(F.col("c"), F.col("embedding")), 6).alias("csim"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cell_id").alias("cell"))
+    if not rows:
+        return emb.select(
+            "vec_id", "embedding", F.lit(None).cast("int").alias("cell")
+        ).where(F.lit(False))
+
+    def norm(c: list[float]) -> float:
+        # left-to-right accumulation — bit-identical to the
+        # F.aggregate fold the cosine expression would have used
+        s = 0.0
+        for x in c:
+            s += x * x
+        return math.sqrt(s)
+
+    # ||v|| computed once per row in its own projection (k cosines
+    # share it); centroid norms are Python constants. The argmax is
+    # array_max over (csim, -cell_id) structs — struct ordering gives
+    # max csim with lowest-cell-id tiebreak, and each cosine
+    # expression appears exactly ONCE (a nested when()-chain would
+    # duplicate the whole accumulated tree at every level — measured
+    # 5x slower at k=8).
+    with_norm = emb.select(
+        "vec_id", "embedding", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("__n")
+    )
+    cands = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _dot(F.array(*[F.lit(x) for x in c]), F.col("embedding"))
+                    / (F.lit(norm(c)) * F.col("__n")),
+                    6,
+                ).alias("csim"),
+                F.lit(-cell_id).alias("nid"),
+            )
+            for cell_id, c in rows
+        ]
+    )
+    return with_norm.select(
+        "vec_id", "embedding", (-F.array_max(cands)["nid"]).cast("int").alias("cell")
     )
 
 
@@ -427,8 +467,13 @@ def lsh_buckets(
     n_planes: int = 16,
     n_bands: int = 4,
     dim: int = 64,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Sign-LSH band buckets: ``(id, band, bucket)`` — one row per band.
+    """Sign-LSH band buckets: ``(id, *carry, band, bucket)`` — one row
+    per band. ``carry`` columns ride along so a consumer that needs the
+    vector next to its buckets (lsh_topk's scoring) gets it from the
+    SAME narrow projection instead of re-joining the corpus on id —
+    that self-join was a full corpus shuffle.
 
     Bit p of the signature is ``round(v · plane_p, 6) >= 0`` (rounded
     before the sign test so Spark's fold and DuckDB's unordered sum
@@ -462,8 +507,14 @@ def lsh_buckets(
         sum((bits[b * r + j] * F.lit(1 << j)) for j in range(r)).cast("int")
         for b in range(n_bands)
     ]
+    # outer: the bucket array is a length-n_bands literal (never
+    # empty); a plain posexplode would infer a size()>0 filter that
+    # inlines all n_planes dot-product folds a second time at the scan
+    # (see operators/text.py note on InferFiltersFromGenerate).
     return embeddings.select(
-        F.col(id_col), F.posexplode(F.array(*buckets)).alias("band", "bucket")
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.posexplode_outer(F.array(*buckets)).alias("band", "bucket"),
     )
 
 
@@ -502,11 +553,13 @@ def lsh_topk(
     q = queries.select(
         F.col("query_id"), F.col("q").cast("array<double>").alias("q")
     )
-    qb = lsh_buckets(q, "query_id", "q", n_planes, n_bands, dim).join(
-        q, "query_id"
-    )
-    cb = lsh_buckets(emb, "vec_id", "embedding", n_planes, n_bands, dim).join(
-        emb.select("vec_id", "embedding"), "vec_id"
+    # carry the vectors through the bucketing projection — bucketing
+    # stays a single narrow scan per side; the round-4 shape re-joined
+    # each side to itself on id to fetch the vector back (a corpus
+    # shuffle for cb).
+    qb = lsh_buckets(q, "query_id", "q", n_planes, n_bands, dim, carry=("q",))
+    cb = lsh_buckets(
+        emb, "vec_id", "embedding", n_planes, n_bands, dim, carry=("embedding",)
     )
     scored = (
         cb.join(F.broadcast(qb), ["band", "bucket"])

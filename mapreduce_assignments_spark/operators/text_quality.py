@@ -142,9 +142,12 @@ def repetition_stats(
     toks = docs.select(F.col(id_col).alias("doc_id"), tokens_array(text_col).alias("ts"))
 
     def gram_rollup(k: int):
+        # explode_outer + null filter: a plain explode would infer a
+        # size()>0 filter inlining the gram construction twice at the
+        # scan (see operators/text.py note).
         grams = toks.select(
             "doc_id",
-            F.explode(
+            F.explode_outer(
                 F.when(
                     F.size("ts") >= k,
                     F.transform(
@@ -153,7 +156,7 @@ def repetition_stats(
                     ),
                 ).otherwise(F.array().cast("array<string>"))
             ).alias("g"),
-        )
+        ).where(F.col("g").isNotNull())
         return grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
 
     ng = (
@@ -225,9 +228,10 @@ def chunk_documents(
             F.least(F.lit(size), F.size(toks) - s).alias("n_tokens"),
         ),
     )
+    # explode_outer + null filter — see operators/text.py note.
     return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
-    ).select(
+        F.col(id_col).alias("doc_id"), F.explode_outer(chunks).alias("c")
+    ).where(F.col("c").isNotNull()).select(
         "doc_id",
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.col("c.chunk_text").alias("chunk_text"),

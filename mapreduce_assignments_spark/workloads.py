@@ -446,7 +446,11 @@ def q_shingles(spark, sf_dir):
 
 def q_minhash_signatures(spark, sf_dir):
     sigs = dedup.minhash_signatures(_docs(spark, sf_dir), n=3)
-    return sigs.select("doc_id", F.posexplode("sig").alias("i", "mh"))
+    # posexplode_outer: sig is always 32 elements; a plain posexplode
+    # made the optimizer infer size(sig)>0 and push it to the scan with
+    # the WHOLE 32-fold signature inlined — 119s instead of 3s at sf0.1
+    # (see operators/text.py note on InferFiltersFromGenerate).
+    return sigs.select("doc_id", F.posexplode_outer("sig").alias("i", "mh"))
 
 
 def q_minhash_lsh_candidates(spark, sf_dir):
@@ -576,7 +580,10 @@ def q_quantize_embeddings(spark, sf_dir):
     """Int8 scalar quantization, flattened to (vec_id, pos, code) for
     the order-insensitive oracle compare."""
     q = similarity.quantize_embeddings(_emb(spark, sf_dir))
-    return q.select("vec_id", F.posexplode("codes").alias("pos", "code"))
+    # posexplode_outer: codes is always dim elements; inner posexplode
+    # would re-evaluate the quantization in an inferred pushed filter
+    # (see operators/text.py note on InferFiltersFromGenerate).
+    return q.select("vec_id", F.posexplode_outer("codes").alias("pos", "code"))
 
 
 def q_embedding_near_dupes(spark, sf_dir):
