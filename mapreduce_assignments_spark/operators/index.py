@@ -87,8 +87,12 @@ def build_inverted_index(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.slice(F.col("postings"), i * max_postings + 1, max_postings),
     )
+    # outer: chunks is non-empty (postings has >= 1 entry, so
+    # n_chunks >= 1); a plain posexplode would infer a size()>0 filter
+    # that re-slices every posting list a second time below the
+    # aggregation (operators/text.py note on InferFiltersFromGenerate).
     return idx.select(
-        "term", "df", "cf", F.posexplode(chunks).alias("chunk", "postings")
+        "term", "df", "cf", F.posexplode_outer(chunks).alias("chunk", "postings")
     ).select("term", "chunk", "df", "cf", "postings")
 
 

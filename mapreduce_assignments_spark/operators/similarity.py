@@ -597,8 +597,10 @@ def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding") -> Da
     agree bit-for-bit; a constant dimension (mx = mn) quantizes to 0.
     """
     emb = _as_double(embeddings, vec_col)
+    # outer: avoids the inferred size()>0 filter re-casting the array
+    # at the scan (operators/text.py note); vectors are non-empty.
     dims = (
-        emb.select(F.posexplode(vec_col).alias("pos", "v"))
+        emb.select(F.posexplode_outer(vec_col).alias("pos", "v"))
         .groupBy("pos")
         .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
         .collect()
