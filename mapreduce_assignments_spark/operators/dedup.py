@@ -353,8 +353,12 @@ def dedup_clusters(
     itself; each round a node adopts the minimum label among itself
     and its neighbors. Rounds needed = component diameter — dup
     clusters are short chains in practice, and the loop early-exits
-    the first round nothing changes (one scalar action per round, the
-    same side-channel shape as pagerank's dangling-mass read).
+    the first round nothing changes. The previous label rides the
+    aggregation (``old`` = the self row's label, the only non-null),
+    so the per-round change count is a ``df.observe`` metric resolved
+    by the checkpoint materialization itself — ONE action per round;
+    the round-4 shape re-joined new labels to old for a separate
+    witness count (two actions, one extra join scan per round).
 
     Scale shape: state is one (node, label) row per PAIRED document —
     orders of magnitude smaller than the corpus; each round is one
@@ -385,26 +389,34 @@ def dedup_clusters(
     )
     converged = False
     for _ in range(max_iter):
+        from pyspark.sql import Observation
+
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), F.col("label")
+            F.col("dst").alias("id"),
+            F.col("label"),
+            F.lit(None).cast("long").alias("old"),
         )
+        self_rows = labels.select(
+            "id", "label", F.col("label").alias("old")
+        )
+        # every id has exactly one self row (labels is grouped by id),
+        # so min("old") recovers the previous label; labels only ever
+        # decrease, so label < old counts exactly the changed nodes.
+        obs = Observation()
         new_labels = (
-            labels.unionByName(prop)
+            self_rows.unionByName(prop)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") < F.col("old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        # labels only ever decrease; any strict decrease means another
-        # round could still propagate. limit(1) stops the scan at the
-        # first witness.
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-            .where(F.col("label") < F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("id", "label")
+        if (obs.get["changed"] or 0) == 0:
             converged = True
             break
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
