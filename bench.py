@@ -103,12 +103,16 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "text_quality": (
         "token_counts", "quality_score", "language_id", "doc_fingerprint",
         "repetition_stats", "pii_scrub", "chunk_documents",
+        "source_stats", "lang_source_matrix",
     ),
+    "sketches": ("kmv_distinct",),
     "sampling": (
         "hash_split", "deterministic_sample", "stratified_sample",
+        "weighted_sample",
     ),
     "multimodal": (
         "image_stats", "phash_duplicates", "media_sniff", "frame_sample",
+        "audio_stats",
     ),
     "streaming": (
         "streaming_hourly_counts", "streaming_user_sessions",

@@ -53,6 +53,8 @@ __all__ = [
     "phash64",
     "phash_duplicates",
     "sample_frames",
+    "audio_stats",
+    "make_wav",
     "make_fake_image",
     "make_fake_video",
 ]
@@ -237,6 +239,143 @@ def phash_duplicates(
         hashed.groupBy("phash")
         .agg(F.min("asset_id").alias("keeper"), F.count("*").alias("n_dups"))
         .select("keeper", "n_dups", "phash")
+    )
+
+
+def make_wav(
+    payload: bytes, channels: int = 1, sample_rate: int = 16000, bits: int = 16
+) -> bytes:
+    """A REAL canonical-layout PCM WAV container around ``payload``
+    (RIFF + 16-byte fmt chunk + data chunk at byte 36). Unlike
+    FAKEIMG/FAKEVID this is the actual on-disk format: any audio tool
+    can open the result. Test-vector builder for :func:`audio_stats`."""
+    block = channels * bits // 8
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(payload))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, channels, sample_rate, sample_rate * block, block, bits
+        )
+        + b"data"
+        + struct.pack("<I", len(payload))
+        + payload
+    )
+
+
+def audio_stats(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+    probe_samples: int = 16,
+) -> DataFrame:
+    """Audio metadata + amplitude probe from PCM WAV containers —
+    ``(asset_id, channels, sample_rate, bits_per_sample, n_samples,
+    duration_s, mean_abs_amp)``.
+
+    Unlike the image/video decode seam, this operator needs NO codec
+    library and NO Python stage: a canonical-layout WAV header
+    (RIFF/WAVE magic, 16-byte PCM ``fmt `` chunk, ``data`` chunk at
+    byte 36) is fixed-offset integer fields, so the whole parse is JVM
+    expressions — one bounded ``hex()`` of the header + probe prefix,
+    then little-endian arithmetic on hex substrings (the same
+    engine-portable idiom as functions/hashing.py, reproducible in the
+    DuckDB oracle). The audio triad's metadata path is therefore REAL,
+    not stubbed: only lossy-codec decode (mp3/flac) would need the
+    pluggable-decoder seam.
+
+    Semantics:
+    - rows that are not canonical PCM WAV (wrong magics, non-PCM
+      format tag, or a non-16-byte fmt chunk) are dropped — the same
+      quarantine contract as :func:`image_stats`;
+    - ``n_samples`` counts per-channel sample frames
+      (data_size // block_align); ``duration_s`` = n_samples / rate;
+    - ``mean_abs_amp`` averages ``abs()`` of the first
+      ``probe_samples`` signed 16-bit values of the data chunk
+      (channel-interleaved — a cheap clipping/silence probe, not a
+      full decode), for 16-bit payloads only (else NULL).
+
+    Scale: only ``44 + 2*probe_samples`` bytes of each asset are ever
+    hexed; the binary column is projected away before any shuffle (no
+    shuffle exists here at all — narrow map only).
+    """
+    if probe_samples < 1:
+        raise ValueError("probe_samples must be >= 1")
+    hx = F.col("__hx")  # hexed header+probe prefix, materialized below
+
+    def byte_at(j: int):  # 0-based byte index -> its 2 hex chars
+        return F.substring(hx, j * 2 + 1, 2)
+
+    def le16(o: int):
+        return F.conv(F.concat(byte_at(o + 1), byte_at(o)), 16, 10).cast("long")
+
+    def le32(o: int):
+        return F.conv(
+            F.concat(byte_at(o + 3), byte_at(o + 2), byte_at(o + 1), byte_at(o)), 16, 10
+        ).cast("long")
+
+    valid = (
+        (F.substring(hx, 1, 8) == "52494646")  # "RIFF"
+        & (F.substring(hx, 17, 8) == "57415645")  # "WAVE"
+        & (F.substring(hx, 25, 8) == "666D7420")  # "fmt "
+        & (le32(16) == 16)  # canonical PCM fmt chunk length
+        & (le16(20) == 1)  # audio format tag: PCM
+        & (F.substring(hx, 73, 8) == "64617461")  # "data" at byte 36
+    )
+    parsed = (
+        assets.select(
+            F.col(id_col).alias("asset_id"),
+            F.upper(
+                F.hex(F.substring(F.col(content_col), 1, 44 + 2 * probe_samples))
+            ).alias("__hx"),
+        )
+        .where(valid)
+        .select(
+            "asset_id",
+            "__hx",
+            le16(22).cast("int").alias("channels"),
+            le32(24).alias("sample_rate"),
+            le16(34).cast("int").alias("bits_per_sample"),
+            le16(32).alias("__block"),
+            le32(40).alias("__data_size"),
+        )
+    )
+    # first min(probe_samples, data bytes // 2) interleaved s16le values
+    n_probe = F.least(F.lit(probe_samples), (F.col("__data_size") / 2).cast("long"))
+    # j-th s16le of the data chunk: low byte 44+2j (hex pos 89+4j),
+    # high byte 45+2j (hex pos 91+4j); j is a Column -> Column.substr
+    u16 = lambda j: F.conv(  # noqa: E731
+        F.concat(
+            F.col("__hx").substr(j * 4 + 91, F.lit(2)),
+            F.col("__hx").substr(j * 4 + 89, F.lit(2)),
+        ),
+        16,
+        10,
+    ).cast("long")
+    signed = lambda u: F.when(u >= 32768, u - 65536).otherwise(u)  # noqa: E731
+    amp = F.when(
+        (F.col("bits_per_sample") == 16) & (n_probe > 0),
+        F.round(
+            F.aggregate(
+                F.transform(F.sequence(F.lit(0), n_probe - 1), lambda j: F.abs(signed(u16(j)))),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            / n_probe,
+            6,
+        ),
+    ).alias("mean_abs_amp")
+    return parsed.select(
+        "asset_id",
+        "channels",
+        "sample_rate",
+        "bits_per_sample",
+        F.floor(F.col("__data_size") / F.col("__block")).cast("long").alias("n_samples"),
+        F.round(
+            F.floor(F.col("__data_size") / F.col("__block")) / F.col("sample_rate"), 6
+        ).alias("duration_s"),
+        amp,
     )
 
 

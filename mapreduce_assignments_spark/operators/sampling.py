@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame
 
 from ..functions.hashing import h60
 
-__all__ = ["deterministic_sample", "hash_split", "stratified_sample"]
+__all__ = [
+    "deterministic_sample",
+    "hash_split",
+    "stratified_sample",
+    "weighted_sample",
+]
 
 _BINS = 1_000_000
 
@@ -61,6 +66,45 @@ def hash_split(df: DataFrame, key: str, weights: dict[str, float]) -> DataFrame:
     # guard the float edge: the last bin always belongs to the last split
     last = list(weights)[-1]
     return df.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def weighted_sample(df: DataFrame, key: str, weight_col: str, n: int) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, n rows:
+    the Efraimidis–Spirakis A-ES scheme with the content hash as the
+    uniform draw. Each row gets ``u = (h60(key)+1) / 2^60 ∈ (0, 1]``
+    and score ``ln(u) / w`` (a monotone transform of the textbook
+    ``u^(1/w)`` that avoids pow's cross-engine rounding wobble); the
+    global top-n scores are the sample. Inclusion probability is
+    proportional to weight, and — like every operator here — the
+    selected set is identical across runs, engines, and partitionings
+    because the only randomness is the key hash.
+
+    Rows with NULL or non-positive weight are excluded (they have no
+    defined inclusion probability).
+
+    Scale shape: narrow scoring projection, then ``orderBy().limit(n)``
+    — Spark plans that as TakeOrderedAndProject (per-partition
+    partial top-n, then an n-row merge on one reducer), so the full
+    corpus is never globally sorted and the driver sees only n rows.
+
+    The score is rounded to 9 dp BEFORE ranking (with ``key`` as the
+    tiebreak): ln() may differ between engines in the last ulp, and
+    ranking raw doubles would let that flip a selection at the top-n
+    boundary — on rounded scores both engines resolve ties by the
+    same deterministic key order (the q_pagerank round-before-rank
+    pattern).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = (h60(F.col(key).cast("string")) + 1) / F.lit(float(1 << 60))
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__score", F.round(F.log(u) / w, 9))
+        .orderBy(F.desc("__score"), F.col(key))
+        .limit(n)
+        .drop("__score")
+    )
 
 
 def stratified_sample(

@@ -1,0 +1,68 @@
+"""Deterministic cardinality sketches.
+
+Corpus curation constantly asks "how many distinct tokens / users /
+shingles per group?" — at 100 TB an exact distinct is a giant
+exchange keyed by the value itself, while the classic sketch answer
+(HyperLogLog) is engine-specific: Spark's HLL++ and DuckDB's
+approx_distinct produce different numbers, so an HLL query can never
+hash-match the oracle. The K-minimum-values (KMV) sketch [Bar-Yossef
+et al. 2002] threads that needle: it is an *approximation of the
+cardinality* but a *deterministic function of the value set*, so two
+engines computing it over the same data agree bit-for-bit. Estimator:
+with u_(k) the k-th smallest of the distinct values' hashes mapped
+into (0, 1], E[distinct] ≈ (k-1) / u_(k); if fewer than k distinct
+values exist, the sketch degrades to the exact count.
+
+The hash is the engine-portable md5 family (functions/hashing.h60 —
+the same interop contract MinHash/SimHash use).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions.hashing import h60
+
+__all__ = ["kmv_distinct"]
+
+
+def kmv_distinct(
+    df: DataFrame, key: str, group_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate of ``key``:
+    ``(<group_col>, k, n_kept, est_distinct)``.
+
+    ``n_kept`` = min(k, true distinct count) hashes retained;
+    ``est_distinct`` = (k-1)/u_(k) when the sketch is full, else the
+    exact ``n_kept``.
+
+    Scale shape: one distinct aggregation on ``(group, hash)`` (the
+    unavoidable exchange — partial-aggregated map-side, and it carries
+    8-byte hashes, never the values), then the per-group k smallest
+    via ``row_number() <= k``. Spark ≥3.5 plans that filter as
+    WindowGroupLimit: each map task keeps only its local k smallest
+    per group BEFORE the window exchange, so the second shuffle is
+    ≤ k rows per (group, input partition) — the sketch's whole point
+    at 100 TB. Estimates are deterministic, so the DuckDB oracle
+    matches exactly (unlike HLL).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (the estimator divides by k-1)")
+    d = (
+        df.select(F.col(group_col), h60(F.col(key).cast("string")).alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("__h")
+    kept = d.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+    u_max = (F.max("__h") + 1) / F.lit(float(1 << 60))  # k-th smallest, in (0,1]
+    return kept.groupBy(group_col).agg(
+        F.lit(k).alias("k"),
+        F.count("*").alias("n_kept"),
+        F.round(
+            F.when(F.count("*") < k, F.count("*").cast("double")).otherwise(
+                (F.lit(k) - 1) / u_max
+            ),
+            6,
+        ).alias("est_distinct"),
+    )

@@ -17,6 +17,9 @@ from .text import tokens_array
 __all__ = [
     "token_counts",
     "quality_score",
+    "quality_expr",
+    "source_stats",
+    "lang_source_matrix",
     "language_id",
     "doc_fingerprint",
     "repetition_stats",
@@ -62,13 +65,10 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Composite document quality in [0,1]:
-    0.4·length_score + 0.3·lexical_diversity + 0.3·stopword_signal.
-
-    All three components are integer-count ratios, so the double
-    arithmetic is order-free and matches the SQL oracle exactly.
-    """
+def quality_expr(text_col: str = "text") -> Column:
+    """The composite quality Column (pre-rounding) — exposed so
+    aggregating operators (:func:`source_stats`) reuse the exact same
+    formula instead of re-deriving it."""
     toks = tokens_array(text_col)
     n = F.size(toks)
     distinct_ratio = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(0.0)
@@ -79,14 +79,95 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.lit(1.0), F.abs(stop_ratio - F.lit(0.4)) * 2.5
     )
     length_score = F.least(F.lit(1.0), n / F.lit(64.0))
+    return (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.3) * stop_signal
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite document quality in [0,1]:
+    0.4·length_score + 0.3·lexical_diversity + 0.3·stopword_signal.
+
+    All three components are integer-count ratios, so the double
+    arithmetic is order-free and matches the SQL oracle exactly.
+    """
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.round(
-            F.lit(0.4) * length_score
-            + F.lit(0.3) * distinct_ratio
-            + F.lit(0.3) * stop_signal,
-            6,
-        ).alias("quality"),
+        F.round(quality_expr(text_col), 6).alias("quality"),
+    )
+
+
+def source_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus dashboard — the group-by-domain curation
+    staple (in a crawl pipeline ``source`` is the registered domain):
+    ``(source, n_docs, total_ws_tokens, avg_quality, n_langs)``.
+
+    Hash aggregation over a narrow projection: per-row token count +
+    quality expression (shared with :func:`quality_score` via
+    :func:`quality_expr`) are computed map-side, so the exchanges
+    carry only partial aggregates, never text. The distinct-count
+    makes it two-phase — first keyed on ``(source, lang)`` (already
+    partial-aggregated down to the matrix cells), then on ``source``
+    over those few rows. Quality is rounded per-document FIRST (to the same 6 dp the
+    per-doc operator emits) and the mean of those rounded values is
+    rounded again — that makes the double sum order-free and thus
+    engine-portable. ``n_langs`` is an exact distinct-count; at 100 TB
+    the cardinality is bounded by (sources × languages), which is
+    small by construction.
+    """
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.size(tokens_array(text_col)).alias("__t"),
+        F.round(quality_expr(text_col), 6).alias("__q"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__t").alias("total_ws_tokens"),
+        F.round(F.avg("__q"), 6).alias("avg_quality"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+def lang_source_matrix(
+    docs: DataFrame,
+    langs: list[str],
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Pivot the corpus into a ``source × language`` doc-count matrix:
+    ``(source, <one LONG column per language>)`` — the coverage report
+    every multilingual-corpus curation loop reads.
+
+    The language list is EXPLICIT (``pivot(col, values)``) — at scale
+    letting Spark discover pivot values costs an extra distinct scan
+    of the corpus and makes the output schema data-dependent. With
+    declared values the plan is a partial-aggregated exchange on
+    ``(source, lang)`` (the corpus collapses to matrix cells map-side)
+    followed by the pivot aggregation over those
+    ``|sources| × |langs|`` rows — the second exchange moves a
+    dashboard, not data. Rows whose language is outside ``langs`` are
+    counted by none of the columns (they still anchor the source row).
+    """
+    if not langs:
+        raise ValueError("langs must be non-empty")
+    out = (
+        docs.select(F.col(source_col).alias("source"), F.col(lang_col).alias("lang"))
+        .groupBy("source")
+        .pivot("lang", langs)
+        .count()
+    )
+    # absent (source, lang) combos surface as NULL counts; a coverage
+    # matrix wants 0 there
+    return out.select(
+        "source", *[F.coalesce(F.col(f"`{l}`"), F.lit(0)).cast("long").alias(l) for l in langs]
     )
 
 

@@ -40,6 +40,7 @@ from .operators import (
     relational,
     sampling,
     similarity,
+    sketches,
     skew,
     temporal,
     text,
@@ -528,6 +529,32 @@ def q_language_id(spark, sf_dir):
     return text_quality.language_id(_docs(spark, sf_dir))
 
 
+def q_source_stats(spark, sf_dir):
+    return text_quality.source_stats(_docs(spark, sf_dir))
+
+
+# fixed corpus language codes — declared, not discovered (see
+# lang_source_matrix: explicit pivot values avoid a distinct scan)
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_lang_source_matrix(spark, sf_dir):
+    return text_quality.lang_source_matrix(_docs(spark, sf_dir), _PIVOT_LANGS)
+
+
+def q_kmv_distinct(spark, sf_dir):
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(text.tokens_array("text")).alias("token")
+    )
+    return sketches.kmv_distinct(toks, key="token", group_col="source", k=64)
+
+
+def q_weighted_sample(spark, sf_dir):
+    return sampling.weighted_sample(
+        _docs(spark, sf_dir), key="doc_id", weight_col="n_chars", n=200
+    ).select("doc_id", "n_chars")
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return text_quality.doc_fingerprint(_docs(spark, sf_dir), n=5)
 
@@ -846,6 +873,33 @@ def q_frame_sample(spark, sf_dir):
 
 def q_phash_duplicates(spark, sf_dir):
     return multimodal.phash_duplicates(_fake_image_assets(spark, sf_dir))
+
+
+def _fake_wav_assets(spark, sf_dir):
+    """REAL canonical PCM WAV containers (any audio tool opens them —
+    unlike FAKEIMG/FAKEVID this is the actual on-disk format) whose
+    64-byte data chunk is the document's first 64 UTF-8 bytes. Even
+    doc_ids get a mono 16 kHz header, odd a stereo 8 kHz one, so every
+    parsed field varies across rows. Headers attached JVM-side."""
+    h_mono = multimodal.make_wav(bytes(64), channels=1, sample_rate=16000)[:44]
+    h_stereo = multimodal.make_wav(bytes(64), channels=2, sample_rate=8000)[:44]
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("n_chars") >= 64)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.concat(
+                F.when(F.col("doc_id") % 2 == 0, F.lit(h_mono)).otherwise(
+                    F.lit(h_stereo)
+                ),
+                F.expr("substring(encode(text, 'UTF-8'), 1, 64)"),
+            ).alias("content"),
+        )
+    )
+
+
+def q_audio_stats(spark, sf_dir):
+    return multimodal.audio_stats(_fake_wav_assets(spark, sf_dir))
 
 
 def q_ivf_topk_trained(spark, sf_dir):
@@ -1968,6 +2022,120 @@ SELECT doc_id AS asset_id, 8 AS width, 8 AS height, 1 AS channels,
 FROM documents WHERE n_chars >= 64
 """
 
+# audio_stats: the staged WAVs are REAL canonical PCM containers
+# (multimodal.make_wav); the oracle re-derives every field from the
+# hex bytes exactly as the operator does — RIFF/WAVE/fmt/data magics
+# checked, little-endian fields decoded from hex substrings, and the
+# amplitude probe re-computed over the first 16 interleaved s16le
+# values. Header constants below are the staging headers, not parse
+# shortcuts: the WHERE clause re-validates them byte-by-byte.
+_WAV_MONO_HEX = multimodal.make_wav(bytes(64), channels=1, sample_rate=16000)[:44].hex().upper()
+_WAV_STEREO_HEX = multimodal.make_wav(bytes(64), channels=2, sample_rate=8000)[:44].hex().upper()
+# j-th s16le of the data chunk (hex: low byte at 89+4j, high at 91+4j)
+_WAV_S16 = (
+    "CAST(CONCAT('0x', substring(hex, 91 + 4*j, 2),"
+    " substring(hex, 89 + 4*j, 2)) AS BIGINT)"
+)
+ORACLE["audio_stats"] = f"""
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 2 = 0 THEN '{_WAV_MONO_HEX}'
+              ELSE '{_WAV_STEREO_HEX}' END
+           || substring(to_hex(encode(text)), 1, 128) AS hex
+  FROM documents WHERE n_chars >= 64
+),
+parsed AS (
+  SELECT asset_id, hex,
+         CAST(CONCAT('0x', substring(hex, 47, 2), substring(hex, 45, 2)) AS BIGINT) AS channels_l,
+         CAST(CONCAT('0x', substring(hex, 55, 2), substring(hex, 53, 2),
+                     substring(hex, 51, 2), substring(hex, 49, 2)) AS BIGINT) AS sample_rate,
+         CAST(CONCAT('0x', substring(hex, 71, 2), substring(hex, 69, 2)) AS BIGINT) AS bits_l,
+         CAST(CONCAT('0x', substring(hex, 67, 2), substring(hex, 65, 2)) AS BIGINT) AS block_align,
+         CAST(CONCAT('0x', substring(hex, 87, 2), substring(hex, 85, 2),
+                     substring(hex, 83, 2), substring(hex, 81, 2)) AS BIGINT) AS data_size
+  FROM assets
+  WHERE substring(hex, 1, 8) = '52494646'
+    AND substring(hex, 17, 8) = '57415645'
+    AND substring(hex, 25, 8) = '666D7420'
+    AND CAST(CONCAT('0x', substring(hex, 39, 2), substring(hex, 37, 2),
+                    substring(hex, 35, 2), substring(hex, 33, 2)) AS BIGINT) = 16
+    AND CAST(CONCAT('0x', substring(hex, 43, 2), substring(hex, 41, 2)) AS BIGINT) = 1
+    AND substring(hex, 73, 8) = '64617461'
+)
+SELECT asset_id,
+       CAST(channels_l AS INTEGER) AS channels,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(bits_l AS INTEGER) AS bits_per_sample,
+       CAST(data_size // block_align AS BIGINT) AS n_samples,
+       round((data_size // block_align) / sample_rate, 6) AS duration_s,
+       CASE WHEN bits_l = 16 AND least(16, data_size // 2) > 0 THEN
+         round(list_aggregate(list_transform(
+               range(0, CAST(least(16, data_size // 2) AS BIGINT)),
+               j -> abs(CASE WHEN {_WAV_S16} >= 32768
+                             THEN {_WAV_S16} - 65536
+                             ELSE {_WAV_S16} END)), 'avg'), 6)
+       END AS mean_abs_amp
+FROM parsed
+"""
+
+# source_stats re-states quality_expr + the whitespace token count
+# inside a per-source aggregate; per-doc quality is rounded to 6 dp
+# BEFORE averaging on both sides (order-free double sums).
+ORACLE["source_stats"] = f"""
+WITH t AS (SELECT source, lang, {_TOK} AS ts FROM documents),
+m AS (
+  SELECT source, lang, len(ts) AS n,
+         CASE WHEN len(ts) > 0
+              THEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) ELSE 0.0 END AS dr,
+         CASE WHEN len(ts) > 0
+              THEN CAST(len(list_filter(ts, w -> w IN ({_STOP_IN}))) AS DOUBLE) / len(ts)
+              ELSE 0.0 END AS sr
+  FROM t)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_ws_tokens,
+       round(avg(round(0.4 * least(1.0, CAST(n AS DOUBLE) / 64.0)
+                       + 0.3 * dr
+                       + 0.3 * (1.0 - least(1.0, abs(sr - 0.4) * 2.5)), 6)), 6)
+         AS avg_quality,
+       count(DISTINCT lang) AS n_langs
+FROM m GROUP BY source
+"""
+
+ORACLE["lang_source_matrix"] = """
+SELECT source,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+FROM documents GROUP BY source
+"""
+
+# KMV sketch: deterministic function of the value set, so the
+# approximation itself is oracle-exact (HLL could never be).
+ORACLE["kmv_distinct"] = f"""
+WITH tok AS (SELECT source, unnest({_TOK}) AS token FROM documents),
+d AS (SELECT DISTINCT source, {_h60_sql("CAST(token AS VARCHAR)")} AS h FROM tok),
+r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM d)
+SELECT source, 64 AS k, count(*) AS n_kept,
+       round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63.0 / ((max(h) + 1) / 1152921504606846976.0) END, 6)
+         AS est_distinct
+FROM r WHERE rn <= 64 GROUP BY source
+"""
+
+# A-ES weighted sampling: rank on the 9-dp-rounded score with doc_id
+# tiebreak (see operators/sampling.weighted_sample).
+ORACLE["weighted_sample"] = f"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         round(ln(({_h60_sql("CAST(doc_id AS VARCHAR)")} + 1)
+                  / 1152921504606846976.0) / CAST(n_chars AS DOUBLE), 9) AS score
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+  ORDER BY score DESC, doc_id LIMIT 200)
+"""
+
 
 # The driver-facing registry is capped at 50 entries: the driver's
 # correctness harness checks the FIRST 50 registry entries only, so
@@ -1989,6 +2157,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": q_quantize_embeddings,
     "stratified_sample": q_stratified_sample,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    # -- NEW in round 5 (never driver-checked: straight to the window) --
+    "audio_stats": q_audio_stats,            # REAL WAV header parse, pure JVM
+    "source_stats": q_source_stats,          # per-source curation dashboard
+    "lang_source_matrix": q_lang_source_matrix,  # pivot (explicit values)
+    "kmv_distinct": q_kmv_distinct,          # deterministic cardinality sketch
+    "weighted_sample": q_weighted_sample,    # Efraimidis–Spirakis A-ES
     # -- never driver-checked before round 4, or red in round 3 --
     "word_count": q_word_count,
     "pagerank": q_pagerank,
@@ -1996,10 +2170,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_trained": q_ivf_topk_trained,
     "hypertable_rollup": q_hypertable_rollup,
     "sliding_hourly_stats": q_sliding_hourly_stats,
-    "customers_without_orders": q_customers_without_orders,
     "image_stats": q_image_stats,
     "phash_duplicates": q_phash_duplicates,
-    "media_sniff": q_media_sniff,
     "frame_sample": q_frame_sample,
     "hourly_counts": q_hourly_counts,
     "hourly_counts_tweets_egypt": q_hourly_counts_tweets_egypt,
@@ -2009,7 +2181,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
     "user_sessions": q_user_sessions,
     "event_props_stats": q_event_props_stats,
-    "value_percentiles": q_value_percentiles,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     # -- green in round 3 --
@@ -2030,8 +2201,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_near_dupes": q_simhash_near_dupes,
     "quality_score": q_quality_score,
-    "language_id": q_language_id,
-    "doc_fingerprint": q_doc_fingerprint,
     "repetition_stats": q_repetition_stats,
     "chunk_documents": q_chunk_documents,
     "brute_force_topk": q_brute_force_topk,
@@ -2065,6 +2234,14 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "token_counts": q_token_counts,
     "pii_scrub": q_pii_scrub,
+    # -- rotated out mid-round-5 to make window room for the five new
+    # operators (audio_stats, source_stats, lang_source_matrix,
+    # kmv_distinct, weighted_sample) --
+    "media_sniff": q_media_sniff,
+    "language_id": q_language_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "value_percentiles": q_value_percentiles,
+    "customers_without_orders": q_customers_without_orders,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

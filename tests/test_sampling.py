@@ -98,3 +98,43 @@ def test_stratified_sample_downsamples_named_strata(docs_table):
         stratified_sample(docs_table, "doc_id", "lang", {})
     with pytest.raises(ValueError):
         stratified_sample(docs_table, "doc_id", "lang", {"en": 1.5})
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis–Spirakis A-ES)
+
+def test_weighted_sample_deterministic_and_sized(docs_table):
+    from mapreduce_assignments_spark.operators.sampling import weighted_sample
+
+    a = {r["doc_id"] for r in weighted_sample(docs_table, "doc_id", "n_chars", 20).collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample(
+            docs_table.repartition(13), "doc_id", "n_chars", 20
+        ).collect()
+    }
+    assert a == b  # engine/partitioning independent
+    assert len(a) == 20
+    with pytest.raises(ValueError):
+        weighted_sample(docs_table, "doc_id", "n_chars", 0)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from mapreduce_assignments_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0 if i < 400 else 50.0) for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    picked = weighted_sample(df, "id", "w", 100).collect()
+    heavy = sum(1 for r in picked if r["w"] == 50.0)
+    # heavy rows are 50x likelier per row; at n=100 of 800 the light
+    # group should contribute only a handful
+    assert heavy >= 85
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from mapreduce_assignments_spark.operators.sampling import weighted_sample
+
+    rows = [(1, 0.0), (2, -3.0), (3, None), (4, 5.0), (5, 5.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
+    assert got == {4, 5}

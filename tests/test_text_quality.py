@@ -139,3 +139,47 @@ def test_chunk_documents_hand_checked(spark):
     ]
     with pytest.raises(ValueError):
         chunk_documents(df, size=0)
+
+
+# ---------------------------------------------------------------------------
+# per-source aggregates
+
+def test_source_stats_hand_checked(spark):
+    from mapreduce_assignments_spark.operators.text_quality import (
+        quality_score,
+        source_stats,
+    )
+
+    rows = [
+        (1, "the cat sat", "en", "sA"),
+        (2, "the the the the", "en", "sA"),
+        (3, "le chat", "fr", "sA"),
+        (4, "solo", "es", "sB"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r["source"]: r.asDict() for r in source_stats(docs).collect()}
+    assert got["sA"]["n_docs"] == 3 and got["sB"]["n_docs"] == 1
+    assert got["sA"]["total_ws_tokens"] == 3 + 4 + 2
+    assert got["sA"]["n_langs"] == 2 and got["sB"]["n_langs"] == 1
+    # avg_quality must equal the mean of the per-doc operator's output
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    exp_a = round(sum(q[i] for i in (1, 2, 3)) / 3, 6)
+    assert abs(got["sA"]["avg_quality"] - exp_a) < 1e-9
+
+
+def test_lang_source_matrix_counts_and_zero_fill(spark):
+    from mapreduce_assignments_spark.operators.text_quality import lang_source_matrix
+
+    rows = [
+        (1, "x", "en", "sA"),
+        (2, "x", "en", "sA"),
+        (3, "x", "fr", "sA"),
+        (4, "x", "xx", "sB"),  # lang outside the declared list
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["source"]: r.asDict() for r in lang_source_matrix(docs, ["en", "fr"]).collect()}
+    assert out["sA"]["en"] == 2 and out["sA"]["fr"] == 1
+    # sB only has an undeclared lang: row still present, all-zero
+    assert out["sB"]["en"] == 0 and out["sB"]["fr"] == 0
+    with pytest.raises(ValueError):
+        lang_source_matrix(docs, [])
