@@ -106,6 +106,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "source_stats", "lang_source_matrix",
     ),
     "sketches": ("kmv_distinct",),
+    "packing": ("pack_sequences",),
     "sampling": (
         "hash_split", "deterministic_sample", "stratified_sample",
         "weighted_sample",

@@ -37,6 +37,7 @@ from .operators import (
     graph,
     index,
     multimodal,
+    packing,
     relational,
     sampling,
     similarity,
@@ -547,6 +548,15 @@ def q_kmv_distinct(spark, sf_dir):
         "source", F.explode(text.tokens_array("text")).alias("token")
     )
     return sketches.kmv_distinct(toks, key="token", group_col="source", k=64)
+
+
+def q_pack_sequences(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(text.tokens_array("text")).alias("ws_tokens")
+    )
+    return packing.pack_sequences(
+        docs, token_col="ws_tokens", budget=512, n_buckets=8
+    )
 
 
 def q_weighted_sample(spark, sf_dir):
@@ -2125,6 +2135,28 @@ SELECT source, 64 AS k, count(*) AS n_kept,
 FROM r WHERE rn <= 64 GROUP BY source
 """
 
+# sequence packing: hash-bucketed concatenate-and-chunk; the oracle
+# replays the exclusive prefix sum over the same (hash, id) order.
+ORACLE["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS ws_tokens,
+         {_h60_sql("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+b AS (SELECT *, CAST(h % 8 AS INTEGER) AS bucket FROM t),
+c AS (
+  SELECT doc_id, ws_tokens, bucket,
+         CAST(sum(ws_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - ws_tokens AS start
+  FROM b
+)
+SELECT doc_id, ws_tokens, bucket,
+       CAST(bucket AS BIGINT) * 4294967296 + start // 512 AS shard_id,
+       start - (start // 512) * 512 AS offset
+FROM c
+"""
+
 # A-ES weighted sampling: rank on the 9-dp-rounded score with doc_id
 # tiebreak (see operators/sampling.weighted_sample).
 ORACLE["weighted_sample"] = f"""
@@ -2242,6 +2274,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "value_percentiles": q_value_percentiles,
     "customers_without_orders": q_customers_without_orders,
+    # -- round-5 extension batch 2 (window full at 50; next rotation
+    # should cycle it in) --
+    "pack_sequences": q_pack_sequences,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
