@@ -89,7 +89,10 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "customers_without_orders", "salted_order_revenue",
         "bucketed_customer_orders", "user_sessions", "event_props_stats",
     ),
-    "graph": ("pagerank", "personalized_pagerank"),
+    "graph": (
+        "pagerank", "personalized_pagerank", "degree_histogram",
+        "triangle_count",
+    ),
     "dedup": (
         "exact_duplicates", "shingles", "ngram_jaccard", "minhash_signatures",
         "minhash_lsh_candidates", "simhash", "simhash_near_dupes",

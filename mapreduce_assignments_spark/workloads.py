@@ -825,6 +825,14 @@ def q_pagerank(spark, sf_dir):
     return graph.top_k_nodes(rounded, k=25)
 
 
+def q_degree_histogram(spark, sf_dir):
+    return graph.degree_histogram(_customer_graph(spark, sf_dir))
+
+
+def q_triangle_count(spark, sf_dir):
+    return graph.triangle_count(_customer_graph(spark, sf_dir))
+
+
 def q_personalized_pagerank(spark, sf_dir):
     g = _customer_graph(spark, sf_dir)
     sources = [r["id"] for r in g.select("id").orderBy("id").limit(2).collect()]
@@ -1825,6 +1833,42 @@ QUALIFY rank <= {k}
 ORACLE["pagerank"] = _pagerank_oracle_sql()
 ORACLE["personalized_pagerank"] = _ppr_oracle_sql()
 
+# canonical undirected edge set over the same customer graph; degree
+# and triangle oracles re-derive orientation exactly like the operator
+_UNDIRECTED_CTES = f"""
+{_GRAPH_CTES},
+ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE dst IS NOT NULL AND src != dst
+),
+udeg AS (
+  SELECT id, count(*) AS d
+  FROM (SELECT a AS id FROM ue UNION ALL SELECT b AS id FROM ue)
+  GROUP BY id
+)
+"""
+
+ORACLE["degree_histogram"] = f"""
+WITH {_UNDIRECTED_CTES}
+SELECT d AS degree, count(*) AS n_nodes FROM udeg GROUP BY d
+"""
+
+ORACLE["triangle_count"] = f"""
+WITH {_UNDIRECTED_CTES},
+oe AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND ue.a < ue.b)
+              THEN ue.a ELSE ue.b END AS u,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND ue.a < ue.b)
+              THEN ue.b ELSE ue.a END AS v
+  FROM ue JOIN udeg da ON da.id = ue.a JOIN udeg db ON db.id = ue.b
+),
+w AS (
+  SELECT l.v AS x, r.v AS y FROM oe l JOIN oe r ON l.u = r.u WHERE l.v < r.v
+)
+SELECT count(*) AS n_triangles
+FROM w JOIN ue ON ue.a = least(w.x, w.y) AND ue.b = greatest(w.x, w.y)
+"""
+
 # --- trained-IVF oracle: the deterministic trainer, reproduced in SQL -------
 # ivf_train is deterministic by construction (hash-sampled farthest-
 # first init + Lloyd's with fixed tiebreaks), so the whole
@@ -2277,6 +2321,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-5 extension batch 2 (window full at 50; next rotation
     # should cycle it in) --
     "pack_sequences": q_pack_sequences,
+    "degree_histogram": q_degree_histogram,
+    "triangle_count": q_triangle_count,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

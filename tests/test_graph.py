@@ -164,3 +164,54 @@ def test_pagerank_reliable_checkpoint_matches(fixture_graph, tmp_path):
     assert base.keys() == ckpt.keys()
     for k in base:
         assert base[k] == pytest.approx(ckpt[k], abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# graph analytics extensions: degree histogram + triangle counting
+
+def test_degree_histogram_hand_checked(spark):
+    from mapreduce_assignments_spark.operators.graph import degree_histogram
+
+    # path 1-2-3 plus isolated 4 (adj may duplicate + self-loop; both ignored)
+    rows = [(1, [2, 2]), (2, [3]), (3, [3]), (4, [])]
+    df = spark.createDataFrame(rows, "id int, adj array<int>")
+    got = {r["degree"]: r["n_nodes"] for r in degree_histogram(df).collect()}
+    assert got == {1: 2, 2: 1}  # nodes 1,3 have degree 1; node 2 degree 2
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from mapreduce_assignments_spark.operators.graph import triangle_count
+
+    rng = random.Random(42)
+    n = 40
+    edges = {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.15}
+    adj: dict[int, list[int]] = {i: [] for i in range(n)}
+    for a, b in edges:
+        adj[a].append(b)  # one orientation only; operator canonicalizes
+    expected = sum(
+        1
+        for x, y, z in itertools.combinations(range(n), 3)
+        if (x, y) in edges and (y, z) in edges and (x, z) in edges
+    )
+    df = spark.createDataFrame(
+        [(i, adj[i]) for i in range(n)], "id int, adj array<int>"
+    )
+    [row] = triangle_count(df).collect()
+    assert row["n_triangles"] == expected
+    assert expected > 0  # the fixture actually exercises the path
+
+
+def test_triangle_count_star_is_zero(spark):
+    """A pure star has no triangles — and under degree orientation the
+    hub generates zero wedges (the 'last reducer' skew killer)."""
+    from mapreduce_assignments_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(0, list(range(1, 50)))] + [(i, []) for i in range(1, 50)],
+        "id int, adj array<int>",
+    )
+    [row] = triangle_count(df).collect()
+    assert row["n_triangles"] == 0
