@@ -290,7 +290,10 @@ def audio_stats(
       format tag, or a non-16-byte fmt chunk) are dropped — the same
       quarantine contract as :func:`image_stats`;
     - ``n_samples`` counts per-channel sample frames
-      (data_size // block_align); ``duration_s`` = n_samples / rate;
+      (data_size // block_align, with the header's data_size clamped
+      to the bytes actually present — a truncated upload reports what
+      is really there, not what the header claims);
+      ``duration_s`` = n_samples / rate;
     - ``mean_abs_amp`` averages ``abs()`` of the first
       ``probe_samples`` signed 16-bit values of the data chunk
       (channel-interleaved — a cheap clipping/silence probe, not a
@@ -329,6 +332,7 @@ def audio_stats(
             F.upper(
                 F.hex(F.substring(F.col(content_col), 1, 44 + 2 * probe_samples))
             ).alias("__hx"),
+            (F.length(F.col(content_col)) - 44).alias("__avail"),
         )
         .where(valid)
         .select(
@@ -338,7 +342,8 @@ def audio_stats(
             le32(24).alias("sample_rate"),
             le16(34).cast("int").alias("bits_per_sample"),
             le16(32).alias("__block"),
-            le32(40).alias("__data_size"),
+            # header's claim clamped to the payload actually present
+            F.least(le32(40), F.col("__avail").cast("long")).alias("__data_size"),
         )
     )
     # first min(probe_samples, data bytes // 2) interleaved s16le values

@@ -2105,8 +2105,9 @@ parsed AS (
                      substring(hex, 51, 2), substring(hex, 49, 2)) AS BIGINT) AS sample_rate,
          CAST(CONCAT('0x', substring(hex, 71, 2), substring(hex, 69, 2)) AS BIGINT) AS bits_l,
          CAST(CONCAT('0x', substring(hex, 67, 2), substring(hex, 65, 2)) AS BIGINT) AS block_align,
-         CAST(CONCAT('0x', substring(hex, 87, 2), substring(hex, 85, 2),
-                     substring(hex, 83, 2), substring(hex, 81, 2)) AS BIGINT) AS data_size
+         least(CAST(CONCAT('0x', substring(hex, 87, 2), substring(hex, 85, 2),
+                           substring(hex, 83, 2), substring(hex, 81, 2)) AS BIGINT),
+               CAST(length(hex) / 2 - 44 AS BIGINT)) AS data_size
   FROM assets
   WHERE substring(hex, 1, 8) = '52494646'
     AND substring(hex, 17, 8) = '57415645'

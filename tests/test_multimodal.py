@@ -220,3 +220,16 @@ def test_audio_stats_validates():
 
     with pytest.raises(ValueError):
         audio_stats(None, probe_samples=0)
+
+
+def test_audio_stats_clamps_truncated_payload(spark):
+    """A header claiming 64 data bytes over a truncated 32-byte payload
+    reports the 32 bytes actually present."""
+    from mapreduce_assignments_spark.operators.multimodal import audio_stats, make_wav
+
+    full = make_wav(bytes(range(64)), channels=1, sample_rate=16000)
+    truncated = full[: 44 + 32]
+    df = spark.createDataFrame([(1, truncated)], "asset_id long, content binary")
+    [r] = audio_stats(df).collect()
+    assert r["n_samples"] == 16  # 32 bytes / 2, not the claimed 32 samples
+    assert r["duration_s"] == 0.001
