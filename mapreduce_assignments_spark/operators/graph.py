@@ -370,8 +370,9 @@ def degree_histogram(nodes: DataFrame) -> DataFrame:
     first thing anyone plots about a graph. Degrees are counted over
     the canonical undirected edge set (both endpoints), so a node's
     degree is its number of distinct neighbors regardless of edge
-    direction or duplication in the adjacency lists. Two partial
-    aggregations; no joins."""
+    direction or duplication in the adjacency lists; zero-degree
+    (isolated) nodes do not appear. Two partial aggregations; no
+    joins."""
     edges = _undirected_edges(nodes)
     ends = edges.select(F.col("a").alias("id")).unionAll(
         edges.select(F.col("b").alias("id"))

@@ -53,8 +53,9 @@ def pack_sequences(
     cumsum - tokens`` over the bucket's (hash, id)-ordered stream, the
     chunk rule is the closed form ``local = start // budget``,
     ``offset = start - local * budget`` — no iteration, no driver
-    state. Documents with NULL or negative token counts are excluded;
-    zero-token documents ride along at their stream position.
+    state. Documents with NULL ids or NULL/negative token counts are
+    excluded; zero-token documents ride along at their stream
+    position.
 
     Plan shape: one window exchange keyed on ``bucket`` (64-ary by
     default — tune toward cluster width), then narrow arithmetic.
@@ -71,7 +72,7 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_cum = (
-        docs.where(t.isNotNull() & (t >= 0))
+        docs.where(t.isNotNull() & (t >= 0) & F.col(id_col).isNotNull())
         .withColumn("__h", h60(F.col(id_col).cast("string")))
         .withColumn("bucket", F.pmod(F.col("__h"), F.lit(n_buckets)).cast("int"))
         .withColumn("__start", F.sum(t).over(w) - t)

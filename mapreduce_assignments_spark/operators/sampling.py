@@ -80,7 +80,8 @@ def weighted_sample(df: DataFrame, key: str, weight_col: str, n: int) -> DataFra
     because the only randomness is the key hash.
 
     Rows with NULL or non-positive weight are excluded (they have no
-    defined inclusion probability).
+    defined inclusion probability), as are NULL keys (a null hash
+    would order differently across engines).
 
     Scale shape: narrow scoring projection, then ``orderBy().limit(n)``
     — Spark plans that as TakeOrderedAndProject (per-partition
@@ -99,7 +100,7 @@ def weighted_sample(df: DataFrame, key: str, weight_col: str, n: int) -> DataFra
     w = F.col(weight_col).cast("double")
     u = (h60(F.col(key).cast("string")) + 1) / F.lit(float(1 << 60))
     return (
-        df.where(w.isNotNull() & (w > 0))
+        df.where(w.isNotNull() & (w > 0) & F.col(key).isNotNull())
         .withColumn("__score", F.round(F.log(u) / w, 9))
         .orderBy(F.desc("__score"), F.col(key))
         .limit(n)

@@ -49,8 +49,12 @@ def kmv_distinct(
     """
     if k < 2:
         raise ValueError("k must be >= 2 (the estimator divides by k-1)")
+    # NULL keys are excluded up front: a null hash would sort first in
+    # Spark but last in DuckDB, silently skewing the k-smallest set —
+    # and "distinct count of a value set" has no null member anyway.
     d = (
-        df.select(F.col(group_col), h60(F.col(key).cast("string")).alias("__h"))
+        df.where(F.col(key).isNotNull())
+        .select(F.col(group_col), h60(F.col(key).cast("string")).alias("__h"))
         .distinct()
     )
     w = Window.partitionBy(group_col).orderBy("__h")
