@@ -116,7 +116,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     ),
     "multimodal": (
         "image_stats", "phash_duplicates", "media_sniff", "frame_sample",
-        "audio_stats",
+        "audio_stats", "resize_images",
     ),
     "streaming": (
         "streaming_hourly_counts", "streaming_user_sessions",

@@ -52,6 +52,7 @@ __all__ = [
     "image_stats",
     "phash64",
     "phash_duplicates",
+    "resize_images",
     "sample_frames",
     "audio_stats",
     "make_wav",
@@ -239,6 +240,60 @@ def phash_duplicates(
         hashed.groupBy("phash")
         .agg(F.min("asset_id").alias("keeper"), F.count("*").alias("n_dups"))
         .select("keeper", "n_dups", "phash")
+    )
+
+
+def resize_images(
+    assets: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+    decoder=None,
+) -> DataFrame:
+    """Nearest-neighbor resize every decodable image to
+    ``out_w × out_h`` → ``(asset_id, width, height, channels,
+    resized BINARY)`` — the thumbnail/normalize-resolution step of a
+    vision training pipeline.
+
+    Resize rule (deterministic, oracle-reproducible): output pixel
+    (x, y) copies source pixel ``(x*W // out_w, y*H // out_h)``
+    channel-wise — classic floor-mapped nearest neighbor. The decode
+    goes through the same pluggable ``decoder`` seam as
+    :func:`image_stats`; the resize itself is pure NumPy fancy
+    indexing on the decoded array (vectorized per Arrow batch, no
+    per-pixel Python). Undecodable rows are dropped.
+
+    Scale: output rows carry ``out_w*out_h*channels`` bytes — the
+    binary shrinks at the map stage, BEFORE any shuffle a downstream
+    op might add; the full-size original never moves again.
+    """
+    if out_w < 1 or out_h < 1:
+        raise ValueError("out_w and out_h must be >= 1")
+    import numpy as np
+    import pandas as pd
+
+    decoder = decoder or decode_image
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    w, h, c, px = decoder(bytes(content))
+                except NotImplementedError:
+                    continue
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = arr[ys][:, xs]
+                rows.append((aid, out_w, out_h, c, resized.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "channels", "resized"]
+            )
+
+    return assets.select(id_col, content_col).mapInPandas(
+        batches, "asset_id long, width int, height int, channels int, resized binary"
     )
 
 

@@ -920,6 +920,29 @@ def q_audio_stats(spark, sf_dir):
     return multimodal.audio_stats(_fake_wav_assets(spark, sf_dir))
 
 
+def q_resize_images(spark, sf_dir):
+    """8×8 → 4×4 nearest-neighbor thumbnails; the resized bytes are
+    summarized JVM-side (hex fold) so the oracle can re-derive the
+    exact resize arithmetic from the source text bytes."""
+    out = multimodal.resize_images(
+        _fake_image_assets(spark, sf_dir), out_w=4, out_h=4
+    )
+    hx = F.upper(F.hex("resized"))
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: F.conv(hx.substr(j * 2 + 1, F.lit(2)), 16, 10).cast("long"),
+    )
+    byte_sum = F.aggregate(px, F.lit(0).cast("long"), lambda a, v: a + v)
+    return out.select(
+        "asset_id",
+        "width",
+        "height",
+        "channels",
+        F.round(byte_sum / F.lit(16.0), 6).alias("mean_px"),
+        byte_sum.alias("byte_sum"),
+    )
+
+
 def q_ivf_topk_trained(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     centroids = similarity.ivf_train(emb, k=8, n_iter=2)
@@ -2133,6 +2156,23 @@ SELECT asset_id,
 FROM parsed
 """
 
+# resize_images: nearest-neighbor 8x8 -> 4x4; output pixel (x, y)
+# copies source pixel (2x, 2y), i.e. text byte 16*(i//4) + 2*(i%4) + 1
+# for flat index i — the oracle re-derives the resize arithmetic from
+# the source bytes, not from the operator's output.
+ORACLE["resize_images"] = """
+SELECT doc_id AS asset_id, 4 AS width, 4 AS height, 1 AS channels,
+       round(CAST(list_aggregate(l, 'sum') AS DOUBLE) / 16.0, 6) AS mean_px,
+       CAST(list_aggregate(l, 'sum') AS BIGINT) AS byte_sum
+FROM (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           i -> unicode(substring(text,
+                CAST(16 * (i // 4) + 2 * (i % 4) + 1 AS INTEGER), 1))) AS l
+  FROM documents WHERE n_chars >= 64
+)
+"""
+
 # source_stats re-states quality_expr + the whitespace token count
 # inside a per-source aggregate; per-doc quality is rounded to 6 dp
 # BEFORE averaging on both sides (order-free double sums).
@@ -2324,6 +2364,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "degree_histogram": q_degree_histogram,
     "triangle_count": q_triangle_count,
+    "resize_images": q_resize_images,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

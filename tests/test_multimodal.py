@@ -233,3 +233,35 @@ def test_audio_stats_clamps_truncated_payload(spark):
     [r] = audio_stats(df).collect()
     assert r["n_samples"] == 16  # 32 bytes / 2, not the claimed 32 samples
     assert r["duration_s"] == 0.001
+
+
+def test_resize_images_matches_numpy(spark):
+    import numpy as np
+
+    from mapreduce_assignments_spark.operators.multimodal import resize_images
+
+    img = make_fake_image(6, 4, 2, seed=11)  # W=6, H=4, C=2
+    df = spark.createDataFrame([(1, img), (2, b"not-an-image")], "asset_id long, content binary")
+    [r] = resize_images(df, out_w=3, out_h=2).collect()
+    assert (r["width"], r["height"], r["channels"]) == (3, 2, 2)
+    src = np.frombuffer(decode_image(img)[3], dtype=np.uint8).reshape(4, 6, 2)
+    ys = (np.arange(2) * 4) // 2
+    xs = (np.arange(3) * 6) // 3
+    assert bytes(r["resized"]) == src[ys][:, xs].tobytes()
+
+
+def test_resize_images_upscale_and_seam(spark):
+    """Upscaling works (floor mapping repeats pixels) and the decoder
+    seam is honored."""
+    from mapreduce_assignments_spark.operators.multimodal import resize_images
+
+    def two_by_two(content: bytes):
+        return 2, 2, 1, bytes([10, 20, 30, 40])
+
+    df = spark.createDataFrame([(7, b"anything")], "asset_id long, content binary")
+    [r] = resize_images(df, out_w=4, out_h=4, decoder=two_by_two).collect()
+    assert bytes(r["resized"]) == bytes(
+        [10, 10, 20, 20, 10, 10, 20, 20, 30, 30, 40, 40, 30, 30, 40, 40]
+    )
+    with pytest.raises(ValueError):
+        resize_images(df, out_w=0, out_h=4)

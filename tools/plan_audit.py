@@ -29,7 +29,9 @@ from mapreduce_assignments_spark.session import get_spark  # noqa: E402
 
 # queries allowed to show Python evaluation in their plan (Arrow UDF
 # stages by design)
-PYTHON_OK = {"image_stats", "phash_duplicates", "frame_sample"}
+# the sanctioned Arrow-batched pipelines — they touch pixels, which is
+# exactly what the Pandas-UDF path is for
+PYTHON_OK = {"image_stats", "phash_duplicates", "frame_sample", "resize_images"}
 
 
 def audit(name: str, plan: str) -> dict:
