@@ -110,6 +110,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     ),
     "sketches": ("kmv_distinct",),
     "packing": ("pack_sequences",),
+    "features": ("hashing_tf",),
     "sampling": (
         "hash_split", "deterministic_sample", "stratified_sample",
         "weighted_sample",

@@ -34,6 +34,7 @@ import struct
 from .functions.hashing import MINHASH_A, MINHASH_B, MINHASH_PRIME, NUM_MINHASHES
 from .operators import (
     dedup,
+    features,
     graph,
     index,
     multimodal,
@@ -541,6 +542,10 @@ _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 def q_lang_source_matrix(spark, sf_dir):
     return text_quality.lang_source_matrix(_docs(spark, sf_dir), _PIVOT_LANGS)
+
+
+def q_hashing_tf(spark, sf_dir):
+    return features.hashing_tf(_docs(spark, sf_dir), n_features=1024)
 
 
 def q_kmv_distinct(spark, sf_dir):
@@ -2207,6 +2212,29 @@ SELECT source,
 FROM documents GROUP BY source
 """
 
+# hashing-trick TF vectors: sparse (indices, values) arrays sorted by
+# bucket; the LEFT JOIN keeps empty documents as empty vectors (the
+# operator's contract — training joins must not drop examples).
+ORACLE["hashing_tf"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST({_h60_sql("token")} % 1024 AS INTEGER) AS bucket,
+         count(*) AS tf
+  FROM tok GROUP BY doc_id, bucket
+),
+agg AS (
+  SELECT doc_id,
+         list(bucket ORDER BY bucket) AS indices,
+         list(tf ORDER BY bucket) AS "values"
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.indices, CAST([] AS INTEGER[])) AS indices,
+       coalesce(a."values", CAST([] AS BIGINT[])) AS "values"
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
 # KMV sketch: deterministic function of the value set, so the
 # approximation itself is oracle-exact (HLL could never be).
 ORACLE["kmv_distinct"] = f"""
@@ -2365,6 +2393,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_histogram": q_degree_histogram,
     "triangle_count": q_triangle_count,
     "resize_images": q_resize_images,
+    "hashing_tf": q_hashing_tf,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -1,0 +1,36 @@
+"""Hashing-trick TF vectors: sparse, deterministic, no vocabulary."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from mapreduce_assignments_spark.operators.features import hashing_tf
+
+
+def _bucket(tok: str, n: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n
+
+
+def test_hashing_tf_hand_checked(spark):
+    rows = [(1, "a b a c"), (2, "b b"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (list(r["indices"]), list(r["values"])) for r in hashing_tf(df, 16).collect()}
+    exp1 = sorted((_bucket(t, 16), c) for t, c in {"a": 2, "b": 1, "c": 1}.items())
+    assert got[1] == ([i for i, _ in exp1], [v for _, v in exp1])
+    assert got[2] == ([_bucket("b", 16)], [2])
+    assert got[3] == ([], [])  # empty doc -> empty vector, row kept
+
+
+def test_hashing_tf_collisions_merge(spark):
+    # n_features=1 collapses everything into bucket 0
+    df = spark.createDataFrame([(1, "x y z z")], "doc_id long, text string")
+    [r] = hashing_tf(df, 1).collect()
+    assert (list(r["indices"]), list(r["values"])) == ([0], [4])
+
+
+def test_hashing_tf_validates(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        hashing_tf(df, 0)
