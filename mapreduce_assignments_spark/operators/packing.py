@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window
 
 from ..functions.hashing import h60
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "write_packed_shards", "read_shard"]
 
 
 def pack_sequences(
@@ -84,4 +84,54 @@ def pack_sequences(
         "bucket",
         (F.col("bucket").cast("long") * F.lit(1 << 32) + local).alias("shard_id"),
         (F.col("__start") - local * F.lit(budget)).cast("long").alias("offset"),
+    )
+
+
+def write_packed_shards(
+    docs: DataFrame,
+    token_col: str,
+    budget: int,
+    path: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    payload_cols: tuple[str, ...] = (),
+) -> None:
+    """Materialize :func:`pack_sequences` as a shard-addressable layout:
+    zstd Parquet partitioned by ``bucket`` (one directory per packing
+    stream), rows sorted by ``(shard_id, offset)`` within each file so
+    a shard's documents are physically contiguous — a tokenizer
+    worker streams its shard without a sort. ``payload_cols`` ride
+    along (e.g. the text) so the layout is self-contained.
+
+    The assignment join is on ``id_col`` — at scale prefer passing the
+    payload columns on ``docs`` directly (they flow through the one
+    window exchange) over re-joining a separate table afterwards.
+    """
+    assigned = pack_sequences(docs, token_col, budget, id_col, n_buckets)
+    if payload_cols:
+        assigned = assigned.join(
+            docs.select(id_col, *payload_cols), id_col
+        )
+    (
+        assigned.repartition("bucket")
+        .sortWithinPartitions("shard_id", "offset")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+
+
+def read_shard(spark, path: str, shard_id: int) -> DataFrame:
+    """Read ONE training shard from a :func:`write_packed_shards`
+    layout. The bucket is recoverable from the shard id
+    (``shard_id >> 32``), so the filter prunes to a single partition
+    directory — the scan touches 1/n_buckets of the layout no matter
+    how large the corpus (asserted by plan test, same contract as the
+    IVF index probe)."""
+    return (
+        spark.read.parquet(path)
+        .where(F.col("bucket") == (shard_id >> 32))
+        .where(F.col("shard_id") == shard_id)
+        .orderBy("offset")
     )

@@ -84,3 +84,52 @@ def test_pack_validates(spark):
         pack_sequences(df, "toks", 0)
     with pytest.raises(ValueError):
         pack_sequences(df, "toks", 64, n_buckets=0)
+
+
+def test_write_and_read_shard_roundtrip(spark, tmp_path):
+    from mapreduce_assignments_spark.operators.packing import (
+        pack_sequences,
+        read_shard,
+        write_packed_shards,
+    )
+
+    rows = [(i, 10 + i % 30, f"doc-{i}") for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, toks long, text string")
+    out = str(tmp_path / "shards")
+    write_packed_shards(df, "toks", budget=100, path=out, n_buckets=4, payload_cols=("text",))
+
+    assigned = {r["doc_id"]: r for r in pack_sequences(df, "toks", 100, n_buckets=4).collect()}
+    some_shard = next(iter(assigned.values()))["shard_id"]
+    got = read_shard(spark, out, some_shard).collect()
+    assert got, "shard read returned nothing"
+    # contents match the assignment, arrive offset-ordered with payload
+    offsets = [r["offset"] for r in got]
+    assert offsets == sorted(offsets)
+    for r in got:
+        a = assigned[r["doc_id"]]
+        assert (a["shard_id"], a["offset"]) == (some_shard, r["offset"])
+        assert r["text"] == f"doc-{r['doc_id']}"
+
+
+def test_read_shard_is_partition_pruned(spark, tmp_path):
+    from mapreduce_assignments_spark.operators.packing import (
+        read_shard,
+        write_packed_shards,
+    )
+
+    rows = [(i, 20) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    out = str(tmp_path / "shards")
+    write_packed_shards(df, "toks", budget=64, path=out, n_buckets=8)
+    plan = (
+        read_shard(spark, out, (3 << 32) + 0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the bucket filter must reach the scan as a partition filter, not
+    # a post-scan row filter over all 8 directories
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "= 3)" in m.group(0), m.group(0) if m else "no partition filters"
