@@ -2338,12 +2338,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
-    "top_orders_per_customer": q_top_orders_per_customer,
-    "salted_order_revenue": q_salted_order_revenue,
-    "bucketed_customer_orders": q_bucketed_customer_orders,
-    "exact_duplicates": q_exact_duplicates,
+    # -- second round-5 rotation: the five newest extension operators
+    # take window slots from queries that were driver-green in rounds
+    # 3 AND 4 on unchanged code (those five stay oracle-checked in
+    # EXTRA_QUERIES via --all and pytest) --
+    "pack_sequences": q_pack_sequences,
+    "degree_histogram": q_degree_histogram,
+    "triangle_count": q_triangle_count,
+    "resize_images": q_resize_images,
+    "hashing_tf": q_hashing_tf,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
-    "ngram_jaccard": q_ngram_jaccard,
     "simhash_near_dupes": q_simhash_near_dupes,
     "quality_score": q_quality_score,
     "repetition_stats": q_repetition_stats,
@@ -2387,13 +2391,13 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "value_percentiles": q_value_percentiles,
     "customers_without_orders": q_customers_without_orders,
-    # -- round-5 extension batch 2 (window full at 50; next rotation
-    # should cycle it in) --
-    "pack_sequences": q_pack_sequences,
-    "degree_histogram": q_degree_histogram,
-    "triangle_count": q_triangle_count,
-    "resize_images": q_resize_images,
-    "hashing_tf": q_hashing_tf,
+    # -- rotated out in round 5's second rotation (driver-green in
+    # rounds 3 AND 4 on unchanged code) --
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "salted_order_revenue": q_salted_order_revenue,
+    "bucketed_customer_orders": q_bucketed_customer_orders,
+    "exact_duplicates": q_exact_duplicates,
+    "ngram_jaccard": q_ngram_jaccard,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
