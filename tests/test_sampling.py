@@ -138,3 +138,42 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     df = spark.createDataFrame(rows, "id long, w double")
     got = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
     assert got == {4, 5}
+
+
+def test_weighted_sample_inclusion_proportional_to_weight(spark):
+    """Statistical contract of A-ES: with small n/N, an item's
+    inclusion probability is ~ n * w / W. Population: 100 light (w=1)
+    + 100 heavy (w=4), n=20 → heavy expects 16 of 20 picks (80%).
+    40 independent draws (fresh hash namespace per draw) give a fixed,
+    deterministic aggregate; the asserted band is >10 sigma wide, so a
+    failure means the estimator is wrong, not unlucky."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.operators.sampling import weighted_sample
+
+    df = (
+        spark.range(40 * 200)
+        .select(
+            F.concat(F.lit("d"), (F.col("id") / 200).cast("int"), F.lit("-"), F.col("id")).alias("key"),
+            (F.col("id") / 200).cast("int").alias("draw"),
+            F.when((F.col("id") % 200) < 100, 1.0).otherwise(4.0).alias("w"),
+        )
+    )
+    heavy = light = 0
+    for d in range(40):
+        picked = weighted_sample(df.where(F.col("draw") == d), "key", "w", 20).collect()
+        heavy += sum(1 for r in picked if r["w"] == 4.0)
+        light += sum(1 for r in picked if r["w"] == 1.0)
+    frac = heavy / (heavy + light)
+    assert 0.75 <= frac <= 0.85, frac
+
+
+def test_weighted_sample_topn_nesting(docs_table):
+    """The n=10 sample is a strict subset of the n=25 sample — scores
+    are fixed per row, so growing n only ADDS rows (the property that
+    lets a pipeline enlarge a sample without resampling)."""
+    from mapreduce_assignments_spark.operators.sampling import weighted_sample
+
+    small = {r["doc_id"] for r in weighted_sample(docs_table, "doc_id", "n_chars", 10).collect()}
+    large = {r["doc_id"] for r in weighted_sample(docs_table, "doc_id", "n_chars", 25).collect()}
+    assert small < large
