@@ -110,7 +110,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     ),
     "sketches": ("kmv_distinct",),
     "packing": ("pack_sequences",),
-    "features": ("hashing_tf",),
+    "features": ("hashing_tf", "hashing_tfidf"),
     "sampling": (
         "hash_split", "deterministic_sample", "stratified_sample",
         "weighted_sample",

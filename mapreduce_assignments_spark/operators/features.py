@@ -24,7 +24,47 @@ from pyspark.sql import DataFrame
 from ..functions.hashing import h60
 from .text import tokens_array
 
-__all__ = ["hashing_tf"]
+__all__ = ["hashing_tf", "hashing_tfidf"]
+
+
+def _bucket_counts(
+    docs: DataFrame, n_features: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared stage: ``(doc_id, bucket, tf)`` per (document, hash
+    bucket), with one all-NULL-bucket row per empty document so empty
+    docs survive to the vector-assembly stage."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens_array(text_col)).alias("token"),
+    )
+    return (
+        toks.withColumn(
+            "bucket",
+            F.when(
+                F.col("token").isNotNull(),
+                F.pmod(h60("token"), F.lit(n_features)).cast("int"),
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("token").alias("tf"))  # count(token): 0 token rows -> tf 0
+    )
+
+
+def _assemble_sparse(counts: DataFrame, value_col: str) -> DataFrame:
+    """(doc_id, bucket, <value>) → (doc_id, indices, values) sorted by
+    index; NULL buckets (empty docs) become empty vectors."""
+    pairs = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("bucket").isNotNull(),
+                F.struct(F.col("bucket").alias("i"), F.col(value_col).alias("v")),
+            )
+        )
+    )
+    return counts.groupBy("doc_id").agg(
+        F.transform(pairs, lambda s: s["i"]).alias("indices"),
+        F.transform(pairs, lambda s: s["v"]).alias("values"),
+    )
 
 
 def hashing_tf(
@@ -45,30 +85,51 @@ def hashing_tf(
     """
     if n_features < 1:
         raise ValueError("n_features must be >= 1")
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode_outer(tokens_array(text_col)).alias("token"),
+    counts = _bucket_counts(docs, n_features, text_col, id_col)
+    return _assemble_sparse(counts, "tf")
+
+
+def hashing_tfidf(
+    docs: DataFrame,
+    n_features: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """IDF-weighted hashed vectors — ``(doc_id, indices ARRAY<INT>,
+    values ARRAY<DOUBLE>)`` with
+    ``value = round(tf * (ln((N+1)/(df+1)) + 1), 6)`` (the smoothed
+    sklearn-convention idf over hash buckets; N = corpus size, df =
+    documents hitting the bucket).
+
+    Both corpus statistics stay IN the plan: the bucket df table is at
+    most ``n_features`` rows (one partial-aggregated exchange, then a
+    broadcast back onto the counts) and N is a broadcast 1-row cross
+    join — no driver action, no fitted state to ship. Per-document
+    values are rounded BEFORE assembly so the double math is
+    order-free and the DuckDB oracle matches exactly.
+    """
+    if n_features < 1:
+        raise ValueError("n_features must be >= 1")
+    counts = _bucket_counts(docs, n_features, text_col, id_col)
+    df_tbl = (
+        counts.where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count("*").alias("df"))  # (doc, bucket) rows are unique
     )
-    counts = (
-        toks.withColumn(
-            "bucket",
-            F.when(
-                F.col("token").isNotNull(),
-                F.pmod(h60("token"), F.lit(n_features)).cast("int"),
+    n_tbl = counts.agg(F.countDistinct("doc_id").alias("n_docs"))
+    weighted = (
+        counts.join(F.broadcast(df_tbl), "bucket", "left")
+        .crossJoin(F.broadcast(n_tbl))
+        .withColumn(
+            "w",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.coalesce(F.col("df"), F.lit(0)) + 1))
+                    + 1
+                ),
+                6,
             ),
         )
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("token").alias("tf"))  # count(token): 0 token rows -> tf 0
     )
-    pairs = F.array_sort(
-        F.collect_list(
-            F.when(
-                F.col("bucket").isNotNull(),
-                F.struct(F.col("bucket").alias("i"), F.col("tf").alias("v")),
-            )
-        )
-    )
-    return counts.groupBy("doc_id").agg(
-        F.transform(pairs, lambda s: s["i"]).alias("indices"),
-        F.transform(pairs, lambda s: s["v"]).alias("values"),
-    )
+    return _assemble_sparse(weighted, "w")

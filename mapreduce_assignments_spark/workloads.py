@@ -548,6 +548,10 @@ def q_hashing_tf(spark, sf_dir):
     return features.hashing_tf(_docs(spark, sf_dir), n_features=1024)
 
 
+def q_hashing_tfidf(spark, sf_dir):
+    return features.hashing_tfidf(_docs(spark, sf_dir), n_features=1024)
+
+
 def q_kmv_distinct(spark, sf_dir):
     toks = _docs(spark, sf_dir).select(
         "source", F.explode(text.tokens_array("text")).alias("token")
@@ -2235,6 +2239,35 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
+# idf-weighted variant: value = round(tf * (ln((N+1)/(df+1)) + 1), 6)
+# with df per hash bucket and N the corpus size, both re-derived.
+ORACLE["hashing_tfidf"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST({_h60_sql("token")} % 1024 AS INTEGER) AS bucket,
+         count(*) AS tf
+  FROM tok GROUP BY doc_id, bucket
+),
+dfb AS (SELECT bucket, count(*) AS df FROM c GROUP BY bucket),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+w AS (
+  SELECT c.doc_id, c.bucket,
+         round(c.tf * (ln((n.n_docs + 1) / CAST(dfb.df + 1 AS DOUBLE)) + 1), 6) AS w
+  FROM c JOIN dfb USING (bucket) CROSS JOIN n
+),
+agg AS (
+  SELECT doc_id,
+         list(bucket ORDER BY bucket) AS indices,
+         list(w ORDER BY bucket) AS "values"
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.indices, CAST([] AS INTEGER[])) AS indices,
+       coalesce(a."values", CAST([] AS DOUBLE[])) AS "values"
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
 # KMV sketch: deterministic function of the value set, so the
 # approximation itself is oracle-exact (HLL could never be).
 ORACLE["kmv_distinct"] = f"""
@@ -2398,6 +2431,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_customer_orders": q_bucketed_customer_orders,
     "exact_duplicates": q_exact_duplicates,
     "ngram_jaccard": q_ngram_jaccard,
+    # -- round-5 extension batch 3 --
+    "hashing_tfidf": q_hashing_tfidf,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -34,3 +34,29 @@ def test_hashing_tf_validates(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         hashing_tf(df, 0)
+
+
+def test_hashing_tfidf_hand_checked(spark):
+    import math
+
+    from mapreduce_assignments_spark.operators.features import hashing_tfidf
+
+    # 3 docs; token "a" in all 3 (df=3), "b" in one (df=1)
+    rows = [(1, "a b"), (2, "a"), (3, "a a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: dict(zip(r["indices"], r["values"])) for r in hashing_tfidf(df, 64).collect()}
+    ba, bb = _bucket("a", 64), _bucket("b", 64)
+    idf_a = math.log(4 / 4) + 1  # (N+1)/(df+1) = 4/4
+    idf_b = math.log(4 / 2) + 1
+    assert got[1][ba] == round(1 * idf_a, 6)
+    assert got[1][bb] == round(1 * idf_b, 6)
+    assert got[3][ba] == round(2 * idf_a, 6)
+
+
+def test_hashing_tfidf_keeps_empty_docs(spark):
+    from mapreduce_assignments_spark.operators.features import hashing_tfidf
+
+    df = spark.createDataFrame([(1, "x"), (2, "")], "doc_id long, text string")
+    got = {r["doc_id"]: (list(r["indices"]), list(r["values"])) for r in hashing_tfidf(df, 8).collect()}
+    assert got[2] == ([], [])
+    assert len(got[1][0]) == 1
