@@ -96,7 +96,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "dedup": (
         "exact_duplicates", "shingles", "ngram_jaccard", "minhash_signatures",
         "minhash_lsh_candidates", "simhash", "simhash_near_dupes",
-        "dedup_clusters", "contamination_flags",
+        "dedup_clusters", "contamination_flags", "dedup_apply",
+        "curated_corpus",
     ),
     "similarity": (
         "brute_force_topk", "ivf_assign", "ivf_topk_trained",

@@ -508,6 +508,39 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
+def q_dedup_apply(spark, sf_dir):
+    """Close the dedup loop: the corpus AFTER near-dup removal — every
+    document whose cluster keeper is some other document is dropped
+    via one anti-join against the clustering's non-keeper set."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    clusters = dedup.dedup_clusters(pairs)
+    drop = clusters.where(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "source", "n_chars")
+
+
+def q_curated_corpus(spark, sf_dir):
+    """The curation flagship: one DAG composing three operators —
+    quality scoring, language ID, and benchmark decontamination — into
+    the 'what actually ships to training' query. Catalyst sees the
+    whole pipeline: the three projections fuse over a single corpus
+    scan, and the decontamination side is the only extra exchange."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    q = text_quality.quality_score(corpus)
+    lid = text_quality.language_id(corpus).select("doc_id", "pred_lang")
+    flagged = dedup.contamination_flags(corpus, bench, n=4).select("doc_id")
+    return (
+        corpus.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(lid, "doc_id")
+        .join(flagged, "doc_id", "left_anti")
+        .where((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+        .select("doc_id", "source", "quality")
+    )
+
+
 def q_contamination_flags(spark, sf_dir):
     """Benchmark decontamination: every 97th document plays the eval
     set; flag the rest of the corpus on shared word 4-grams (the
@@ -1349,6 +1382,19 @@ WHERE s.doc_id % 97 <> 0
 GROUP BY s.doc_id
 """
 
+# the deduplicated corpus: CTE-reuses the clustering oracle verbatim —
+# the apply step is just an anti-join against its non-keeper set.
+ORACLE["dedup_apply"] = f"""
+WITH clusters AS (
+{ORACLE["dedup_clusters"]}
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN
+  (SELECT doc_id FROM clusters WHERE doc_id <> canonical_id)
+"""
+
+
 ORACLE["simhash"] = f"""
 WITH tf AS (
   SELECT doc_id, t AS w, count(*) AS tf
@@ -1479,6 +1525,29 @@ s AS (SELECT doc_id,
          {_SCORE_EXPRS}
       FROM t)
 SELECT doc_id, {_PRED_CASE} AS pred_lang, {_GREATEST} AS score FROM s
+"""
+
+# curation flagship: CTE-reuses the quality, language-ID and
+# decontamination oracles verbatim and composes them the same way the
+# Spark DAG does.
+ORACLE["curated_corpus"] = f"""
+WITH q AS (
+{ORACLE["quality_score"]}
+),
+l AS (
+{ORACLE["language_id"]}
+),
+flagged AS (
+{ORACLE["contamination_flags"]}
+)
+SELECT d.doc_id, d.source, q.quality
+FROM documents d
+JOIN q USING (doc_id)
+JOIN l USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+  AND q.quality >= 0.5
+  AND l.pred_lang = 'en'
 """
 
 ORACLE["doc_fingerprint"] = f"""
@@ -2433,6 +2502,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     # -- round-5 extension batch 3 --
     "hashing_tfidf": q_hashing_tfidf,
+    "dedup_apply": q_dedup_apply,
+    "curated_corpus": q_curated_corpus,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
