@@ -88,6 +88,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "sql_revenue_by_nation", "top_orders_per_customer",
         "customers_without_orders", "salted_order_revenue",
         "bucketed_customer_orders", "user_sessions", "event_props_stats",
+        "funnel_counts", "cohort_retention",
     ),
     "graph": (
         "pagerank", "personalized_pagerank", "degree_histogram",

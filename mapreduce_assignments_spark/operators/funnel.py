@@ -1,0 +1,122 @@
+"""Product/event analytics: funnels and cohort retention.
+
+The two queries every event table gets asked first. Both are pure
+DataFrame algebra — no window over the raw event stream, no Python.
+
+Funnel semantics (the standard greedy ordered-subsequence match):
+a user completes step k iff there exist events e1 < e2 < ... < ek
+(strictly increasing timestamps) with the step types in order.
+Greedy earliest-first matching decides this exactly (matching each
+step to its earliest admissible event can never prevent a later
+step from matching), which is what both the fold here and the
+stepwise-min SQL oracle compute — two different algorithms, same
+function, cross-checked.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["funnel_counts", "cohort_retention"]
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """``(step INT, event_type STRING, n_users LONG)`` — how many users
+    reach each funnel step (strictly-ordered event subsequence,
+    greedy match).
+
+    Scale shape: events are filtered to the funnel's types at the
+    scan (pushdown), collected per user as a sorted (ts, type) array
+    — bounded by that user's funnel-relevant events only — and the
+    greedy match runs as a JVM ``aggregate`` fold over the array.
+    One exchange on user, then a single-row global aggregate; the
+    per-step output rows are exploded from that one row (no second
+    pass). Strictly-increasing timestamps are enforced in the fold
+    state (step, last_matched_ts), so a same-timestamp pair can
+    never satisfy two consecutive steps — matching the SQL oracle's
+    stepwise strict ``>``.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("et")))
+    )
+    init = F.struct(
+        F.lit(0).alias("step"),
+        F.lit("1900-01-01 00:00:00").cast("timestamp").alias("t"),
+    )
+    step_of = F.array(*[F.lit(s) for s in steps])
+
+    def advance(acc, e):
+        # index clamped: element_at past the end THROWS under ANSI
+        # mode (Spark 4 default) and when() does not short-circuit
+        nxt = F.element_at(step_of, F.least(acc["step"] + 1, F.lit(len(steps))))
+        may = (acc["step"] < len(steps)) & (e["et"] == nxt) & (
+            (acc["step"] == 0) | (e["t"] > acc["t"])
+        )
+        return F.when(
+            may, F.struct((acc["step"] + 1).alias("step"), e["t"].alias("t"))
+        ).otherwise(acc)
+
+    per_user = (
+        events.where(F.col(type_col).isin(*steps))
+        .groupBy(user_col)
+        .agg(F.aggregate(arr, init, advance)["step"].alias("matched"))
+    )
+    counts = per_user.agg(
+        *[
+            F.sum((F.col("matched") >= i + 1).cast("long")).alias(f"s{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col(f"s{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """``(cohort_week STRING, week_offset INT, n_users LONG)`` —
+    classic weekly retention: users grouped by the Monday-truncated
+    week of their FIRST event, counted once per (cohort, offset) week
+    they are active in.
+
+    Scale shape: one aggregate for first-seen per user (partial,
+    map-side), a user-keyed join back onto the (user, week) distinct
+    activity — AQE broadcasts the first-seen side when it fits — and
+    a final small aggregate. The offset arithmetic is day-difference
+    of week-truncated dates / 7: integer-exact, timezone-stable, and
+    reproduced verbatim by the SQL oracle.
+    """
+    wk = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    firsts = events.groupBy(user_col).agg(F.min(ts_col).alias("first_ts"))
+    active = events.select(user_col, wk(F.col(ts_col)).alias("active_wk")).distinct()
+    return (
+        active.join(firsts, user_col)
+        .select(
+            F.date_format(wk(F.col("first_ts")), "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.col("active_wk"), wk(F.col("first_ts"))) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -35,6 +35,7 @@ from .functions.hashing import MINHASH_A, MINHASH_B, MINHASH_PRIME, NUM_MINHASHE
 from .operators import (
     dedup,
     features,
+    funnel,
     graph,
     index,
     multimodal,
@@ -506,6 +507,15 @@ def q_dedup_clusters(spark, sf_dir):
     components with a keep-lowest canonical doc per cluster."""
     pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
     return dedup.dedup_clusters(pairs)
+
+
+def q_funnel_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return funnel.funnel_counts(ev, steps=["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark, sf_dir):
+    return funnel.cohort_retention(load_table(spark, sf_dir, "events"))
 
 
 def q_dedup_apply(spark, sf_dir):
@@ -1380,6 +1390,45 @@ SELECT s.doc_id, count(*) AS n_hits
 FROM sh s JOIN bench USING (shingle)
 WHERE s.doc_id % 97 <> 0
 GROUP BY s.doc_id
+"""
+
+# funnel: the oracle decides step completion by stepwise-min (earliest
+# step-1 event, then earliest step-2 event strictly after it, ...) —
+# a different algorithm than the operator's greedy array fold, but the
+# same function (greedy earliest-first subsequence matching is exact),
+# so this is a genuine cross-check, not a replay.
+ORACLE["funnel_counts"] = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM t1) AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM t2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+"""
+
+ORACLE["cohort_retention"] = """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+)
+SELECT strftime(CAST(date_trunc('week', f.first_ts) AS DATE), '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', CAST(date_trunc('week', f.first_ts) AS DATE), a.wk) / 7
+            AS INTEGER) AS week_offset,
+       count(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
 """
 
 # the deduplicated corpus: CTE-reuses the clustering oracle verbatim —
@@ -2504,6 +2553,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashing_tfidf": q_hashing_tfidf,
     "dedup_apply": q_dedup_apply,
     "curated_corpus": q_curated_corpus,
+    "funnel_counts": q_funnel_counts,
+    "cohort_retention": q_cohort_retention,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

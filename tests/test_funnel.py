@@ -1,0 +1,55 @@
+"""Funnel + cohort retention: greedy ordered-subsequence semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from mapreduce_assignments_spark.operators.funnel import cohort_retention, funnel_counts
+
+T = dt.datetime.fromisoformat
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        (1, T("2024-01-01 10:00"), "view"),
+        (1, T("2024-01-01 11:00"), "click"),
+        (1, T("2024-01-02 09:00"), "purchase"),
+        (2, T("2024-01-01 09:00"), "click"),    # click BEFORE view: no step 2
+        (2, T("2024-01-01 12:00"), "view"),
+        (3, T("2024-01-01 10:00"), "view"),
+        (3, T("2024-01-01 10:00"), "click"),    # same ts: strict > blocks
+        (4, T("2024-01-08 10:00"), "error"),    # no funnel events at all
+        (5, T("2024-01-03 10:00"), "purchase"),  # purchase alone: no steps
+        (5, T("2024-01-09 10:00"), "view"),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_greedy_ordered_match(events):
+    got = {r["step"]: (r["event_type"], r["n_users"]) for r in funnel_counts(
+        events, ["view", "click", "purchase"]).collect()}
+    assert got == {1: ("view", 4), 2: ("click", 1), 3: ("purchase", 1)}
+
+
+def test_funnel_order_matters(events):
+    # reversing the steps finds user 2 (click then view) and user 5? no -
+    # user 5's purchase precedes its view, so [purchase, view] matches it
+    got = {r["step"]: r["n_users"] for r in funnel_counts(
+        events, ["purchase", "view"]).collect()}
+    assert got == {1: 2, 2: 1}  # purchasers: users 1, 5; then view after: 5
+
+
+def test_funnel_validates(events):
+    with pytest.raises(ValueError):
+        funnel_counts(events, [])
+
+
+def test_cohort_retention_weekly_offsets(events):
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"] for r in cohort_retention(events).collect()}
+    # users 1,2,3,5 first seen week of Mon 2024-01-01; user 4 week of 01-08
+    assert got[("2024-01-01", 0)] == 4
+    assert got[("2024-01-08", 0)] == 1
+    assert got[("2024-01-01", 1)] == 1  # user 5 active again in week offset 1
