@@ -82,6 +82,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "hourly_counts", "hourly_counts_errors", "hourly_counts_tweets",
         "hourly_counts_tweets_egypt", "hypertable_rollup",
         "sliding_hourly_stats", "value_percentiles", "asof_join", "range_join",
+        "dense_hourly_counts",
     ),
     "relational": (
         "pricing_summary", "top_revenue_orders", "revenue_by_nation",
@@ -108,7 +109,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "text_quality": (
         "token_counts", "quality_score", "language_id", "doc_fingerprint",
         "repetition_stats", "pii_scrub", "chunk_documents",
-        "source_stats", "lang_source_matrix",
+        "source_stats", "lang_source_matrix", "top_terms_per_source",
     ),
     "sketches": ("kmv_distinct",),
     "packing": ("pack_sequences",),

@@ -19,6 +19,7 @@ __all__ = [
     "quality_score",
     "quality_expr",
     "source_stats",
+    "top_terms_per_source",
     "lang_source_matrix",
     "language_id",
     "doc_fingerprint",
@@ -368,4 +369,39 @@ def doc_fingerprint(
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_min(F.transform(grams, lambda g: h60(g))).alias("fingerprint"),
+    )
+
+
+def top_terms_per_source(
+    docs: DataFrame,
+    k: int = 5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact per-group heavy hitters: the ``k`` most frequent tokens
+    of each source — ``(source, token, cnt, rank)``, ties broken
+    alphabetically so the ranking is deterministic across engines.
+
+    Scale shape: one partial-aggregated exchange on (source, token),
+    then ``row_number() <= k`` over (cnt DESC, token ASC) — Spark
+    plans the filter as WindowGroupLimit, so each map task keeps only
+    its local top-k per source before the window exchange. Exact, not
+    a sketch: the (source, token) aggregate is the unavoidable pass,
+    and after it the data is already dashboard-sized."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens_array(text_col)).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )

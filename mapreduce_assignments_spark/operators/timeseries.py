@@ -23,7 +23,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["hourly_counts_tweets", "hourly_counts_events", "event_props_stats"]
+__all__ = [
+    "hourly_counts_tweets",
+    "hourly_counts_events",
+    "event_props_stats",
+    "fill_hourly_gaps",
+]
 
 # "EEE MMM dd HH:mm:ss Z yyyy" — e.g. "Sun Jan 23 00:14:05 +0000 2011".
 # The reference slices this positionally (ExtractHourlyCountsAll.java:41-63);
@@ -109,4 +114,34 @@ def event_props_stats(events: DataFrame) -> DataFrame:
                 6,
             ).alias("avg_value"),
         )
+    )
+
+
+def fill_hourly_gaps(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Sparse -> dense hourly series: ``(hour_ts STRING, cnt LONG)``
+    with an explicit zero row for every hour between the corpus's
+    first and last event — the gap-filling step dashboards and
+    anomaly detectors need (a missing bucket and an empty bucket are
+    different facts).
+
+    Scale shape: one partial-aggregated count per hour bucket, a
+    1-row min/max aggregate, and a calendar axis exploded from
+    ``sequence(lo, hi, 1 hour)`` — the axis is TIME-bounded, not
+    data-bounded (a century is under a million rows), so the left
+    join against it broadcasts the calendar regardless of corpus
+    size. Hours render as 'yyyy-MM-dd HH:00:00' strings (the
+    engine-portable form the oracle reproduces)."""
+    hours = events.select(F.date_trunc("hour", F.col(ts_col)).alias("h"))
+    counts = hours.groupBy("h").agg(F.count("*").alias("cnt"))
+    calendar = (
+        hours.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("h")
+        )
+    )
+    return calendar.join(counts, "h", "left").select(
+        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour_ts"),
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
     )

@@ -509,6 +509,14 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
+def q_dense_hourly_counts(spark, sf_dir):
+    return timeseries.fill_hourly_gaps(_events(spark, sf_dir))
+
+
+def q_top_terms_per_source(spark, sf_dir):
+    return text_quality.top_terms_per_source(_docs(spark, sf_dir), k=5)
+
+
 def q_funnel_counts(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return funnel.funnel_counts(ev, steps=["view", "click", "purchase"])
@@ -1390,6 +1398,33 @@ SELECT s.doc_id, count(*) AS n_hits
 FROM sh s JOIN bench USING (shingle)
 WHERE s.doc_id % 97 <> 0
 GROUP BY s.doc_id
+"""
+
+# gap filling: the dense axis re-derives from generate_series over the
+# same min/max hour bounds, LEFT JOIN coalesced to explicit zeros.
+ORACLE["dense_hourly_counts"] = """
+WITH h AS (SELECT date_trunc('hour', ts) AS h FROM events),
+c AS (SELECT h, count(*) AS cnt FROM h GROUP BY h),
+cal AS (
+  SELECT unnest(generate_series((SELECT min(h) FROM h),
+                                (SELECT max(h) FROM h),
+                                INTERVAL 1 HOUR)) AS h
+)
+SELECT strftime(cal.h, '%Y-%m-%d %H:00:00') AS hour_ts,
+       coalesce(c.cnt, 0) AS cnt
+FROM cal LEFT JOIN c USING (h)
+"""
+
+ORACLE["top_terms_per_source"] = f"""
+WITH tok AS (SELECT source, unnest({_TOK}) AS token FROM documents),
+c AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY source, token),
+r AS (
+  SELECT source, token, cnt,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY cnt DESC, token ASC) AS INTEGER) AS rank
+  FROM c
+)
+SELECT source, token, cnt, rank FROM r WHERE rank <= 5
 """
 
 # funnel: the oracle decides step completion by stepwise-min (earliest
@@ -2555,6 +2590,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curated_corpus": q_curated_corpus,
     "funnel_counts": q_funnel_counts,
     "cohort_retention": q_cohort_retention,
+    "dense_hourly_counts": q_dense_hourly_counts,
+    "top_terms_per_source": q_top_terms_per_source,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -183,3 +183,33 @@ def test_lang_source_matrix_counts_and_zero_fill(spark):
     assert out["sB"]["en"] == 0 and out["sB"]["fr"] == 0
     with pytest.raises(ValueError):
         lang_source_matrix(docs, [])
+
+
+def test_top_terms_per_source_ranking_and_ties(spark):
+    from mapreduce_assignments_spark.operators.text_quality import top_terms_per_source
+
+    rows = [
+        (1, "b b a a c", "x", "sA"),  # a and b tie at 2 -> a ranks first
+        (2, "z", "x", "sB"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = [
+        (r["source"], r["rank"], r["token"], r["cnt"])
+        for r in top_terms_per_source(docs, k=2).orderBy("source", "rank").collect()
+    ]
+    assert got == [("sA", 1, "a", 2), ("sA", 2, "b", 2), ("sB", 1, "z", 1)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        top_terms_per_source(docs, k=0)
+
+
+def test_top_terms_plans_window_group_limit(spark):
+    from mapreduce_assignments_spark.operators.text_quality import top_terms_per_source
+
+    docs = spark.createDataFrame(
+        [(i, "w" + str(i % 7), "x", "s" + str(i % 3)) for i in range(100)],
+        "doc_id long, text string, lang string, source string",
+    )
+    plan = top_terms_per_source(docs, 3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

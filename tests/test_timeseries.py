@@ -79,3 +79,24 @@ def test_hourly_counts_tweets_all_months(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hourly_counts_tweets(tweets, months=("Foo",))
+
+
+def test_fill_hourly_gaps_inserts_zero_rows(spark):
+    import datetime as dt
+
+    from mapreduce_assignments_spark.operators.timeseries import fill_hourly_gaps
+
+    T = dt.datetime.fromisoformat
+    rows = [
+        (1, T("2024-01-01 10:15")),
+        (2, T("2024-01-01 10:45")),
+        (3, T("2024-01-01 13:05")),  # 11:00 and 12:00 are gaps
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {r["hour_ts"]: r["cnt"] for r in fill_hourly_gaps(df).collect()}
+    assert got == {
+        "2024-01-01 10:00:00": 2,
+        "2024-01-01 11:00:00": 0,
+        "2024-01-01 12:00:00": 0,
+        "2024-01-01 13:00:00": 1,
+    }
