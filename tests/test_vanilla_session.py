@@ -32,7 +32,10 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 _QUERIES = (
-    "user_sessions,hourly_counts_tweets_egypt,asof_join,streaming_hourly_counts"
+    "user_sessions,hourly_counts_tweets_egypt,asof_join,streaming_hourly_counts,"
+    # round-5 event-time additions: week truncation and the dense
+    # calendar axis are exactly the operations a non-UTC session skews
+    "cohort_retention,dense_hourly_counts"
 )
 
 
