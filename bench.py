@@ -76,7 +76,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     ),
     "index_retrieval": (
         "inverted_index_stats", "tf_histogram", "tf_idf", "term_frequencies",
-        "boolean_retrieval", "boolean_retrieval_text",
+        "boolean_retrieval", "boolean_retrieval_text", "bm25_topk",
     ),
     "timeseries": (
         "hourly_counts", "hourly_counts_errors", "hourly_counts_tweets",

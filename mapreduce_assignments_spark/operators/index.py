@@ -39,6 +39,7 @@ __all__ = [
     "lookup_postings",
     "tf_histogram",
     "tf_idf",
+    "bm25_scores",
     "fetch_docs",
 ]
 
@@ -168,4 +169,56 @@ def fetch_docs(doc_ids: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> D
     (BooleanRetrievalCompressed.java:124-129)."""
     return doc_ids.join(docs, doc_ids["docid"] == docs[id_col]).select(
         docs[id_col].alias("docid"), docs["text"]
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval — the natural upgrade from the
+    reference's boolean-only retrieval (BooleanRetrievalCompressed
+    answers "which documents"; this answers "in what order"). Returns
+    the top-``k`` ``(docid, score)``, Lucene-variant idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` with the standard k1/b
+    length normalization; N counts indexed documents (>= 1 token).
+
+    Engine parity: per-term contributions are rounded to 6 dp BEFORE
+    the per-document sum (floating addition is order-dependent; the
+    pre-round keeps both engines summing identical values), the final
+    score rounds again, and ranking ties break on docid.
+
+    Scale shape: the postings aggregate filters to the query's terms
+    (Catalyst pushes the term filter below the per-(term, doc)
+    aggregate since term is a grouping key), so the join graph touches
+    only the query's postings; df and the (N, avgdl) scalars broadcast;
+    doc lengths are the one corpus-wide aggregate — the same table an
+    index build already materializes. Top-k is TakeOrderedAndProject.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tfs = term_frequencies(docs, text_col=text_col, id_col=id_col)
+    dl = tfs.groupBy("docid").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    qt = tfs.where(F.col("term").isin(*query_terms))
+    dfs = qt.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = F.round(idf * F.col("tf") * (k1 + 1) / norm, 6)
+    return (
+        qt.join(F.broadcast(dfs), "term")
+        .join(dl, "docid")
+        .crossJoin(F.broadcast(stats))
+        .select("docid", contrib.alias("c"))
+        .groupBy("docid")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
     )

@@ -509,6 +509,12 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
+def q_bm25_topk(spark, sf_dir):
+    return index.bm25_scores(
+        _docs(spark, sf_dir), query_terms=["spark", "table", "query"], k=20
+    )
+
+
 def q_dense_hourly_counts(spark, sf_dir):
     return timeseries.fill_hourly_gaps(_events(spark, sf_dir))
 
@@ -1398,6 +1404,31 @@ SELECT s.doc_id, count(*) AS n_hits
 FROM sh s JOIN bench USING (shingle)
 WHERE s.doc_id % 97 <> 0
 GROUP BY s.doc_id
+"""
+
+# BM25: Lucene-variant idf, per-term contributions rounded BEFORE the
+# per-doc sum (order-free summation), ranked on the rounded score with
+# docid tiebreak. N = indexed docs (>= 1 token).
+ORACLE["bm25_topk"] = f"""
+WITH tfs AS (
+  SELECT t AS term, doc_id AS docid, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+  GROUP BY t, doc_id
+),
+dl AS (SELECT docid, CAST(sum(tf) AS BIGINT) AS dl FROM tfs GROUP BY docid),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT * FROM tfs WHERE term IN ('spark', 'table', 'query')),
+dfs AS (SELECT term, count(*) AS df FROM qt GROUP BY term),
+c AS (
+  SELECT qt.docid,
+         round(ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+               * qt.tf * (1.2 + 1)
+               / (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6) AS c
+  FROM qt JOIN dfs USING (term) JOIN dl USING (docid), stats
+)
+SELECT docid, round(sum(c), 6) AS score
+FROM c GROUP BY docid
+ORDER BY score DESC, docid ASC LIMIT 20
 """
 
 # gap filling: the dense axis re-derives from generate_series over the
@@ -2592,6 +2623,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "dense_hourly_counts": q_dense_hourly_counts,
     "top_terms_per_source": q_top_terms_per_source,
+    "bm25_topk": q_bm25_topk,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -114,3 +114,55 @@ def test_write_index_roundtrip_and_pruned_lookup(docs, tmp_path):
     # the point lookup must push the term predicate into the scan
     plan = lookup_postings(back, "fox")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(term), EqualTo(term,fox)]" in plan
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+
+def test_bm25_matches_reference_formula(spark):
+    import math
+
+    from mapreduce_assignments_spark.operators.index import bm25_scores
+
+    rows = [
+        (1, "cat dog cat"),      # tf(cat)=2, dl=3
+        (2, "cat"),              # tf(cat)=1, dl=1
+        (3, "bird bird bird"),   # no query terms, dl=3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["docid"]: r["score"] for r in bm25_scores(docs, ["cat"], k=10).collect()}
+
+    n, avgdl, df = 3, 7 / 3, 2
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    def bm25(tf, dl, k1=1.2, b=0.75):
+        return round(round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6), 6)
+
+    assert got == {1: bm25(2, 3), 2: bm25(1, 1)}
+    # length normalization at work: the 1-token doc (tf=1, dl=1)
+    # outranks the longer doc despite its higher raw tf=2
+    assert got[2] > got[1]
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    from mapreduce_assignments_spark.operators.index import bm25_scores
+
+    rows = [(i, "common filler words") for i in range(1, 20)] + [
+        (20, "common rare"),
+        (21, "common unique-term"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    [top] = bm25_scores(docs, ["common", "rare"], k=1).collect()
+    assert top["docid"] == 20  # the doc with the rare term dominates
+
+
+def test_bm25_validates(spark):
+    from mapreduce_assignments_spark.operators.index import bm25_scores
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_scores(docs, [])
+    with _pytest.raises(ValueError):
+        bm25_scores(docs, ["x"], k=0)
