@@ -72,7 +72,7 @@ HEADLINE = (
 FAMILIES: dict[str, tuple[str, ...]] = {
     "text": (
         "word_count", "bigram_count", "cooccurrence", "cooccurrence_stripes",
-        "pmi",
+        "pmi", "llr",
     ),
     "index_retrieval": (
         "inverted_index_stats", "tf_histogram", "tf_idf", "term_frequencies",

@@ -36,6 +36,7 @@ __all__ = [
     "cooccurrence",
     "cooccurrence_stripes",
     "pmi",
+    "llr",
 ]
 
 
@@ -193,6 +194,21 @@ def pmi(
 
     Returns ``(x, y, cnt, pmi)``.
     """
+    return _doc_pair_marginals(docs, min_cooccurrence, text_col, id_col).select(
+        "x",
+        "y",
+        "cnt",
+        F.log((F.col("cnt") * F.col("n")) / (F.col("cx") * F.col("cy"))).alias("pmi"),
+    )
+
+
+def _doc_pair_marginals(
+    docs: DataFrame, min_cooccurrence: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared collocation statistics: canonical per-document-distinct
+    pairs with their joint and marginal document counts —
+    ``(x, y, cnt, cx, cy, n)``. :func:`pmi` and :func:`llr` are both
+    one scoring projection over this frame."""
     words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_sort(F.array_distinct(tokens_array(text_col))).alias("ws"),
@@ -231,10 +247,45 @@ def pmi(
             word_counts.select(F.col("w").alias("y"), F.col("wc").alias("cy")), "y"
         )
         .crossJoin(F.broadcast(n_docs))
-        .select(
-            "x",
-            "y",
-            "cnt",
-            F.log((F.col("cnt") * F.col("n")) / (F.col("cx") * F.col("cy"))).alias("pmi"),
-        )
     )
+
+
+def llr(
+    docs: DataFrame,
+    min_cooccurrence: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dunning's log-likelihood-ratio collocations (Dunning 1993,
+    "Accurate Methods for the Statistics of Surprise and Coincidence"
+    — public literature) — the statistically robust sibling of
+    :func:`pmi`: PMI overweights rare pairs (two hapaxes co-occurring
+    once score maximally); LLR scores the 2x2 document-count
+    contingency table, so evidence mass matters.
+
+    ``(x, y, cnt, llr)`` with
+    ``llr = 2*(Σ k·ln k − Σ rowsum·ln rowsum − Σ colsum·ln colsum
+    + N·ln N)`` over k11=c(x,y), k12=c(x)−k11, k21=c(y)−k11,
+    k22=N−c(x)−c(y)+k11, using the ``0·ln 0 = 0`` convention. Every
+    input is an integer count and the expression tree is fixed, so
+    the double math is order-free — the DuckDB oracle matches the
+    6-dp rounding exactly. Same plan shape (and shared code) as PMI:
+    two aggregations, two joins, one scoring projection.
+    """
+
+    def xlx(c):  # x*ln(x), defined as 0 at 0
+        return F.when(c > 0, c * F.log(c.cast("double"))).otherwise(F.lit(0.0))
+
+    m = _doc_pair_marginals(docs, min_cooccurrence, text_col, id_col)
+    k11 = F.col("cnt")
+    k12 = F.col("cx") - k11
+    k21 = F.col("cy") - k11
+    k22 = F.col("n") - F.col("cx") - F.col("cy") + k11
+    n = F.col("n")
+    score = 2.0 * (
+        xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+        - xlx(k11 + k12) - xlx(k21 + k22)
+        - xlx(k11 + k21) - xlx(k12 + k22)
+        + xlx(n)
+    )
+    return m.select("x", "y", "cnt", F.round(score, 6).alias("llr"))

@@ -161,6 +161,10 @@ def q_pmi(spark, sf_dir):
     return out.select("x", "y", "cnt", F.round("pmi", 6).alias("pmi"))
 
 
+def q_llr(spark, sf_dir):
+    return text.llr(_docs(spark, sf_dir), min_cooccurrence=10)
+
+
 def q_term_frequencies(spark, sf_dir):
     return index.term_frequencies(_docs(spark, sf_dir))
 
@@ -1157,6 +1161,45 @@ SELECT x, y, cnt, round(ln(cnt * n.n / (cx.wc * cy.wc)), 6) AS pmi
 FROM pairs, n
 JOIN wc cx ON cx.w = pairs.x
 JOIN wc cy ON cy.w = pairs.y
+"""
+
+# Dunning LLR over the same pair/marginal CTEs as pmi; xlx(c) = c*ln(c)
+# with the 0*ln(0)=0 convention — all inputs are integer counts, so
+# the fixed expression tree matches Spark's doubles exactly at 6 dp.
+def _xlx_sql(c: str) -> str:
+    return f"CASE WHEN ({c}) > 0 THEN ({c}) * ln(CAST(({c}) AS DOUBLE)) ELSE 0.0 END"
+
+
+ORACLE["llr"] = f"""
+WITH ws AS (
+  SELECT list_sort(list_distinct({_TOK})) AS ws FROM documents
+), pairs AS (
+  SELECT p.x AS x, p.y AS y, count(*) AS cnt
+  FROM (
+    SELECT unnest(flatten(list_transform(range(1, len(ws) + 1), i ->
+             list_transform(range(i + 1, len(ws) + 1),
+                            j -> {{'x': ws[i], 'y': ws[j]}})))) AS p
+    FROM ws)
+  GROUP BY p.x, p.y
+  HAVING count(*) >= 10
+), wc AS (
+  SELECT w, count(*) AS wc FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY w
+), n AS (SELECT count(*) AS n FROM documents),
+k AS (
+  SELECT x, y, cnt,
+         cnt AS k11, cx.wc - cnt AS k12, cy.wc - cnt AS k21,
+         n.n - cx.wc - cy.wc + cnt AS k22, n.n AS nn
+  FROM pairs, n
+  JOIN wc cx ON cx.w = pairs.x
+  JOIN wc cy ON cy.w = pairs.y
+)
+SELECT x, y, cnt,
+       round(2.0 * ({_xlx_sql("k11")} + {_xlx_sql("k12")}
+                    + {_xlx_sql("k21")} + {_xlx_sql("k22")}
+                    - {_xlx_sql("k11 + k12")} - {_xlx_sql("k21 + k22")}
+                    - {_xlx_sql("k11 + k21")} - {_xlx_sql("k12 + k22")}
+                    + {_xlx_sql("nn")}), 6) AS llr
+FROM k
 """
 
 ORACLE["term_frequencies"] = f"""
@@ -2624,6 +2667,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dense_hourly_counts": q_dense_hourly_counts,
     "top_terms_per_source": q_top_terms_per_source,
     "bm25_topk": q_bm25_topk,
+    "llr": q_llr,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -122,3 +122,50 @@ def test_cooccurrence_stripes_consistent_with_pairs(docs):
             b, c = part.rsplit(":", 1)
             rebuilt[(r["a"], b)] = int(c)
     assert rebuilt == pairs
+
+
+def test_llr_matches_scipy_free_reference(spark):
+    """LLR against a NumPy-free closed-form reference on a corpus with
+    a planted strong collocation and an incidental weak one."""
+    import math
+
+    from mapreduce_assignments_spark.operators.text import llr
+
+    rows = (
+        [(i, "alpha beta") for i in range(20)]          # always together
+        + [(100 + i, "alpha gamma") for i in range(10)]  # alpha alone-ish
+        + [(200 + i, "gamma delta") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["x"], r["y"]): (r["cnt"], r["llr"]) for r in llr(docs, min_cooccurrence=10).collect()}
+
+    def xlx(c):
+        return c * math.log(c) if c > 0 else 0.0
+
+    def ref(k11, cx, cy, n):
+        k12, k21, k22 = cx - k11, cy - k11, n - cx - cy + k11
+        return round(2.0 * (
+            xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+            - xlx(k11 + k12) - xlx(k21 + k22)
+            - xlx(k11 + k21) - xlx(k12 + k22) + xlx(n)
+        ), 6)
+
+    n = 40
+    assert got[("alpha", "beta")] == (20, ref(20, 30, 20, n))
+    # (these two tables are cell-permutations of alpha-beta's, so LLR's
+    # symmetry makes all three scores equal — the exact values are the
+    # assertion, not their ordering)
+    assert got[("alpha", "gamma")] == (10, ref(10, 30, 20, n))
+    assert got[("delta", "gamma")] == (10, ref(10, 10, 20, n))
+
+
+def test_llr_and_pmi_share_pair_semantics(spark):
+    """Same pairs survive the same threshold in both scorers (shared
+    _doc_pair_marginals) — a refactor guard."""
+    from mapreduce_assignments_spark.operators.text import llr, pmi
+
+    rows = [(i, "a b c" if i % 2 else "a b") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p = {(r["x"], r["y"]) for r in pmi(docs, 10).collect()}
+    l = {(r["x"], r["y"]) for r in llr(docs, 10).collect()}
+    assert p == l and p
