@@ -39,6 +39,7 @@ __all__ = [
     "lookup_postings",
     "tf_histogram",
     "tf_idf",
+    "top_keywords",
     "bm25_scores",
     "fetch_docs",
 ]
@@ -160,6 +161,29 @@ def tf_idf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
             "tf",
             F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
         )
+    )
+
+
+def top_keywords(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keyword extraction: the top-``k`` tf-idf terms per document,
+    ``(docid, rank, term, tfidf)``, rank 1-based.
+
+    Ties resolve deterministically (tfidf already rounded to 6dp in
+    :func:`tf_idf`, then term ASC), so the output is engine-portable.
+
+    Scale: a per-partition window over ``docid`` — the partition key
+    is the document id, so group sizes are bounded by per-doc vocab
+    (thousands), never by corpus size; no skew hazard and the sort is
+    in-memory per group.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("docid").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf_idf(docs, text_col=text_col, id_col=id_col)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("docid", "rank", "term", "tfidf")
     )
 
 

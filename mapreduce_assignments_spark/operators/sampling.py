@@ -25,6 +25,7 @@ from ..functions.hashing import h60
 __all__ = [
     "deterministic_sample",
     "hash_split",
+    "per_key_sample",
     "stratified_sample",
     "weighted_sample",
 ]
@@ -66,6 +67,38 @@ def hash_split(df: DataFrame, key: str, weights: dict[str, float]) -> DataFrame:
     # guard the float edge: the last bin always belongs to the last split
     last = list(weights)[-1]
     return df.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def per_key_sample(df: DataFrame, group_col: str, key: str, k: int) -> DataFrame:
+    """Deterministic ``k``-row sample PER GROUP: within each
+    ``group_col`` value, keep the ``k`` rows whose content hash of
+    ``key`` sorts first (hash then key as tiebreak). The classic
+    "inspect a few examples from every source/shard" pipeline op —
+    reproducible across runs, engines, and partitionings, unlike
+    ``rand()``-ranked samples. Adds a 1-based ``sample_rank``.
+
+    Rows with a NULL group or key are excluded (a NULL key has no
+    deterministic hash order; consistent with the package's other
+    hash-ordered operators).
+
+    Scale: one shuffle on ``group_col`` + an in-group sort. A
+    pathological hot group sorts all its rows to take k; at that
+    scale pre-thin with :func:`deterministic_sample` (narrow) before
+    ranking — the composition preserves determinism because both
+    stages order by the same content hash.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _bin(key).asc(), F.col(key).cast("string").asc()
+    )
+    return (
+        df.where(F.col(group_col).isNotNull() & F.col(key).isNotNull())
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )
 
 
 def weighted_sample(df: DataFrame, key: str, weight_col: str, n: int) -> DataFrame:

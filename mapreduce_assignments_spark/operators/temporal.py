@@ -30,7 +30,41 @@ __all__ = [
     "range_join",
     "hypertable_rollup",
     "sliding_hourly_stats",
+    "latest_snapshot",
 ]
+
+
+def latest_snapshot(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """CDC/upsert compaction: reduce an append-only change log to the
+    most recent row per key — the materialize-current-state operator
+    every incremental ingestion pipeline runs before serving.
+
+    Latest = max ``(ts_col, tiebreak)`` lexicographically; pass a
+    unique ``tiebreak`` column (e.g. the event id) so concurrent
+    updates at the same timestamp resolve deterministically.
+
+    Scale: implemented as ``max_by(struct(*), struct(ts, tiebreak))``
+    — a hash aggregation, NOT a row_number window. The partial
+    aggregate keeps ONE candidate row per key per map task, so a key
+    with millions of updates never materializes its history on one
+    reducer the way the window formulation would; one exchange total,
+    no sort.
+    """
+    order = (
+        F.struct(F.col(ts_col), F.col(tiebreak))
+        if tiebreak
+        else F.struct(F.col(ts_col))
+    )
+    payload = [c for c in df.columns if c not in keys]
+    latest = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*payload), order).alias("_latest")
+    )
+    return latest.select(*keys, *[F.col(f"_latest.{c}").alias(c) for c in payload])
 
 
 def asof_join(

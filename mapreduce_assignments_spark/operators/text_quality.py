@@ -16,6 +16,7 @@ from .text import tokens_array
 
 __all__ = [
     "token_counts",
+    "unigram_logprob",
     "quality_score",
     "quality_expr",
     "source_stats",
@@ -63,6 +64,47 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.size(tokens_array(text_col)).alias("ws_tokens"),
         _tok_count(text_col, BPE_ISH_REGEX).alias("bpe_tokens"),
         F.length(text_col).alias("n_chars"),
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean token log-probability under an add-one
+    smoothed unigram LM trained on the corpus itself — the classic
+    cheap perplexity proxy for training-data quality filtering (docs
+    full of rare/garbage tokens score low, fluent prose scores high).
+
+    ``(doc_id, n_tokens, avg_logprob)`` with
+    ``avg_logprob = Σ tf·ln((cnt+1)/(N+V)) / Σ tf`` over the doc's
+    distinct terms, where ``cnt`` is the corpus count of the term,
+    ``N`` total tokens and ``V`` vocabulary size.
+
+    Scale: the join runs on ``(doc_id, term)`` tf pairs, not raw token
+    instances, so hot terms ("the") contribute one probe row per doc
+    rather than per occurrence; the vocab-count build side has exactly
+    one row per term (AQE broadcasts it when it fits, hash-joins
+    otherwise), and the (N, V) scalar is an explicit broadcast. Three
+    shuffles total, all partially aggregated map-side.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_array(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_total"), F.count("*").alias("vocab")
+    )
+    lp = F.log((F.col("cnt") + F.lit(1.0)) / (F.col("n_total") + F.col("vocab")))
+    return (
+        tf.join(counts, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("int").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * lp) / F.sum("tf"), 6).alias("avg_logprob"),
+        )
     )
 
 

@@ -40,6 +40,7 @@ from .operators import (
     index,
     multimodal,
     packing,
+    profiling,
     relational,
     sampling,
     similarity,
@@ -1070,6 +1071,64 @@ def q_ivf_index_probe(spark, sf_dir):
     )
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality scoring: mean token log-probability
+    under an add-one smoothed unigram LM trained on the corpus itself
+    (text_quality.unigram_logprob)."""
+    return text_quality.unigram_logprob(_docs(spark, sf_dir))
+
+
+def q_top_keywords(spark, sf_dir):
+    """Keyword extraction: top-3 tf-idf terms per document with a
+    deterministic (rounded-score, term) tie-break."""
+    return index.top_keywords(_docs(spark, sf_dir), k=3)
+
+
+def q_profile_events(spark, sf_dir):
+    """Deequ-style one-pass data-quality profile of the events table:
+    completeness, exact cardinality, and min/max per column. Engine-
+    specific string renderings (timestamp, double) are canonicalized
+    BEFORE profiling — ts to 'yyyy-MM-dd HH:mm:ss', value to
+    DECIMAL(18,6) — so the profile itself is type-agnostic."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value", 6).cast("decimal(18,6)").alias("value_d"),
+    )
+    return profiling.profile_columns(
+        ev, ["event_id", "user_id", "event_type", "ts_s", "value_d"]
+    )
+
+
+def q_per_key_sample(spark, sf_dir):
+    """Deterministic 3-document inspection sample per source: rows
+    ranked by content hash of doc_id within each source group."""
+    return sampling.per_key_sample(
+        _docs(spark, sf_dir), group_col="source", key="doc_id", k=3
+    )
+
+
+def q_latest_events(spark, sf_dir):
+    """CDC/upsert compaction: the most recent event per
+    (user_id, event_type), event_id as the deterministic tie-break —
+    a partial-aggregating max_by, not a window sort."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    snap = temporal.latest_snapshot(
+        ev, keys=("user_id", "event_type"), ts_col="ts", tiebreak="event_id"
+    )
+    return snap.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 # ----------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect; tables pre-registered as views)
 
@@ -1989,6 +2048,76 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                     AND o.o_orderpriority = '1-URGENT')
 """
 
+ORACLE["unigram_logprob"] = f"""
+WITH tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+  GROUP BY doc_id, t
+), cnts AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+tot AS (SELECT sum(cnt) AS n_total, count(*) AS vocab FROM cnts)
+SELECT doc_id, CAST(sum(tf) AS INTEGER) AS n_tokens,
+       round(sum(tf * ln((cnt + 1.0) / (n_total + vocab))) / sum(tf), 6)
+         AS avg_logprob
+FROM tf JOIN cnts USING (term), tot
+GROUP BY doc_id
+"""
+
+ORACLE["top_keywords"] = f"""
+WITH tfs AS (
+  SELECT t AS term, doc_id AS docid, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+  GROUP BY t, doc_id
+), dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT tfs.term, docid, tf,
+         round(tf * ln(CAST(n.n AS DOUBLE) / dfs.df), 6) AS tfidf
+  FROM tfs JOIN dfs ON tfs.term = dfs.term, n
+)
+SELECT docid, rank, term, tfidf FROM (
+  SELECT docid, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY docid
+                                 ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+  FROM w)
+WHERE rank <= 3
+"""
+
+_PROFILE_EV = """
+  SELECT event_id, user_id, event_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+         CAST(round(value, 6) AS DECIMAL(18,6)) AS value_d
+  FROM events
+"""
+ORACLE["profile_events"] = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column, count(*) AS n_rows, count({c}) AS non_null,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM ({_PROFILE_EV})"""
+    for c in ("event_id", "user_id", "event_type", "ts_s", "value_d")
+)
+
+ORACLE["per_key_sample"] = f"""
+SELECT * FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_DOC_BIN}, CAST(doc_id AS VARCHAR)) AS INTEGER)
+         AS sample_rank
+  FROM documents
+  WHERE source IS NOT NULL AND doc_id IS NOT NULL)
+WHERE sample_rank <= 3
+"""
+
+ORACLE["latest_events"] = """
+SELECT user_id, event_type, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       round(value, 6) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
 
 # --- iterative graph oracles: the 8-iteration power method, unrolled --------
 # One CTE pair per iteration over the _customer_graph derivation. The
@@ -2668,6 +2797,12 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms_per_source": q_top_terms_per_source,
     "bm25_topk": q_bm25_topk,
     "llr": q_llr,
+    # -- round-5 extension batch 4 --
+    "unigram_logprob": q_unigram_logprob,     # unigram-LM perplexity proxy
+    "top_keywords": q_top_keywords,           # tf-idf keyword extraction
+    "profile_events": q_profile_events,       # Deequ-style one-pass profile
+    "per_key_sample": q_per_key_sample,       # k-per-group hash sample
+    "latest_events": q_latest_events,         # CDC upsert compaction
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

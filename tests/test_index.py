@@ -166,3 +166,22 @@ def test_bm25_validates(spark):
         bm25_scores(docs, [])
     with _pytest.raises(ValueError):
         bm25_scores(docs, ["x"], k=0)
+
+
+def test_top_keywords_ranks_and_ties(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["docid"], r["rank"], r["term"], r["tfidf"])
+        for r in index.top_keywords(df, k=3).collect()
+    )
+    ln2 = round(math.log(2.0), 6)
+    assert rows == [
+        (1, 1, "x", round(2 * math.log(2.0), 6)),
+        (1, 2, "y", 0.0),
+        (2, 1, "z", ln2),
+        (2, 2, "y", 0.0),
+    ]

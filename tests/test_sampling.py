@@ -177,3 +177,35 @@ def test_weighted_sample_topn_nesting(docs_table):
     small = {r["doc_id"] for r in weighted_sample(docs_table, "doc_id", "n_chars", 10).collect()}
     large = {r["doc_id"] for r in weighted_sample(docs_table, "doc_id", "n_chars", 25).collect()}
     assert small < large
+
+
+def test_per_key_sample_sizes_and_determinism(spark, docs_table):
+    from mapreduce_assignments_spark.operators.sampling import per_key_sample
+
+    out = per_key_sample(docs_table, "source", "doc_id", 3)
+    rows = out.collect()
+    per_group: dict[str, list[int]] = {}
+    for r in rows:
+        per_group.setdefault(r["source"], []).append(r["sample_rank"])
+    for ranks in per_group.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+    # deterministic under repartitioning
+    a = {(r["source"], r["doc_id"]) for r in rows}
+    b = {
+        (r["source"], r["doc_id"])
+        for r in per_key_sample(docs_table.repartition(13), "source", "doc_id", 3).collect()
+    }
+    assert a == b
+
+
+def test_per_key_sample_null_and_validation(spark):
+    from mapreduce_assignments_spark.operators.sampling import per_key_sample
+
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 2), (None, 3), ("h", None)],
+        "grp string, id long",
+    )
+    got = per_key_sample(df, "grp", "id", 5).collect()
+    assert {(r["grp"], r["id"]) for r in got} == {("g", 1), ("g", 2)}
+    with pytest.raises(ValueError):
+        per_key_sample(df, "grp", "id", 0)

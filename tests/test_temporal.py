@@ -169,3 +169,27 @@ def test_customers_without_orders(spark):
         for r in relational.customers_without_orders(customer, orders).collect()
     )
     assert got == [2, 3]
+
+
+def test_latest_snapshot_picks_max_ts_with_tiebreak(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "click", 100, _ts("2024-01-01 00:00:00"), 1.0),
+            (1, "click", 101, _ts("2024-01-01 02:00:00"), 2.0),
+            # same ts: larger event_id wins
+            (1, "view", 200, _ts("2024-01-01 01:00:00"), 3.0),
+            (1, "view", 201, _ts("2024-01-01 01:00:00"), 4.0),
+            (2, "click", 300, _ts("2024-01-01 00:30:00"), 5.0),
+        ],
+        "user_id long, event_type string, event_id long, ts timestamp, value double",
+    )
+    snap = temporal.latest_snapshot(
+        ev, keys=("user_id", "event_type"), ts_col="ts", tiebreak="event_id"
+    )
+    got = {(r["user_id"], r["event_type"]): (r["event_id"], r["value"]) for r in snap.collect()}
+    assert got == {
+        (1, "click"): (101, 2.0),
+        (1, "view"): (201, 4.0),
+        (2, "click"): (300, 5.0),
+    }
+    assert set(snap.columns) == {"user_id", "event_type", "event_id", "ts", "value"}

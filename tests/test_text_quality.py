@@ -213,3 +213,25 @@ def test_top_terms_plans_window_group_limit(spark):
     )
     plan = top_terms_per_source(docs, 3)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from mapreduce_assignments_spark.operators.text_quality import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # corpus: a=2 b=2 c=1; N=5 V=3; lp(t) = ln((cnt+1)/(N+V))
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert out[1]["avg_logprob"] == round(math.log(3 / 8), 6)
+    assert out[2]["avg_logprob"] == round((math.log(3 / 8) + math.log(2 / 8)) / 2, 6)
+
+
+def test_unigram_logprob_empty_docs_dropped(spark):
+    from mapreduce_assignments_spark.operators.text_quality import unigram_logprob
+
+    df = spark.createDataFrame([(1, "x"), (2, "")], "doc_id long, text string")
+    assert [r["doc_id"] for r in unigram_logprob(df).collect()] == [1]
