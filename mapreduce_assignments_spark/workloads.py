@@ -317,6 +317,33 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.table("q_stream_dedup_mem")
 
 
+def q_streaming_latest_events(spark, sf_dir):
+    """Streaming CDC compaction: the SAME ``temporal.latest_snapshot``
+    operator (groupBy + max_by — nothing batch-specific) runs over the
+    duplicated event stream in complete mode; the state store IS the
+    materialized latest-per-key table, so the memory sink must equal
+    the batch ``latest_events`` oracle exactly (duplicates carry an
+    identical (ts, event_id) order key and collapse). State is
+    O(distinct keys) with no watermark — inherent to materializing
+    current state, and exactly what an upsert view needs."""
+    from .streaming import read_events_stream, run_to_memory
+
+    stream = read_events_stream(
+        spark, _staged_dup_events_dir(spark, sf_dir)
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+    snap = temporal.latest_snapshot(
+        stream, keys=("user_id", "event_type"), ts_col="ts", tiebreak="event_id"
+    )
+    run_to_memory(snap, "q_stream_latest_mem", "complete")
+    return spark.table("q_stream_latest_mem").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 def q_streaming_user_sessions(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState)
     replayed over the staged events and checked against the SAME DuckDB
@@ -2117,6 +2144,7 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
       FROM events)
 WHERE rn = 1
 """
+ORACLE["streaming_latest_events"] = ORACLE["latest_events"]
 
 
 # --- iterative graph oracles: the 8-iteration power method, unrolled --------
@@ -2803,6 +2831,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_events": q_profile_events,       # Deequ-style one-pass profile
     "per_key_sample": q_per_key_sample,       # k-per-group hash sample
     "latest_events": q_latest_events,         # CDC upsert compaction
+    "streaming_latest_events": q_streaming_latest_events,  # its streaming twin
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -110,3 +110,45 @@ def test_streaming_exact_dedup_collapses_duplicates(spark, tmp_path):
         for r in spark.table("t_stream_dedup_mem").collect()
     )
     assert got == [(1, "click"), (2, "view"), (3, "error")]
+
+
+def test_streaming_latest_snapshot_complete_mode(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.operators import temporal
+    from mapreduce_assignments_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}"),
+        (2, "2024-01-01 02:00:00", 10, "click", 2.0, "{}"),  # later: wins
+        (3, "2024-01-01 01:00:00", 10, "view", 3.0, "{}"),
+        (4, "2024-01-01 01:00:00", 10, "view", 4.0, "{}"),  # tie: id wins
+        (5, "2024-01-01 00:30:00", 11, "click", 5.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    stage = str(tmp_path / "latest-events")
+    ev.write.mode("overwrite").parquet(stage)
+    ev.write.mode("append").parquet(stage)  # replayed duplicates collapse
+    snap = temporal.latest_snapshot(
+        read_events_stream(spark, stage).select(
+            "user_id", "event_type", "event_id", "ts", "value"
+        ),
+        keys=("user_id", "event_type"),
+        ts_col="ts",
+        tiebreak="event_id",
+    )
+    run_to_memory(snap, "t_stream_latest_mem", "complete")
+    got = {
+        (r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+        for r in spark.table("t_stream_latest_mem").collect()
+    }
+    assert got == {
+        (10, "click"): (2, 2.0),
+        (10, "view"): (4, 4.0),
+        (11, "click"): (5, 5.0),
+    }
