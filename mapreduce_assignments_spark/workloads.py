@@ -1105,6 +1105,12 @@ def q_unigram_logprob(spark, sf_dir):
     return text_quality.unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM scoring (λ=0.75 Jelinek–Mercer): the
+    transition-aware perplexity proxy."""
+    return text_quality.bigram_logprob(_docs(spark, sf_dir))
+
+
 def q_top_keywords(spark, sf_dir):
     """Keyword extraction: top-3 tf-idf terms per document with a
     deterministic (rounded-score, term) tie-break."""
@@ -2089,6 +2095,31 @@ FROM tf JOIN cnts USING (term), tot
 GROUP BY doc_id
 """
 
+ORACLE["bigram_logprob"] = f"""
+WITH tf AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ts)),
+                  i -> {{'w1': ts[i], 'w2': ts[i + 1]}})) AS p
+    FROM (SELECT doc_id, {_TOK} AS ts FROM documents))
+  GROUP BY doc_id, p.w1, p.w2
+), bcnt AS (SELECT w1, w2, sum(tf) AS bcnt FROM tf GROUP BY w1, w2),
+ucnt AS (
+  SELECT t AS w, count(*) AS ucnt
+  FROM (SELECT unnest({_TOK}) AS t FROM documents) GROUP BY t
+), tot AS (SELECT sum(ucnt) AS n_total FROM ucnt)
+SELECT doc_id, CAST(sum(tf) AS INTEGER) AS n_bigrams,
+       round(sum(tf * ln(0.75 * (bcnt / CAST(c1.ucnt AS DOUBLE))
+                         + 0.25 * (c2.ucnt / CAST(n_total AS DOUBLE))))
+             / sum(tf), 6) AS avg_logprob
+FROM tf
+JOIN bcnt USING (w1, w2)
+JOIN ucnt c1 ON tf.w1 = c1.w
+JOIN ucnt c2 ON tf.w2 = c2.w, tot
+GROUP BY doc_id
+"""
+
 ORACLE["top_keywords"] = f"""
 WITH tfs AS (
   SELECT t AS term, doc_id AS docid, count(*) AS tf
@@ -2827,6 +2858,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llr": q_llr,
     # -- round-5 extension batch 4 --
     "unigram_logprob": q_unigram_logprob,     # unigram-LM perplexity proxy
+    "bigram_logprob": q_bigram_logprob,       # interpolated bigram LM
     "top_keywords": q_top_keywords,           # tf-idf keyword extraction
     "profile_events": q_profile_events,       # Deequ-style one-pass profile
     "per_key_sample": q_per_key_sample,       # k-per-group hash sample

@@ -235,3 +235,22 @@ def test_unigram_logprob_empty_docs_dropped(spark):
 
     df = spark.createDataFrame([(1, "x"), (2, "")], "doc_id long, text string")
     assert [r["doc_id"] for r in unigram_logprob(df).collect()] == [1]
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from mapreduce_assignments_spark.operators.text_quality import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "x")], "doc_id long, text string"
+    )
+    # unigrams: a=3 b=3 x=1, N=7; bigrams: (a,b)=2 (b,a)=2
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    lp_ab = math.log(0.75 * (2 / 3) + 0.25 * (3 / 7))
+    lp_ba = math.log(0.75 * (2 / 3) + 0.25 * (3 / 7))
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logprob"] == round((2 * lp_ab + 1 * lp_ba) / 3, 6)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_logprob"] == round(lp_ba, 6)
+    assert 3 not in out  # single-token doc has no bigrams
