@@ -2750,6 +2750,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": q_quantize_embeddings,
     "stratified_sample": q_stratified_sample,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    # -- third round-5 rotation: batch-4 operators enter the window
+    # (never driver-checked; the seven they displace were driver-green
+    # in rounds 3 AND 4 on unchanged code and stay oracle-checked in
+    # EXTRA_QUERIES via --all and pytest) --
+    "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
+    "top_keywords": q_top_keywords,
+    "profile_events": q_profile_events,
+    "per_key_sample": q_per_key_sample,
+    "latest_events": q_latest_events,
+    "streaming_latest_events": q_streaming_latest_events,
     # -- NEW in round 5 (never driver-checked: straight to the window) --
     "audio_stats": q_audio_stats,            # REAL WAV header parse, pure JVM
     "source_stats": q_source_stats,          # per-source curation dashboard
@@ -2767,21 +2778,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_duplicates": q_phash_duplicates,
     "frame_sample": q_frame_sample,
     "hourly_counts": q_hourly_counts,
-    "hourly_counts_tweets_egypt": q_hourly_counts_tweets_egypt,
     "streaming_hourly_counts": q_streaming_hourly_counts,
     "streaming_user_sessions": q_streaming_user_sessions,
     "streaming_dedup": q_streaming_dedup,
-    "sql_revenue_by_nation": q_sql_revenue_by_nation,
-    "user_sessions": q_user_sessions,
-    "event_props_stats": q_event_props_stats,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     # -- green in round 3 --
-    "bigram_count": q_bigram_count,
     "cooccurrence": q_cooccurrence,
     "pmi": q_pmi,
-    "inverted_index_stats": q_inverted_index_stats,
-    "tf_idf": q_tf_idf,
     "boolean_retrieval_text": q_boolean_retrieval_text,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -2857,13 +2861,16 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "llr": q_llr,
     # -- round-5 extension batch 4 --
-    "unigram_logprob": q_unigram_logprob,     # unigram-LM perplexity proxy
-    "bigram_logprob": q_bigram_logprob,       # interpolated bigram LM
-    "top_keywords": q_top_keywords,           # tf-idf keyword extraction
-    "profile_events": q_profile_events,       # Deequ-style one-pass profile
-    "per_key_sample": q_per_key_sample,       # k-per-group hash sample
-    "latest_events": q_latest_events,         # CDC upsert compaction
-    "streaming_latest_events": q_streaming_latest_events,  # its streaming twin
+    # -- rotated out in round 5's third rotation (driver-green in
+    # rounds 3 AND 4 on unchanged code; displaced by the batch-4
+    # operators; still oracle-checked here via --all and pytest) --
+    "bigram_count": q_bigram_count,
+    "sql_revenue_by_nation": q_sql_revenue_by_nation,
+    "user_sessions": q_user_sessions,
+    "event_props_stats": q_event_props_stats,
+    "hourly_counts_tweets_egypt": q_hourly_counts_tweets_egypt,
+    "inverted_index_stats": q_inverted_index_stats,
+    "tf_idf": q_tf_idf,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
