@@ -44,3 +44,30 @@ def test_empty_inputs_degrade_gracefully(empties):
     assert graph.degree_histogram(g).collect() == []
     [r] = graph.triangle_count(g).collect()  # global agg: one zero row
     assert r["n_triangles"] == 0
+
+
+def test_batch4_operators_degrade_gracefully(spark, empties):
+    from mapreduce_assignments_spark.operators import (
+        index,
+        profiling,
+        temporal,
+    )
+
+    d = empties["docs"]
+    ev = spark.createDataFrame(
+        [], "user_id long, event_type string, event_id long, ts timestamp, value double"
+    )
+    assert text_quality.unigram_logprob(d).collect() == []
+    assert text_quality.bigram_logprob(d).collect() == []
+    assert index.top_keywords(d).collect() == []
+    assert sampling.per_key_sample(d, "source", "doc_id", 3).collect() == []
+    assert temporal.latest_snapshot(
+        ev, keys=("user_id", "event_type"), tiebreak="event_id"
+    ).collect() == []
+    # profile of an empty table: one row per column, all-zero counts,
+    # NULL bounds — not an empty frame (the report shape is the contract)
+    rows = {r["column"]: r for r in profiling.profile_columns(ev, ["user_id", "value"]).collect()}
+    assert set(rows) == {"user_id", "value"}
+    for r in rows.values():
+        assert (r["n_rows"], r["non_null"], r["n_distinct"]) == (0, 0, 0)
+        assert r["min_value"] is None and r["max_value"] is None

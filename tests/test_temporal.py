@@ -193,3 +193,43 @@ def test_latest_snapshot_picks_max_ts_with_tiebreak(spark):
         (2, "click"): (300, 5.0),
     }
     assert set(snap.columns) == {"user_id", "event_type", "event_id", "ts", "value"}
+
+
+def test_latest_snapshot_equals_window_formulation(spark):
+    """Adversarial cross-check: the max_by aggregation must compute the
+    same function as the classic row_number window on randomized data
+    (including ts ties resolved by the tiebreak)."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(42)
+    rows = [
+        (
+            rng.randrange(5),                      # user_id
+            rng.choice(["a", "b", "c"]),           # event_type
+            i,                                     # event_id (unique)
+            _ts(f"2024-01-01 0{rng.randrange(10)}:00:00"),  # coarse ts => ties
+            float(i),
+        )
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, ts timestamp, value double"
+    )
+    got = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in temporal.latest_snapshot(
+            ev, keys=("user_id", "event_type"), tiebreak="event_id"
+        ).collect()
+    }
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    want = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    assert got == want
