@@ -40,6 +40,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_candidates",
+    "verified_near_dupes",
     "simhash",
     "simhash_near_dupes",
     "dedup_clusters",
@@ -233,6 +234,64 @@ def minhash_lsh_candidates(
         )
         .distinct()
         .where(F.col("est_sim") >= threshold)
+    )
+
+
+def verified_near_dupes(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = NUM_MINHASHES,
+    bands: int = 8,
+    est_threshold: float = 0.5,
+    max_dist_ratio: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate-generate-then-EXACT-verify near-dup detection:
+    banded-LSH candidates (:func:`minhash_lsh_candidates`, estimated
+    Jaccard ≥ ``est_threshold``) verified by true edit distance —
+    ``(doc_a, doc_b, est_sim, dist, dist_ratio)`` for pairs whose
+    normalized Levenshtein ``dist / max(len_a, len_b)`` is at most
+    ``max_dist_ratio``. The two-stage shape every production dedup
+    runs: sketches prune the O(n²) space, an exact measure makes the
+    final call.
+
+    Scale: the quadratic-cost ``levenshtein`` only ever runs on
+    LSH-surviving pairs (corpus-sublinear), and a length pre-filter
+    runs first — ``|len_a − len_b|`` lower-bounds edit distance, so
+    pairs that cannot pass are dropped before any DP matrix is built.
+    Text payloads join onto the narrow candidate pairs (two key
+    shuffles), never the reverse.
+    """
+    cands = minhash_lsh_candidates(
+        docs,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=est_threshold,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    texts = docs.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vtext"))
+    maxlen = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        cands.join(
+            texts.select(F.col("_vid").alias("doc_a"), F.col("_vtext").alias("text_a")),
+            "doc_a",
+        )
+        .join(
+            texts.select(F.col("_vid").alias("doc_b"), F.col("_vtext").alias("text_b")),
+            "doc_b",
+        )
+        # length-gap lower bound: cannot pass the ratio gate => no DP run
+        .where(
+            F.abs(F.length("text_a") - F.length("text_b"))
+            <= F.lit(max_dist_ratio) * maxlen
+        )
+        .withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .withColumn("dist_ratio", F.round(F.col("dist") / maxlen, 6))
+        .where(F.col("dist_ratio") <= max_dist_ratio)
+        .select("doc_a", "doc_b", "est_sim", "dist", "dist_ratio")
     )
 
 

@@ -1105,6 +1105,14 @@ def q_unigram_logprob(spark, sf_dir):
     return text_quality.unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_verified_near_dupes(spark, sf_dir):
+    """LSH-candidate near-dups verified by exact normalized edit
+    distance (the sketch-prune → exact-measure two-stage)."""
+    return dedup.verified_near_dupes(
+        _docs(spark, sf_dir), est_threshold=0.5, max_dist_ratio=0.3
+    )
+
+
 def q_bigram_logprob(spark, sf_dir):
     """Interpolated bigram-LM scoring (λ=0.75 Jelinek–Mercer): the
     transition-aware perplexity proxy."""
@@ -2095,6 +2103,46 @@ FROM tf JOIN cnts USING (term), tot
 GROUP BY doc_id
 """
 
+ORACLE["verified_near_dupes"] = f"""
+WITH mh AS ({_MINHASH_FLAT}),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bsig
+  FROM mh GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS ag
+  FROM cand c
+  JOIN mh x ON x.doc_id = c.doc_a
+  JOIN mh y ON y.doc_id = c.doc_b AND y.i = x.i
+  GROUP BY c.doc_a, c.doc_b
+),
+est AS (
+  SELECT doc_a, doc_b, CAST(ag AS DOUBLE) / {NUM_MINHASHES} AS est_sim
+  FROM agree WHERE CAST(ag AS DOUBLE) / {NUM_MINHASHES} >= 0.5
+),
+verified AS (
+  SELECT e.doc_a, e.doc_b, e.est_sim,
+         levenshtein(da.text, db.text) AS dist,
+         greatest(length(da.text), length(db.text)) AS maxlen
+  FROM est e
+  JOIN documents da ON da.doc_id = e.doc_a
+  JOIN documents db ON db.doc_id = e.doc_b
+  WHERE abs(length(da.text) - length(db.text))
+        <= 0.3 * greatest(length(da.text), length(db.text))
+)
+SELECT doc_a, doc_b, est_sim, CAST(dist AS INTEGER) AS dist,
+       round(CAST(dist AS DOUBLE) / maxlen, 6) AS dist_ratio
+FROM verified
+WHERE round(CAST(dist AS DOUBLE) / maxlen, 6) <= 0.3
+"""
+
 ORACLE["bigram_logprob"] = f"""
 WITH tf AS (
   SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS tf
@@ -2850,6 +2898,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_customer_orders": q_bucketed_customer_orders,
     "exact_duplicates": q_exact_duplicates,
     "ngram_jaccard": q_ngram_jaccard,
+    # -- round-5 extension batch 5 --
+    "verified_near_dupes": q_verified_near_dupes,
     # -- round-5 extension batch 3 --
     "hashing_tfidf": q_hashing_tfidf,
     "dedup_apply": q_dedup_apply,

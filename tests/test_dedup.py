@@ -201,3 +201,38 @@ def test_simhash_bits_bounds(spark):
         simhash(docs, bits=0)
     # the documented max works end-to-end
     assert simhash(docs, bits=62).count() == 1
+
+
+def test_verified_near_dupes_two_stage(spark):
+    from mapreduce_assignments_spark.operators.dedup import verified_near_dupes
+
+    base = "the quick brown fox jumps over the lazy dog and keeps on running home"
+    near = base.replace("lazy", "hazy")          # 1 edit, same shingle mass
+    far = "completely different text about spark physical plans and shuffles here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, far)],  # 3/4 exact dupes
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in verified_near_dupes(df, est_threshold=0.3, max_dist_ratio=0.3).collect()
+    }
+    assert (1, 2) in rows and (3, 4) in rows
+    r12 = rows[(1, 2)]
+    assert r12["dist"] == 1
+    assert 0.0 < r12["dist_ratio"] <= 0.02
+    assert rows[(3, 4)]["dist"] == 0 and rows[(3, 4)]["est_sim"] == 1.0
+    # cross pairs (base vs far) never survive candidate generation
+    assert all(a in (1, 3) and b in (2, 4) for a, b in rows)
+
+
+def test_verified_near_dupes_length_prefilter(spark):
+    """A pair whose length gap alone exceeds the ratio gate is dropped
+    even if the texts share every shingle (prefix duplication)."""
+    from mapreduce_assignments_spark.operators.dedup import verified_near_dupes
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = (short + " ") * 5 + short
+    df = spark.createDataFrame([(1, short), (2, long)], "doc_id long, text string")
+    out = verified_near_dupes(df, est_threshold=0.0, max_dist_ratio=0.3).collect()
+    assert out == []
