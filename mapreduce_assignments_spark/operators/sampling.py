@@ -26,6 +26,7 @@ __all__ = [
     "deterministic_sample",
     "hash_split",
     "per_key_sample",
+    "shuffle_shards",
     "stratified_sample",
     "weighted_sample",
 ]
@@ -98,6 +99,43 @@ def per_key_sample(df: DataFrame, group_col: str, key: str, k: int) -> DataFrame
         df.where(F.col(group_col).isNotNull() & F.col(key).isNotNull())
         .withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
+    )
+
+
+def shuffle_shards(
+    df: DataFrame, key: str, n_shards: int, seed: str = ""
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-order
+    randomization: every row gets a ``shard`` in ``[0, n_shards)`` and
+    a 1-based ``pos`` within its shard, both pure functions of
+    ``(seed, key)`` — rerunning ingestion reproduces the exact epoch
+    order, and changing ``seed`` is a fresh permutation. The classic
+    "shuffle once at rest, read shards sequentially at train time"
+    layout.
+
+    Scale: a TRUE global sort would funnel a total order through a
+    range exchange; instead the permutation is hash-split into
+    ``n_shards`` independent orders — one shuffle on ``shard``, then
+    per-shard in-memory sorts of ~corpus/n_shards rows each. Size
+    ``n_shards`` so a shard fits an executor (100 TB / 100k shards =
+    1 GB); readers consume shards in any order, which is itself part
+    of the shuffle.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    salted = F.concat_ws("|", F.lit(seed), F.col(key).cast("string"))
+    h = h60(salted)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_h").asc(), F.col(key).cast("string").asc()
+    )
+    return (
+        df.where(F.col(key).isNotNull())
+        .withColumn("_h", h)
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_h")
     )
 
 

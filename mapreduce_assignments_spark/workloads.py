@@ -1105,6 +1105,17 @@ def q_unigram_logprob(spark, sf_dir):
     return text_quality.unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic epoch-shuffle layout: 8 hash shards with
+    reproducible within-shard positions (seed '42')."""
+    return sampling.shuffle_shards(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        key="doc_id",
+        n_shards=8,
+        seed="42",
+    )
+
+
 def q_verified_near_dupes(spark, sf_dir):
     """LSH-candidate near-dups verified by exact normalized edit
     distance (the sketch-prune → exact-measure two-stage)."""
@@ -2103,6 +2114,19 @@ FROM tf JOIN cnts USING (term), tot
 GROUP BY doc_id
 """
 
+ORACLE["shuffle_shards"] = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         {_h60_sql("'42|' || CAST(doc_id AS VARCHAR)")} AS hh
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT doc_id, source, CAST(hh % 8 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY hh % 8
+                               ORDER BY hh, CAST(doc_id AS VARCHAR))
+            AS INTEGER) AS pos
+FROM h
+"""
+
 ORACLE["verified_near_dupes"] = f"""
 WITH mh AS ({_MINHASH_FLAT}),
 bands AS (
@@ -2900,6 +2924,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     # -- round-5 extension batch 5 --
     "verified_near_dupes": q_verified_near_dupes,
+    "shuffle_shards": q_shuffle_shards,
     # -- round-5 extension batch 3 --
     "hashing_tfidf": q_hashing_tfidf,
     "dedup_apply": q_dedup_apply,

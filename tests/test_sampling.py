@@ -209,3 +209,23 @@ def test_per_key_sample_null_and_validation(spark):
     assert {(r["grp"], r["id"]) for r in got} == {("g", 1), ("g", 2)}
     with pytest.raises(ValueError):
         per_key_sample(df, "grp", "id", 0)
+
+
+def test_shuffle_shards_deterministic_permutation(spark, docs_table):
+    from mapreduce_assignments_spark.operators.sampling import shuffle_shards
+
+    base = docs_table.select("doc_id")
+    a = {(r["doc_id"]): (r["shard"], r["pos"]) for r in shuffle_shards(base, "doc_id", 8, "s1").collect()}
+    b = {(r["doc_id"]): (r["shard"], r["pos"]) for r in shuffle_shards(base.repartition(11), "doc_id", 8, "s1").collect()}
+    assert a == b  # pure function of (seed, key): partitioning-invariant
+    c = {(r["doc_id"]): (r["shard"], r["pos"]) for r in shuffle_shards(base, "doc_id", 8, "s2").collect()}
+    assert a != c  # a new seed is a fresh permutation
+    # every shard's positions are dense 1..len
+    per_shard: dict[int, list[int]] = {}
+    for shard, pos in a.values():
+        per_shard.setdefault(shard, []).append(pos)
+    assert set(per_shard) <= set(range(8))
+    for ps in per_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    with pytest.raises(ValueError):
+        shuffle_shards(base, "doc_id", 0)
