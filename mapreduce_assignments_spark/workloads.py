@@ -1105,6 +1105,30 @@ def q_unigram_logprob(spark, sf_dir):
     return text_quality.unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Incremental-sync diff between two deterministic versions of the
+    events table: the 'old' snapshot is missing every 17th event
+    (-> inserts), the 'new' one drops every 19th (-> deletes) and bumps
+    value on every 13th (-> updates); value is canonicalized to
+    DECIMAL(18,6) before digesting (engine-stable rendering)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).cast("decimal(18,6)").alias("value_d"),
+    )
+    old = ev.where(F.col("event_id") % 17 != 0)
+    new = ev.where(F.col("event_id") % 19 != 0).withColumn(
+        "value_d",
+        F.when(
+            F.col("event_id") % 13 == 0,
+            (F.col("value_d") + 1).cast("decimal(18,6)"),
+        ).otherwise(F.col("value_d")),
+    )
+    return temporal.snapshot_diff(
+        old, new, key="event_id", compare_cols=("event_type", "value_d")
+    )
+
+
 def q_shuffle_shards(spark, sf_dir):
     """Deterministic epoch-shuffle layout: 8 hash shards with
     reproducible within-shard positions (seed '42')."""
@@ -2114,6 +2138,35 @@ FROM tf JOIN cnts USING (term), tot
 GROUP BY doc_id
 """
 
+ORACLE["snapshot_diff"] = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(round(value, 6) AS DECIMAL(18,6)) AS value_d
+  FROM events
+),
+old AS (
+  SELECT event_id,
+         md5(event_type || '|' || CAST(value_d AS VARCHAR)) AS d
+  FROM base WHERE event_id % 17 != 0
+),
+new AS (
+  SELECT event_id,
+         md5(event_type || '|' || CAST(
+           CASE WHEN event_id % 13 = 0
+                THEN CAST(value_d + 1 AS DECIMAL(18,6))
+                ELSE value_d END AS VARCHAR)) AS d
+  FROM base WHERE event_id % 19 != 0
+)
+SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+       CASE WHEN o.event_id IS NULL THEN 'insert'
+            WHEN n.event_id IS NULL THEN 'delete'
+            WHEN o.d != n.d THEN 'update' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+WHERE (CASE WHEN o.event_id IS NULL THEN 'insert'
+            WHEN n.event_id IS NULL THEN 'delete'
+            WHEN o.d != n.d THEN 'update' END) IS NOT NULL
+"""
+
 ORACLE["shuffle_shards"] = f"""
 WITH h AS (
   SELECT doc_id, source,
@@ -2925,6 +2978,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-5 extension batch 5 --
     "verified_near_dupes": q_verified_near_dupes,
     "shuffle_shards": q_shuffle_shards,
+    "snapshot_diff": q_snapshot_diff,
     # -- round-5 extension batch 3 --
     "hashing_tfidf": q_hashing_tfidf,
     "dedup_apply": q_dedup_apply,

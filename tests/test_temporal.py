@@ -233,3 +233,20 @@ def test_latest_snapshot_equals_window_formulation(spark):
         .collect()
     }
     assert got == want
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    old = spark.createDataFrame(
+        [(1, "a", "10"), (2, "b", "20"), (3, "c", "30")],
+        "id long, t string, v string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "20"), (3, "c", "31"), (4, "d", "40")],
+        "id long, t string, v string",
+    )
+    got = {
+        r["id"]: r["change_type"]
+        for r in temporal.snapshot_diff(old, new, "id", ("t", "v")).collect()
+    }
+    # 1 deleted, 2 unchanged (absent), 3 updated, 4 inserted
+    assert got == {1: "delete", 3: "update", 4: "insert"}
