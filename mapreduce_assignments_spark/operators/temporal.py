@@ -32,7 +32,57 @@ __all__ = [
     "sliding_hourly_stats",
     "latest_snapshot",
     "snapshot_diff",
+    "hourly_anomalies",
 ]
+
+
+def hourly_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    preceding: int = 6,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Volume anomaly detection: per event_type, each observed hour's
+    count is z-scored against the mean/stddev of the ``preceding``
+    trailing hours (the current hour EXCLUDED from its own baseline —
+    a spike must not mask itself). Emits every scorable hour with
+    ``(n, baseline_mean, baseline_sd, zscore, is_anomaly)``; hours
+    whose baseline has < 2 points or zero variance are unscorable and
+    dropped.
+
+    Scale: same shape as :func:`sliding_hourly_stats` — the window
+    partitions on event_type, but over the ALREADY AGGREGATED hourly
+    table (map-side partials first), so the low-cardinality key is
+    safe; ROWS frames keep gap hours from stretching the baseline.
+    """
+    hourly = events.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("HOUR", F.col(ts_col)), "yyyy-MM-dd HH:00").alias(
+            "hour"
+        ),
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-preceding, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(F.avg("n").over(w), 6).alias("baseline_mean"),
+        F.round(F.stddev_samp(F.col("n").cast("double")).over(w), 6).alias(
+            "baseline_sd"
+        ),
+    )
+    z = F.round(
+        (F.col("n") - F.col("baseline_mean")) / F.col("baseline_sd"), 6
+    )
+    return (
+        scored.where(F.col("baseline_sd").isNotNull() & (F.col("baseline_sd") > 0))
+        .withColumn("zscore", z)
+        .withColumn("is_anomaly", F.abs(F.col("zscore")) >= z_threshold)
+    )
 
 
 def snapshot_diff(

@@ -1105,6 +1105,12 @@ def q_unigram_logprob(spark, sf_dir):
     return text_quality.unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_hourly_anomalies(spark, sf_dir):
+    """Trailing-window z-score volume anomalies per event_type (6-hour
+    baseline, current hour excluded from its own baseline)."""
+    return temporal.hourly_anomalies(_events(spark, sf_dir))
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Incremental-sync diff between two deterministic versions of the
     events table: the 'old' snapshot is missing every 17th event
@@ -2138,6 +2144,27 @@ FROM tf JOIN cnts USING (term), tot
 GROUP BY doc_id
 """
 
+ORACLE["hourly_anomalies"] = """
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, hour, n,
+         round(avg(n) OVER w, 6) AS baseline_mean,
+         round(stddev_samp(n) OVER w, 6) AS baseline_sd
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n, baseline_mean, baseline_sd,
+       round((n - baseline_mean) / baseline_sd, 6) AS zscore,
+       abs(round((n - baseline_mean) / baseline_sd, 6)) >= 3.0 AS is_anomaly
+FROM scored
+WHERE baseline_sd IS NOT NULL AND baseline_sd > 0
+"""
+
 ORACLE["snapshot_diff"] = """
 WITH base AS (
   SELECT event_id, event_type,
@@ -2979,6 +3006,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "verified_near_dupes": q_verified_near_dupes,
     "shuffle_shards": q_shuffle_shards,
     "snapshot_diff": q_snapshot_diff,
+    "hourly_anomalies": q_hourly_anomalies,
     # -- round-5 extension batch 3 --
     "hashing_tfidf": q_hashing_tfidf,
     "dedup_apply": q_dedup_apply,

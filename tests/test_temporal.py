@@ -250,3 +250,28 @@ def test_snapshot_diff_classifies_changes(spark):
     }
     # 1 deleted, 2 unchanged (absent), 3 updated, 4 inserted
     assert got == {1: "delete", 3: "update", 4: "insert"}
+
+
+def test_hourly_anomalies_spike_detection(spark):
+    # 7 quiet hours alternating 10/12 events (nonzero baseline
+    # variance), then an hour with 100: huge z-score
+    rows = []
+    eid = 0
+    for h in range(7):
+        for _ in range(10 if h % 2 == 0 else 12):
+            rows.append(("click", _ts(f"2024-01-01 {h:02d}:15:00"), float(eid)))
+            eid += 1
+    for _ in range(100):
+        rows.append(("click", _ts("2024-01-01 07:15:00"), float(eid)))
+        eid += 1
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {r["hour"]: r for r in temporal.hourly_anomalies(ev).collect()}
+    # hours 0 and 1 have baselines of < 2 points and are dropped
+    assert "2024-01-01 00:00" not in out and "2024-01-01 01:00" not in out
+    spike = out["2024-01-01 07:00"]
+    assert spike["n"] == 100 and spike["is_anomaly"]
+    assert spike["zscore"] > 3.0
+    # baseline excluded the spike itself: mean of the quiet [12,10]*3
+    assert spike["baseline_mean"] == 11.0
+    # a quiet hour inside the alternation is scorable but NOT anomalous
+    assert not out["2024-01-01 06:00"]["is_anomaly"]
