@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from ..functions.hashing import h60
 from .text import tokens_array
 
-__all__ = ["hashing_tf", "hashing_tfidf"]
+__all__ = ["hashing_tf", "hashing_tfidf", "quantile_buckets"]
 
 
 def _bucket_counts(
@@ -133,3 +133,38 @@ def hashing_tfidf(
         )
     )
     return _assemble_sparse(weighted, "w")
+
+
+def quantile_buckets(
+    df: DataFrame, value_col: str, n_buckets: int = 4, id_col: str = "event_id"
+) -> DataFrame:
+    """Exact equi-depth bucketizer (the QuantileDiscretizer contract,
+    but exact): rows are assigned to ``n_buckets`` buckets split at the
+    exact ``i/n_buckets`` percentiles of ``value_col``. Boundary
+    semantics: a value equal to a split lands in the LOWER bucket
+    (``bucket = #splits strictly below the value + 1``), deterministic
+    across engines.
+
+    Scale: two passes — a single global percentile aggregate (one
+    1-row result, explicitly broadcast) and a narrow bucket-assignment
+    projection. No sort, no shuffle of the data itself; the Spark ML
+    analogue approximates the splits for the same reason this computes
+    them in one aggregate rather than a total order.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    bounds = df.agg(
+        F.expr(f"percentile({value_col}, array({qs}))").alias("_bounds")
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(id_col),
+            F.col(value_col),
+            (
+                F.size(F.filter(F.col("_bounds"), lambda b: F.col(value_col) > b))
+                + 1
+            ).alias("bucket"),
+        )
+    )

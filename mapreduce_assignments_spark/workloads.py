@@ -1105,6 +1105,19 @@ def q_unigram_logprob(spark, sf_dir):
     return text_quality.unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_value_buckets(spark, sf_dir):
+    """Exact equi-depth quartile bucketing of event values, reported
+    as the per-bucket histogram (depths near-equal by construction)."""
+    b = features.quantile_buckets(
+        _events(spark, sf_dir), value_col="value", n_buckets=4
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
 def q_hourly_anomalies(spark, sf_dir):
     """Trailing-window z-score volume anomalies per event_type (6-hour
     baseline, current hour excluded from its own baseline)."""
@@ -2144,6 +2157,19 @@ FROM tf JOIN cnts USING (term), tot
 GROUP BY doc_id
 """
 
+ORACLE["value_buckets"] = """
+WITH bounds AS (
+  SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS bs FROM events
+), assigned AS (
+  SELECT e.value,
+         CAST(len(list_filter(b.bs, x -> e.value > x)) + 1 AS INTEGER) AS bucket
+  FROM events e, bounds b
+)
+SELECT bucket, count(*) AS n,
+       round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
+FROM assigned GROUP BY bucket
+"""
+
 ORACLE["hourly_anomalies"] = """
 WITH hourly AS (
   SELECT event_type,
@@ -3007,6 +3033,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_shards": q_shuffle_shards,
     "snapshot_diff": q_snapshot_diff,
     "hourly_anomalies": q_hourly_anomalies,
+    "value_buckets": q_value_buckets,
     # -- round-5 extension batch 3 --
     "hashing_tfidf": q_hashing_tfidf,
     "dedup_apply": q_dedup_apply,

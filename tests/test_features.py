@@ -60,3 +60,23 @@ def test_hashing_tfidf_keeps_empty_docs(spark):
     got = {r["doc_id"]: (list(r["indices"]), list(r["values"])) for r in hashing_tfidf(df, 8).collect()}
     assert got[2] == ([], [])
     assert len(got[1][0]) == 1
+
+
+def test_quantile_buckets_equi_depth(spark):
+    import pytest
+
+    from mapreduce_assignments_spark.operators.features import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "event_id long, value double"
+    )
+    out = quantile_buckets(df, "value", 4).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["bucket"], []).append(r["value"])
+    assert set(per) == {1, 2, 3, 4}
+    assert all(len(v) == 25 for v in per.values())  # exact equi-depth
+    # boundary lands LOW: 25.75 is the 0.25 split, so 25 is bucket 1
+    assert max(per[1]) == 25.0 and min(per[2]) == 26.0
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "value", 1)
