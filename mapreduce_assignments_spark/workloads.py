@@ -931,6 +931,25 @@ def q_triangle_count(spark, sf_dir):
     return graph.triangle_count(_customer_graph(spark, sf_dir))
 
 
+def q_graph_components(spark, sf_dir):
+    """Connected components over the customer graph via the SAME
+    min-label-propagation loop the dedup pipeline uses
+    (dedup.dedup_clusters — one operator, two families). The oracle is
+    semantically independent: by construction every nation's members
+    form one component (each links to its nation's 10 lowest keys), so
+    the expected labeling is derivable with plain GROUP BY — the
+    iterative algorithm must land exactly there."""
+    g = _customer_graph(spark, sf_dir)
+    pairs = g.select(
+        F.col("id").alias("doc_a"), F.explode("adj").alias("doc_b")
+    )
+    return dedup.dedup_clusters(pairs).select(
+        F.col("doc_id").alias("node_id"),
+        F.col("canonical_id").alias("component_id"),
+        F.col("cluster_size").alias("component_size"),
+    )
+
+
 def q_personalized_pagerank(spark, sf_dir):
     g = _customer_graph(spark, sf_dir)
     sources = [r["id"] for r in g.select("id").orderBy("id").limit(2).collect()]
@@ -2157,6 +2176,18 @@ FROM tf JOIN cnts USING (term), tot
 GROUP BY doc_id
 """
 
+ORACLE["graph_components"] = """
+WITH m AS (
+  SELECT c_nationkey, CAST(c_custkey AS INTEGER) AS id FROM customer
+), s AS (
+  SELECT c_nationkey, min(id) AS comp, count(*) AS sz
+  FROM m GROUP BY c_nationkey
+)
+SELECT m.id AS node_id, s.comp AS component_id, s.sz AS component_size
+FROM m JOIN s USING (c_nationkey)
+WHERE s.sz >= 2
+"""
+
 ORACLE["value_buckets"] = """
 WITH bounds AS (
   SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS bs FROM events
@@ -2928,6 +2959,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": q_quantize_embeddings,
     "stratified_sample": q_stratified_sample,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    # -- fourth round-5 rotation: batch-5 operators enter the window
+    # (never driver-checked; the five displaced were driver-green in
+    # rounds 3 AND 4 on unchanged code and keep golden/EXTRA coverage) --
+    "verified_near_dupes": q_verified_near_dupes,
+    "shuffle_shards": q_shuffle_shards,
+    "snapshot_diff": q_snapshot_diff,
+    "hourly_anomalies": q_hourly_anomalies,
+    "value_buckets": q_value_buckets,
     # -- third round-5 rotation: batch-4 operators enter the window
     # (never driver-checked; the seven they displace were driver-green
     # in rounds 3 AND 4 on unchanged code and stay oracle-checked in
@@ -2962,11 +3001,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     # -- green in round 3 --
-    "cooccurrence": q_cooccurrence,
-    "pmi": q_pmi,
-    "boolean_retrieval_text": q_boolean_retrieval_text,
-    "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
     # -- second round-5 rotation: the five newest extension operators
     # take window slots from queries that were driver-green in rounds
@@ -3029,11 +3063,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_duplicates": q_exact_duplicates,
     "ngram_jaccard": q_ngram_jaccard,
     # -- round-5 extension batch 5 --
-    "verified_near_dupes": q_verified_near_dupes,
-    "shuffle_shards": q_shuffle_shards,
-    "snapshot_diff": q_snapshot_diff,
-    "hourly_anomalies": q_hourly_anomalies,
-    "value_buckets": q_value_buckets,
+    "graph_components": q_graph_components,
     # -- round-5 extension batch 3 --
     "hashing_tfidf": q_hashing_tfidf,
     "dedup_apply": q_dedup_apply,
@@ -3055,6 +3085,14 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_counts_tweets_egypt": q_hourly_counts_tweets_egypt,
     "inverted_index_stats": q_inverted_index_stats,
     "tf_idf": q_tf_idf,
+    # -- rotated out in round 5's fourth rotation (driver-green in
+    # rounds 3 AND 4 on unchanged code; pmi/cooccurrence/boolean keep
+    # golden-file parity coverage in tests/test_golden_reference.py) --
+    "cooccurrence": q_cooccurrence,
+    "pmi": q_pmi,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "boolean_retrieval_text": q_boolean_retrieval_text,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
