@@ -1,8 +1,11 @@
 """Structured Streaming operators (see stream_ops)."""
 
 from .stream_ops import (  # noqa: F401
+    EVENTS_SCHEMA,
+    maintain_snapshot,
     read_events_stream,
     run_to_memory,
+    streaming_enriched_counts,
     streaming_exact_dedup,
     streaming_hourly_counts,
     streaming_user_sessions,
@@ -13,5 +16,8 @@ __all__ = [
     "streaming_hourly_counts",
     "streaming_user_sessions",
     "streaming_exact_dedup",
+    "maintain_snapshot",
+    "streaming_enriched_counts",
+    "EVENTS_SCHEMA",
     "run_to_memory",
 ]

@@ -33,6 +33,8 @@ __all__ = [
     "streaming_hourly_counts",
     "streaming_user_sessions",
     "streaming_exact_dedup",
+    "maintain_snapshot",
+    "streaming_enriched_counts",
     "run_to_memory",
 ]
 
@@ -156,6 +158,77 @@ def streaming_exact_dedup(
     a digest column."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
+    )
+
+
+def maintain_snapshot(
+    stream: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+):
+    """Incrementally maintain a latest-per-key parquet snapshot from a
+    stream — the ``foreachBatch`` upsert-to-storage pattern: each
+    micro-batch is merged with the snapshot at rest through the SAME
+    batch ``temporal.latest_snapshot`` operator, and the result
+    replaces the snapshot atomically-enough for a single writer
+    (checkpoint-then-overwrite; a lakehouse table format would make
+    this a real MERGE, the operator seam is identical).
+
+    Scale: each merge is one key-shuffle of (snapshot + batch) — the
+    snapshot side re-reads from parquet each batch, which is the
+    no-table-format cost; with Delta/Iceberg the same ``upsert``
+    callback body becomes ``MERGE INTO`` and touches only matched
+    files. State lives entirely at rest; the stream holds none.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..operators.temporal import latest_snapshot
+
+    def upsert(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(path)
+        except AnalysisException:
+            existing = spark.createDataFrame([], batch_df.schema)
+        merged = latest_snapshot(
+            existing.unionByName(batch_df), keys=keys, ts_col=ts_col, tiebreak=tiebreak
+        )
+        # materialize BEFORE overwriting the path the plan reads from
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(path)
+
+    # multi-batch replay is controlled by the caller's readStream
+    # options (e.g. maxFilesPerTrigger) — the merge body is per-batch
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def streaming_enriched_counts(
+    events: DataFrame, dim: DataFrame, on: str = "user_id", tier_col: str = "tier"
+) -> DataFrame:
+    """Stream-static enrichment: the unbounded event stream joins a
+    bounded dimension table (re-read per micro-batch, broadcast when
+    small), then aggregates per tier in complete mode — the standard
+    "enrich the firehose with a slowly-changing dim" topology. State
+    is O(tiers); the dim never enters the state store.
+    """
+    return (
+        events.join(F.broadcast(dim), on)
+        .groupBy(tier_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("total_value"),
+        )
     )
 
 

@@ -344,6 +344,83 @@ def q_streaming_latest_events(spark, sf_dir):
     )
 
 
+_STAGED_USER_DIM: dict[str, str] = {}
+
+
+def _staged_user_dim_dir(spark, sf_dir: str) -> str:
+    """A small static dimension (user_id → tier = user_id % 3) staged
+    as parquet — the slowly-changing dim a stream-static join enriches
+    against."""
+    if sf_dir not in _STAGED_USER_DIM:
+        import atexit
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="mras-user-dim-stage-")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        (
+            _events(spark, sf_dir)
+            .select("user_id")
+            .distinct()
+            .withColumn("tier", F.pmod("user_id", F.lit(3)).cast("int"))
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        _STAGED_USER_DIM[sf_dir] = stage
+    return _STAGED_USER_DIM[sf_dir]
+
+
+def q_streaming_enriched_counts(spark, sf_dir):
+    """Stream-static enrichment join: the event stream joins the
+    staged user-tier dimension (broadcast, re-resolved per
+    micro-batch) and aggregates per tier in complete mode. Oracle =
+    the same enrichment as one batch SQL join."""
+    from .streaming import read_events_stream, run_to_memory, streaming_enriched_counts
+
+    stream = read_events_stream(spark, _staged_events_dir(spark, sf_dir))
+    dim = spark.read.parquet(_staged_user_dim_dir(spark, sf_dir))
+    run_to_memory(
+        streaming_enriched_counts(stream, dim), "q_stream_enrich_mem", "complete"
+    )
+    return spark.table("q_stream_enrich_mem")
+
+
+def q_streaming_snapshot_sink(spark, sf_dir):
+    """foreachBatch incremental upsert-to-storage: the duplicated
+    event stream is replayed ONE FILE PER MICRO-BATCH (>= 8 batches),
+    each batch merging into a parquet snapshot at rest via the batch
+    latest_snapshot operator; the final snapshot must equal the batch
+    latest_events oracle exactly."""
+    import shutil
+    import tempfile
+
+    from .streaming import EVENTS_SCHEMA, maintain_snapshot
+
+    import atexit
+
+    snap = tempfile.mkdtemp(prefix="mras-snapshot-sink-")
+    shutil.rmtree(snap, ignore_errors=True)  # first batch takes the empty path
+    atexit.register(shutil.rmtree, snap, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_dup_events_dir(spark, sf_dir))
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+    maintain_snapshot(
+        stream, snap, keys=("user_id", "event_type"), ts_col="ts", tiebreak="event_id"
+    )
+    out = spark.read.parquet(snap).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value", 6).alias("value"),
+    )
+    # materialize before the atexit-free tmp dir could be cleaned
+    return out.localCheckpoint(eager=True)
+
+
 def q_streaming_user_sessions(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState)
     replayed over the staged events and checked against the SAME DuckDB
@@ -2385,6 +2462,13 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
 WHERE rn = 1
 """
 ORACLE["streaming_latest_events"] = ORACLE["latest_events"]
+ORACLE["streaming_snapshot_sink"] = ORACLE["latest_events"]
+
+ORACLE["streaming_enriched_counts"] = """
+SELECT CAST(user_id % 3 AS INTEGER) AS tier, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+"""
 
 
 # --- iterative graph oracles: the 8-iteration power method, unrolled --------
@@ -3064,6 +3148,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     # -- round-5 extension batch 5 --
     "graph_components": q_graph_components,
+    "streaming_enriched_counts": q_streaming_enriched_counts,
+    "streaming_snapshot_sink": q_streaming_snapshot_sink,
     # -- round-5 extension batch 3 --
     "hashing_tfidf": q_hashing_tfidf,
     "dedup_apply": q_dedup_apply,

@@ -152,3 +152,63 @@ def test_streaming_latest_snapshot_complete_mode(spark, tmp_path):
         (10, "view"): (4, 4.0),
         (11, "click"): (5, 5.0),
     }
+
+
+def test_maintain_snapshot_incremental_merge(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.streaming import EVENTS_SCHEMA, maintain_snapshot
+
+    rows_v1 = [(1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}")]
+    rows_v2 = [
+        (2, "2024-01-01 01:00:00", 10, "click", 2.0, "{}"),  # newer: replaces
+        (3, "2024-01-01 00:30:00", 11, "view", 3.0, "{}"),   # new key
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate((rows_v1, rows_v2)):
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    snap = str(tmp_path / "snap-does-not-exist-yet")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # forces >= 2 merge batches
+        .parquet(src)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+    maintain_snapshot(stream, snap, keys=("user_id", "event_type"), tiebreak="event_id")
+    got = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in spark.read.parquet(snap).collect()
+    }
+    assert got == {(10, "click"): 2, (11, "view"): 3}
+
+
+def test_streaming_enriched_counts_stream_static_join(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        streaming_enriched_counts,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:10:00", 11, "view", 2.0, "{}"),
+        (3, "2024-01-01 00:20:00", 10, "click", 3.0, "{}"),
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(src)
+    dim = spark.createDataFrame([(10, 0), (11, 1)], "user_id long, tier int")
+    out = streaming_enriched_counts(read_events_stream(spark, src), dim)
+    run_to_memory(out, "t_stream_enrich_mem", "complete")
+    got = {
+        r["tier"]: (r["n"], r["total_value"])
+        for r in spark.table("t_stream_enrich_mem").collect()
+    }
+    assert got == {0: (2, 4.0), 1: (1, 2.0)}
