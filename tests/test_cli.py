@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_run_query_list_names_every_registered_query():
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "run_query.py"), "--list"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        check=True,
+    )
+    names = set(out.stdout.split())
+    from mapreduce_assignments_spark import workloads
+
+    assert names == set(workloads.ALL_QUERIES)
+
+
+def test_run_query_rejects_unknown_name():
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "run_query.py"), "no_such_query"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "unknown query" in proc.stderr
