@@ -41,6 +41,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "verified_near_dupes",
+    "source_overlap",
     "simhash",
     "simhash_near_dupes",
     "dedup_clusters",
@@ -234,6 +235,54 @@ def minhash_lsh_candidates(
         )
         .distinct()
         .where(F.col("est_sim") >= threshold)
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source content-overlap matrix: exact shingle-set Jaccard
+    for every source pair — ``(source_a, source_b, inter, jaccard)``.
+    The curation dashboard that answers "which of my crawl feeds are
+    re-serving each other's content?" before dedup spends compute on
+    it.
+
+    Scale: works on the DISTINCT (source, shingle) set, so corpus
+    volume collapses to vocabulary volume before any join; the
+    shingle self-join fans out at most S² rows per shingle for S
+    sources — sources are dozens, not millions, so the hot-shingle
+    blowup that forces a df-cap in :func:`ngram_jaccard_pairs` is
+    structurally bounded here.
+    """
+    sh = (
+        shingles(docs, n=n, text_col=text_col, id_col=id_col)
+        .join(docs.select(F.col(id_col).alias("doc_id"), F.col(source_col)), "doc_id")
+        .select(F.col(source_col).alias("src"), "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("src").alias("source_a"), F.col("sz").alias("_sa")), "source_a")
+        .join(sizes.select(F.col("src").alias("source_b"), F.col("sz").alias("_sb")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter",
+            F.round(
+                F.col("inter") / (F.col("_sa") + F.col("_sb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
     )
 
 

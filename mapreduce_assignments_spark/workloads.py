@@ -1255,6 +1255,12 @@ def q_shuffle_shards(spark, sf_dir):
     )
 
 
+def q_source_overlap(spark, sf_dir):
+    """Exact shingle-set Jaccard between every pair of the corpus's 20
+    sources — the cross-feed overlap dashboard."""
+    return dedup.source_overlap(_docs(spark, sf_dir))
+
+
 def q_verified_near_dupes(spark, sf_dir):
     """LSH-candidate near-dups verified by exact normalized edit
     distance (the sketch-prune → exact-measure two-stage)."""
@@ -2341,6 +2347,23 @@ SELECT doc_id, source, CAST(hh % 8 AS INTEGER) AS shard,
 FROM h
 """
 
+ORACLE["source_overlap"] = f"""
+WITH sh AS (
+  SELECT DISTINCT d.source AS src, s.shingle
+  FROM ({_SHINGLES_3}) s JOIN documents d ON d.doc_id = s.doc_id
+), sizes AS (SELECT src, count(*) AS sz FROM sh GROUP BY src),
+inter AS (
+  SELECT a.src AS source_a, b.src AS source_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT source_a, source_b, inter,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.src = source_a
+JOIN sizes sb ON sb.src = source_b
+"""
+
 ORACLE["verified_near_dupes"] = f"""
 WITH mh AS ({_MINHASH_FLAT}),
 bands AS (
@@ -3148,6 +3171,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     # -- round-5 extension batch 5 --
     "graph_components": q_graph_components,
+    "source_overlap": q_source_overlap,
     "streaming_enriched_counts": q_streaming_enriched_counts,
     "streaming_snapshot_sink": q_streaming_snapshot_sink,
     # -- round-5 extension batch 3 --

@@ -236,3 +236,22 @@ def test_verified_near_dupes_length_prefilter(spark):
     df = spark.createDataFrame([(1, short), (2, long)], "doc_id long, text string")
     out = verified_near_dupes(df, est_threshold=0.0, max_dist_ratio=0.3).collect()
     assert out == []
+
+
+def test_source_overlap_exact_jaccard(spark):
+    from mapreduce_assignments_spark.operators.dedup import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),       # shingles: {a b c, b c d}
+            (2, "a b c x", "s2"),       # shingles: {a b c, b c x}
+            (3, "p q r s", "s3"),       # disjoint
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): (r["inter"], r["jaccard"])
+        for r in source_overlap(df).collect()
+    }
+    # s1 ∩ s2 = {a b c}: 1 / (2 + 2 - 1)
+    assert rows == {("s1", "s2"): (1, round(1 / 3, 6))}
