@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from ..functions.hashing import h60
 from .text import tokens_array
 
-__all__ = ["hashing_tf", "hashing_tfidf", "quantile_buckets"]
+__all__ = ["hashing_tf", "hashing_tfidf", "quantile_buckets", "bpe_merges"]
 
 
 def _bucket_counts(
@@ -167,4 +167,81 @@ def quantile_buckets(
                 + 1
             ).alias("bucket"),
         )
+    )
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> DataFrame:
+    """Distributed BPE tokenizer training (simplified: no end-of-word
+    marker): learn the ``n_merges`` highest-count byte-pair merges from
+    the corpus, greedy left-to-right application per round — the same
+    contract as classic subword-tokenizer trainers, run as Spark
+    aggregations.
+
+    Returns the learned merge table ``(rank, lhs, rhs, pair_cnt)``.
+
+    Scale: the iteration state is the WORD-FREQUENCY vocabulary (one
+    row per distinct word — corpus volume collapses in the first
+    aggregation, exactly why real BPE trainers operate on word counts),
+    so each round is one pair-count aggregation over vocab-sized data
+    plus a narrow fold rewriting symbol arrays. The per-round argmax is
+    a driver-collected single row (the same bounded-scalar discipline
+    as pagerank's dangling mass); lineage is truncated per round with
+    localCheckpoint. Ties break (count DESC, lhs, rhs) — deterministic
+    across engines.
+    """
+    from .text import word_count
+
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    state = word_count(docs, text_col=text_col).select(
+        "word", "cnt", chars.alias("syms")
+    )
+    state = state.localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs_arr = F.arrays_zip(
+            F.slice("syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))).alias("l"),
+            F.slice("syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))).alias("r"),
+        )
+        best = (
+            state.where(F.size("syms") >= 2)
+            .select("cnt", F.explode_outer(pairs_arr).alias("p"))
+            .where(F.col("p").isNotNull())
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        bl, br, pc = best[0]["l"], best[0]["r"], int(best[0]["pc"])
+        merges.append((rank, bl, br, pc))
+        if rank == n_merges:
+            break  # the last round's fold would never be observed
+        merged = F.lit(bl + br)
+
+        def fold(acc, x):
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(bl))
+                & (x == F.lit(br))
+            )
+            return F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        state = state.withColumn(
+            "syms",
+            F.aggregate("syms", F.array().cast("array<string>"), fold),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_cnt long"
     )

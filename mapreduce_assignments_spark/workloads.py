@@ -1255,6 +1255,15 @@ def q_shuffle_shards(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training: the 5 highest-count merges
+    learned from the corpus vocabulary (greedy left-to-right
+    application between rounds, deterministic tie-break). The oracle
+    replays all 5 rounds in DuckDB — list_reduce reproduces the fold
+    bit-for-bit."""
+    return features.bpe_merges(_docs(spark, sf_dir), n_merges=5)
+
+
 def q_source_overlap(spark, sf_dir):
     """Exact shingle-set Jaccard between every pair of the corpus's 20
     sources — the cross-feed overlap dashboard."""
@@ -2347,6 +2356,51 @@ SELECT doc_id, source, CAST(hh % 8 AS INTEGER) AS shard,
 FROM h
 """
 
+def _bpe_oracle_sql(n_merges: int = 5) -> str:
+    """Unrolled BPE-trainer oracle: per round, the pair-count argmax
+    (b{{i}}) and the greedy left-to-right merge fold (v{{i}}) via
+    DuckDB list_reduce — same shape as the unrolled pagerank oracle."""
+    parts = [
+        f"""v0 AS (
+  SELECT word, cnt,
+         list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
+  FROM (SELECT t AS word, count(*) AS cnt
+        FROM (SELECT unnest({_TOK}) AS t FROM documents) GROUP BY t)
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT p.l AS l, p.r AS r, sum(cnt) AS pc
+  FROM (SELECT cnt,
+               unnest(list_transform(range(1, len(syms)),
+                      j -> {{'l': syms[j], 'r': syms[j + 1]}})) AS p
+        FROM v{i - 1} WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT l, r, pc FROM p{i} ORDER BY pc DESC, l, r LIMIT 1)"""
+        )
+        if i < n_merges:
+            parts.append(
+                f"""v{i} AS (
+  SELECT word, cnt,
+         list_reduce(list_transform(syms, s -> [s]),
+           (acc, x) -> CASE WHEN len(acc) >= 1 AND acc[len(acc)] = b{i}.l
+                                 AND x[1] = b{i}.r
+                       THEN acc[1:len(acc) - 1] || [b{i}.l || b{i}.r]
+                       ELSE acc || x END) AS syms
+  FROM v{i - 1}, b{i}
+)"""
+            )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, l AS lhs, r AS rhs, pc AS pair_cnt FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+ORACLE["bpe_merges"] = _bpe_oracle_sql(5)
+
 ORACLE["source_overlap"] = f"""
 WITH sh AS (
   SELECT DISTINCT d.source AS src, s.shingle
@@ -3172,6 +3226,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-5 extension batch 5 --
     "graph_components": q_graph_components,
     "source_overlap": q_source_overlap,
+    "bpe_merges": q_bpe_merges,
     "streaming_enriched_counts": q_streaming_enriched_counts,
     "streaming_snapshot_sink": q_streaming_snapshot_sink,
     # -- round-5 extension batch 3 --

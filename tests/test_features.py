@@ -80,3 +80,35 @@ def test_quantile_buckets_equi_depth(spark):
     assert max(per[1]) == 25.0 and min(per[2]) == 26.0
     with pytest.raises(ValueError):
         quantile_buckets(df, "value", 1)
+
+
+def test_bpe_merges_hand_computed(spark):
+    import pytest
+
+    from mapreduce_assignments_spark.operators.features import bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "aa ab"), (2, "ab aa aa")], "doc_id long, text string"
+    )
+    # vocab: aa x3, ab x2. Round 1: (a,a)=3 wins -> 'aa' fuses.
+    # Round 2: only (a,b)=2 remains. Round 3: no pairs left -> stop.
+    rows = [
+        (r["rank"], r["lhs"], r["rhs"], r["pair_cnt"])
+        for r in bpe_merges(df, n_merges=5).orderBy("rank").collect()
+    ]
+    assert rows == [(1, "a", "a", 3), (2, "a", "b", 2)]
+    with pytest.raises(ValueError):
+        bpe_merges(df, n_merges=0)
+
+
+def test_bpe_merges_greedy_left_to_right(spark):
+    from mapreduce_assignments_spark.operators.features import bpe_merges
+
+    # 'aaa' with merge (a,a): greedy left-to-right gives [aa, a], so
+    # round 2's top pair is (aa, a)
+    df = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    rows = [
+        (r["rank"], r["lhs"], r["rhs"])
+        for r in bpe_merges(df, n_merges=2).orderBy("rank").collect()
+    ]
+    assert rows == [(1, "a", "a"), (2, "aa", "a")]
