@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from ..functions.hashing import h60
 from .text import tokens_array
 
-__all__ = ["hashing_tf", "hashing_tfidf", "quantile_buckets", "bpe_merges"]
+__all__ = ["hashing_tf", "hashing_tfidf", "quantile_buckets", "bpe_merges", "bpe_encode"]
 
 
 def _bucket_counts(
@@ -244,4 +244,56 @@ def bpe_merges(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> Da
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, pair_cnt long"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table (see :func:`bpe_merges`) and
+    return the corpus subword-frequency table ``(subword, cnt)`` — the
+    trained tokenizer's vocabulary usage over this corpus.
+
+    Encoding happens on the word-frequency vocabulary (one fold chain
+    per DISTINCT word, weighted by count on the way out), so the
+    per-token work is amortized exactly like the trainer's; the merge
+    list is driver-side constants baked into the plan (rank order =
+    application order, matching BPE semantics).
+    """
+    from .text import word_count
+
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    state = word_count(docs, text_col=text_col).select(
+        "word", "cnt", chars.alias("syms")
+    )
+    def _merge_fold(lhs: str, rhs: str):
+        merged = F.lit(lhs + rhs)
+
+        def fold(acc, x):
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(lhs))
+                & (x == F.lit(rhs))
+            )
+            return F.when(
+                hit,
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return fold
+
+    col = F.col("syms")
+    for lhs, rhs in merges:
+        col = F.aggregate(
+            col, F.array().cast("array<string>"), _merge_fold(lhs, rhs)
+        )
+    return (
+        state.select("cnt", F.explode_outer(col).alias("subword"))
+        .where(F.col("subword").isNotNull())
+        .groupBy("subword")
+        .agg(F.sum("cnt").alias("cnt"))
     )

@@ -1264,6 +1264,19 @@ def q_bpe_merges(spark, sf_dir):
     return features.bpe_merges(_docs(spark, sf_dir), n_merges=5)
 
 
+def q_bpe_vocab(spark, sf_dir):
+    """Train-then-apply: encode the corpus with its own learned 5-merge
+    BPE table and return the subword-frequency vocabulary. The merge
+    list crossing the driver is 5 rows — bounded by construction."""
+    learned = [
+        (r["lhs"], r["rhs"])
+        for r in features.bpe_merges(_docs(spark, sf_dir), n_merges=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    return features.bpe_encode(_docs(spark, sf_dir), learned)
+
+
 def q_source_overlap(spark, sf_dir):
     """Exact shingle-set Jaccard between every pair of the corpus's 20
     sources — the cross-feed overlap dashboard."""
@@ -2401,6 +2414,31 @@ b{i} AS (SELECT l, r, pc FROM p{i} ORDER BY pc DESC, l, r LIMIT 1)"""
 
 ORACLE["bpe_merges"] = _bpe_oracle_sql(5)
 
+
+def _bpe_vocab_oracle_sql(n_merges: int = 5) -> str:
+    """Extends the trainer oracle with the final round's fold (v{n})
+    and the weighted subword explode — the encode step in SQL."""
+    base = _bpe_oracle_sql(n_merges)
+    with_block = base[: base.rindex("\nSELECT 1 AS rank")]
+    i = n_merges
+    final_fold = f""",
+v{i} AS (
+  SELECT word, cnt,
+         list_reduce(list_transform(syms, s -> [s]),
+           (acc, x) -> CASE WHEN len(acc) >= 1 AND acc[len(acc)] = b{i}.l
+                                 AND x[1] = b{i}.r
+                       THEN acc[1:len(acc) - 1] || [b{i}.l || b{i}.r]
+                       ELSE acc || x END) AS syms
+  FROM v{i - 1}, b{i}
+)
+SELECT s AS subword, sum(cnt) AS cnt
+FROM (SELECT cnt, unnest(syms) AS s FROM v{i})
+GROUP BY s"""
+    return with_block + final_fold
+
+
+ORACLE["bpe_vocab"] = _bpe_vocab_oracle_sql(5)
+
 ORACLE["source_overlap"] = f"""
 WITH sh AS (
   SELECT DISTINCT d.source AS src, s.shingle
@@ -3227,6 +3265,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_components": q_graph_components,
     "source_overlap": q_source_overlap,
     "bpe_merges": q_bpe_merges,
+    "bpe_vocab": q_bpe_vocab,
     "streaming_enriched_counts": q_streaming_enriched_counts,
     "streaming_snapshot_sink": q_streaming_snapshot_sink,
     # -- round-5 extension batch 3 --

@@ -112,3 +112,19 @@ def test_bpe_merges_greedy_left_to_right(spark):
         for r in bpe_merges(df, n_merges=2).orderBy("rank").collect()
     ]
     assert rows == [(1, "a", "a"), (2, "aa", "a")]
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    from mapreduce_assignments_spark.operators.features import bpe_encode
+
+    df = spark.createDataFrame([(1, "aab aab ab")], "doc_id long, text string")
+    # merges applied in order: (a,a) then (aa,b)
+    got = {
+        r["subword"]: r["cnt"]
+        for r in bpe_encode(df, [("a", "a"), ("aa", "b")]).collect()
+    }
+    # 'aab' -> [aa, b] -> [aab]; 'ab' has no 'aa' so stays [a, b]
+    assert got == {"aab": 2, "a": 1, "b": 1}
+    # empty merge list = plain character counts
+    chars = {r["subword"]: r["cnt"] for r in bpe_encode(df, []).collect()}
+    assert chars == {"a": 5, "b": 3}
