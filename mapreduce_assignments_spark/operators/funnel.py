@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["funnel_counts", "cohort_retention"]
+__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users"]
 
 
 def funnel_counts(
@@ -119,4 +119,42 @@ def cohort_retention(
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+def rolling_active_users(
+    events: DataFrame, ts_col: str = "ts", window_days: int = 7
+) -> DataFrame:
+    """Rolling engagement: for every observed day, the distinct users
+    active that day (``dau``) and over the trailing ``window_days``
+    window including it (``wau``) — the DAU/WAU dashboard pair.
+
+    Scale: raw events first collapse to the DISTINCT (day, user) set —
+    one partial-aggregated exchange does the heavy lifting — and the
+    trailing window is a bounded theta-join: each (day, user) row fans
+    into at most ``window_days`` anchor days, and the anchor-day side
+    is calendar-sized (years → thousands of rows, always the broadcast
+    side). No sliding distinct-count state, no window function over
+    raw events.
+    """
+    daily = (
+        events.select(F.to_date(ts_col).alias("day"), "user_id").distinct()
+    )
+    days = daily.select("day").distinct()
+    j = days.alias("d").join(
+        daily.alias("u"),
+        (F.col("u.day") <= F.col("d.day"))
+        & (F.col("u.day") >= F.date_sub(F.col("d.day"), window_days - 1)),
+    )
+    return (
+        j.groupBy(F.col("d.day").alias("anchor"))
+        .agg(
+            F.count_distinct(
+                F.when(F.col("u.day") == F.col("d.day"), F.col("u.user_id"))
+            ).alias("dau"),
+            F.count_distinct("u.user_id").alias("wau"),
+        )
+        .select(
+            F.date_format("anchor", "yyyy-MM-dd").alias("day"), "dau", "wau"
+        )
     )

@@ -1255,6 +1255,11 @@ def q_shuffle_shards(spark, sf_dir):
     )
 
 
+def q_rolling_active_users(spark, sf_dir):
+    """DAU / trailing-7-day WAU per observed day."""
+    return funnel.rolling_active_users(_events(spark, sf_dir))
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training: the 5 highest-count merges
     learned from the corpus vocabulary (greedy left-to-right
@@ -2412,6 +2417,16 @@ b{i} AS (SELECT l, r, pc FROM p{i} ORDER BY pc DESC, l, r LIMIT 1)"""
     return "WITH " + ",\n".join(parts) + "\n" + selects
 
 
+ORACLE["rolling_active_users"] = """
+WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM daily)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS dau,
+       count(DISTINCT u.user_id) AS wau
+FROM days d JOIN daily u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
+"""
+
 ORACLE["bpe_merges"] = _bpe_oracle_sql(5)
 
 
@@ -3266,6 +3281,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": q_source_overlap,
     "bpe_merges": q_bpe_merges,
     "bpe_vocab": q_bpe_vocab,
+    "rolling_active_users": q_rolling_active_users,
     "streaming_enriched_counts": q_streaming_enriched_counts,
     "streaming_snapshot_sink": q_streaming_snapshot_sink,
     # -- round-5 extension batch 3 --

@@ -53,3 +53,27 @@ def test_cohort_retention_weekly_offsets(events):
     assert got[("2024-01-01", 0)] == 4
     assert got[("2024-01-08", 0)] == 1
     assert got[("2024-01-01", 1)] == 1  # user 5 active again in week offset 1
+
+
+def test_rolling_active_users_dau_wau(spark):
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.operators.funnel import rolling_active_users
+
+    rows = [
+        # day 1: users 1,2 ; day 3: user 2 ; day 10: user 3 (window resets)
+        ("2024-01-01 10:00:00", 1),
+        ("2024-01-01 11:00:00", 1),  # same user twice: still dau 2
+        ("2024-01-01 12:00:00", 2),
+        ("2024-01-03 09:00:00", 2),
+        ("2024-01-10 09:00:00", 3),
+    ]
+    ev = spark.createDataFrame(rows, "ts string, user_id long").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r["day"]: (r["dau"], r["wau"]) for r in rolling_active_users(ev).collect()}
+    assert out == {
+        "2024-01-01": (2, 2),
+        "2024-01-03": (1, 2),   # trailing 7 days still sees users {1,2}
+        "2024-01-10": (1, 1),   # older activity aged out
+    }
