@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from ..functions.hashing import h60
 from .text import tokens_array
 
-__all__ = ["hashing_tf", "hashing_tfidf", "quantile_buckets", "bpe_merges", "bpe_encode"]
+__all__ = ["hashing_tf", "hashing_tfidf", "quantile_buckets", "bpe_merges", "bpe_encode", "normalize_values"]
 
 
 def _bucket_counts(
@@ -296,4 +296,44 @@ def bpe_encode(
         .where(F.col("subword").isNotNull())
         .groupBy("subword")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def normalize_values(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group feature normalization: z-score and min-max forms of
+    ``value_col`` within each ``group_col`` — the standard scaler pair,
+    computed exactly.
+
+    Scale: one partial-aggregated stats pass (4 aggregates per group —
+    group-count rows total), joined back to the rows; AQE broadcasts
+    the stats side. No window over raw rows, so a hot group costs a
+    join probe, not a sort. Groups with zero variance emit NULL
+    z-scores and 0.5 min-max (the degenerate-range convention);
+    single-row groups follow the same rule.
+    """
+    stats = df.groupBy(group_col).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_samp(F.col(value_col).cast("double")).alias("_sd"),
+        F.min(value_col).alias("_lo"),
+        F.max(value_col).alias("_hi"),
+    )
+    z = F.when(
+        F.col("_sd").isNotNull() & (F.col("_sd") > 0),
+        F.round((F.col(value_col) - F.col("_mu")) / F.col("_sd"), 6),
+    )
+    rng = F.col("_hi") - F.col("_lo")
+    mm = F.when(rng > 0, F.round((F.col(value_col) - F.col("_lo")) / rng, 6)).otherwise(
+        0.5
+    )
+    return df.join(stats, group_col).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.round(F.col(value_col), 6).alias(value_col),
+        z.alias("zscore"),
+        mm.alias("minmax"),
     )

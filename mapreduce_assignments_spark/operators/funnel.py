@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users"]
+__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users", "co_engagement"]
 
 
 def funnel_counts(
@@ -157,4 +157,32 @@ def rolling_active_users(
         .select(
             F.date_format("anchor", "yyyy-MM-dd").alias("day"), "dau", "wau"
         )
+    )
+
+
+def co_engagement(
+    events: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support: int = 1,
+) -> DataFrame:
+    """Market-basket pair counts: for every pair of items (event
+    types), the number of distinct users engaging with BOTH —
+    ``(item_a, item_b, users)``, canonical ``item_a < item_b`` order,
+    pairs below ``min_support`` dropped.
+
+    Scale: raw events collapse to the DISTINCT (user, item) set first;
+    the self-join fans each user into C(k, 2) pairs for k items per
+    user — bounded by the ITEM vocabulary (event types are dozens),
+    never by event volume. The classic hot-user hazard (a user
+    touching every item) is capped at C(|items|, 2).
+    """
+    ui = events.select(F.col(user_col).alias("u"), F.col(item_col).alias("i")).distinct()
+    a, b = ui.alias("a"), ui.alias("b")
+    return (
+        a.join(b, "u")
+        .where(F.col("a.i") < F.col("b.i"))
+        .groupBy(F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b"))
+        .agg(F.count("*").alias("users"))
+        .where(F.col("users") >= min_support)
     )

@@ -1255,6 +1255,22 @@ def q_shuffle_shards(spark, sf_dir):
     )
 
 
+def q_normalize_events(spark, sf_dir):
+    """Per-event_type z-score + min-max scaling of event values (the
+    standard-scaler pair, exact two-pass stats join)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", F.col("value")
+    )
+    return features.normalize_values(
+        ev, value_col="value", group_col="event_type"
+    )
+
+
+def q_co_engagement(spark, sf_dir):
+    """Distinct-user co-engagement counts for every event-type pair."""
+    return funnel.co_engagement(_events(spark, sf_dir))
+
+
 def q_rolling_active_users(spark, sf_dir):
     """DAU / trailing-7-day WAU per observed day."""
     return funnel.rolling_active_users(_events(spark, sf_dir))
@@ -2417,6 +2433,27 @@ b{i} AS (SELECT l, r, pc FROM p{i} ORDER BY pc DESC, l, r LIMIT 1)"""
     return "WITH " + ",\n".join(parts) + "\n" + selects
 
 
+ORACLE["normalize_events"] = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd,
+         min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, round(value, 6) AS value,
+       CASE WHEN sd IS NOT NULL AND sd > 0
+            THEN round((value - mu) / sd, 6) END AS zscore,
+       CASE WHEN hi - lo > 0 THEN round((value - lo) / (hi - lo), 6)
+            ELSE 0.5 END AS minmax
+FROM events e JOIN stats s ON e.event_type = s.event_type
+"""
+
+ORACLE["co_engagement"] = """
+WITH ui AS (SELECT DISTINCT user_id AS u, event_type AS i FROM events)
+SELECT a.i AS item_a, b.i AS item_b, count(*) AS users
+FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+GROUP BY 1, 2
+"""
+
 ORACLE["rolling_active_users"] = """
 WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
 days AS (SELECT DISTINCT day FROM daily)
@@ -3282,6 +3319,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "bpe_vocab": q_bpe_vocab,
     "rolling_active_users": q_rolling_active_users,
+    "normalize_events": q_normalize_events,
+    "co_engagement": q_co_engagement,
     "streaming_enriched_counts": q_streaming_enriched_counts,
     "streaming_snapshot_sink": q_streaming_snapshot_sink,
     # -- round-5 extension batch 3 --

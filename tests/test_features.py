@@ -128,3 +128,21 @@ def test_bpe_encode_applies_merges_in_rank_order(spark):
     # empty merge list = plain character counts
     chars = {r["subword"]: r["cnt"] for r in bpe_encode(df, []).collect()}
     assert chars == {"a": 5, "b": 3}
+
+
+def test_normalize_values_zscore_and_minmax(spark):
+    from mapreduce_assignments_spark.operators.features import normalize_values
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "a", 10.0), (3, "a", 20.0), (4, "b", 7.0)],
+        "event_id long, event_type string, value double",
+    )
+    out = {
+        r["event_id"]: (r["zscore"], r["minmax"])
+        for r in normalize_values(df, "value", "event_type").collect()
+    }
+    assert out[1] == (-1.0, 0.0)
+    assert out[2] == (0.0, 0.5)
+    assert out[3] == (1.0, 1.0)
+    # singleton group: no variance, degenerate range
+    assert out[4] == (None, 0.5)

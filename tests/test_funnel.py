@@ -77,3 +77,23 @@ def test_rolling_active_users_dau_wau(spark):
         "2024-01-03": (1, 2),   # trailing 7 days still sees users {1,2}
         "2024-01-10": (1, 1),   # older activity aged out
     }
+
+
+def test_co_engagement_pairs(spark):
+    from mapreduce_assignments_spark.operators.funnel import co_engagement
+
+    rows = [
+        (1, "click"), (1, "view"), (1, "click"),    # dup event collapses
+        (2, "click"), (2, "view"), (2, "error"),
+        (3, "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        (r["item_a"], r["item_b"]): r["users"] for r in co_engagement(ev).collect()
+    }
+    assert got == {
+        ("click", "view"): 2,
+        ("click", "error"): 1,
+        ("error", "view"): 1,
+    }
+    assert co_engagement(ev, min_support=2).count() == 1
