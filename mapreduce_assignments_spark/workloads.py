@@ -3210,6 +3210,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": q_quantize_embeddings,
     "stratified_sample": q_stratified_sample,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    # -- fifth (final) round-5 rotation: every operator family's
+    # never-driver-checked queries enter the window; the 18
+    # displaced were driver-green in rounds 3/4 on unchanged code
+    # and stay oracle-checked in EXTRA_QUERIES via --all/pytest --
+    "graph_components": q_graph_components,
+    "source_overlap": q_source_overlap,
+    "bpe_merges": q_bpe_merges,
+    "bpe_vocab": q_bpe_vocab,
+    "rolling_active_users": q_rolling_active_users,
+    "normalize_events": q_normalize_events,
+    "co_engagement": q_co_engagement,
+    "streaming_enriched_counts": q_streaming_enriched_counts,
+    "streaming_snapshot_sink": q_streaming_snapshot_sink,
+    "hashing_tfidf": q_hashing_tfidf,
+    "dedup_apply": q_dedup_apply,
+    "curated_corpus": q_curated_corpus,
+    "funnel_counts": q_funnel_counts,
+    "cohort_retention": q_cohort_retention,
+    "dense_hourly_counts": q_dense_hourly_counts,
+    "top_terms_per_source": q_top_terms_per_source,
+    "bm25_topk": q_bm25_topk,
+    "llr": q_llr,
     # -- fourth round-5 rotation: batch-5 operators enter the window
     # (never driver-checked; the five displaced were driver-green in
     # rounds 3 AND 4 on unchanged code and keep golden/EXTRA coverage) --
@@ -3240,17 +3262,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "personalized_pagerank": q_personalized_pagerank,
     "ivf_topk_trained": q_ivf_topk_trained,
-    "hypertable_rollup": q_hypertable_rollup,
-    "sliding_hourly_stats": q_sliding_hourly_stats,
-    "image_stats": q_image_stats,
-    "phash_duplicates": q_phash_duplicates,
-    "frame_sample": q_frame_sample,
-    "hourly_counts": q_hourly_counts,
-    "streaming_hourly_counts": q_streaming_hourly_counts,
-    "streaming_user_sessions": q_streaming_user_sessions,
-    "streaming_dedup": q_streaming_dedup,
-    "asof_join": q_asof_join,
-    "range_join": q_range_join,
     # -- green in round 3 --
     "revenue_by_nation": q_revenue_by_nation,
     # -- second round-5 rotation: the five newest extension operators
@@ -3262,14 +3273,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "resize_images": q_resize_images,
     "hashing_tf": q_hashing_tf,
-    "minhash_lsh_candidates": q_minhash_lsh_candidates,
-    "simhash_near_dupes": q_simhash_near_dupes,
-    "quality_score": q_quality_score,
-    "repetition_stats": q_repetition_stats,
-    "chunk_documents": q_chunk_documents,
     "brute_force_topk": q_brute_force_topk,
-    "embedding_near_dupes": q_embedding_near_dupes,
-    "lsh_topk": q_lsh_topk,
 }
 
 # Strict sub-plans of registered queries (the registered downstream
@@ -3314,25 +3318,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_duplicates": q_exact_duplicates,
     "ngram_jaccard": q_ngram_jaccard,
     # -- round-5 extension batch 5 --
-    "graph_components": q_graph_components,
-    "source_overlap": q_source_overlap,
-    "bpe_merges": q_bpe_merges,
-    "bpe_vocab": q_bpe_vocab,
-    "rolling_active_users": q_rolling_active_users,
-    "normalize_events": q_normalize_events,
-    "co_engagement": q_co_engagement,
-    "streaming_enriched_counts": q_streaming_enriched_counts,
-    "streaming_snapshot_sink": q_streaming_snapshot_sink,
     # -- round-5 extension batch 3 --
-    "hashing_tfidf": q_hashing_tfidf,
-    "dedup_apply": q_dedup_apply,
-    "curated_corpus": q_curated_corpus,
-    "funnel_counts": q_funnel_counts,
-    "cohort_retention": q_cohort_retention,
-    "dense_hourly_counts": q_dense_hourly_counts,
-    "top_terms_per_source": q_top_terms_per_source,
-    "bm25_topk": q_bm25_topk,
-    "llr": q_llr,
     # -- round-5 extension batch 4 --
     # -- rotated out in round 5's third rotation (driver-green in
     # rounds 3 AND 4 on unchanged code; displaced by the batch-4
@@ -3352,6 +3338,26 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "boolean_retrieval_text": q_boolean_retrieval_text,
+    # -- rotated out in round 5's fifth rotation (driver-green in
+    # rounds 3/4 on unchanged code) --
+    "hourly_counts": q_hourly_counts,
+    "streaming_hourly_counts": q_streaming_hourly_counts,
+    "streaming_user_sessions": q_streaming_user_sessions,
+    "streaming_dedup": q_streaming_dedup,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "hypertable_rollup": q_hypertable_rollup,
+    "sliding_hourly_stats": q_sliding_hourly_stats,
+    "image_stats": q_image_stats,
+    "phash_duplicates": q_phash_duplicates,
+    "frame_sample": q_frame_sample,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "simhash_near_dupes": q_simhash_near_dupes,
+    "quality_score": q_quality_score,
+    "repetition_stats": q_repetition_stats,
+    "chunk_documents": q_chunk_documents,
+    "embedding_near_dupes": q_embedding_near_dupes,
+    "lsh_topk": q_lsh_topk,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

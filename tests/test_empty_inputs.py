@@ -71,3 +71,17 @@ def test_batch4_operators_degrade_gracefully(spark, empties):
     for r in rows.values():
         assert (r["n_rows"], r["non_null"], r["n_distinct"]) == (0, 0, 0)
         assert r["min_value"] is None and r["max_value"] is None
+
+
+def test_batch6_operators_degrade_gracefully(spark, empties):
+    from mapreduce_assignments_spark.operators import features, funnel
+
+    d = empties["docs"]
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    assert features.bpe_merges(d).collect() == []
+    assert features.bpe_encode(d, [("a", "b")]).collect() == []
+    assert features.normalize_values(ev, "value", "event_type").collect() == []
+    assert funnel.co_engagement(ev).collect() == []
+    assert funnel.rolling_active_users(ev).collect() == []
