@@ -26,6 +26,7 @@ __all__ = [
     "top_revenue_orders",
     "revenue_by_nation",
     "user_sessions",
+    "session_stats",
     "top_orders_per_customer",
     "customers_without_orders",
 ]
@@ -176,6 +177,42 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .agg(
             F.sum("new_session").alias("n_sessions"),
             F.count("*").alias("n_events"),
+        )
+    )
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-session statistics via Spark's native ``session_window``
+    grouping: ``(user_id, session_start, session_end, n_events,
+    total_value)``, one row per session. ``session_end`` follows the
+    engine convention ``last event + gap`` (the window's exclusive
+    bound); two events exactly ``gap`` apart DO merge (an event
+    landing right on the previous window's end extends it —
+    pinned by a boundary unit test so the SQL oracle's break rule
+    can never silently drift from the engine's).
+
+    Complements :func:`user_sessions` (the lag/cumsum formulation —
+    per-user totals) with the built-in dynamic-gap window, which plans
+    as a single aggregation over (user, session window) — partial
+    aggregation applies, no explicit lag window pass. Same one shuffle
+    on user_id; the same API runs unchanged under readStream with a
+    watermark.
+    """
+    sw = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.groupBy(sw.alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
         )
     )
 

@@ -1255,6 +1255,12 @@ def q_shuffle_shards(spark, sf_dir):
     )
 
 
+def q_session_stats(spark, sf_dir):
+    """Per-session rows via Spark's native session_window grouping
+    (dynamic-gap windows; end = last event + gap, strict overlap)."""
+    return relational.session_stats(_events(spark, sf_dir), gap_minutes=30)
+
+
 def q_normalize_events(spark, sf_dir):
     """Per-event_type z-score + min-max scaling of event values (the
     standard-scaler pair, exact two-pass stats join)."""
@@ -2433,6 +2439,27 @@ b{i} AS (SELECT l, r, pc FROM p{i} ORDER BY pc DESC, l, r LIMIT 1)"""
     return "WITH " + ",\n".join(parts) + "\n" + selects
 
 
+ORACLE["session_stats"] = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS total_value
+FROM g GROUP BY user_id, sid
+"""
+
 ORACLE["normalize_events"] = """
 WITH stats AS (
   SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd,
@@ -3317,6 +3344,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_customer_orders": q_bucketed_customer_orders,
     "exact_duplicates": q_exact_duplicates,
     "ngram_jaccard": q_ngram_jaccard,
+    # -- round-5 extension batch 6 --
+    "session_stats": q_session_stats,
     # -- round-5 extension batch 5 --
     # -- round-5 extension batch 3 --
     # -- round-5 extension batch 4 --

@@ -275,3 +275,37 @@ def test_hourly_anomalies_spike_detection(spark):
     assert spike["baseline_mean"] == 11.0
     # a quiet hour inside the alternation is scorable but NOT anomalous
     assert not out["2024-01-01 06:00"]["is_anomaly"]
+
+
+def test_session_stats_gap_boundary(spark):
+    """Events exactly gap apart DO merge (an event landing right on
+    the previous window's end extends it) — pinned so the oracle's
+    strict-> break rule and Spark's session_window agree forever.
+    (The first draft of the oracle used >= and this test caught the
+    divergence — the data never exercises the exact boundary.)"""
+    ev = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:00"), 1.0),
+            (10, _ts("2024-01-01 00:29:59"), 2.0),  # inside gap: merges
+            (10, _ts("2024-01-01 00:59:59"), 3.0),  # exactly 30:00 later: merges
+            (11, _ts("2024-01-01 05:00:00"), 4.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+        for r in relational.session_stats(ev, gap_minutes=30).collect()
+    )
+    assert rows == [
+        (10, "2024-01-01 00:00:00", "2024-01-01 01:29:59", 3, 6.0),
+        (11, "2024-01-01 05:00:00", "2024-01-01 05:30:00", 1, 4.0),
+    ]
+    # and a gap of 30:01 genuinely splits
+    ev2 = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:00"), 1.0),
+            (10, _ts("2024-01-01 00:30:01"), 2.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    assert relational.session_stats(ev2, gap_minutes=30).count() == 2
