@@ -1255,6 +1255,32 @@ def q_shuffle_shards(spark, sf_dir):
     )
 
 
+def q_event_cube(spark, sf_dir):
+    """Full CUBE over (event_type, day): every grouping-set combination
+    in ONE pass (Expand + partial agg), subtotal rows labelled '(all)'
+    so no real value is ambiguous with a rollup marker."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("day", F.lit("(all)")).alias("day"),
+            "n",
+            "total_value",
+        )
+    )
+
+
 def q_session_stats(spark, sf_dir):
     """Per-session rows via Spark's native session_window grouping
     (dynamic-gap windows; end = last event + gap, strict overlap)."""
@@ -2439,6 +2465,18 @@ b{i} AS (SELECT l, r, pc FROM p{i} ORDER BY pc DESC, l, r LIMIT 1)"""
     return "WITH " + ",\n".join(parts) + "\n" + selects
 
 
+ORACLE["event_cube"] = """
+WITH e AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, value
+  FROM events
+)
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(day, '(all)') AS day,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS total_value
+FROM e GROUP BY CUBE(event_type, day)
+"""
+
 ORACLE["session_stats"] = """
 WITH s AS (
   SELECT user_id, ts, value,
@@ -3346,6 +3384,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
+    "event_cube": q_event_cube,
     # -- round-5 extension batch 5 --
     # -- round-5 extension batch 3 --
     # -- round-5 extension batch 4 --
