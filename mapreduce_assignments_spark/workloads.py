@@ -1255,6 +1255,23 @@ def q_shuffle_shards(spark, sf_dir):
     )
 
 
+def q_daily_trend(spark, sf_dir):
+    """Per-event_type linear trend of daily volume via the built-in
+    least-squares aggregates: slope/intercept of count ~ epoch-day.
+    One pre-aggregation to daily counts, then regr_* over the tiny
+    per-type day series — closed-form, no iterative fitting."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg(F.count("*").alias("n"))
+    return daily.groupBy("event_type").agg(
+        F.round(F.expr("regr_slope(n, d)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(n, d)"), 6).alias("intercept"),
+        F.count("*").alias("n_days"),
+    )
+
+
 def q_event_cube(spark, sf_dir):
     """Full CUBE over (event_type, day): every grouping-set combination
     in ONE pass (Expand + partial agg), subtotal rows labelled '(all)'
@@ -2465,6 +2482,20 @@ b{i} AS (SELECT l, r, pc FROM p{i} ORDER BY pc DESC, l, r LIMIT 1)"""
     return "WITH " + ",\n".join(parts) + "\n" + selects
 
 
+ORACLE["daily_trend"] = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       round(regr_slope(n, d), 6) AS slope,
+       round(regr_intercept(n, d), 6) AS intercept,
+       count(*) AS n_days
+FROM daily GROUP BY event_type
+"""
+
 ORACLE["event_cube"] = """
 WITH e AS (
   SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, value
@@ -3385,6 +3416,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "event_cube": q_event_cube,
+    "daily_trend": q_daily_trend,
     # -- round-5 extension batch 5 --
     # -- round-5 extension batch 3 --
     # -- round-5 extension batch 4 --
