@@ -38,6 +38,7 @@ __all__ = [
     "exact_duplicates",
     "shingles",
     "ngram_jaccard_pairs",
+    "containment_pairs",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "verified_near_dupes",
@@ -137,6 +138,53 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    shingle_df_cap: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle containment:
+    ``(doc_id, container_id, containment)`` where
+    ``containment = |A ∩ B| / |A|`` — how much of document A's shingle
+    set lives inside B. Catches the quote-expansion/boilerplate-wrap
+    duplicates symmetric Jaccard misses: a short doc fully embedded in
+    a long one has low Jaccard (the union is huge) but containment 1.0.
+    Both directions are emitted (A-in-B and B-in-A are different
+    facts); self-pairs excluded.
+
+    Scale: same inverted shingle join as :func:`ngram_jaccard_pairs`
+    (one shuffle on shingle, ``shingle_df_cap`` kills hot-shingle
+    blowup), with the denominator being the CONTAINED side's size only.
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    if shingle_df_cap:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > shingle_df_cap)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("container_id"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "container_id",
+            F.round(F.col("inter") / F.col("sz"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
     )
 
 

@@ -1347,6 +1347,12 @@ def q_bpe_vocab(spark, sf_dir):
     return features.bpe_encode(_docs(spark, sf_dir), learned)
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle-containment near-dups (|A∩B| / |A| ≥ 0.8) —
+    the quote-expansion catcher symmetric Jaccard misses."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
 def q_source_overlap(spark, sf_dir):
     """Exact shingle-set Jaccard between every pair of the corpus's 20
     sources — the cross-feed overlap dashboard."""
@@ -2587,6 +2593,20 @@ GROUP BY s"""
 
 ORACLE["bpe_vocab"] = _bpe_vocab_oracle_sql(5)
 
+ORACLE["containment_pairs"] = f"""
+WITH sh AS ({_SHINGLES_3}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS container_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id, container_id,
+       round(CAST(inter AS DOUBLE) / sz, 6) AS containment
+FROM inter i JOIN sizes s ON s.doc_id = i.doc_id
+WHERE round(CAST(inter AS DOUBLE) / sz, 6) >= 0.8
+"""
+
 ORACLE["source_overlap"] = f"""
 WITH sh AS (
   SELECT DISTINCT d.source AS src, s.shingle
@@ -3417,6 +3437,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_stats": q_session_stats,
     "event_cube": q_event_cube,
     "daily_trend": q_daily_trend,
+    "containment_pairs": q_containment_pairs,
     # -- round-5 extension batch 5 --
     # -- round-5 extension batch 3 --
     # -- round-5 extension batch 4 --

@@ -255,3 +255,24 @@ def test_source_overlap_exact_jaccard(spark):
     }
     # s1 ∩ s2 = {a b c}: 1 / (2 + 2 - 1)
     assert rows == {("s1", "s2"): (1, round(1 / 3, 6))}
+
+
+def test_containment_pairs_asymmetric(spark):
+    from mapreduce_assignments_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta"
+    long = short + " epsilon zeta eta theta iota kappa " + short
+    other = "totally different words in here entirely now"
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_id"], r["container_id"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.5).collect()
+    }
+    # the short doc is FULLY contained in the long one...
+    assert rows[(1, 2)] == 1.0
+    # ...but the long one is only partially contained in the short
+    # (asymmetric), and below the 0.5 gate
+    assert (2, 1) not in rows
+    assert all(3 not in pair for pair in rows)
