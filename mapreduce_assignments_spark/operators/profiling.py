@@ -23,7 +23,7 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["profile_columns"]
+__all__ = ["profile_columns", "robust_outliers"]
 
 
 def profile_columns(
@@ -61,3 +61,53 @@ def profile_columns(
         ]
     )
     return one.select(F.inline(rows))
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str = "event_id",
+    z_cut: float = 3.5,
+) -> DataFrame:
+    """Median/MAD outlier scoring per group (the Iglewicz–Hoaglin
+    modified z-score): ``robust_z = 0.6745·(x − median) / MAD``,
+    flagged at ``|robust_z| ≥ z_cut``. Robust where mean/stddev
+    scoring breaks — the outliers themselves cannot drag the baseline.
+    Groups with MAD = 0 are unscorable (NULL z, never flagged).
+
+    Scale: two grouped EXACT percentile aggregations (group-count-sized
+    results, joined back; AQE broadcasts them) and narrow arithmetic —
+    no window over raw rows, no sort. Median and MAD are rounded to
+    6dp before scoring so the pipeline is engine-deterministic.
+    """
+    med = df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("med")
+    )
+    dev = df.join(med, group_col).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.round(F.expr("percentile(_adev, 0.5)"), 6).alias("mad")
+    )
+    z = F.when(
+        F.col("mad") > 0,
+        F.round(
+            F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad"), 6
+        ),
+    )
+    return (
+        dev.join(mad, group_col)
+        .withColumn("robust_z", z)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.round(F.col(value_col), 6).alias(value_col),
+            "med",
+            "mad",
+            "robust_z",
+            (F.col("robust_z").isNotNull() & (F.abs(F.col("robust_z")) >= z_cut)).alias(
+                "is_outlier"
+            ),
+        )
+    )

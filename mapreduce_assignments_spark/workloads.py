@@ -1347,6 +1347,12 @@ def q_bpe_vocab(spark, sf_dir):
     return features.bpe_encode(_docs(spark, sf_dir), learned)
 
 
+def q_robust_outliers(spark, sf_dir):
+    """Median/MAD modified z-score outlier flags per event_type."""
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    return profiling.robust_outliers(ev, value_col="value", group_col="event_type")
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric shingle-containment near-dups (|A∩B| / |A| ≥ 0.8) —
     the quote-expansion catcher symmetric Jaccard misses."""
@@ -2593,6 +2599,26 @@ GROUP BY s"""
 
 ORACLE["bpe_vocab"] = _bpe_vocab_oracle_sql(5)
 
+ORACLE["robust_outliers"] = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT event_id, d.event_type, round(value, 6) AS value, med, mad,
+       CASE WHEN mad > 0
+            THEN round(0.6745 * (value - med) / mad, 6) END AS robust_z,
+       (mad > 0 AND abs(round(0.6745 * (value - med) / mad, 6)) >= 3.5)
+         AS is_outlier
+FROM dev d JOIN mad USING (event_type)
+"""
+
 ORACLE["containment_pairs"] = f"""
 WITH sh AS ({_SHINGLES_3}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -3438,6 +3464,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_cube": q_event_cube,
     "daily_trend": q_daily_trend,
     "containment_pairs": q_containment_pairs,
+    "robust_outliers": q_robust_outliers,
     # -- round-5 extension batch 5 --
     # -- round-5 extension batch 3 --
     # -- round-5 extension batch 4 --

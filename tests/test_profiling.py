@@ -38,3 +38,17 @@ def test_profile_columns_approx_mode_same_shape(spark):
     assert abs(approx["a"]["n_distinct"] - 500) <= 25
     for col in ("a", "b"):
         assert approx[col]["non_null"] == exact[col]["non_null"] == 500
+
+
+def test_robust_outliers_flags_spike_not_baseline(spark):
+    from mapreduce_assignments_spark.operators.profiling import robust_outliers
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 1000])]
+    rows += [(100, "b", 5.0), (101, "b", 5.0)]  # MAD = 0: unscorable
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["event_id"]: r for r in robust_outliers(df, "value", "event_type").collect()}
+    assert out[7]["is_outlier"] and out[7]["robust_z"] > 100
+    assert not any(out[i]["is_outlier"] for i in range(7))
+    # median is robust: the 1000 outlier did not drag the baseline
+    assert out[0]["med"] == 10.5
+    assert out[100]["robust_z"] is None and not out[100]["is_outlier"]
