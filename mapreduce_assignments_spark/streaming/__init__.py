@@ -7,6 +7,7 @@ from .stream_ops import (  # noqa: F401
     run_to_memory,
     streaming_enriched_counts,
     streaming_exact_dedup,
+    streaming_sliding_counts,
     streaming_hourly_counts,
     streaming_user_sessions,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "streaming_exact_dedup",
     "maintain_snapshot",
     "streaming_enriched_counts",
+    "streaming_sliding_counts",
     "EVENTS_SCHEMA",
     "run_to_memory",
 ]

@@ -34,6 +34,7 @@ __all__ = [
     "streaming_user_sessions",
     "streaming_exact_dedup",
     "maintain_snapshot",
+    "streaming_sliding_counts",
     "streaming_enriched_counts",
     "run_to_memory",
 ]
@@ -209,6 +210,29 @@ def maintain_snapshot(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_sliding_counts(
+    events: DataFrame,
+    duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Overlapping (sliding) event-time windows: each event lands in
+    ``duration/slide`` windows, counts update incrementally, and the
+    watermark evicts windows older than the lateness bound — the
+    tumbling rollup's overlapping sibling, same bounded-state story
+    with a constant-factor more rows in flight.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("win"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+            "cnt",
+        )
+    )
 
 
 def streaming_enriched_counts(

@@ -421,6 +421,19 @@ def q_streaming_snapshot_sink(spark, sf_dir):
     return out.localCheckpoint(eager=True)
 
 
+def q_streaming_sliding_counts(spark, sf_dir):
+    """Sliding 2h/1h event-time windows over the staged stream in
+    complete mode; each event lands in exactly two windows, which the
+    batch oracle reproduces by exploding both window starts."""
+    from .streaming import read_events_stream, run_to_memory, streaming_sliding_counts
+
+    stream = read_events_stream(spark, _staged_events_dir(spark, sf_dir))
+    run_to_memory(
+        streaming_sliding_counts(stream), "q_stream_sliding_mem", "complete"
+    )
+    return spark.table("q_stream_sliding_mem")
+
+
 def q_streaming_user_sessions(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState)
     replayed over the staged events and checked against the SAME DuckDB
@@ -2773,6 +2786,14 @@ WHERE rn = 1
 ORACLE["streaming_latest_events"] = ORACLE["latest_events"]
 ORACLE["streaming_snapshot_sink"] = ORACLE["latest_events"]
 
+ORACLE["streaming_sliding_counts"] = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, count(*) AS cnt
+FROM (
+  SELECT unnest([dt, dt - INTERVAL 1 HOUR]) AS ws
+  FROM (SELECT date_trunc('hour', ts) AS dt FROM events))
+GROUP BY 1
+"""
+
 ORACLE["streaming_enriched_counts"] = """
 SELECT CAST(user_id % 3 AS INTEGER) AS tier, count(*) AS n,
        CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS total_value
@@ -3461,6 +3482,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
+    "streaming_sliding_counts": q_streaming_sliding_counts,
     "event_cube": q_event_cube,
     "daily_trend": q_daily_trend,
     "containment_pairs": q_containment_pairs,

@@ -212,3 +212,35 @@ def test_streaming_enriched_counts_stream_static_join(spark, tmp_path):
         for r in spark.table("t_stream_enrich_mem").collect()
     }
     assert got == {0: (2, 4.0), 1: (1, 2.0)}
+
+
+def test_streaming_sliding_counts_overlap(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        streaming_sliding_counts,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:30:00", 10, "click", 1.0, "{}"),
+        (2, "2024-01-01 01:30:00", 10, "click", 2.0, "{}"),
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(src)
+    run_to_memory(
+        streaming_sliding_counts(read_events_stream(spark, src)),
+        "t_stream_sliding_mem",
+        "complete",
+    )
+    got = {r["win_start"]: r["cnt"] for r in spark.table("t_stream_sliding_mem").collect()}
+    # 2h windows sliding 1h: each event lands in two windows; the
+    # [00:00, 02:00) window sees both events
+    assert got == {
+        "2023-12-31 23:00": 1,
+        "2024-01-01 00:00": 2,
+        "2024-01-01 01:00": 1,
+    }

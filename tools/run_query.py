@@ -47,6 +47,12 @@ def main() -> int:
     )
     ap.add_argument("--limit", type=int, default=20, help="rows to show without --out")
     ap.add_argument("--explain", action="store_true", help="print the physical plan too")
+    ap.add_argument(
+        "--oracle",
+        action="store_true",
+        help="also run the query's DuckDB oracle SQL on the same tables "
+        "and print its row count (user-facing sanity check)",
+    )
     args = ap.parse_args()
 
     from mapreduce_assignments_spark import workloads
@@ -75,6 +81,23 @@ def main() -> int:
     else:
         df.show(args.limit, truncate=40)
         print(f"({args.query} in {time.time() - t0:.2f}s)")
+    if args.oracle:
+        if args.query not in workloads.ORACLE:
+            print(f"(no oracle registered for {args.query})")
+        else:
+            import duckdb
+
+            con = duckdb.connect()
+            for t in (
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings"
+            ).split():
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+                )
+            n = con.sql(workloads.ORACLE[args.query]).df().shape[0]
+            print(f"(oracle rows: {n})")
     return 0
 
 
