@@ -110,10 +110,15 @@ def snapshot_diff(
     """
 
     def _digest(df: DataFrame, alias: str) -> DataFrame:
-        return df.select(
-            F.col(key),
-            F.md5(F.concat_ws("|", *[F.col(c) for c in compare_cols])).alias(alias),
-        )
+        # per-column NULL marker: concat_ws silently SKIPS nulls, which
+        # would make ('a', NULL, 'b') and ('a', 'b', NULL) collide and
+        # NULL indistinguishable from absent — digest each column
+        # through an explicit sentinel instead.
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
+            for c in compare_cols
+        ]
+        return df.select(F.col(key), F.md5(F.concat_ws("|", *cols)).alias(alias))
 
     o = _digest(old, "_od")
     n = _digest(new, "_nd")

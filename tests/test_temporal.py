@@ -309,3 +309,15 @@ def test_session_stats_gap_boundary(spark):
         "user_id long, ts timestamp, value double",
     )
     assert relational.session_stats(ev2, gap_minutes=30).count() == 2
+
+
+def test_snapshot_diff_null_not_ambiguous(spark):
+    old = spark.createDataFrame([(1, "a", None), (2, None, "b")],
+                                "id long, t string, v string")
+    new = spark.createDataFrame([(1, None, "a"), (2, None, "b")],
+                                "id long, t string, v string")
+    got = {r["id"]: r["change_type"]
+           for r in temporal.snapshot_diff(old, new, "id", ("t", "v")).collect()}
+    # ('a', NULL) vs (NULL, 'a') must register as an update, and a
+    # NULL-for-NULL identical row as unchanged
+    assert got == {1: "update"}
