@@ -1338,6 +1338,27 @@ def q_rolling_active_users(spark, sf_dir):
     return funnel.rolling_active_users(_events(spark, sf_dir))
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit of the corpus: least-squares slope/intercept of
+    ln(freq) ~ ln(rank) over the ranked vocabulary (natural text sits
+    near slope -1). The global rank window runs over the VOCABULARY
+    (corpus collapses in word_count first); at extreme vocab scale the
+    rank becomes a range-partitioned prefix-offset computation, but
+    the single sort of a counts table is fine far past 1e8 terms."""
+    from pyspark.sql.window import Window
+
+    wc = text.word_count(_docs(spark, sf_dir))
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = wc.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.round(F.expr("regr_slope(ln(cnt), ln(rank))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(ln(cnt), ln(rank))"), 6).alias(
+            "zipf_intercept"
+        ),
+        F.count("*").alias("vocab"),
+    )
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training: the 5 highest-count merges
     learned from the corpus vocabulary (greedy left-to-right
@@ -2612,6 +2633,19 @@ GROUP BY s"""
 
 ORACLE["bpe_vocab"] = _bpe_vocab_oracle_sql(5)
 
+ORACLE["zipf_fit"] = f"""
+WITH wc AS (
+  SELECT t AS word, count(*) AS cnt
+  FROM (SELECT unnest({_TOK}) AS t FROM documents) GROUP BY t
+), r AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank FROM wc
+)
+SELECT round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+       round(regr_intercept(ln(cnt), ln(rank)), 6) AS zipf_intercept,
+       count(*) AS vocab
+FROM r
+"""
+
 ORACLE["robust_outliers"] = """
 WITH med AS (
   SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
@@ -3487,6 +3521,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_trend": q_daily_trend,
     "containment_pairs": q_containment_pairs,
     "robust_outliers": q_robust_outliers,
+    "zipf_fit": q_zipf_fit,
     # -- round-5 extension batch 5 --
     # -- round-5 extension batch 3 --
     # -- round-5 extension batch 4 --
