@@ -30,3 +30,23 @@ def test_run_query_rejects_unknown_name():
     )
     assert proc.returncode == 2
     assert "unknown query" in proc.stderr
+
+
+def test_run_query_oracle_flag_end_to_end():
+    """Full user path: run a cheap query, print rows AND replay its
+    DuckDB oracle (second JVM; the one intentionally slow CLI test)."""
+    out = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "tools" / "run_query.py"),
+            "hourly_counts",
+            "--limit",
+            "2",
+            "--oracle",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0
+    assert "(oracle rows:" in out.stdout
