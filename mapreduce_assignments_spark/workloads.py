@@ -1338,6 +1338,26 @@ def q_rolling_active_users(spark, sf_dir):
     return funnel.rolling_active_users(_events(spark, sf_dir))
 
 
+def q_length_histogram(spark, sf_dir):
+    """Log2-bucketed document-length distribution — every corpus
+    report's first chart. The bucket is integer bit-math
+    (len(bin(n)) - 1), not float log2, so power-of-two boundaries are
+    exact in both engines. Pure one-exchange aggregation."""
+    d = _docs(spark, sf_dir)
+    bucket = F.when(
+        F.col("n_chars") > 0, F.length(F.expr("bin(n_chars)")) - 1
+    ).otherwise(F.lit(-1))
+    return (
+        d.select(bucket.cast("int").alias("log2_bucket"), "n_chars")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 def q_zipf_fit(spark, sf_dir):
     """Zipf's-law fit of the corpus: least-squares slope/intercept of
     ln(freq) ~ ln(rank) over the ranked vocabulary (natural text sits
@@ -2633,6 +2653,13 @@ GROUP BY s"""
 
 ORACLE["bpe_vocab"] = _bpe_vocab_oracle_sql(5)
 
+ORACLE["length_histogram"] = """
+SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
+            ELSE -1 END AS INTEGER) AS log2_bucket,
+       count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY 1
+"""
+
 ORACLE["zipf_fit"] = f"""
 WITH wc AS (
   SELECT t AS word, count(*) AS cnt
@@ -3522,6 +3549,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": q_containment_pairs,
     "robust_outliers": q_robust_outliers,
     "zipf_fit": q_zipf_fit,
+    "length_histogram": q_length_histogram,
     # -- round-5 extension batch 5 --
     # -- round-5 extension batch 3 --
     # -- round-5 extension batch 4 --
