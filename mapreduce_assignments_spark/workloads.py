@@ -1407,6 +1407,23 @@ def q_robust_outliers(spark, sf_dir):
     return profiling.robust_outliers(ev, value_col="value", group_col="event_type")
 
 
+def q_minhash_calibration(spark, sf_dir):
+    """Sketch-quality evaluation: for every LSH candidate pair, the
+    MinHash similarity ESTIMATE next to the TRUE n-gram Jaccard and
+    the absolute error — the calibration report that justifies (or
+    indicts) a banding configuration before running it at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    cands = dedup.minhash_lsh_candidates(docs, threshold=0.3)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.0)
+    return cands.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_sim",
+        F.round("jaccard", 6).alias("true_jaccard"),
+        F.round(F.abs(F.col("est_sim") - F.col("jaccard")), 6).alias("abs_err"),
+    )
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric shingle-containment near-dups (|A∩B| / |A| ≥ 0.8) —
     the quote-expansion catcher symmetric Jaccard misses."""
@@ -2693,6 +2710,50 @@ SELECT event_id, d.event_type, round(value, 6) AS value, med, mad,
 FROM dev d JOIN mad USING (event_type)
 """
 
+ORACLE["minhash_calibration"] = f"""
+WITH mh AS ({_MINHASH_FLAT}),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bsig
+  FROM mh GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS ag
+  FROM cand c
+  JOIN mh x ON x.doc_id = c.doc_a
+  JOIN mh y ON y.doc_id = c.doc_b AND y.i = x.i
+  GROUP BY c.doc_a, c.doc_b
+),
+est AS (
+  SELECT doc_a, doc_b, CAST(ag AS DOUBLE) / {NUM_MINHASHES} AS est_sim
+  FROM agree WHERE CAST(ag AS DOUBLE) / {NUM_MINHASHES} >= 0.3
+),
+sh AS ({_SHINGLES_3}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS j
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.est_sim,
+       round(j, 6) AS true_jaccard,
+       round(abs(e.est_sim - j), 6) AS abs_err
+FROM est e JOIN jac USING (doc_a, doc_b)
+"""
+
 ORACLE["containment_pairs"] = f"""
 WITH sh AS ({_SHINGLES_3}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -3550,6 +3611,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_outliers": q_robust_outliers,
     "zipf_fit": q_zipf_fit,
     "length_histogram": q_length_histogram,
+    "minhash_calibration": q_minhash_calibration,
     # -- round-5 extension batch 5 --
     # -- round-5 extension batch 3 --
     # -- round-5 extension batch 4 --
