@@ -1407,6 +1407,23 @@ def q_robust_outliers(spark, sf_dir):
     return profiling.robust_outliers(ev, value_col="value", group_col="event_type")
 
 
+def q_late_orders_by_priority(spark, sf_dir):
+    """TPC-H Q4-shaped EXISTS semi-join: orders with at least one
+    lineitem shipped > 60 days after the order date, counted by
+    priority. LEFT SEMI keeps each order once regardless of how many
+    lineitems qualify — no fact-side duplication ever materializes."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (orders["o_orderkey"] == li["l_orderkey"]) & (
+        F.to_date(li["l_shipdate"]) > F.date_add(F.to_date(orders["o_orderdate"]), 60)
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
 def q_minhash_calibration(spark, sf_dir):
     """Sketch-quality evaluation: for every LSH candidate pair, the
     MinHash similarity ESTIMATE next to the TRUE n-gram Jaccard and
@@ -2710,6 +2727,16 @@ SELECT event_id, d.event_type, round(value, 6) AS value, med, mad,
 FROM dev d JOIN mad USING (event_type)
 """
 
+ORACLE["late_orders_by_priority"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND CAST(l.l_shipdate AS DATE)
+                    > CAST(o.o_orderdate AS DATE) + 60)
+GROUP BY 1
+"""
+
 ORACLE["minhash_calibration"] = f"""
 WITH mh AS ({_MINHASH_FLAT}),
 bands AS (
@@ -3612,6 +3639,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": q_zipf_fit,
     "length_histogram": q_length_histogram,
     "minhash_calibration": q_minhash_calibration,
+    "late_orders_by_priority": q_late_orders_by_priority,
     # -- round-5 extension batch 5 --
     # -- round-5 extension batch 3 --
     # -- round-5 extension batch 4 --
