@@ -25,6 +25,7 @@ __all__ = [
     "pricing_summary",
     "top_revenue_orders",
     "revenue_by_nation",
+    "brand_nation_revenue",
     "user_sessions",
     "session_stats",
     "top_orders_per_customer",
@@ -135,6 +136,28 @@ def revenue_by_nation(
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("n_name", "r_name")
+        .agg(F.round(revenue, 6).cast("double").alias("revenue"))
+    )
+
+
+def brand_nation_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q9-flavored star join over the SUPPLY side of the schema:
+    discounted revenue per (supplier nation, part brand). part /
+    supplier / nation are all dimensions — broadcast; the fact table
+    never shuffles for the joins, only for the final aggregation."""
+    revenue = F.sum(
+        _exact_product_dec(F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount"))
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "p_brand")
         .agg(F.round(revenue, 6).cast("double").alias("revenue"))
     )
 

@@ -1407,6 +1407,18 @@ def q_robust_outliers(spark, sf_dir):
     return profiling.robust_outliers(ev, value_col="value", group_col="event_type")
 
 
+def q_brand_nation_revenue(spark, sf_dir):
+    """Supply-side star join (TPC-H Q9 flavor): discounted revenue per
+    (supplier nation, part brand) — exercises the part and supplier
+    dimension tables."""
+    return relational.brand_nation_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def q_late_orders_by_priority(spark, sf_dir):
     """TPC-H Q4-shaped EXISTS semi-join: orders with at least one
     lineitem shipped > 60 days after the order date, counted by
@@ -2727,6 +2739,18 @@ SELECT event_id, d.event_type, round(value, 6) AS value, med, mad,
 FROM dev d JOIN mad USING (event_type)
 """
 
+ORACLE["brand_nation_revenue"] = """
+SELECT n_name, p_brand,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))), 6)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, p_brand
+"""
+
 ORACLE["late_orders_by_priority"] = """
 SELECT o_orderpriority, count(*) AS n_orders
 FROM orders o
@@ -3640,6 +3664,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_histogram": q_length_histogram,
     "minhash_calibration": q_minhash_calibration,
     "late_orders_by_priority": q_late_orders_by_priority,
+    "brand_nation_revenue": q_brand_nation_revenue,
     # -- round-5 extension batch 5 --
     # -- round-5 extension batch 3 --
     # -- round-5 extension batch 4 --
