@@ -138,14 +138,75 @@ def _time_query(spark, sf_dir: str, name: str) -> float:
     return round(time.time() - t0, 3)
 
 
+def _git_rev() -> str | None:
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "-C", str(REPO), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001 — telemetry only
+        return None
+
+
 def _append_trend(record: dict) -> None:
     try:
+        record.setdefault("git_rev", _git_rev())
         out = REPO / "docs" / "bench_trend.jsonl"
         out.parent.mkdir(exist_ok=True)
         with out.open("a") as f:
             f.write(json.dumps(record) + "\n")
     except OSError as e:  # a read-only checkout must not fail the bench
         print(f"# trend append skipped: {e}", file=sys.stderr)
+
+
+def check_trend(
+    trend_path: Path, threshold: float = 2.0, abs_floor: float = 0.3
+) -> list[str]:
+    """CI-style regression gate over ``docs/bench_trend.jsonl``: for
+    each query in the LATEST record, fail if its median exceeds the
+    best median of any EARLIER record **with the same git revision**
+    (i.e. on unchanged code — a slowdown across a code change may be a
+    deliberate trade; one on the same commit is environment or a
+    Spark-conf regression) by more than ``threshold``x AND by more
+    than ``abs_floor`` seconds (sub-second queries double on scheduler
+    noise alone). Returns one message per regression; empty = pass."""
+    records = []
+    with trend_path.open() as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                records.append(json.loads(line))
+    if len(records) < 2:
+        return []
+    latest = records[-1]
+    prior = [
+        r for r in records[:-1]
+        if r.get("git_rev") and r.get("git_rev") == latest.get("git_rev")
+        and r.get("mode") == latest.get("mode") and r.get("sf") == latest.get("sf")
+    ]
+    if not prior:
+        return []
+    regressions = []
+    for name, samples in latest.get("samples", {}).items():
+        cur = statistics.median(samples)
+        best = min(
+            (
+                statistics.median(r["samples"][name])
+                for r in prior
+                if name in r.get("samples", {})
+            ),
+            default=None,
+        )
+        if best is None:
+            continue
+        if cur > threshold * best and cur - best > abs_floor:
+            regressions.append(
+                f"{name}: median {cur:.3f}s vs best {best:.3f}s on "
+                f"rev {latest.get('git_rev')} (> {threshold}x)"
+            )
+    return regressions
 
 
 def run_headline(spark, sf_dir: str, sf, runs: int) -> int:
@@ -221,7 +282,24 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="time every registered query once")
     ap.add_argument("--runs", type=int, default=3, help="repetitions per headline query")
+    ap.add_argument(
+        "--check", action="store_true",
+        help="no timing: gate on docs/bench_trend.jsonl — fail if any "
+        "query in the latest record regressed >2x vs its best same-"
+        "git-rev median (see check_trend)",
+    )
     args = ap.parse_args()
+
+    if args.check:
+        trend = REPO / "docs" / "bench_trend.jsonl"
+        if not trend.exists():
+            print(json.dumps({"metric": "trend_check", "value": 0, "unit": "regressions", "note": "no trend file"}))
+            return 0
+        regs = check_trend(trend)
+        for r in regs:
+            print(f"# REGRESSION {r}", file=sys.stderr)
+        print(json.dumps({"metric": "trend_check", "value": len(regs), "unit": "regressions", "regressions": regs}))
+        return 1 if regs else 0
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)

@@ -170,7 +170,12 @@ def quantile_buckets(
     )
 
 
-def bpe_merges(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> DataFrame:
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    max_merges: int = 256,
+) -> DataFrame:
     """Distributed BPE tokenizer training (simplified: no end-of-word
     marker): learn the ``n_merges`` highest-count byte-pair merges from
     the corpus, greedy left-to-right application per round — the same
@@ -188,11 +193,28 @@ def bpe_merges(docs: DataFrame, n_merges: int = 5, text_col: str = "text") -> Da
     as pagerank's dangling mass); lineage is truncated per round with
     localCheckpoint. Ties break (count DESC, lhs, rhs) — deterministic
     across engines.
+
+    Scaling limit (deliberate): training is O(n_merges) SEQUENTIAL
+    Spark jobs — one pair-count aggregation + one 1-row argmax collect
+    per merge — so a production 30k-merge vocabulary would launch 30k
+    jobs back-to-back, and job-launch latency (not data volume) would
+    dominate. ``max_merges`` (default 256) makes that cliff an error
+    instead of a surprise; raise it only after batching the argmax
+    (collect the top-B non-overlapping pairs per round and apply them
+    together, the standard trainer remedy) or moving training into a
+    single applyInPandas over the word-count vocabulary, which fits in
+    one executor's memory long after the corpus doesn't.
     """
     from .text import word_count
 
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if n_merges > max_merges:
+        raise ValueError(
+            f"n_merges={n_merges} exceeds max_merges={max_merges}: each "
+            "merge is a sequential Spark job (see docstring); batch the "
+            "argmax before raising the bound"
+        )
     chars = F.expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
     )

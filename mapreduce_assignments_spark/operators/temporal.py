@@ -53,7 +53,12 @@ def hourly_anomalies(
     Scale: same shape as :func:`sliding_hourly_stats` — the window
     partitions on event_type, but over the ALREADY AGGREGATED hourly
     table (map-side partials first), so the low-cardinality key is
-    safe; ROWS frames keep gap hours from stretching the baseline.
+    safe. The baseline frame is ROWS-based: it always covers the
+    ``preceding`` most recently OBSERVED hours regardless of calendar
+    gaps, so across a quiet night the baseline may span far more than
+    ``preceding`` wall-clock hours (a RANGE frame over the hour value
+    would bound wall-clock instead; the DuckDB oracle uses the same
+    ROWS semantics).
     """
     hourly = events.groupBy(
         "event_type",
@@ -96,11 +101,16 @@ def snapshot_diff(
     ``new``), ``delete`` (only in ``old``), ``update`` (present in both
     but differing on ``compare_cols``). Unchanged keys are dropped.
 
-    Comparison is by md5 digest of the ``compare_cols`` rendered
-    through ``concat_ws`` — one narrow projection per side, then a
-    single full-outer key join; no wide row ever shuffles twice.
-    Callers must pre-render any engine-ambiguous column (raw doubles,
-    timestamps) into a canonical form, same as :mod:`.profiling`.
+    Comparison digest: each compare column is md5-hashed SEPARATELY
+    (NULL → an explicit sentinel) and the fixed-width per-column
+    digests are concatenated into one outer md5 — one narrow
+    projection per side, then a single full-outer key join; no wide
+    row ever shuffles twice. Per-column hashing means no delimiter
+    can shift field boundaries: with a joined rendering,
+    ``('a|b', 'c')`` vs ``('a', 'b|c')`` would collide and register
+    as unchanged. Callers must pre-render any engine-ambiguous column
+    (raw doubles, timestamps) into a canonical form, same as
+    :mod:`.profiling`.
 
     Scale: the join shuffles each side once on ``key``; digests are
     64-bit-ish strings, so the exchanged payload is key + 32 bytes per
@@ -110,15 +120,14 @@ def snapshot_diff(
     """
 
     def _digest(df: DataFrame, alias: str) -> DataFrame:
-        # per-column NULL marker: concat_ws silently SKIPS nulls, which
-        # would make ('a', NULL, 'b') and ('a', 'b', NULL) collide and
-        # NULL indistinguishable from absent — digest each column
-        # through an explicit sentinel instead.
+        # md5 per column (NULL -> sentinel; concat_ws would silently
+        # SKIP nulls), then md5 over the fixed-width digests — field
+        # boundaries cannot shift whatever bytes the values contain.
         cols = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
+            F.md5(F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00")))
             for c in compare_cols
         ]
-        return df.select(F.col(key), F.md5(F.concat_ws("|", *cols)).alias(alias))
+        return df.select(F.col(key), F.md5(F.concat(*cols)).alias(alias))
 
     o = _digest(old, "_od")
     n = _digest(new, "_nd")

@@ -25,6 +25,12 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def sf_dir():
+    """Smallest driver-generated parquet scale factor."""
+    return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
 def docs(spark):
     """Tiny reference-shaped corpus with hand-checkable counts."""
     rows = [

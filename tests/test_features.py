@@ -99,6 +99,14 @@ def test_bpe_merges_hand_computed(spark):
     assert rows == [(1, "a", "a", 3), (2, "a", "b", 2)]
     with pytest.raises(ValueError):
         bpe_merges(df, n_merges=0)
+    # each merge is a sequential Spark job: the bound makes the 30k-
+    # merge production cliff an error, not a surprise (round-5 VERDICT
+    # item 5); raisable once the argmax is batched
+    with pytest.raises(ValueError, match="max_merges"):
+        bpe_merges(df, n_merges=1000)
+    assert (
+        bpe_merges(df, n_merges=300, max_merges=300).count() == 2
+    )  # explicit opt-in raises the bound; corpus exhausts at 2 merges
 
 
 def test_bpe_merges_greedy_left_to_right(spark):

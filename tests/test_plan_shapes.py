@@ -55,3 +55,22 @@ def test_lsh_banded_join_not_cartesian(docs_table):
 def test_no_python_in_text_pipeline(docs_table):
     for df in (word_count(docs_table), cooccurrence(docs_table)):
         assert "Python" not in _plan(df)
+
+
+def test_triangle_count_checkpoints_edge_derivation(spark):
+    """round-5 VERDICT item 3: without localCheckpoint on ``edges``
+    and the oriented set ``e``, the adjacency explode re-derives ~5x
+    and the final plan carried 26 exchanges; checkpointed, the whole
+    count is a handful of scan-side exchanges over the materialized
+    edge sets. Bound is loose (AQE varies) but far below the
+    regression's 26."""
+    from mapreduce_assignments_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(1, [2, 3]), (2, [3]), (3, [4]), (4, [])],
+        "id int, adj array<int>",
+    )
+    tri = triangle_count(df)
+    assert _exchanges(_plan(tri)) <= 8
+    [row] = tri.collect()
+    assert row["n_triangles"] == 1

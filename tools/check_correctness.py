@@ -79,6 +79,14 @@ def main() -> int:
         "outside the 50-entry driver registry)",
     )
     ap.add_argument(
+        "--pandas-canon", action="store_true",
+        help="additionally replicate the DRIVER's pandas-based "
+        "canonicalization (sort_values + dtype-sensitive value hash) "
+        "for every checked query in the 50-entry window — catches "
+        "ARRAY-output and dtype-drift queries the tuple-based check "
+        "here passes but the driver rejects (round-5 failure class)",
+    )
+    ap.add_argument(
         "--vanilla-session", action="store_true",
         help="run on an unconfigured SparkSession (like the driver's "
         "harness) instead of session.get_spark — catches any workload "
@@ -171,6 +179,21 @@ def main() -> int:
         dc = _canon(d_rows, d_cols)
         if sc == dc:
             rec["status"] = "OK"
+            if args.pandas_canon and name in workloads.QUERIES:
+                from mapreduce_assignments_spark import harness_compat
+
+                issues = harness_compat.lint_spark_schema(df)
+                if not issues:
+                    issues = harness_compat.pandas_canon_compare(
+                        df.toPandas(), con.execute(oracles[name]).df()
+                    )
+                if issues:
+                    rec["status"] = "DRIVER-CANON-FAIL"
+                    rec["canon_issues"] = issues
+                    n_fail += 1
+                    print(f"[FAIL] {name}: driver-canon: {issues}")
+                    results[name] = rec
+                    continue
             print(f"[ok] {name}: {len(s_rows)} rows in {rec['spark_secs']}s")
         elif all(_approx_eq(a, b) for a, b in zip(sc, dc)):
             rec["status"] = "APPROX-ONLY"
