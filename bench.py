@@ -82,10 +82,10 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "hourly_counts", "hourly_counts_errors", "hourly_counts_tweets",
         "hourly_counts_tweets_egypt", "hypertable_rollup",
         "sliding_hourly_stats", "value_percentiles", "asof_join", "range_join",
-        "dense_hourly_counts",
+        "dense_hourly_counts", "scd2_history",
     ),
     "relational": (
-        "pricing_summary", "top_revenue_orders", "revenue_by_nation",
+        "pricing_summary", "forecast_revenue", "top_revenue_orders", "revenue_by_nation",
         "sql_revenue_by_nation", "top_orders_per_customer",
         "customers_without_orders", "salted_order_revenue",
         "bucketed_customer_orders", "user_sessions", "event_props_stats",
@@ -124,7 +124,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     ),
     "streaming": (
         "streaming_hourly_counts", "streaming_user_sessions",
-        "streaming_dedup",
+        "streaming_dedup", "streaming_interval_join",
     ),
     "sources": ("jsonl_roundtrip",),
 }

@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "pricing_summary",
+    "forecast_revenue",
     "top_revenue_orders",
     "revenue_by_nation",
     "brand_nation_revenue",
@@ -97,6 +98,37 @@ def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> Dat
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    ship_from: str = "1996-01-01",
+    ship_before: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-style forecasting-revenue-change query: the revenue
+    that would have been gained by eliminating a discount band on
+    small-quantity orders in one ship year — a single filtered scalar
+    aggregate, no join, no group.
+
+    Scale: the canonical predicate-pushdown showcase. All four
+    predicates are scan-level PushedFilters on the parquet source
+    (range on l_shipdate, band on l_discount, bound on l_quantity),
+    so row groups outside the year never decompress; the revenue term
+    uses the exact-decimal product convention (:func:`pricing_summary`)
+    for engine-bit-identical summation.
+    """
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(ship_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(ship_before).cast("timestamp"))
+        & (F.col("l_discount") >= disc_lo)
+        & (F.col("l_discount") <= disc_hi)
+        & (F.col("l_quantity") < max_qty)
+    )
+    rev = F.sum(_exact_product_dec(F.col("l_extendedprice"), F.col("l_discount")))
+    return li.agg(F.round(rev, 6).cast("double").alias("revenue"))
 
 
 def top_revenue_orders(

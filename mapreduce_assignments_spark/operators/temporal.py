@@ -31,6 +31,7 @@ __all__ = [
     "hypertable_rollup",
     "sliding_hourly_stats",
     "latest_snapshot",
+    "scd2_history",
     "snapshot_diff",
     "hourly_anomalies",
 ]
@@ -174,6 +175,61 @@ def latest_snapshot(
         F.max_by(F.struct(*payload), order).alias("_latest")
     )
     return latest.select(*keys, *[F.col(f"_latest.{c}").alias(c) for c in payload])
+
+
+def scd2_history(
+    log: DataFrame,
+    keys: tuple[str, ...],
+    attrs: tuple[str, ...],
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an append-only
+    change log — the versioned sibling of :func:`latest_snapshot`:
+    one row per (key, version) carrying the attribute values and
+    their validity interval.
+
+    Per key, rows order by ``(ts_col, tiebreak)``; consecutive rows
+    whose ``attrs`` are unchanged COLLAPSE into one version (change
+    compression — a heartbeat that re-asserts the same value opens no
+    new version). Each surviving change gets ``version`` (1-based),
+    ``valid_from`` = its own timestamp, ``valid_to`` = the next
+    version's timestamp (NULL on the open current version), and
+    ``is_current``.
+
+    Scale: two key-partitioned window passes over the log (lag-digest
+    change compression, then lead for interval close) — both sort
+    within the SAME key partitioning, so the log shuffles once. The
+    change digest reuses :func:`snapshot_diff`'s per-column-md5 form,
+    so delimiter bytes in attribute values cannot alias a change.
+    History length per key is bounded by that key's change count, not
+    its log volume.
+    """
+    ord_cols = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*ord_cols)
+    digest = F.md5(
+        F.concat(
+            *[
+                F.md5(F.coalesce(F.col(a).cast("string"), F.lit("\x00NULL\x00")))
+                for a in attrs
+            ]
+        )
+    )
+    compressed = (
+        log.withColumn("_d", digest)
+        .withColumn("_pd", F.lag("_d").over(w))
+        .where(F.col("_pd").isNull() | (F.col("_pd") != F.col("_d")))
+    )
+    return (
+        compressed.select(
+            *keys,
+            F.row_number().over(w).cast("int").alias("version"),
+            *attrs,
+            F.col(ts_col).alias("valid_from"),
+            F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
 
 
 def asof_join(

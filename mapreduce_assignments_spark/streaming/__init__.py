@@ -7,6 +7,7 @@ from .stream_ops import (  # noqa: F401
     run_to_memory,
     streaming_enriched_counts,
     streaming_exact_dedup,
+    streaming_interval_join,
     streaming_sliding_counts,
     streaming_hourly_counts,
     streaming_user_sessions,
@@ -20,6 +21,7 @@ __all__ = [
     "maintain_snapshot",
     "streaming_enriched_counts",
     "streaming_sliding_counts",
+    "streaming_interval_join",
     "EVENTS_SCHEMA",
     "run_to_memory",
 ]

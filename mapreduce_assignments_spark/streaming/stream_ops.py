@@ -36,6 +36,7 @@ __all__ = [
     "maintain_snapshot",
     "streaming_sliding_counts",
     "streaming_enriched_counts",
+    "streaming_interval_join",
     "run_to_memory",
 ]
 
@@ -254,6 +255,48 @@ def streaming_enriched_counts(
             .alias("total_value"),
         )
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-STREAM interval join — attribution's core topology: for
+    every left event (e.g. a click), every right event (e.g. a
+    purchase) by the same key whose event time falls in
+    ``[left_ts, left_ts + within]``. Both sides are unbounded, so
+    this is the one join shape where BOTH inputs enter the state
+    store.
+
+    State stays bounded because both sides carry a watermark AND the
+    join condition bounds event-time distance in both directions:
+    Spark can evict a buffered left row once the watermark passes
+    ``left_ts + within`` (no future right row can match it), and a
+    right row once the watermark passes ``right_ts`` (its left
+    partners must precede it). Without the time-range condition the
+    state store grows without bound — the reason this operator bakes
+    the interval into the join predicate rather than filtering after.
+
+    Append output mode only (matches arrive exactly once, when both
+    sides are present) — same result as the batch interval join the
+    oracle replays.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l.join(r, cond, "inner")
 
 
 def run_to_memory(stream: DataFrame, name: str, output_mode: str = "update"):

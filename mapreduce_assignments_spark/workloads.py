@@ -1468,6 +1468,56 @@ def q_late_orders_by_priority(spark, sf_dir):
     )
 
 
+def q_forecast_revenue(spark, sf_dir):
+    return relational.forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_scd2_history(spark, sf_dir):
+    """Type-2 dimension build over the events log: per user, the
+    versioned history of event_type transitions with validity
+    intervals (consecutive same-type events collapse)."""
+    hist = temporal.scd2_history(
+        _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id"),
+        keys=("user_id",),
+        attrs=("event_type",),
+        ts_col="ts",
+        tiebreak="event_id",
+    )
+    return hist.select(
+        "user_id",
+        "version",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
+def q_streaming_interval_join(spark, sf_dir):
+    """Stream-STREAM interval join (click → purchase attribution
+    within 1 hour, per user), both sides replayed through the file
+    source. Oracle = the identical batch interval join."""
+    from .streaming import (
+        read_events_stream,
+        run_to_memory,
+        streaming_interval_join,
+    )
+
+    src = _staged_events_dir(spark, sf_dir)
+    clicks = read_events_stream(spark, src).where(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, src).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = streaming_interval_join(clicks, purchases, within="1 hour")
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
+    run_to_memory(out, "q_stream_ij_mem", "append")
+    return spark.table("q_stream_ij_mem")
+
+
 def q_minhash_calibration(spark, sf_dir):
     """Sketch-quality evaluation: for every LSH candidate pair, the
     MinHash similarity ESTIMATE next to the TRUE n-gram Jaccard and
@@ -3015,6 +3065,53 @@ SELECT CAST(user_id % 3 AS INTEGER) AS tier, count(*) AS n,
 FROM events GROUP BY 1
 """
 
+# batch replay of the stream-stream interval join: inner joins emit a
+# match exactly once (when both sides are present), so the availableNow
+# drain equals this batch join row-for-row
+ORACLE["streaming_interval_join"] = """
+SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+ORACLE["forecast_revenue"] = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST(l_discount AS DECIMAL(8,6))), 6) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+ORACLE["scd2_history"] = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev_type IS NULL OR prev_type != event_type
+),
+hist AS (
+  SELECT user_id,
+         CAST(row_number() OVER w AS INTEGER) AS version,
+         event_type,
+         ts AS vf,
+         lead(ts) OVER w AS vt
+  FROM changes WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, version, event_type,
+       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       vt IS NULL AS is_current
+FROM hist
+"""
+
 
 # --- iterative graph oracles: the 8-iteration power method, unrolled --------
 # One CTE pair per iteration over the _customer_graph derivation. The
@@ -3764,6 +3861,11 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_customer_orders": q_bucketed_customer_orders,
     "exact_duplicates": q_exact_duplicates,
     "ngram_jaccard": q_ngram_jaccard,
+    # -- NEW in round 6 (rotation candidates for round 7: all three
+    # are scalar-output per docs/ROTATION_AUDIT.md screening) --
+    "forecast_revenue": q_forecast_revenue,      # TPC-H Q6 pushdown showcase
+    "scd2_history": q_scd2_history,              # type-2 dimension build
+    "streaming_interval_join": q_streaming_interval_join,  # stream-stream join
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

@@ -57,6 +57,20 @@ def test_no_python_in_text_pipeline(docs_table):
         assert "Python" not in _plan(df)
 
 
+def test_forecast_revenue_pushes_filters_and_prunes_columns(spark):
+    """TPC-H Q6 shape: all range predicates must reach the parquet
+    scan as PushedFilters and the ReadSchema must carry only the four
+    referenced columns — the 100 TB contract is that row groups
+    outside the ship year never decompress."""
+    from mapreduce_assignments_spark.operators.relational import forecast_revenue
+
+    plan = _plan(forecast_revenue(load_table(spark, SF_DIR, "lineitem")))
+    assert "GreaterThanOrEqual(l_shipda" in plan  # range pushed to scan
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double," \
+           "l_discount:double,l_shipdate" in plan  # 4 of 11 columns read
+    assert _exchanges(plan) <= 1  # single scalar aggregate
+
+
 def test_triangle_count_checkpoints_edge_derivation(spark):
     """round-5 VERDICT item 3: without localCheckpoint on ``edges``
     and the oriented set ``e``, the adjacency explode re-derives ~5x

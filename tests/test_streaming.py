@@ -244,3 +244,42 @@ def test_streaming_sliding_counts_overlap(spark, tmp_path):
         "2024-01-01 00:00": 2,
         "2024-01-01 01:00": 1,
     }
+
+
+def test_streaming_interval_join_matches_batch_window(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        streaming_interval_join,
+    )
+
+    rows = [
+        # user 10: click at 00:00; purchases at +30m (match), +2h (no)
+        (1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:30:00", 10, "purchase", 5.0, "{}"),
+        (3, "2024-01-01 02:00:00", 10, "purchase", 9.0, "{}"),
+        # user 11: purchase BEFORE the click — interval is one-sided
+        (4, "2024-01-01 01:00:00", 11, "purchase", 2.0, "{}"),
+        (5, "2024-01-01 01:30:00", 11, "click", 1.0, "{}"),
+        # boundary: exactly +1h is IN (inclusive upper bound)
+        (6, "2024-01-01 03:00:00", 12, "click", 1.0, "{}"),
+        (7, "2024-01-01 04:00:00", 12, "purchase", 7.0, "{}"),
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(src)
+    clicks = read_events_stream(spark, src).where(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, src).where(F.col("event_type") == "purchase")
+    joined = streaming_interval_join(clicks, purchases, within="1 hour").select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
+    run_to_memory(joined, "t_stream_ij_mem", "append")
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.table("t_stream_ij_mem").collect()
+    }
+    assert got == {(1, 2), (6, 7)}

@@ -321,3 +321,61 @@ def test_snapshot_diff_null_not_ambiguous(spark):
     # ('a', NULL) vs (NULL, 'a') must register as an update, and a
     # NULL-for-NULL identical row as unchanged
     assert got == {1: "update"}
+
+
+def test_scd2_history_change_compression_and_intervals(spark):
+    log = spark.createDataFrame(
+        [
+            # user 1: a -> a (heartbeat, no new version) -> b -> a
+            (1, "a", _ts("2024-01-01 00:00:00"), 100),
+            (1, "a", _ts("2024-01-01 01:00:00"), 101),
+            (1, "b", _ts("2024-01-01 02:00:00"), 102),
+            (1, "a", _ts("2024-01-01 03:00:00"), 103),
+            # user 2: single row -> one open version
+            (2, "x", _ts("2024-01-01 00:30:00"), 200),
+        ],
+        "user_id long, state string, ts timestamp, event_id long",
+    )
+    hist = temporal.scd2_history(
+        log, keys=("user_id",), attrs=("state",), ts_col="ts", tiebreak="event_id"
+    )
+    rows = sorted(
+        (r["user_id"], r["version"], r["state"],
+         str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in hist.collect()
+    )
+    assert rows == [
+        (1, 1, "a", "2024-01-01 00:00:00", "2024-01-01 02:00:00", False),
+        (1, 2, "b", "2024-01-01 02:00:00", "2024-01-01 03:00:00", False),
+        (1, 3, "a", "2024-01-01 03:00:00", "None", True),
+        (2, 1, "x", "2024-01-01 00:30:00", "None", True),
+    ]
+
+
+def test_scd2_history_tiebreak_orders_same_timestamp(spark):
+    t = _ts("2024-01-01 00:00:00")
+    log = spark.createDataFrame(
+        [(1, "a", t, 2), (1, "b", t, 1)],  # b precedes a by event_id
+        "user_id long, state string, ts timestamp, event_id long",
+    )
+    hist = temporal.scd2_history(
+        log, keys=("user_id",), attrs=("state",), ts_col="ts", tiebreak="event_id"
+    )
+    got = [(r["version"], r["state"]) for r in hist.orderBy("version").collect()]
+    assert got == [(1, "b"), (2, "a")]
+
+
+def test_scd2_history_delimiter_bytes_cannot_alias_change(spark):
+    # ('a|b','c') -> ('a','b|c'): same concat_ws rendering, different
+    # rows — per-column digests must open a new version
+    log = spark.createDataFrame(
+        [
+            (1, "a|b", "c", _ts("2024-01-01 00:00:00"), 1),
+            (1, "a", "b|c", _ts("2024-01-01 01:00:00"), 2),
+        ],
+        "user_id long, x string, y string, ts timestamp, event_id long",
+    )
+    hist = temporal.scd2_history(
+        log, keys=("user_id",), attrs=("x", "y"), ts_col="ts", tiebreak="event_id"
+    )
+    assert hist.count() == 2
