@@ -99,12 +99,12 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "exact_duplicates", "shingles", "ngram_jaccard", "minhash_signatures",
         "minhash_lsh_candidates", "simhash", "simhash_near_dupes",
         "dedup_clusters", "contamination_flags", "dedup_apply",
-        "curated_corpus",
+        "curated_corpus", "split_leakage",
     ),
     "similarity": (
         "brute_force_topk", "ivf_assign", "ivf_topk_trained",
         "ivf_index_probe", "embedding_near_dupes", "lsh_topk",
-        "quantize_embeddings",
+        "quantize_embeddings", "ivf_recall_report",
     ),
     "text_quality": (
         "token_counts", "quality_score", "language_id", "doc_fingerprint",

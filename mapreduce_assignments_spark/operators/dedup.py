@@ -47,6 +47,7 @@ __all__ = [
     "simhash_near_dupes",
     "dedup_clusters",
     "contamination_flags",
+    "split_leakage",
 ]
 
 
@@ -639,4 +640,43 @@ def contamination_flags(
         # plain count is the distinct-hit count
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def split_leakage(candidates: DataFrame, splits: DataFrame) -> DataFrame:
+    """Train/test leakage report: count near-duplicate pairs that
+    straddle dataset splits — the check every training pipeline must
+    run BEFORE shipping a split, because a test document whose
+    near-duplicate sits in train silently inflates every eval metric.
+
+    ``candidates``: near-dup pairs ``(doc_a, doc_b, ...)`` from any
+    generator (:func:`minhash_lsh_candidates`,
+    :func:`simhash_near_dupes`, :func:`verified_near_dupes`);
+    ``splits``: ``(doc_id, split)`` from ``sampling.hash_split``.
+    Output: one row per unordered split pair that leaks,
+    ``(split_lo, split_hi, n_pairs)`` — split names sorted within the
+    pair so (train, test) and (test, train) collapse.
+
+    Scale: two joins of the (already sublinear) candidate pair set
+    against the narrow ``(doc_id, split)`` table — the split side
+    aggregates nothing and carries two columns, so at 100 TB it is
+    the classic broadcast-or-shuffle dimension join, and the result
+    is at most |splits|² rows.
+    """
+    a = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        candidates.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
     )

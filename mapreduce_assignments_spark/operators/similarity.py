@@ -43,6 +43,7 @@ __all__ = [
     "quantize_embeddings",
     "write_ivf_index",
     "probe_ivf_index",
+    "ann_recall",
 ]
 
 
@@ -689,3 +690,31 @@ def probe_ivf_index(
         ).alias("sim"),
     )
     return _topk_per_query(scored, k, gate_df=idx)
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Recall@k report: per query, the fraction of EXACT top-k
+    neighbors the approximate result recovered — the evaluation every
+    ANN deployment runs before trading brute force for an index, and
+    the number that justifies (or indicts) an nprobe/banding setting.
+
+    ``exact`` and ``approx`` both carry ``(query_id, neighbor_id, ...)``
+    (:func:`brute_force_topk` / :func:`ivf_topk` / :func:`lsh_topk`).
+    Output: ``(query_id, recall_at_k)``.
+
+    Scale: both inputs are already top-k-sized (|queries| x k rows) —
+    the join and per-query aggregate are trivially small next to the
+    searches that produced them; evaluation cost is dominated by the
+    brute-force ground truth, which is the point of sampling queries.
+    """
+    hit = approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*"), 6
+            ).alias("recall_at_k")
+        )
+    )

@@ -1472,6 +1472,34 @@ def q_forecast_revenue(spark, sf_dir):
     return relational.forecast_revenue(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_split_leakage(spark, sf_dir):
+    """Train/test leakage report: LSH near-dup pairs that straddle the
+    hash_split train/val/test assignment, counted per split pair."""
+    docs = _docs(spark, sf_dir)
+    splits = sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+    cands = dedup.minhash_lsh_candidates(docs, n=3, bands=8)
+    return dedup.split_leakage(cands, splits)
+
+
+def q_ivf_recall_report(spark, sf_dir):
+    """Recall@10 of the trained-IVF search (nprobe=2) against the
+    brute-force ground truth, per query — the ANN evaluation
+    harness."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id")
+    )
+    qv = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    centroids = similarity.ivf_train(emb, k=8, n_iter=2)
+    approx = similarity.ivf_topk(emb, centroids, queries, k=10, nprobe=2)
+    exact = similarity.brute_force_topk(emb, qv, k=10)
+    return similarity.ann_recall(exact, approx)
+
+
 def q_scd2_history(spark, sf_dir):
     """Type-2 dimension build over the events log: per user, the
     versioned history of event_type transitions with validity
@@ -3350,6 +3378,33 @@ QUALIFY rank <= {topk}
 
 ORACLE["ivf_topk_trained"] = _ivf_topk_trained_oracle_sql()
 
+# composed oracles: reuse the standalone queries' oracle SQL verbatim
+# as derived tables — the composition is the check (defined here,
+# after every referenced entry exists)
+ORACLE["split_leakage"] = f"""
+WITH cand AS (SELECT doc_a, doc_b FROM ({ORACLE['minhash_lsh_candidates']}) _c),
+sp AS (SELECT doc_id, split FROM ({ORACLE['hash_split']}) _s)
+SELECT least(sa.split, sb.split) AS split_lo,
+       greatest(sa.split, sb.split) AS split_hi,
+       count(*) AS n_pairs
+FROM cand
+JOIN sp sa ON sa.doc_id = cand.doc_a
+JOIN sp sb ON sb.doc_id = cand.doc_b
+WHERE sa.split != sb.split
+GROUP BY 1, 2
+"""
+
+ORACLE["ivf_recall_report"] = f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({ORACLE['brute_force_topk']}) _b),
+ivf AS (SELECT query_id, neighbor_id FROM ({ORACLE['ivf_topk_trained']}) _i)
+SELECT bf.query_id AS query_id,
+       round(CAST(count(ivf.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_at_k
+FROM bf LEFT JOIN ivf
+  ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+"""
+
 ORACLE["event_props_stats"] = """
 SELECT event_type, count(*) AS n,
        CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
@@ -3866,6 +3921,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_revenue": q_forecast_revenue,      # TPC-H Q6 pushdown showcase
     "scd2_history": q_scd2_history,              # type-2 dimension build
     "streaming_interval_join": q_streaming_interval_join,  # stream-stream join
+    "split_leakage": q_split_leakage,            # train/test near-dup leakage
+    "ivf_recall_report": q_ivf_recall_report,    # ANN recall@k vs brute force
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

@@ -276,3 +276,24 @@ def test_containment_pairs_asymmetric(spark):
     # (asymmetric), and below the 0.5 gate
     assert (2, 1) not in rows
     assert all(3 not in pair for pair in rows)
+
+
+def test_split_leakage_counts_cross_split_pairs(spark):
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.operators.dedup import split_leakage
+
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "val"), (5, "val")],
+        "doc_id long, split string",
+    )
+    got = {
+        (r["split_lo"], r["split_hi"]): r["n_pairs"]
+        for r in split_leakage(cands, splits).collect()
+    }
+    # (1,2) train-test leaks; (2,3) test-train leaks (canonicalized to
+    # the same unordered pair); (1,3) and (4,5) are same-split
+    assert got == {("test", "train"): 2}

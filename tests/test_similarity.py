@@ -386,3 +386,20 @@ def test_ivf_index_partition_pruned_probe(emb, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), f"no partition filter in scan:\n{plan[:2000]}"
+
+
+def test_ann_recall_hand_computed(spark):
+    from mapreduce_assignments_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 13), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        # query 1 recovered 3 of 4; query 2 recovered 0 of 2 (only a
+        # spurious neighbor the exact set never had)
+        [(1, 10), (1, 11), (1, 13), (1, 99), (2, 98)],
+        "query_id long, neighbor_id long",
+    )
+    got = {r["query_id"]: r["recall_at_k"] for r in ann_recall(exact, approx).collect()}
+    assert got == {1: 0.75, 2: 0.0}
