@@ -72,34 +72,40 @@ HEADLINE = (
 FAMILIES: dict[str, tuple[str, ...]] = {
     "text": (
         "word_count", "bigram_count", "cooccurrence", "cooccurrence_stripes",
-        "pmi", "llr",
+        "pmi", "llr", "zipf_fit", "length_histogram",
     ),
     "index_retrieval": (
         "inverted_index_stats", "tf_histogram", "tf_idf", "term_frequencies",
         "boolean_retrieval", "boolean_retrieval_text", "bm25_topk",
+        "top_keywords",
     ),
     "timeseries": (
         "hourly_counts", "hourly_counts_errors", "hourly_counts_tweets",
         "hourly_counts_tweets_egypt", "hypertable_rollup",
         "sliding_hourly_stats", "value_percentiles", "asof_join", "range_join",
-        "dense_hourly_counts", "scd2_history",
+        "dense_hourly_counts", "scd2_history", "latest_events",
+        "snapshot_diff", "hourly_anomalies", "normalize_events",
+        "rolling_active_users", "daily_trend",
     ),
     "relational": (
         "pricing_summary", "forecast_revenue", "top_revenue_orders", "revenue_by_nation",
         "sql_revenue_by_nation", "top_orders_per_customer",
         "customers_without_orders", "salted_order_revenue",
         "bucketed_customer_orders", "user_sessions", "event_props_stats",
-        "funnel_counts", "cohort_retention",
+        "funnel_counts", "cohort_retention", "brand_nation_revenue",
+        "late_orders_by_priority", "session_stats", "co_engagement",
+        "event_cube",
     ),
     "graph": (
         "pagerank", "personalized_pagerank", "degree_histogram",
-        "triangle_count",
+        "triangle_count", "graph_components",
     ),
     "dedup": (
         "exact_duplicates", "shingles", "ngram_jaccard", "minhash_signatures",
         "minhash_lsh_candidates", "simhash", "simhash_near_dupes",
         "dedup_clusters", "contamination_flags", "dedup_apply",
-        "curated_corpus", "split_leakage",
+        "curated_corpus", "split_leakage", "verified_near_dupes",
+        "minhash_calibration", "containment_pairs", "source_overlap",
     ),
     "similarity": (
         "brute_force_topk", "ivf_assign", "ivf_topk_trained",
@@ -110,13 +116,19 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "token_counts", "quality_score", "language_id", "doc_fingerprint",
         "repetition_stats", "pii_scrub", "chunk_documents",
         "source_stats", "lang_source_matrix", "top_terms_per_source",
+        "unigram_logprob", "bigram_logprob",
     ),
     "sketches": ("kmv_distinct",),
+    "validation": ("profile_events", "robust_outliers"),
     "packing": ("pack_sequences",),
-    "features": ("hashing_tf", "hashing_tfidf"),
+    "features": (
+        "hashing_tf", "hashing_tfidf", "hashing_tf_cells",
+        "hashing_tfidf_cells", "bpe_merges", "bpe_merges_local",
+        "bpe_vocab", "value_buckets",
+    ),
     "sampling": (
         "hash_split", "deterministic_sample", "stratified_sample",
-        "weighted_sample",
+        "weighted_sample", "per_key_sample", "shuffle_shards",
     ),
     "multimodal": (
         "image_stats", "phash_duplicates", "media_sniff", "frame_sample",
@@ -125,6 +137,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "streaming": (
         "streaming_hourly_counts", "streaming_user_sessions",
         "streaming_dedup", "streaming_interval_join",
+        "streaming_snapshot_sink", "streaming_enriched_counts",
+        "streaming_latest_events", "streaming_sliding_counts",
     ),
     "sources": ("jsonl_roundtrip",),
 }

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from ..functions.hashing import h60
 from .text import tokens_array
 
-__all__ = ["hashing_tf", "hashing_tfidf", "quantile_buckets", "bpe_merges", "bpe_encode", "normalize_values"]
+__all__ = ["hashing_tf", "hashing_tfidf", "quantile_buckets", "bpe_merges", "bpe_merges_local", "bpe_encode", "normalize_values"]
 
 
 def _bucket_counts(
@@ -266,6 +266,76 @@ def bpe_merges(
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, pair_cnt long"
+    )
+
+
+def bpe_merges_local(
+    docs: DataFrame, n_merges: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Single-job BPE trainer — the batch-argmax remedy for
+    :func:`bpe_merges`'s O(n_merges)-sequential-jobs cliff: the
+    word-frequency vocabulary is aggregated DISTRIBUTED (corpus volume
+    collapses in that one shuffle, exactly as in the iterative
+    trainer), then the classic in-memory trainer runs over the vocab
+    inside ONE ``mapInPandas`` partition. Identical semantics and
+    tie-breaks to :func:`bpe_merges` — both are checked against the
+    same unrolled DuckDB oracle — but a 30k-merge production run is
+    one Spark job instead of 30k.
+
+    Scale contract: the in-memory side holds the word-count VOCABULARY
+    (one row per distinct word — tens of millions of rows at web
+    scale, single-digit GBs), not the corpus; this is the same
+    trade every production subword trainer makes. If the vocabulary
+    itself outgrows one executor, fall back to the iterative trainer
+    with a bounded merge count.
+    """
+    from .text import word_count
+
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    vocab = word_count(docs, text_col=text_col)
+
+    def train(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+        from collections import Counter
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        words: list[tuple[list, int]] = [
+            (list(w), int(c)) for w, c in zip(pdf["word"], pdf["cnt"])
+        ]
+        merges: list[tuple[int, str, str, int]] = []
+        for rank in range(1, n_merges + 1):
+            pc: Counter = Counter()
+            for syms, c in words:
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += c
+            if not pc:
+                break
+            # same tie-break as the distributed argmax: count DESC, lhs, rhs
+            (l, r), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, l, r, cnt))
+            if rank == n_merges:
+                break
+            merged = l + r
+            for idx, (syms, c) in enumerate(words):
+                out: list = []
+                for s in syms:
+                    # same greedy left-to-right fold as the distributed
+                    # F.aggregate: a freshly merged token participates
+                    # in the NEXT comparison
+                    if out and out[-1] == l and s == r:
+                        out[-1] = merged
+                    else:
+                        out.append(s)
+                words[idx] = (out, c)
+        yield pd.DataFrame(
+            merges, columns=["rank", "lhs", "rhs", "pair_cnt"]
+        ).astype({"rank": "int32", "pair_cnt": "int64"})
+
+    return vocab.repartition(1).mapInPandas(
+        train, "rank int, lhs string, rhs string, pair_cnt long"
     )
 
 

@@ -1472,6 +1472,13 @@ def q_forecast_revenue(spark, sf_dir):
     return relational.forecast_revenue(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_bpe_merges_local(spark, sf_dir):
+    """The single-job in-partition BPE trainer; checked against the
+    SAME unrolled oracle as the iterative bpe_merges — the two paths
+    must agree merge-for-merge."""
+    return features.bpe_merges_local(_docs(spark, sf_dir), n_merges=5)
+
+
 def q_split_leakage(spark, sf_dir):
     """Train/test leakage report: LSH near-dup pairs that straddle the
     hash_split train/val/test assignment, counted per split pair."""
@@ -2793,6 +2800,9 @@ GROUP BY 1
 """
 
 ORACLE["bpe_merges"] = _bpe_oracle_sql(5)
+# the single-job in-partition trainer has IDENTICAL semantics — one
+# oracle certifies both implementations agree merge-for-merge
+ORACLE["bpe_merges_local"] = ORACLE["bpe_merges"]
 
 
 def _bpe_vocab_oracle_sql(n_merges: int = 5) -> str:
@@ -3923,6 +3933,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_interval_join": q_streaming_interval_join,  # stream-stream join
     "split_leakage": q_split_leakage,            # train/test near-dup leakage
     "ivf_recall_report": q_ivf_recall_report,    # ANN recall@k vs brute force
+    "bpe_merges_local": q_bpe_merges_local,      # single-job BPE trainer
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

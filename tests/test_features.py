@@ -154,3 +154,27 @@ def test_normalize_values_zscore_and_minmax(spark):
     assert out[3] == (1.0, 1.0)
     # singleton group: no variance, degenerate range
     assert out[4] == (None, 0.5)
+
+
+def test_bpe_merges_local_agrees_with_iterative(spark):
+    """The single-job in-partition trainer and the iterative
+    distributed trainer are two implementations of one function —
+    they must agree merge-for-merge, tie-breaks included."""
+    from mapreduce_assignments_spark.operators.features import (
+        bpe_merges,
+        bpe_merges_local,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd ab"), (3, "")],
+        "doc_id long, text string",
+    )
+    it = [(r["rank"], r["lhs"], r["rhs"], r["pair_cnt"])
+          for r in bpe_merges(df, n_merges=4).orderBy("rank").collect()]
+    lo = [(r["rank"], r["lhs"], r["rhs"], r["pair_cnt"])
+          for r in bpe_merges_local(df, n_merges=4).orderBy("rank").collect()]
+    assert it == lo and len(it) >= 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        bpe_merges_local(df, n_merges=0)

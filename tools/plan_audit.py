@@ -29,9 +29,15 @@ from mapreduce_assignments_spark.session import get_spark  # noqa: E402
 
 # queries allowed to show Python evaluation in their plan (Arrow UDF
 # stages by design)
-# the sanctioned Arrow-batched pipelines — they touch pixels, which is
+# the sanctioned Arrow-batched pipelines — most touch pixels, which is
 # exactly what the Pandas-UDF path is for
-PYTHON_OK = {"image_stats", "phash_duplicates", "frame_sample", "resize_images"}
+PYTHON_OK = {
+    "image_stats", "phash_duplicates", "frame_sample", "resize_images",
+    # in-partition BPE trainer: the whole point is ONE mapInPandas
+    # over the (memory-sized) word-count vocabulary instead of
+    # O(n_merges) sequential Spark jobs
+    "bpe_merges_local",
+}
 
 
 def audit(name: str, plan: str) -> dict:
