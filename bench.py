@@ -124,7 +124,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "features": (
         "hashing_tf", "hashing_tfidf", "hashing_tf_cells",
         "hashing_tfidf_cells", "bpe_merges", "bpe_merges_local",
-        "bpe_vocab", "value_buckets",
+        "bpe_vocab", "bpe_token_counts", "value_buckets",
     ),
     "sampling": (
         "hash_split", "deterministic_sample", "stratified_sample",

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from ..functions.hashing import h60
 from .text import tokens_array
 
-__all__ = ["hashing_tf", "hashing_tfidf", "quantile_buckets", "bpe_merges", "bpe_merges_local", "bpe_encode", "normalize_values"]
+__all__ = ["hashing_tf", "hashing_tfidf", "quantile_buckets", "bpe_merges", "bpe_merges_local", "bpe_encode", "bpe_token_counts", "normalize_values"]
 
 
 def _bucket_counts(
@@ -356,38 +356,94 @@ def bpe_encode(
     """
     from .text import word_count
 
-    chars = F.expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-    )
     state = word_count(docs, text_col=text_col).select(
-        "word", "cnt", chars.alias("syms")
+        "word", "cnt", _chars().alias("syms")
     )
-    def _merge_fold(lhs: str, rhs: str):
-        merged = F.lit(lhs + rhs)
-
-        def fold(acc, x):
-            hit = (
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(lhs))
-                & (x == F.lit(rhs))
-            )
-            return F.when(
-                hit,
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
-            ).otherwise(F.concat(acc, F.array(x)))
-
-        return fold
-
-    col = F.col("syms")
-    for lhs, rhs in merges:
-        col = F.aggregate(
-            col, F.array().cast("array<string>"), _merge_fold(lhs, rhs)
-        )
+    col = _apply_merges(F.col("syms"), merges)
     return (
         state.select("cnt", F.explode_outer(col).alias("subword"))
         .where(F.col("subword").isNotNull())
         .groupBy("subword")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _chars():
+    """word → its character-symbol array (the BPE fold's starting
+    state); built lazily — F.expr needs an active SparkContext."""
+    return F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+
+
+def _merge_fold(lhs: str, rhs: str):
+    """One merge rule as a greedy left-to-right F.aggregate lambda —
+    a freshly merged token participates in the next comparison,
+    matching every classic BPE applier (factory form: F.aggregate
+    rejects lambdas with default-arg closures)."""
+    merged = F.lit(lhs + rhs)
+
+    def fold(acc, x):
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lhs))
+            & (x == F.lit(rhs))
+        )
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return fold
+
+
+def _apply_merges(col, merges: list[tuple[str, str]]):
+    """Chain the merge table over a symbol-array column in rank
+    order — BPE application semantics."""
+    for lhs, rhs in merges:
+        col = F.aggregate(
+            col, F.array().cast("array<string>"), _merge_fold(lhs, rhs)
+        )
+    return col
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc_id, bpe_tokens LONG)`` — per-document token count under
+    a LEARNED BPE merge table: the real-tokenizer length signal
+    (text_quality.token_counts' regex count is a proxy), and the right
+    input for sequence packing against an actual training tokenizer.
+
+    Scale: the fold chain runs once per DISTINCT word (the vocabulary,
+    not the corpus), producing a ``word → n_subwords`` table that joins
+    back onto per-document ``(doc, word, tf)`` pairs — so a hot word
+    costs one fold and one probe row per document, never per
+    occurrence. Empty documents emit ``bpe_tokens = 0``, not a missing
+    row (same keep-every-example contract as :func:`hashing_tf`).
+    """
+    from .text import tokens_array
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens_array(text_col)).alias("word"),
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("word").alias("tf"))
+    words = tf.where(F.col("word").isNotNull()).select("word").distinct()
+    wlen = words.select(
+        "word", F.size(_apply_merges(_chars(), merges)).alias("n_sub")
+    )
+    return (
+        tf.join(wlen, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum(F.col("tf") * F.col("n_sub")), F.lit(0))
+            .cast("long")
+            .alias("bpe_tokens")
+        )
     )
 
 

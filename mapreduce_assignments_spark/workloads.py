@@ -1472,6 +1472,19 @@ def q_forecast_revenue(spark, sf_dir):
     return relational.forecast_revenue(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """Per-document token count under the corpus's own learned 5-merge
+    BPE table — the real-tokenizer length signal (token_counts' regex
+    count is a proxy); the fold runs once per distinct word and joins
+    back on tf pairs."""
+    docs = _docs(spark, sf_dir)
+    learned = [
+        (r["lhs"], r["rhs"])
+        for r in features.bpe_merges(docs, n_merges=5).orderBy("rank").collect()
+    ]
+    return features.bpe_token_counts(docs, learned)
+
+
 def q_bpe_merges_local(spark, sf_dir):
     """The single-job in-partition BPE trainer; checked against the
     SAME unrolled oracle as the iterative bpe_merges — the two paths
@@ -2829,6 +2842,40 @@ GROUP BY s"""
 
 ORACLE["bpe_vocab"] = _bpe_vocab_oracle_sql(5)
 
+
+def _bpe_token_counts_oracle_sql(n_merges: int = 5) -> str:
+    """Extends the trainer oracle with the final fold and a per-doc
+    tf-pair join: doc token count = Σ tf(word) * len(syms(word));
+    empty docs keep a 0 row via the LEFT JOIN off documents."""
+    base = _bpe_oracle_sql(n_merges)
+    with_block = base[: base.rindex("\nSELECT 1 AS rank")]
+    i = n_merges
+    return with_block + f""",
+v{i} AS (
+  SELECT word, cnt,
+         list_reduce(list_transform(syms, s -> [s]),
+           (acc, x) -> CASE WHEN len(acc) >= 1 AND acc[len(acc)] = b{i}.l
+                                 AND x[1] = b{i}.r
+                       THEN acc[1:len(acc) - 1] || [b{i}.l || b{i}.r]
+                       ELSE acc || x END) AS syms
+  FROM v{i - 1}, b{i}
+),
+wl AS (SELECT word, len(syms) AS n_sub FROM v{i}),
+tf AS (
+  SELECT doc_id, t AS word, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+  GROUP BY 1, 2
+)
+SELECT d.doc_id,
+       CAST(coalesce(sum(tf.tf * wl.n_sub), 0) AS BIGINT) AS bpe_tokens
+FROM documents d
+LEFT JOIN tf ON tf.doc_id = d.doc_id
+LEFT JOIN wl ON wl.word = tf.word
+GROUP BY d.doc_id"""
+
+
+ORACLE["bpe_token_counts"] = _bpe_token_counts_oracle_sql(5)
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -3934,6 +3981,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage": q_split_leakage,            # train/test near-dup leakage
     "ivf_recall_report": q_ivf_recall_report,    # ANN recall@k vs brute force
     "bpe_merges_local": q_bpe_merges_local,      # single-job BPE trainer
+    "bpe_token_counts": q_bpe_token_counts,      # real-BPE doc token lengths
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

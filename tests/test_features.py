@@ -178,3 +178,23 @@ def test_bpe_merges_local_agrees_with_iterative(spark):
 
     with pytest.raises(ValueError):
         bpe_merges_local(df, n_merges=0)
+
+
+def test_bpe_token_counts_hand_computed(spark):
+    from mapreduce_assignments_spark.operators.features import bpe_token_counts
+
+    df = spark.createDataFrame(
+        [(1, "aab ab"), (2, ""), (3, "zz")], "doc_id long, text string"
+    )
+    # merges (a,a) then (aa,b): 'aab' -> [aab] (1 token), 'ab' -> [a,b]
+    # (2 tokens), 'zz' untouched -> [z,z] (2 tokens); empty doc -> 0
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_token_counts(df, [("a", "a"), ("aa", "b")]).collect()
+    }
+    assert got == {1: 3, 2: 0, 3: 2}
+    # empty merge table = plain character counts per doc
+    plain = {
+        r["doc_id"]: r["bpe_tokens"] for r in bpe_token_counts(df, []).collect()
+    }
+    assert plain == {1: 5, 2: 0, 3: 2}
