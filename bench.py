@@ -110,7 +110,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "similarity": (
         "brute_force_topk", "ivf_assign", "ivf_topk_trained",
         "ivf_index_probe", "embedding_near_dupes", "lsh_topk",
-        "quantize_embeddings", "ivf_recall_report",
+        "quantize_embeddings", "ivf_recall_report", "label_centroids",
     ),
     "text_quality": (
         "token_counts", "quality_score", "language_id", "doc_fingerprint",
@@ -140,7 +140,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "streaming_snapshot_sink", "streaming_enriched_counts",
         "streaming_latest_events", "streaming_sliding_counts",
     ),
-    "sources": ("jsonl_roundtrip",),
+    "sources": ("jsonl_roundtrip", "csv_roundtrip"),
 }
 _FAMILY_OF = {q: fam for fam, qs in FAMILIES.items() for q in qs}
 

@@ -44,6 +44,7 @@ __all__ = [
     "write_ivf_index",
     "probe_ivf_index",
     "ann_recall",
+    "label_centroids",
 ]
 
 
@@ -718,3 +719,25 @@ def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
             ).alias("recall_at_k")
         )
     )
+
+
+def label_centroids(embeddings: DataFrame, group_col: str = "label") -> DataFrame:
+    """Per-group mean embedding, exploded to scalar rows
+    ``(<group>, dim, centroid)`` with 1-based ``dim`` — the class
+    prototype / embedding-drift monitor: compare this table across
+    ingestion batches and a shifted centroid flags upstream encoder or
+    corpus drift before any model does.
+
+    Scale: posexplode multiplies rows by the dimensionality, but the
+    per-(group, dim) average partially aggregates map-side, so the
+    exchange carries |groups| x dim rows — dashboard-sized. Values
+    cast to double BEFORE summation (float accumulation order would
+    otherwise differ across engines and partitionings).
+    """
+    e = embeddings.select(
+        group_col,
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    return e.groupBy(
+        group_col, (F.col("pos") + 1).cast("int").alias("dim")
+    ).agg(F.round(F.avg("x"), 6).alias("centroid"))

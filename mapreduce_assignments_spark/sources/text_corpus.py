@@ -137,3 +137,28 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
         .json(path)
         .where(F.col("doc_id").isNotNull())
     )
+
+
+def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Read a headerless CSV document corpus with the same enforced
+    schema and DROPMALFORMED ingestion contract as
+    :func:`read_documents_jsonl` — the other interchange format
+    corpora ship in.
+
+    Quoting is RFC-4180 (``"`` quotes, doubled-``"`` escapes — the
+    Spark writer's own convention, so write→read round-trips fields
+    containing commas and quotes). Deliberately NOT ``multiLine``:
+    multi-line CSV records destroy input-split parallelism (one
+    reader per file instead of per block — a non-starter at 100 TB),
+    so the contract is that embedded newlines must be escaped
+    upstream; rows that consequently fail to parse are dropped, not
+    guessed at.
+    """
+    return (
+        spark.read.schema(DOCUMENTS_JSONL_SCHEMA)
+        .option("mode", "DROPMALFORMED")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+        .where(F.col("doc_id").isNotNull())
+    )

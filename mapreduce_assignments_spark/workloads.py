@@ -546,6 +546,51 @@ def q_jsonl_roundtrip(spark, sf_dir):
     return docs.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+_STAGED_CSV: dict[str, str] = {}
+
+
+def _staged_docs_csv_dir(spark, sf_dir: str) -> str:
+    """Stage the documents table as headerless RFC-4180 CSV with
+    planted malformed lines (unparseable doc_id; a row with no id) —
+    once per (process, sf_dir), removed at exit."""
+    if sf_dir not in _STAGED_CSV:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="mras-csv-stage-")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartition(2)
+            .write.mode("overwrite")
+            .option("quote", '"')
+            .option("escape", '"')
+            .csv(stage)
+        )
+        with open(os.path.join(stage, "part-malformed.csv"), "w") as fh:
+            fh.write("notanumber,\"broken id row\",en,web,13\n")
+            fh.write(",\"valid types, but no doc_id\",en,web,25\n")
+        _STAGED_CSV[sf_dir] = stage
+    return _STAGED_CSV[sf_dir]
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """Documents → headerless CSV → schema-enforced read with
+    DROPMALFORMED: full row parity with the original table proves the
+    Spark-writer quoting convention round-trips and the malformed
+    plants are dropped (same contract as jsonl_roundtrip)."""
+    from .sources.text_corpus import read_documents_csv
+
+    docs = read_documents_csv(spark, _staged_docs_csv_dir(spark, sf_dir))
+    return docs.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_label_centroids(spark, sf_dir):
+    return similarity.label_centroids(_emb(spark, sf_dir))
+
+
 def q_hourly_counts_tweets(spark, sf_dir):
     from .sources.text_corpus import read_tweets_tsv
 
@@ -2217,6 +2262,21 @@ FROM documents
 # the staging (Spark-side write + malformed plants) is invisible to
 # the oracle by design: the reader's contract is that the roundtrip
 # reproduces the source table exactly and drops the garbage.
+ORACLE["csv_roundtrip"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+ORACLE["label_centroids"] = """
+WITH e AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       round(avg(CAST(x AS DOUBLE)), 6) AS centroid
+FROM e GROUP BY 1, 2
+"""
+
 ORACLE["jsonl_roundtrip"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 """
@@ -3982,6 +4042,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_recall_report": q_ivf_recall_report,    # ANN recall@k vs brute force
     "bpe_merges_local": q_bpe_merges_local,      # single-job BPE trainer
     "bpe_token_counts": q_bpe_token_counts,      # real-BPE doc token lengths
+    "csv_roundtrip": q_csv_roundtrip,            # RFC-4180 CSV source contract
+    "label_centroids": q_label_centroids,        # per-class embedding prototype
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,
