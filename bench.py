@@ -93,12 +93,12 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "customers_without_orders", "salted_order_revenue",
         "bucketed_customer_orders", "user_sessions", "event_props_stats",
         "funnel_counts", "cohort_retention", "brand_nation_revenue",
-        "late_orders_by_priority", "session_stats", "co_engagement",
+        "late_orders_by_priority", "top_return_customers", "session_stats", "co_engagement",
         "event_cube",
     ),
     "graph": (
         "pagerank", "personalized_pagerank", "degree_histogram",
-        "triangle_count", "graph_components",
+        "triangle_count", "graph_components", "kcore",
     ),
     "dedup": (
         "exact_duplicates", "shingles", "ngram_jaccard", "minhash_signatures",
@@ -124,7 +124,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "features": (
         "hashing_tf", "hashing_tfidf", "hashing_tf_cells",
         "hashing_tfidf_cells", "bpe_merges", "bpe_merges_local",
-        "bpe_vocab", "bpe_token_counts", "value_buckets",
+        "bpe_vocab", "bpe_token_counts", "tokenizer_fertility",
+        "value_buckets",
     ),
     "sampling": (
         "hash_split", "deterministic_sample", "stratified_sample",

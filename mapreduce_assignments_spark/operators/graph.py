@@ -54,6 +54,7 @@ __all__ = [
     "format_rank_report",
     "degree_histogram",
     "triangle_count",
+    "kcore",
 ]
 
 # Below this node count, AQE is temporarily disabled for the iteration
@@ -445,3 +446,62 @@ def triangle_count(nodes: DataFrame) -> DataFrame:
         "left_semi",
     )
     return closed.agg(F.count("*").alias("n_triangles"))
+
+
+def kcore(nodes: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """The k-core of the undirected graph — the maximal induced
+    subgraph where every node has degree >= k (Seidman's cores;
+    standard graph-mining / community-scaffold primitive, public
+    literature). Returns ``(id, core_degree)``: each surviving node
+    with its degree INSIDE the core.
+
+    Iterative peeling: repeatedly delete every node whose degree in
+    the current induced subgraph is below ``k`` — all at once per
+    round, which is what makes the fixpoint independent of deletion
+    order (and therefore engine-reproducible). Terminates at the
+    first round that deletes nothing.
+
+    Scale shape: each round is one degree aggregation plus two
+    semi-joins restricting the edge set — all key-partitioned
+    equi-joins; the edge set only ever SHRINKS, so round cost is
+    monotonically decreasing. Per-round driver traffic is a single
+    bounded scalar (the edge count, for the convergence test — same
+    discipline as pagerank's dangling mass) and lineage is truncated
+    per round with localCheckpoint. Rounds needed = the graph's
+    degeneracy ordering depth, typically tens even on web graphs;
+    ``max_iter`` bounds the pathological chain-graph case.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    edges = _undirected_edges(nodes).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        ends = edges.select(F.col("a").alias("id")).unionAll(
+            edges.select(F.col("b").alias("id"))
+        )
+        keep = (
+            ends.groupBy("id")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= k)
+            .select("id")
+        )
+        pruned = (
+            edges.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_pruned = pruned.count()
+        if n_pruned == n_edges:
+            break  # fixpoint: nothing peeled this round
+        edges, n_edges = pruned, n_pruned
+    ends = edges.select(F.col("a").alias("id")).unionAll(
+        edges.select(F.col("b").alias("id"))
+    )
+    return (
+        ends.groupBy("id")
+        .agg(F.count("*").alias("core_degree"))
+        .where(F.col("core_degree") >= k)
+    )

@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "pricing_summary",
     "forecast_revenue",
+    "top_return_customers",
     "top_revenue_orders",
     "revenue_by_nation",
     "brand_nation_revenue",
@@ -146,6 +147,34 @@ def top_revenue_orders(
         .groupBy("o_orderkey", "c_mktsegment", "o_orderdate")
         .agg(F.round(revenue, 6).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def top_return_customers(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 20
+) -> DataFrame:
+    """TPC-H Q10-style returned-item report: the top-k customers by
+    revenue lost to returned lineitems (``l_returnflag = 'R'``) — the
+    who-is-returning-the-most dashboard.
+
+    Scale: the returnflag filter pushes to the lineitem scan (returns
+    are a small fraction of the fact table), the surviving rows join
+    orders on the key both sides share, and customer broadcasts as a
+    dimension. Revenue uses the exact-decimal product convention
+    (:func:`pricing_summary`); ties break on ``c_custkey`` so the
+    limit is deterministic across engines.
+    """
+    revenue = F.sum(
+        _exact_product_dec(F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount"))
+    )
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(F.round(revenue, 6).cast("double").alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .limit(k)
     )
 

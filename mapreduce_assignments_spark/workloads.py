@@ -1076,6 +1076,30 @@ def _customer_graph(spark, sf_dir):
     )
 
 
+def _kcore_graph(spark, sf_dir):
+    """Variable-degree deterministic graph over the customer table:
+    each customer links to its nation's ``id % 12`` lowest-keyed OTHER
+    customers — heterogeneous degrees, so k-core peeling actually
+    cascades (the uniform _customer_graph would peel all-or-nothing)."""
+    cust = load_table(spark, sf_dir, "customer")
+    members = cust.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_list("c_custkey")).alias("ms")
+    )
+    return members.select(F.explode("ms").alias("id"), "ms").select(
+        F.col("id").cast("int").alias("id"),
+        F.expr(
+            "slice(filter(ms, m -> m != id), 1, CAST(id % 12 AS INT))"
+        ).cast("array<int>").alias("adj"),
+    )
+
+
+def q_kcore(spark, sf_dir):
+    """k-core (k=6) of the variable-degree customer graph via
+    iterative simultaneous peeling; the oracle unrolls 16 peeling
+    rounds in SQL (no-op rounds past the fixpoint are identities)."""
+    return graph.kcore(_kcore_graph(spark, sf_dir), k=6)
+
+
 def q_pagerank(spark, sf_dir):
     # partition count sized to the graph (thousands of nodes), not the
     # core count — iteration latency on a small graph is pure task-
@@ -1528,6 +1552,40 @@ def q_bpe_token_counts(spark, sf_dir):
         for r in features.bpe_merges(docs, n_merges=5).orderBy("rank").collect()
     ]
     return features.bpe_token_counts(docs, learned)
+
+
+def q_top_return_customers(spark, sf_dir):
+    return relational.top_return_customers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        k=20,
+    )
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer-fit dashboard: per source, BPE tokens per whitespace
+    token under the corpus's own learned 5-merge table — fertility is
+    the standard tokenizer-evaluation metric (high fertility on a
+    source means the tokenizer fragments it into many subwords)."""
+    docs = _docs(spark, sf_dir)
+    learned = [
+        (r["lhs"], r["rhs"])
+        for r in features.bpe_merges(docs, n_merges=5).orderBy("rank").collect()
+    ]
+    bpe = features.bpe_token_counts(docs, learned)
+    ws = docs.select(
+        "doc_id", "source", F.size(text.tokens_array("text")).alias("ws")
+    )
+    j = ws.join(bpe, "doc_id")
+    return j.groupBy("source").agg(
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe_tokens").alias("bpe_tokens"),
+        F.when(
+            F.sum("ws") > 0,
+            F.round(F.sum("bpe_tokens") / F.sum("ws"), 6),
+        ).alias("fertility"),
+    )
 
 
 def q_bpe_merges_local(spark, sf_dir):
@@ -2936,6 +2994,35 @@ GROUP BY d.doc_id"""
 
 ORACLE["bpe_token_counts"] = _bpe_token_counts_oracle_sql(5)
 
+# composed: per-source fertility over the per-doc BPE counts (same
+# trained-table replay, grouped against whitespace token totals)
+ORACLE["tokenizer_fertility"] = f"""
+WITH tc AS (SELECT doc_id, bpe_tokens FROM ({ORACLE['bpe_token_counts']}) _t),
+ws AS (SELECT doc_id, source, len({_TOK}) AS ws FROM documents)
+SELECT ws.source AS source,
+       CAST(sum(ws.ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(tc.bpe_tokens) AS BIGINT) AS bpe_tokens,
+       CASE WHEN sum(ws.ws) > 0
+            THEN round(CAST(sum(tc.bpe_tokens) AS DOUBLE) / sum(ws.ws), 6)
+       END AS fertility
+FROM ws JOIN tc USING (doc_id)
+GROUP BY 1
+"""
+
+ORACLE["top_return_customers"] = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))), 6)
+            AS DOUBLE) AS lost_revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY lost_revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -3374,6 +3461,57 @@ udeg AS (
   GROUP BY id
 )
 """
+
+def _kcore_oracle_sql(k: int = 6, rounds: int = 16) -> str:
+    """Unrolled simultaneous-peeling oracle over the variable-degree
+    customer graph (id % 12 lowest-keyed same-nation others): each
+    round recomputes induced degrees and keeps nodes with d >= k;
+    rounds past the fixpoint are identities, so over-unrolling is
+    harmless (same trick as the unrolled pagerank oracle)."""
+    parts = [
+        """vnodes AS (
+  SELECT CAST(unnest(ms) AS INTEGER) AS id, ms
+  FROM (SELECT list_sort(list(c_custkey)) AS ms FROM customer GROUP BY c_nationkey)
+),
+vg AS (
+  SELECT id,
+         list_transform(list_filter(ms, m -> m != id)[1:CAST(id % 12 AS BIGINT)],
+                        m -> CAST(m AS INTEGER)) AS adj
+  FROM vnodes
+),
+vedges AS (SELECT id AS src, unnest(adj) AS dst FROM vg),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM vedges WHERE dst IS NOT NULL AND src != dst
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT id, count(*) AS d
+  FROM (SELECT a AS id FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1})
+  GROUP BY id
+),
+k{i} AS (SELECT id FROM d{i} WHERE d >= {k}),
+e{i} AS MATERIALIZED (
+  -- MATERIALIZED: each round is referenced 3x by the next; inlined
+  -- CTEs would re-expand the whole prefix exponentially (DuckDB ran
+  -- out of file handles re-scanning the parquet 3^16 times)
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN k{i} x ON x.id = e.a JOIN k{i} y ON y.id = e.b
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id, count(*) AS core_degree
+FROM (SELECT a AS id FROM e{rounds} UNION ALL SELECT b AS id FROM e{rounds})
+GROUP BY id HAVING count(*) >= {k}"""
+    )
+
+
+ORACLE["kcore"] = _kcore_oracle_sql(6, 16)
 
 ORACLE["degree_histogram"] = f"""
 WITH {_UNDIRECTED_CTES}
@@ -4044,6 +4182,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_counts": q_bpe_token_counts,      # real-BPE doc token lengths
     "csv_roundtrip": q_csv_roundtrip,            # RFC-4180 CSV source contract
     "label_centroids": q_label_centroids,        # per-class embedding prototype
+    "kcore": q_kcore,                            # iterative k-core peeling
+    "top_return_customers": q_top_return_customers,  # TPC-H Q10 shape
+    "tokenizer_fertility": q_tokenizer_fertility,    # BPE/ws tokenizer fit
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

@@ -215,3 +215,41 @@ def test_triangle_count_star_is_zero(spark):
     )
     [row] = triangle_count(df).collect()
     assert row["n_triangles"] == 0
+
+
+def test_kcore_hand_computed(spark):
+    import pytest
+
+    from mapreduce_assignments_spark.operators.graph import kcore
+
+    # K4 on {1,2,3,4} plus a tail 4-5-6: the 3-core is exactly the K4
+    # (5 and 6 peel, which drops 4's degree to 3 — still in)
+    adj = {1: [2, 3, 4], 2: [3, 4], 3: [4], 4: [5], 5: [6], 6: []}
+    df = spark.createDataFrame(
+        [(i, adj[i]) for i in adj], "id int, adj array<int>"
+    )
+    got = {r["id"]: r["core_degree"] for r in kcore(df, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k above the max degree: empty core, empty frame (not an error)
+    assert kcore(df, k=10).count() == 0
+    with pytest.raises(ValueError):
+        kcore(df, k=0)
+
+
+def test_kcore_peeling_cascades(spark):
+    from mapreduce_assignments_spark.operators.graph import kcore
+
+    # chain 1-2-3-4-5: every node eventually peels at k=2 even though
+    # interior nodes start at degree 2 (cascade over multiple rounds)
+    df = spark.createDataFrame(
+        [(1, [2]), (2, [3]), (3, [4]), (4, [5]), (5, [])],
+        "id int, adj array<int>",
+    )
+    assert kcore(df, k=2).count() == 0
+    # close the ring: now everything is the 2-core
+    ring = spark.createDataFrame(
+        [(1, [2]), (2, [3]), (3, [4]), (4, [5]), (5, [1])],
+        "id int, adj array<int>",
+    )
+    got = {r["id"]: r["core_degree"] for r in kcore(ring, k=2).collect()}
+    assert got == {i: 2 for i in range(1, 6)}
