@@ -104,7 +104,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "exact_duplicates", "shingles", "ngram_jaccard", "minhash_signatures",
         "minhash_lsh_candidates", "simhash", "simhash_near_dupes",
         "dedup_clusters", "contamination_flags", "dedup_apply",
-        "curated_corpus", "split_leakage", "verified_near_dupes",
+        "curated_corpus", "split_leakage", "incremental_dedup",
+        "verified_near_dupes",
         "minhash_calibration", "containment_pairs", "source_overlap",
     ),
     "similarity": (

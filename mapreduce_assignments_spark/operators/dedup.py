@@ -48,6 +48,7 @@ __all__ = [
     "dedup_clusters",
     "contamination_flags",
     "split_leakage",
+    "incremental_dedup",
 ]
 
 
@@ -680,3 +681,36 @@ def split_leakage(candidates: DataFrame, splits: DataFrame) -> DataFrame:
         )
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingestion exact dedup: from a NEW batch, keep only
+    documents that are neither (a) already in the corpus (their text
+    digest appears in ``seen_digests(digest)``) nor (b) duplicated
+    WITHIN the batch (the min-id copy survives, matching
+    :func:`exact_duplicates`' keeper rule). Returns the surviving
+    ``(doc_id, digest)`` — the rows to append to both the corpus and
+    the digest index.
+
+    This is the steady-state shape of corpus ingestion: the 100 TB
+    corpus is never rescanned — it is represented by its digest index
+    (one 32-byte row per distinct document), and each day's batch
+    costs one within-batch aggregation plus one anti-join against
+    that index. The anti-join is a plain equi-join on the digest: AQE
+    broadcasts a small index, shuffle-joins a big one, and at rest the
+    index can be bucketed by digest so the exchange elides.
+    """
+    batch = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("digest")
+    )
+    in_batch_keeper = batch.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return in_batch_keeper.join(
+        seen_digests.select("digest"), "digest", "left_anti"
+    ).select("doc_id", "digest")

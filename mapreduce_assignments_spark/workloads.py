@@ -1554,6 +1554,21 @@ def q_bpe_token_counts(spark, sf_dir):
     return features.bpe_token_counts(docs, learned)
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Steady-state ingestion dedup: docs with doc_id % 3 == 0 arrive
+    as the new batch against the digest index of the rest of the
+    corpus; survivors are new-batch docs whose text is unseen, one per
+    within-batch duplicate group (min id)."""
+    docs = _docs(spark, sf_dir)
+    new_batch = docs.where(F.col("doc_id") % 3 == 0)
+    seen = (
+        docs.where(F.col("doc_id") % 3 != 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    return dedup.incremental_dedup(new_batch, seen)
+
+
 def q_top_return_customers(spark, sf_dir):
     return relational.top_return_customers(
         load_table(spark, sf_dir, "lineitem"),
@@ -3009,6 +3024,19 @@ FROM ws JOIN tc USING (doc_id)
 GROUP BY 1
 """
 
+ORACLE["incremental_dedup"] = """
+WITH batch AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 3 = 0
+),
+keeper AS (SELECT digest, min(doc_id) AS doc_id FROM batch GROUP BY digest),
+seen AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 3 != 0
+)
+SELECT k.doc_id, k.digest
+FROM keeper k LEFT JOIN seen s ON s.digest = k.digest
+WHERE s.digest IS NULL
+"""
+
 ORACLE["top_return_customers"] = """
 SELECT c.c_custkey, c.c_name, c.c_acctbal,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
@@ -4185,6 +4213,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore": q_kcore,                            # iterative k-core peeling
     "top_return_customers": q_top_return_customers,  # TPC-H Q10 shape
     "tokenizer_fertility": q_tokenizer_fertility,    # BPE/ws tokenizer fit
+    "incremental_dedup": q_incremental_dedup,        # cross-batch ingestion dedup
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

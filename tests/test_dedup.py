@@ -297,3 +297,24 @@ def test_split_leakage_counts_cross_split_pairs(spark):
     # (1,2) train-test leaks; (2,3) test-train leaks (canonicalized to
     # the same unordered pair); (1,3) and (4,5) are same-split
     assert got == {("test", "train"): 2}
+
+
+def test_incremental_dedup_keeps_unseen_min_id(spark):
+    from mapreduce_assignments_spark.operators.dedup import incremental_dedup
+
+    import pyspark.sql.functions as F
+
+    new = spark.createDataFrame(
+        [
+            (10, "fresh text"),
+            (11, "fresh text"),       # within-batch dup: 10 survives
+            (12, "already ingested"), # cross-batch dup: dropped
+            (13, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame(
+        [("already ingested",)], "text string"
+    ).select(F.md5("text").alias("digest"))
+    got = {r["doc_id"] for r in incremental_dedup(new, seen).collect()}
+    assert got == {10, 13}

@@ -253,3 +253,48 @@ def test_kcore_peeling_cascades(spark):
     )
     got = {r["id"]: r["core_degree"] for r in kcore(ring, k=2).collect()}
     assert got == {i: 2 for i in range(1, 6)}
+
+
+def test_kcore_matches_python_peeler_on_random_graphs(spark):
+    """Cross-implementation property: the Spark peeling loop agrees
+    with a direct in-memory peeler on seeded random graphs (several
+    densities, several k)."""
+    import random
+
+    from mapreduce_assignments_spark.operators.graph import kcore
+
+    def py_kcore(edges, k):
+        edges = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        while True:
+            deg = {}
+            for a, b in edges:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            pruned = {e for e in edges if e[0] in keep and e[1] in keep}
+            if pruned == edges:
+                break
+            edges = pruned
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        return {n: d for n, d in deg.items() if d >= k}
+
+    for seed, p, k in [(1, 0.08, 3), (2, 0.15, 4), (3, 0.3, 5)]:
+        rng = random.Random(seed)
+        n = 30
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < p
+        ]
+        adj = {i: [] for i in range(n)}
+        for a, b in edges:
+            adj[a].append(b)
+        df = spark.createDataFrame(
+            [(i, adj[i]) for i in range(n)], "id int, adj array<int>"
+        )
+        got = {r["id"]: r["core_degree"] for r in kcore(df, k=k).collect()}
+        assert got == py_kcore(edges, k), (seed, p, k)

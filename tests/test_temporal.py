@@ -379,3 +379,40 @@ def test_scd2_history_delimiter_bytes_cannot_alias_change(spark):
         log, keys=("user_id",), attrs=("x", "y"), ts_col="ts", tiebreak="event_id"
     )
     assert hist.count() == 2
+
+
+def test_scd2_current_rows_equal_latest_snapshot(spark):
+    """Cross-operator invariant: the is_current slice of the SCD2
+    history carries exactly latest_snapshot's value per key (the
+    history's open version IS the current state)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for user in range(1, 9):
+        for _ in range(rng.randint(1, 12)):
+            eid += 1
+            rows.append(
+                (user, rng.choice("abc"),
+                 _ts(f"2024-01-{rng.randint(1, 28):02d} {rng.randint(0, 23):02d}:00:00"),
+                 eid)
+            )
+    log = spark.createDataFrame(
+        rows, "user_id long, state string, ts timestamp, event_id long"
+    )
+    hist = temporal.scd2_history(
+        log, keys=("user_id",), attrs=("state",), ts_col="ts", tiebreak="event_id"
+    )
+    current = {
+        r["user_id"]: r["state"]
+        for r in hist.where("is_current").collect()
+    }
+    latest = {
+        r["user_id"]: r["state"]
+        for r in temporal.latest_snapshot(
+            log.select("user_id", "state", "ts", "event_id"),
+            keys=("user_id",), ts_col="ts", tiebreak="event_id",
+        ).collect()
+    }
+    assert current == latest and len(current) == 8
