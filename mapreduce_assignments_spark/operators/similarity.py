@@ -45,6 +45,7 @@ __all__ = [
     "probe_ivf_index",
     "ann_recall",
     "label_centroids",
+    "centroid_confusion",
 ]
 
 
@@ -741,3 +742,39 @@ def label_centroids(embeddings: DataFrame, group_col: str = "label") -> DataFram
     return e.groupBy(
         group_col, (F.col("pos") + 1).cast("int").alias("dim")
     ).agg(F.round(F.avg("x"), 6).alias("centroid"))
+
+
+def centroid_confusion(
+    embeddings: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Nearest-centroid classifier confusion matrix:
+    ``(label, predicted, n)`` where ``predicted`` is the label whose
+    class centroid has max cosine to the vector — the zero-training
+    embedding-quality probe (a clean embedding space is
+    nearest-centroid separable; a smeared diagonal flags encoder or
+    label noise before any model trains).
+
+    Composition: :func:`label_centroids` builds the per-class means
+    (rounded to 6dp — the cross-engine determinism contract), which
+    ride :func:`ivf_assign`'s literal-inlined zero-shuffle argmax; the
+    confusion matrix is one |labels|² aggregation. Nothing here is new
+    machinery — that is the point.
+    """
+    cents = label_centroids(embeddings, group_col=label_col)
+    cen = (
+        cents.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("p"))
+        .select(
+            F.col(label_col).cast("int").alias("cell_id"),
+            F.expr("transform(p, s -> s.centroid)").alias("c"),
+        )
+    )
+    assigned = ivf_assign(embeddings, cen).select(
+        "vec_id", F.col("cell").alias("predicted")
+    )
+    return (
+        embeddings.select("vec_id", F.col(label_col).cast("int").alias("label"))
+        .join(assigned, "vec_id")
+        .groupBy("label", "predicted")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1554,6 +1554,10 @@ def q_bpe_token_counts(spark, sf_dir):
     return features.bpe_token_counts(docs, learned)
 
 
+def q_centroid_confusion(spark, sf_dir):
+    return similarity.centroid_confusion(_emb(spark, sf_dir))
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Steady-state ingestion dedup: docs with doc_id % 3 == 0 arrive
     as the new batch against the digest index of the rest of the
@@ -3024,6 +3028,29 @@ FROM ws JOIN tc USING (doc_id)
 GROUP BY 1
 """
 
+ORACLE["centroid_confusion"] = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (
+  SELECT label, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS xx
+  FROM e
+),
+cm AS (SELECT label AS cell_id, dim, round(avg(xx), 6) AS cv FROM x GROUP BY 1, 2),
+cen AS (SELECT cell_id, list(cv ORDER BY dim) AS c FROM cm GROUP BY cell_id),
+scored AS (SELECT e.vec_id, e.label, cen.cell_id, {_CCOS} AS csim FROM e, cen),
+best AS (
+  SELECT vec_id, label, cell_id FROM (
+    SELECT vec_id, label, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell_id ASC) AS rn
+    FROM scored)
+  WHERE rn = 1
+)
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(cell_id AS INTEGER) AS predicted,
+       count(*) AS n
+FROM best GROUP BY 1, 2
+"""
+
 ORACLE["incremental_dedup"] = """
 WITH batch AS (
   SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 3 = 0
@@ -4214,6 +4241,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_return_customers": q_top_return_customers,  # TPC-H Q10 shape
     "tokenizer_fertility": q_tokenizer_fertility,    # BPE/ws tokenizer fit
     "incremental_dedup": q_incremental_dedup,        # cross-batch ingestion dedup
+    "centroid_confusion": q_centroid_confusion,      # nearest-centroid eval
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

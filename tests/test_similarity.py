@@ -403,3 +403,26 @@ def test_ann_recall_hand_computed(spark):
     )
     got = {r["query_id"]: r["recall_at_k"] for r in ann_recall(exact, approx).collect()}
     assert got == {1: 0.75, 2: 0.0}
+
+
+def test_centroid_confusion_separable_classes(spark):
+    """Two well-separated classes: the confusion matrix is purely
+    diagonal; one planted cross-class vector lands off-diagonal."""
+    from mapreduce_assignments_spark.operators.similarity import (
+        centroid_confusion,
+    )
+
+    rows = (
+        [(i, [1.0, 0.0, 0.1 * (i % 2)], 0) for i in range(4)]
+        + [(10 + i, [0.0, 1.0, 0.1 * (i % 2)], 1) for i in range(4)]
+        + [(99, [0.0, 1.0, 0.0], 0)]  # labeled 0, sits in class 1 space
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r["label"], r["predicted"]): r["n"]
+        for r in centroid_confusion(df).collect()
+    }
+    assert got[(1, 1)] == 4 and got[(0, 1)] == 1
+    assert got[(0, 0)] == 4
