@@ -268,6 +268,40 @@ def _staged_events_dir(spark, sf_dir: str) -> str:
     return _STAGED_EVENTS[sf_dir]
 
 
+# Streaming state-store parallelism for the replay harness. A
+# Structured Streaming stateful query creates one state store per
+# shuffle partition PER micro-batch; at replay scale the per-store
+# setup dominates wall-clock (measured across the whole streaming
+# family at sf0.1: 32 -> 8 partitions halves every query — interval
+# join 11.4s -> 3.0s). On a cluster this number IS the stream's
+# parallelism dial and is sized to sustained throughput, not to 8 —
+# the operators themselves are unchanged; only the harness wrapper
+# sets it, and restores the session conf afterwards.
+_STREAM_STATE_PARTITIONS = 8
+
+
+def _stream_tuned(fn):
+    """Decorator: run a streaming workload with the state-partitioning
+    dial set for replay scale (see _STREAM_STATE_PARTITIONS); the
+    session's shuffle-partition conf is restored on exit — results are
+    already materialized (memory sink / localCheckpoint) by then."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, sf_dir):
+        prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS)
+        )
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return wrapper
+
+
+@_stream_tuned
 def q_streaming_hourly_counts(spark, sf_dir):
     """The hourly rollup computed by the Structured Streaming engine:
     events re-staged as a micros parquet dir, replayed through the
@@ -302,6 +336,7 @@ def _staged_dup_events_dir(spark, sf_dir: str) -> str:
     return _STAGED_DUP_EVENTS[sf_dir]
 
 
+@_stream_tuned
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exactly-once dedup under the oracle: the input stream
     carries every event twice (duplicated staging); the deduped output
@@ -317,6 +352,7 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.table("q_stream_dedup_mem")
 
 
+@_stream_tuned
 def q_streaming_latest_events(spark, sf_dir):
     """Streaming CDC compaction: the SAME ``temporal.latest_snapshot``
     operator (groupBy + max_by — nothing batch-specific) runs over the
@@ -370,6 +406,7 @@ def _staged_user_dim_dir(spark, sf_dir: str) -> str:
     return _STAGED_USER_DIM[sf_dir]
 
 
+@_stream_tuned
 def q_streaming_enriched_counts(spark, sf_dir):
     """Stream-static enrichment join: the event stream joins the
     staged user-tier dimension (broadcast, re-resolved per
@@ -385,6 +422,7 @@ def q_streaming_enriched_counts(spark, sf_dir):
     return spark.table("q_stream_enrich_mem")
 
 
+@_stream_tuned
 def q_streaming_snapshot_sink(spark, sf_dir):
     """foreachBatch incremental upsert-to-storage: the duplicated
     event stream is replayed ONE FILE PER MICRO-BATCH (>= 8 batches),
@@ -421,6 +459,7 @@ def q_streaming_snapshot_sink(spark, sf_dir):
     return out.localCheckpoint(eager=True)
 
 
+@_stream_tuned
 def q_streaming_sliding_counts(spark, sf_dir):
     """Sliding 2h/1h event-time windows over the staged stream in
     complete mode; each event lands in exactly two windows, which the
@@ -434,6 +473,7 @@ def q_streaming_sliding_counts(spark, sf_dir):
     return spark.table("q_stream_sliding_mem")
 
 
+@_stream_tuned
 def q_streaming_user_sessions(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState)
     replayed over the staged events and checked against the SAME DuckDB
@@ -1663,6 +1703,7 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+@_stream_tuned
 def q_streaming_interval_join(spark, sf_dir):
     """Stream-STREAM interval join (click → purchase attribution
     within 1 hour, per user), both sides replayed through the file
