@@ -55,6 +55,10 @@ __all__ = [
     "degree_histogram",
     "triangle_count",
     "kcore",
+    "hits",
+    "bfs_distances",
+    "clustering_coefficient",
+    "link_prediction",
 ]
 
 # Below this node count, AQE is temporarily disabled for the iteration
@@ -412,12 +416,20 @@ def triangle_count(nodes: DataFrame) -> DataFrame:
     five redundant full scans of the graph table).
     """
     edges = _undirected_edges(nodes).localCheckpoint(eager=True)
+    closed = _closed_wedges(edges)
+    return closed.agg(F.count("*").alias("n_triangles"))
+
+
+def _oriented_edges(edges: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of a canonical undirected edge set:
+    every edge points from its smaller ``(degree, id)`` endpoint to the
+    larger, capping per-node out-degree at O(sqrt(m)) (Suri &
+    Vassilvitskii, WWW'11). Checkpointed — callers self-join it."""
     ends = edges.select(F.col("a").alias("id")).unionAll(
         edges.select(F.col("b").alias("id"))
     )
     deg = ends.groupBy("id").agg(F.count("*").alias("deg"))
-    # orient by (degree, id): lower rank -> higher rank
-    e = (
+    return (
         edges.join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), "a")
         .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), "b")
         .select(
@@ -432,20 +444,238 @@ def triangle_count(nodes: DataFrame) -> DataFrame:
         .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .localCheckpoint(eager=True)
     )
+
+
+def _closed_wedges(edges: DataFrame) -> DataFrame:
+    """Closed wedges ``(u, x, y)`` of the undirected graph — one row
+    per triangle, anchored at its lowest-(degree, id) corner ``u``
+    with ``x < y`` the other two corners."""
+    e = _oriented_edges(edges)
     l, r = e.alias("l"), e.alias("r")
     wedges = (
         l.join(r, F.col("l.u") == F.col("r.u"))
         .where(F.col("l.v") < F.col("r.v"))
-        .select(F.col("l.v").alias("x"), F.col("r.v").alias("y"))
+        .select(F.col("l.u").alias("u"), F.col("l.v").alias("x"), F.col("r.v").alias("y"))
     )
     # a wedge (x, y) closes iff (x,y) or (y,x) is an oriented edge; the
     # canonical undirected set is cheaper to probe and equivalent
-    closed = wedges.join(
+    return wedges.join(
         edges,
         (F.least("x", "y") == F.col("a")) & (F.greatest("x", "y") == F.col("b")),
         "left_semi",
     )
-    return closed.agg(F.count("*").alias("n_triangles"))
+
+
+def clustering_coefficient(nodes: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient of the undirected graph:
+    ``(id, degree, triangles, coeff)`` where ``coeff =
+    2·triangles / (degree·(degree-1))`` — the fraction of a node's
+    neighbor pairs that are themselves adjacent (Watts & Strogatz's
+    local coefficient; public literature). Degree-1 nodes get 0.0.
+
+    Per-node triangle counts fall out of the SAME degree-ordered
+    closed-wedge construction as :func:`triangle_count`: each closed
+    wedge is one triangle, which credits all three of its corners —
+    an explode + hash aggregation, no extra joins. The wedge join's
+    blowup stays capped at O(m^1.5) by the orientation, so the whole
+    per-node report costs the global count plus one node-sized
+    aggregation — the 100 TB plan is identical to triangle_count's.
+    """
+    edges = _undirected_edges(nodes).localCheckpoint(eager=True)
+    ends = edges.select(F.col("a").alias("id")).unionAll(
+        edges.select(F.col("b").alias("id"))
+    )
+    deg = ends.groupBy("id").agg(F.count("*").alias("degree"))
+    tri = (
+        _closed_wedges(edges)
+        .select(F.explode(F.array("u", "x", "y")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return deg.join(tri, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                F.lit(2.0)
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("coeff"),
+    )
+
+
+def hits(nodes: DataFrame, n_iter: int = 8) -> DataFrame:
+    """HITS hubs-and-authorities over the DIRECTED adjacency graph
+    (Kleinberg, JACM'99 — public literature): returns ``(id, auth,
+    hub)`` after ``n_iter`` mutual-reinforcement rounds. Authority
+    mass flows along edges (a node is a good authority when good hubs
+    point at it); hub mass flows against them.
+
+    Each round rescales by the MAXIMUM score instead of the customary
+    L1/L2 norm: max of doubles is bit-exact regardless of aggregation
+    order, so the only cross-engine float drift left is the per-node
+    incoming sums themselves (ulps — the same class the pagerank
+    oracle already absorbs with round-before-rank), whereas dividing
+    by a global SUM would inject the engines' differing reduction
+    orders into every score every round. Scaling choice cannot affect
+    the ranking — power iteration is direction-only.
+
+    Scale shape: per round, two key-partitioned equi-joins (scatter
+    hub mass along edges, gather; then the reverse) plus two bounded
+    one-row max aggregates that broadcast back into the plan; state is
+    one slim ``(id, auth, hub)`` frame, lineage truncated per
+    half-round with localCheckpoint — the same iteration discipline as
+    :func:`pagerank`. No driver-side collects at all.
+    """
+    edges = (
+        nodes.select(F.col("id").alias("src"), F.explode("adj").alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ids = nodes.select("id").localCheckpoint(eager=True)
+
+    def _rescale(raw: DataFrame, col: str, out: str) -> DataFrame:
+        m = raw.agg(F.max(col).alias("m"))
+        return raw.crossJoin(F.broadcast(m)).select(
+            "id",
+            F.when(F.col("m") != 0.0, F.col(col) / F.col("m"))
+            .otherwise(F.lit(0.0))
+            .alias(out),
+        )
+
+    hub = ids.select("id", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(n_iter):
+        araw = (
+            ids.join(
+                edges.join(hub.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("hub").alias("raw")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("raw", F.lit(0.0)).alias("araw"))
+        )
+        auth = _rescale(araw, "araw", "auth").localCheckpoint(eager=True)
+        hraw = (
+            ids.join(
+                edges.join(auth.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("auth").alias("raw")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("raw", F.lit(0.0)).alias("hraw"))
+        )
+        hub = _rescale(hraw, "hraw", "hub").localCheckpoint(eager=True)
+    return auth.join(hub, "id").select("id", "auth", "hub")
+
+
+def bfs_distances(nodes: DataFrame, sources: list[int], max_hops: int = 10) -> DataFrame:
+    """Multi-source breadth-first hop distances over the undirected
+    graph: ``(id, dist)`` for every node reachable from any source
+    within ``max_hops`` (dist = hops to the NEAREST source; sources
+    themselves are dist 0). Unreachable nodes are absent — the
+    standard frontier contract.
+
+    Level-synchronous frontier expansion, all-integer (so
+    cross-engine parity is exact, no float drift to manage): per hop,
+    one semi-join scatters the frontier to its neighbors, a distinct
+    collapses fan-in, and an anti-join against the settled set keeps
+    only first-time visits — each a key-partitioned hash join on node
+    id. The settled set and frontier are localCheckpoint'd per hop
+    (iterative-lineage discipline); the per-hop driver traffic is one
+    bounded boolean (frontier emptiness). At 100 TB the settled set
+    grows monotonically but each hop touches only frontier-adjacent
+    edges — the textbook Pregel BFS cost model.
+    """
+    edges = _undirected_edges(nodes).localCheckpoint(eager=True)
+    nbrs = edges.select(F.col("a").alias("id"), F.col("b").alias("nbr")).unionAll(
+        edges.select(F.col("b").alias("id"), F.col("a").alias("nbr"))
+    )
+    spark = nodes.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "id int, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("id")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            nbrs.join(frontier, "id", "left_semi")
+            .select(F.col("nbr").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(
+            nxt.select("id", F.lit(hop).cast("int").alias("dist"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
+
+
+def link_prediction(
+    nodes: DataFrame, k: int = 20, max_degree: int = 64
+) -> DataFrame:
+    """Common-neighbor link prediction over the undirected graph: the
+    top-``k`` NON-adjacent node pairs ranked by Jaccard overlap of
+    their neighborhoods — ``(a, b, common_neighbors, jaccard)`` with
+    ``jaccard = cn / (deg(a) + deg(b) - cn)`` (Liben-Nowell &
+    Kleinberg's link-prediction baselines; public literature).
+
+    Candidate pairs are generated through shared MIDDLE nodes (two
+    nodes can only share a neighbor if some node lists both), so the
+    blowup is Σ deg(mid)² — the same quadratic hazard as shingle-based
+    dedup, and capped the same way: middle nodes with degree >
+    ``max_degree`` are excluded from wedge generation (a celebrity
+    hub's neighbor pairs say nothing about affinity anyway — the exact
+    analogue of the hot-shingle df-cap in
+    :func:`~..operators.dedup.ngram_jaccard_pairs`). Counts are
+    therefore "common neighbors of degree <= cap"; the Jaccard
+    denominator keeps TRUE degrees. Everything is an equi-join on node
+    ids; the adjacency anti-join removes existing edges; ranking is
+    integer-exact, and ties break on (a, b) so the limit is
+    deterministic across engines.
+    """
+    edges = _undirected_edges(nodes).localCheckpoint(eager=True)
+    nbrs = edges.select(F.col("a").alias("id"), F.col("b").alias("nbr")).unionAll(
+        edges.select(F.col("b").alias("id"), F.col("a").alias("nbr"))
+    )
+    deg = nbrs.groupBy("id").agg(F.count("*").alias("degree"))
+    mids = deg.where(F.col("degree") <= max_degree).select("id")
+    nb = nbrs.join(mids, "id", "left_semi")
+    l, r = nb.alias("l"), nb.alias("r")
+    pairs = (
+        l.join(r, F.col("l.id") == F.col("r.id"))
+        .where(F.col("l.nbr") < F.col("r.nbr"))
+        .groupBy(F.col("l.nbr").alias("a"), F.col("r.nbr").alias("b"))
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    cand = pairs.join(edges, ["a", "b"], "left_anti")
+    da = deg.select(F.col("id").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("degree").alias("db"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("da") + F.col("db") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+        .limit(k)
+    )
 
 
 def kcore(nodes: DataFrame, k: int, max_iter: int = 50) -> DataFrame:

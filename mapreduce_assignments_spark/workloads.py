@@ -28,6 +28,7 @@ from collections.abc import Callable
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 
 import struct
 
@@ -1160,6 +1161,46 @@ def q_degree_histogram(spark, sf_dir):
 
 def q_triangle_count(spark, sf_dir):
     return graph.triangle_count(_customer_graph(spark, sf_dir))
+
+
+def q_clustering_coefficient(spark, sf_dir):
+    """Per-node local clustering coefficient — the same degree-ordered
+    closed-wedge construction as triangle_count, credited to all three
+    triangle corners; the oracle replays it corner-for-corner."""
+    return graph.clustering_coefficient(_customer_graph(spark, sf_dir))
+
+
+def q_hits(spark, sf_dir):
+    """HITS top-25 authorities (with hub scores) after 8 max-rescaled
+    mutual-reinforcement rounds; the oracle unrolls the identical
+    update in SQL. Rounding happens BEFORE ranking — same exact-tie
+    reasoning as q_pagerank (each nation's lowest-keyed members are
+    mathematically tied)."""
+    scores = graph.hits(_customer_graph(spark, sf_dir), n_iter=8)
+    rounded = scores.select(
+        "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+    w = Window.orderBy(F.desc("auth"), F.asc("id"))
+    return rounded.select(
+        F.row_number().over(w).cast("int").alias("rank"), "id", "auth", "hub"
+    ).where(F.col("rank") <= 25)
+
+
+def q_bfs_hops(spark, sf_dir):
+    """Hop-distance histogram of a 2-source BFS (same two lowest
+    custkeys as personalized_pagerank) — all-integer frontier
+    expansion, so parity with the unrolled oracle is exact."""
+    g = _customer_graph(spark, sf_dir)
+    sources = [r["id"] for r in g.select("id").orderBy("id").limit(2).collect()]
+    dist = graph.bfs_distances(g, sources=sources, max_hops=6)
+    return dist.groupBy("dist").agg(F.count("*").alias("n_nodes"))
+
+
+def q_link_prediction(spark, sf_dir):
+    """Top-20 predicted links by neighborhood Jaccard over the
+    customer graph, middle-node fan-out capped at degree 64 (the
+    hot-shingle df-cap analogue; the oracle applies the same cap)."""
+    return graph.link_prediction(_customer_graph(spark, sf_dir), k=20, max_degree=64)
 
 
 def q_graph_components(spark, sf_dir):
@@ -3630,6 +3671,144 @@ SELECT count(*) AS n_triangles
 FROM w JOIN ue ON ue.a = least(w.x, w.y) AND ue.b = greatest(w.x, w.y)
 """
 
+# Same oriented closed-wedge construction, but each triangle credits
+# all three corners; coefficient arithmetic mirrors the operator
+# term-for-term (2.0 * tri first, then the integer-product divisor).
+ORACLE["clustering_coefficient"] = f"""
+WITH {_UNDIRECTED_CTES},
+oe AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND ue.a < ue.b)
+              THEN ue.a ELSE ue.b END AS u,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND ue.a < ue.b)
+              THEN ue.b ELSE ue.a END AS v
+  FROM ue JOIN udeg da ON da.id = ue.a JOIN udeg db ON db.id = ue.b
+),
+w AS (
+  SELECT l.u AS u, l.v AS x, r.v AS y
+  FROM oe l JOIN oe r ON l.u = r.u WHERE l.v < r.v
+),
+cw AS (
+  SELECT w.u, w.x, w.y
+  FROM w JOIN ue ON ue.a = least(w.x, w.y) AND ue.b = greatest(w.x, w.y)
+),
+tri AS (
+  SELECT id, count(*) AS triangles
+  FROM (SELECT u AS id FROM cw UNION ALL SELECT x FROM cw UNION ALL SELECT y FROM cw)
+  GROUP BY id
+)
+SELECT d.id, d.d AS degree, coalesce(t.triangles, 0) AS triangles,
+       round(CASE WHEN d.d >= 2
+                  THEN 2.0 * coalesce(t.triangles, 0) / (d.d * (d.d - 1))
+                  ELSE 0.0 END, 6) AS coeff
+FROM udeg d LEFT JOIN tri t ON t.id = d.id
+"""
+
+ORACLE["link_prediction"] = f"""
+WITH {_UNDIRECTED_CTES},
+nb AS (SELECT a AS id, b AS nbr FROM ue UNION ALL SELECT b, a FROM ue),
+mids AS (SELECT id FROM udeg WHERE d <= 64),
+nb2 AS (SELECT nb.id, nb.nbr FROM nb JOIN mids m ON m.id = nb.id),
+pairs AS (
+  SELECT l.nbr AS a, r.nbr AS b, count(*) AS common_neighbors
+  FROM nb2 l JOIN nb2 r ON l.id = r.id
+  WHERE l.nbr < r.nbr
+  GROUP BY l.nbr, r.nbr
+),
+cand AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM ue WHERE ue.a = p.a AND ue.b = p.b)
+)
+SELECT c.a, c.b, c.common_neighbors,
+       round(c.common_neighbors / (da.d + db.d - c.common_neighbors), 6) AS jaccard
+FROM cand c JOIN udeg da ON da.id = c.a JOIN udeg db ON db.id = c.b
+ORDER BY jaccard DESC, c.a ASC, c.b ASC
+LIMIT 20
+"""
+
+
+def _hits_oracle_sql(n_iter: int = 8, k: int = 25) -> str:
+    """Unrolled HITS oracle over the _customer_graph derivation. Each
+    half-round rescales by max() — bit-exact across engines regardless
+    of aggregation order (the operator's normalization choice exists
+    for exactly this reason); ranking happens on the ROUNDED authority
+    with an id tiebreak, same as the pagerank oracle. Every per-round
+    CTE is MATERIALIZED — the rescale references its input twice, and
+    inlined CTEs would re-expand the whole prefix exponentially (the
+    kcore lesson)."""
+    steps = ["h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM g)"]
+    for i in range(1, n_iter + 1):
+        steps.append(f"""
+ar{i} AS MATERIALIZED (
+  SELECT g.id, coalesce(r.raw, CAST(0.0 AS DOUBLE)) AS araw
+  FROM g LEFT JOIN (
+    SELECT e.dst AS id, sum(h.hub) AS raw
+    FROM h{i - 1} h JOIN edges e ON e.src = h.id
+    GROUP BY e.dst) r ON r.id = g.id
+),
+a{i} AS MATERIALIZED (
+  SELECT id, CASE WHEN m.m != 0 THEN araw / m.m
+                  ELSE CAST(0.0 AS DOUBLE) END AS auth
+  FROM ar{i}, (SELECT max(araw) AS m FROM ar{i}) m
+),
+hr{i} AS MATERIALIZED (
+  SELECT g.id, coalesce(r.raw, CAST(0.0 AS DOUBLE)) AS hraw
+  FROM g LEFT JOIN (
+    SELECT e.src AS id, sum(a.auth) AS raw
+    FROM a{i} a JOIN edges e ON e.dst = a.id
+    GROUP BY e.src) r ON r.id = g.id
+),
+h{i} AS MATERIALIZED (
+  SELECT id, CASE WHEN m.m != 0 THEN hraw / m.m
+                  ELSE CAST(0.0 AS DOUBLE) END AS hub
+  FROM hr{i}, (SELECT max(hraw) AS m FROM hr{i}) m
+)""")
+    return f"""
+WITH {_GRAPH_CTES},
+{",".join(steps)}
+SELECT CAST(row_number() OVER (ORDER BY auth DESC, id ASC) AS INTEGER) AS rank,
+       id, auth, hub
+FROM (SELECT a.id, round(a.auth, 6) AS auth, round(h.hub, 6) AS hub
+      FROM a{n_iter} a JOIN h{n_iter} h ON h.id = a.id)
+QUALIFY rank <= {k}
+"""
+
+
+ORACLE["hits"] = _hits_oracle_sql()
+
+
+def _bfs_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled level-synchronous BFS from the 2 lowest custkeys over
+    the undirected customer graph; rounds past the fixpoint add
+    nothing (empty frontiers are identities), so over-unrolling is
+    harmless. All-integer — no float parity concerns."""
+    parts = [
+        """nb AS (SELECT a AS id, b AS nbr FROM ue UNION ALL SELECT b, a FROM ue),
+r0 AS MATERIALIZED (
+  SELECT CAST(c_custkey AS INTEGER) AS id, 0 AS dist
+  FROM customer ORDER BY c_custkey LIMIT 2
+),
+f0 AS (SELECT id FROM r0)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+n{i} AS MATERIALIZED (
+  SELECT DISTINCT nb.nbr AS id
+  FROM nb JOIN f{i - 1} f ON f.id = nb.id
+  WHERE nb.nbr NOT IN (SELECT id FROM r{i - 1})
+),
+r{i} AS MATERIALIZED (
+  SELECT * FROM r{i - 1} UNION ALL SELECT id, {i} AS dist FROM n{i}
+),
+f{i} AS (SELECT id FROM n{i})""")
+    return f"""
+WITH {_UNDIRECTED_CTES},
+{",".join(parts)}
+SELECT dist, count(*) AS n_nodes FROM r{rounds} GROUP BY dist
+"""
+
+
+ORACLE["bfs_hops"] = _bfs_oracle_sql()
+
 # --- trained-IVF oracle: the deterministic trainer, reproduced in SQL -------
 # ivf_train is deterministic by construction (hash-sampled farthest-
 # first init + Lloyd's with fixed tiebreaks), so the whole
@@ -4283,6 +4462,13 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_fertility": q_tokenizer_fertility,    # BPE/ws tokenizer fit
     "incremental_dedup": q_incremental_dedup,        # cross-batch ingestion dedup
     "centroid_confusion": q_centroid_confusion,      # nearest-centroid eval
+    # -- round-6 graph-analytics batch (all scalar-output, rotation-
+    # eligible; oracles unroll the iterations / replay the wedge
+    # construction in SQL) --
+    "hits": q_hits,                                  # hubs & authorities
+    "bfs_hops": q_bfs_hops,                          # multi-source BFS distances
+    "clustering_coefficient": q_clustering_coefficient,  # per-node local cc
+    "link_prediction": q_link_prediction,            # common-neighbor Jaccard
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

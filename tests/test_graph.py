@@ -298,3 +298,142 @@ def test_kcore_matches_python_peeler_on_random_graphs(spark):
         )
         got = {r["id"]: r["core_degree"] for r in kcore(df, k=k).collect()}
         assert got == py_kcore(edges, k), (seed, p, k)
+
+
+def test_hits_hand_checked(spark):
+    """Two pure hubs feeding two pure authorities: after any number of
+    rounds the max-rescaled scores are exactly {0, 1}-valued."""
+    from mapreduce_assignments_spark.operators.graph import hits
+
+    df = spark.createDataFrame(
+        [(1, [3, 4]), (2, [3, 4]), (3, []), (4, [])],
+        "id int, adj array<int>",
+    )
+    got = {r["id"]: (r["auth"], r["hub"]) for r in hits(df, n_iter=3).collect()}
+    assert got == {1: (0.0, 1.0), 2: (0.0, 1.0), 3: (1.0, 0.0), 4: (1.0, 0.0)}
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """The Spark loop agrees with a dense NumPy replay of the SAME
+    max-rescaled update on a seeded random directed graph."""
+    import random
+
+    import numpy as np
+
+    from mapreduce_assignments_spark.operators.graph import hits
+
+    rng = random.Random(7)
+    n = 30
+    adj = {
+        i: sorted({rng.randrange(n) for _ in range(rng.randrange(0, 6))} - {i})
+        for i in range(n)
+    }
+    A = np.zeros((n, n))
+    for i, outs in adj.items():
+        for j in outs:
+            A[i, j] = 1.0
+    h = np.ones(n)
+    for _ in range(8):
+        a = A.T @ h
+        if a.max() != 0:
+            a = a / a.max()
+        h = A @ a
+        if h.max() != 0:
+            h = h / h.max()
+    df = spark.createDataFrame(
+        [(i, adj[i]) for i in range(n)], "id int, adj array<int>"
+    )
+    got = {r["id"]: (r["auth"], r["hub"]) for r in hits(df, n_iter=8).collect()}
+    for i in range(n):
+        assert got[i][0] == pytest.approx(a[i], abs=1e-9)
+        assert got[i][1] == pytest.approx(h[i], abs=1e-9)
+
+
+def test_bfs_distances_hand_checked(spark):
+    from mapreduce_assignments_spark.operators.graph import bfs_distances
+
+    # path 1-2-3-4 plus isolated 5 (edges undirected regardless of
+    # which endpoint lists them)
+    df = spark.createDataFrame(
+        [(1, [2]), (2, [3]), (3, [4]), (4, []), (5, [])],
+        "id int, adj array<int>",
+    )
+    got = {r["id"]: r["dist"] for r in bfs_distances(df, sources=[1]).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 unreachable -> absent
+    # multi-source takes the NEAREST source; max_hops truncates the frontier
+    got2 = {r["id"]: r["dist"] for r in bfs_distances(df, sources=[1, 4]).collect()}
+    assert got2 == {1: 0, 4: 0, 2: 1, 3: 1}
+    capped = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(df, sources=[1], max_hops=1).collect()
+    }
+    assert capped == {1: 0, 2: 1}
+
+
+def test_clustering_coefficient_hand_checked(spark):
+    from mapreduce_assignments_spark.operators.graph import clustering_coefficient
+
+    # triangle {1,2,3} with a pendant 4 hanging off 3
+    df = spark.createDataFrame(
+        [(1, [2, 3]), (2, [3]), (3, [4]), (4, [])],
+        "id int, adj array<int>",
+    )
+    got = {
+        r["id"]: (r["degree"], r["triangles"], r["coeff"])
+        for r in clustering_coefficient(df).collect()
+    }
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, round(1 / 3, 6))
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_clustering_coefficient_sums_to_three_triangles(spark):
+    """Invariant vs triangle_count: every triangle credits exactly 3
+    corners, so per-node counts sum to 3x the global count."""
+    import random
+
+    from mapreduce_assignments_spark.operators.graph import (
+        clustering_coefficient,
+        triangle_count,
+    )
+
+    rng = random.Random(11)
+    n = 40
+    adj = {i: [j for j in range(i + 1, n) if rng.random() < 0.2] for i in range(n)}
+    df = spark.createDataFrame(
+        [(i, adj[i]) for i in range(n)], "id int, adj array<int>"
+    )
+    [g] = triangle_count(df).collect()
+    per_node = clustering_coefficient(df).agg({"triangles": "sum"}).collect()[0][0]
+    assert per_node == 3 * g["n_triangles"]
+    assert g["n_triangles"] > 0
+
+
+def test_link_prediction_square(spark):
+    from mapreduce_assignments_spark.operators.graph import link_prediction
+
+    # 4-cycle 1-2-3-4-1: the two diagonals are the only predictions,
+    # each with both off-diagonal nodes as common neighbors
+    df = spark.createDataFrame(
+        [(1, [2, 4]), (2, [3]), (3, [4]), (4, [])],
+        "id int, adj array<int>",
+    )
+    rows = link_prediction(df, k=10).collect()
+    got = {(r["a"], r["b"]): (r["common_neighbors"], r["jaccard"]) for r in rows}
+    assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_link_prediction_degree_cap_skips_hub(spark):
+    """Middle nodes above the cap generate no candidate pairs — the
+    celebrity-hub skew guard (df-cap analogue)."""
+    from mapreduce_assignments_spark.operators.graph import link_prediction
+
+    # star: hub 0 connects leaves 1..9; every leaf pair shares ONLY the hub
+    df = spark.createDataFrame(
+        [(0, list(range(1, 10)))] + [(i, []) for i in range(1, 10)],
+        "id int, adj array<int>",
+    )
+    assert link_prediction(df, k=100, max_degree=5).count() == 0
+    full = link_prediction(df, k=100, max_degree=64)
+    assert full.count() == 9 * 8 // 2  # all leaf pairs via the hub
