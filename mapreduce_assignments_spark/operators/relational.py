@@ -26,6 +26,10 @@ __all__ = [
     "forecast_revenue",
     "top_return_customers",
     "top_revenue_orders",
+    "shipping_priority",
+    "promo_revenue",
+    "large_volume_orders",
+    "part_bracket_revenue",
     "revenue_by_nation",
     "brand_nation_revenue",
     "user_sessions",
@@ -219,6 +223,166 @@ def brand_nation_revenue(
         .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
         .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
         .groupBy("n_name", "p_brand")
+        .agg(F.round(revenue, 6).cast("double").alias("revenue"))
+    )
+
+
+def shipping_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-07-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-style shipping-priority report: the top-k orders by
+    revenue still accruing after the cutoff, for one market segment —
+    orders PLACED before the cutoff whose lineitems SHIP after it
+    (the "what's in flight right now" dashboard).
+
+    Scale: both date predicates push down to their scans (each side of
+    the fact join shrinks before shuffling), the segment filter prunes
+    the customer dimension BEFORE it broadcasts, and the aggregation
+    runs on the join key it already shuffled on. Ties break on
+    ``l_orderkey`` so the limit is deterministic across engines.
+    """
+    revenue = F.sum(
+        _exact_product_dec(F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount"))
+    )
+    cutoff_ts = F.lit(cutoff).cast("timestamp")
+    return (
+        lineitem.where(F.col("l_shipdate") > cutoff_ts)
+        .join(
+            orders.where(F.col("o_orderdate") < cutoff_ts),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.where(F.col("c_mktsegment") == segment)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(revenue, 6).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    month_start: str = "1998-03-01",
+    month_end: str = "1998-04-01",
+) -> DataFrame:
+    """TPC-H Q14-style promotion report: the share of one ship-month's
+    revenue that came from PROMO-type parts — one row
+    ``(promo_revenue, total_revenue, promo_pct)``.
+
+    Scale: the month predicate pushes to the lineitem scan, part
+    broadcasts as a dimension, and both sums come out of ONE pass
+    (conditional aggregation, no second join or self-union). Sums are
+    exact decimal, so the final double division is bit-identical
+    across engines.
+    """
+    dp = _exact_product_dec(
+        F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")
+    )
+    promo = F.sum(
+        F.when(F.col("p_type").startswith("PROMO"), dp).otherwise(
+            F.lit(0).cast(_DEC)
+        )
+    )
+    total = F.sum(dp)
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(month_start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(month_end).cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(promo, 6).cast("double").alias("promo_revenue"),
+            F.round(total, 6).cast("double").alias("total_revenue"),
+            F.round(
+                F.lit(100.0) * promo.cast("double") / total.cast("double"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+def large_volume_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty: float = 250.0,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q18-style large-volume-customer report: the top-k orders
+    whose total lineitem quantity exceeds ``min_qty``, with their
+    customers — ``(c_custkey, c_name, o_orderkey, o_orderdate,
+    o_totalprice, total_qty)``.
+
+    Scale: the quantity rollup is a pre-aggregation on the fact
+    table's own key (map-side partial combine, no join inflation), and
+    only the few surviving order keys join onward — the
+    aggregate-then-join plan Q18 exists to teach. The HAVING filter is
+    applied on the exact decimal sum so the survivor set is
+    engine-stable; ties break on ``o_orderkey``.
+    """
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .where(F.col("q") > F.lit(min_qty).cast(_DEC))
+    )
+    return (
+        qty.join(orders, qty["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("q"), 6).cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def part_bracket_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-style bracketed-discount report: revenue from
+    lineitems matching ANY of three (brand, size-range,
+    quantity-range) brackets — one row ``(revenue)``.
+
+    Scale: the disjunction lives in ONE join's post-condition over the
+    broadcast part dimension, so the fact table is scanned once; the
+    quantity bounds (the only fact-side conjuncts common to a bracket)
+    are evaluated row-side before the OR. Catalyst folds the whole
+    predicate into the broadcast join — no union-of-three-scans
+    rewrite needed.
+    """
+    brackets = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = F.sum(
+        _exact_product_dec(F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount"))
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(brackets)
         .agg(F.round(revenue, 6).cast("double").alias("revenue"))
     )
 

@@ -1663,6 +1663,44 @@ def q_top_return_customers(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 in-flight BUILDING-segment orders by
+    accrued revenue at the 1998-07-01 cutoff."""
+    return relational.shipping_priority(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: PROMO-part revenue share for ship-month
+    1998-03 — conditional aggregation over one broadcast join."""
+    return relational.promo_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate-then-join — orders whose total
+    quantity tops 250, with their customers."""
+    return relational.large_volume_orders(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def q_part_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: one-pass disjunction of three
+    (brand, size, quantity) brackets over the broadcast part join."""
+    return relational.part_bracket_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Tokenizer-fit dashboard: per source, BPE tokens per whitespace
     token under the corpus's own learned 5-merge table — fertility is
@@ -3160,6 +3198,74 @@ ORDER BY lost_revenue DESC, c.c_custkey ASC
 LIMIT 20
 """
 
+ORACLE["shipping_priority"] = """
+SELECT l.l_orderkey, o.o_orderdate,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))), 6)
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+  AND l.l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLE["promo_revenue"] = """
+SELECT
+  CAST(round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                           * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END), 6) AS DOUBLE) AS promo_revenue,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))), 6)
+       AS DOUBLE) AS total_revenue,
+  round(100.0
+        * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                             * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                   * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE),
+        6) AS promo_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-03-01'
+  AND l.l_shipdate < TIMESTAMP '1998-04-01'
+"""
+
+ORACLE["large_volume_orders"] = """
+WITH q AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS q
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > CAST(250.0 AS DECIMAL(18,6))
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(round(q.q, 6) AS DOUBLE) AS total_qty
+FROM q
+JOIN orders o ON q.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 20
+"""
+
+ORACLE["part_bracket_revenue"] = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))), 6)
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -4469,6 +4575,11 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_hops": q_bfs_hops,                          # multi-source BFS distances
     "clustering_coefficient": q_clustering_coefficient,  # per-node local cc
     "link_prediction": q_link_prediction,            # common-neighbor Jaccard
+    # -- round-6 TPC-H-shape batch (scalar-output, rotation-eligible) --
+    "shipping_priority": q_shipping_priority,        # Q3 in-flight orders
+    "promo_revenue": q_promo_revenue,                # Q14 conditional agg
+    "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
+    "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

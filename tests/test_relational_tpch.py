@@ -1,0 +1,110 @@
+"""Hand-checked unit tests for the round-6 TPC-H-shape operators
+(Q3 / Q14 / Q18 / Q19). Oracle parity over the real testdata runs in
+tools/check_correctness.py; these pin the semantics on tiny frames
+where the expected answer is computable by hand."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from mapreduce_assignments_spark.operators import relational
+
+
+def _ts(s: str) -> datetime:
+    return datetime.strptime(s, "%Y-%m-%d")
+
+
+def _li(spark, rows):
+    rows = [(*r[:-1], _ts(r[-1])) for r in rows]
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+
+
+def test_shipping_priority_in_flight_only(spark):
+    li = _li(
+        spark,
+        [
+            # order 1: ships after cutoff (counts), placed before cutoff
+            (1, 1, 1.0, 100.0, 0.0, "1998-08-01"),
+            (1, 1, 1.0, 50.0, 0.5, "1998-09-01"),
+            # order 1 lineitem shipped BEFORE cutoff: excluded from revenue
+            (1, 1, 1.0, 999.0, 0.0, "1998-01-01"),
+            # order 2: placed after cutoff -> excluded entirely
+            (2, 1, 1.0, 77.0, 0.0, "1998-08-01"),
+        ],
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, _ts("1998-06-01")), (2, 10, _ts("1998-07-02"))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    cust = spark.createDataFrame(
+        [(10, "BUILDING"), (11, "MACHINERY")],
+        "c_custkey long, c_mktsegment string",
+    )
+    rows = relational.shipping_priority(li, orders, cust).collect()
+    assert len(rows) == 1
+    assert rows[0]["l_orderkey"] == 1
+    assert rows[0]["revenue"] == pytest.approx(100.0 + 25.0)
+
+
+def test_promo_revenue_share(spark):
+    li = _li(
+        spark,
+        [
+            (1, 1, 1.0, 100.0, 0.0, "1998-03-05"),  # PROMO part
+            (1, 2, 1.0, 300.0, 0.0, "1998-03-06"),  # non-promo
+            (1, 1, 1.0, 500.0, 0.0, "1998-04-01"),  # outside month
+        ],
+    )
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "ECONOMY")], "p_partkey long, p_type string"
+    )
+    [row] = relational.promo_revenue(li, part).collect()
+    assert row["promo_revenue"] == 100.0
+    assert row["total_revenue"] == 400.0
+    assert row["promo_pct"] == 25.0
+
+
+def test_large_volume_orders_threshold_and_order(spark):
+    li = _li(
+        spark,
+        [(1, 1, 300.0, 1.0, 0.0, "1998-01-01")]
+        + [(2, 1, 100.0, 1.0, 0.0, "1998-01-01")] * 3  # order 2: 300 total
+        + [(3, 1, 200.0, 1.0, 0.0, "1998-01-01")],  # below threshold
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, _ts("1998-01-01"), 500.0), (2, 10, _ts("1998-01-02"), 900.0),
+         (3, 10, _ts("1998-01-03"), 999.0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    cust = spark.createDataFrame(
+        [(10, "Customer#10")], "c_custkey long, c_name string"
+    )
+    rows = relational.large_volume_orders(li, orders, cust, min_qty=250.0).collect()
+    assert [r["o_orderkey"] for r in rows] == [2, 1]  # o_totalprice desc
+    assert [r["total_qty"] for r in rows] == [300.0, 300.0]
+
+
+def test_part_bracket_revenue_disjunction(spark):
+    li = _li(
+        spark,
+        [
+            (1, 1, 5.0, 100.0, 0.0, "1998-01-01"),   # bracket 1 hit
+            (1, 1, 30.0, 999.0, 0.0, "1998-01-01"),  # qty outside bracket 1
+            (1, 2, 15.0, 200.0, 0.5, "1998-01-01"),  # bracket 2 hit
+            (1, 3, 25.0, 400.0, 0.0, "1998-01-01"),  # bracket 3 hit
+            (1, 4, 5.0, 888.0, 0.0, "1998-01-01"),   # brand matches nothing
+        ],
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#12", 3), (2, "Brand#23", 9), (3, "Brand#3", 15),
+         (4, "Brand#9", 1)],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    [row] = relational.part_bracket_revenue(li, part).collect()
+    assert row["revenue"] == pytest.approx(100.0 + 100.0 + 400.0)
