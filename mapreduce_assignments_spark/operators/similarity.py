@@ -46,6 +46,7 @@ __all__ = [
     "ann_recall",
     "label_centroids",
     "centroid_confusion",
+    "random_projection",
 ]
 
 
@@ -777,4 +778,73 @@ def centroid_confusion(
         .join(assigned, "vec_id")
         .groupBy("label", "predicted")
         .agg(F.count("*").alias("n"))
+    )
+
+
+# Deterministic sparse-projection hash: an LCG over the flattened
+# (in_dim_index, out_dim_index) key, high bits folded mod 6 into
+# Achlioptas's {+1, -1, 0, 0, 0, 0} sparse sign distribution. The
+# identical integer arithmetic is replayable in any engine (the oracle
+# runs it in DuckDB SQL) — products stay far below 2^63, so no
+# overflow-wrap divergence is possible.
+_RP_A = 1103515245
+_RP_C = 12345
+_RP_M = 2147483648  # 2^31
+
+
+def random_projection(
+    embeddings: DataFrame, in_dim: int = 64, out_dim: int = 8
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a
+    DETERMINISTIC sparse sign matrix (Achlioptas, JCSS'03: entries
+    +1/-1 with prob 1/6 each, else 0, scaled by sqrt(3/out_dim)) —
+    the matrix is never materialized; each entry is recomputed from an
+    integer hash of its (row, column) index, so every executor — and
+    the DuckDB oracle — derives the identical matrix with no RNG, no
+    broadcast, and no seed file.
+
+    Returns ``(vec_id, dim, value)`` — the reduced vectors as scalar
+    rows (pandas-canon safe), values rounded to 6 places.
+
+    Scale shape: a pure narrow map — one JVM-side higher-order fold
+    per output dimension (zip_with + aggregate, same machinery as
+    :func:`cosine_similarity`), zero shuffles, zero Python. At 100 TB
+    this pipelines with the parquet scan; output size is
+    ``out_dim/in_dim`` of the input, which is the whole point of
+    running it BEFORE an all-pairs or clustering stage.
+    """
+    vec = F.col("embedding").cast("array<double>")
+    scale = (3.0 / out_dim) ** 0.5
+
+    def _entry(j: int) -> Column:
+        def mult(v: Column, i: Column) -> Column:
+            key = i.cast("long") * out_dim + j
+            h = (
+                F.shiftright((F.lit(_RP_A) * key + _RP_C) % F.lit(_RP_M), 16) % 6
+            )
+            r = (
+                F.when(h == 0, F.lit(1.0))
+                .when(h == 1, F.lit(-1.0))
+                .otherwise(F.lit(0.0))
+            )
+            return v * r
+
+        return F.round(
+            F.aggregate(
+                F.zip_with(vec, F.sequence(F.lit(0), F.lit(in_dim - 1)), mult),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale),
+            6,
+        )
+
+    wide = embeddings.select(
+        "vec_id", *[_entry(j).alias(f"d{j}") for j in range(out_dim)]
+    )
+    return wide.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"d{j}") for j in range(out_dim)])).alias(
+            "dim", "value"
+        ),
     )

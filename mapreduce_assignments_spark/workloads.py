@@ -903,6 +903,13 @@ def q_pii_scrub(spark, sf_dir):
     return text_quality.pii_scrub(withpii)
 
 
+def q_random_projection(spark, sf_dir):
+    """64-dim embeddings reduced to 8 via the deterministic Achlioptas
+    sparse sign matrix, emitted as (vec_id, dim, value) scalar rows;
+    the oracle replays the identical LCG-derived matrix in SQL."""
+    return similarity.random_projection(_emb(spark, sf_dir), in_dim=64, out_dim=8)
+
+
 def q_brute_force_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -2630,6 +2637,21 @@ _COS = (
     "round(list_dot_product(qv, v) / "
     "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)"
 )
+# The projection matrix entry for (i, j) is derived from the same LCG
+# in both engines: high bits of (a*(i*8+j)+c) mod 2^31, folded mod 6
+# into {{+1, -1, 0, 0, 0, 0}}; scaled by sqrt(3/8). list_sum folds the
+# 64 products in list order, matching Spark's sequential aggregate
+# fold; round(...,6) absorbs the ulps.
+ORACLE["random_projection"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id, CAST(j AS INTEGER) AS dim,
+       round(list_sum(list_transform(range(0, 64), i ->
+               v[i + 1] * (CASE ((((1103515245 * (i * 8 + j) + 12345) % 2147483648) >> 16) % 6)
+                           WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END)))
+             * sqrt(3.0 / 8), 6) AS value
+FROM e, range(0, 8) t(j)
+"""
+
 ORACLE["brute_force_topk"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
@@ -4580,6 +4602,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join
+    "random_projection": q_random_projection,        # deterministic JL reducer
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

@@ -426,3 +426,64 @@ def test_centroid_confusion_separable_classes(spark):
     }
     assert got[(1, 1)] == 4 and got[(0, 1)] == 1
     assert got[(0, 0)] == 4
+
+
+def test_random_projection_matches_numpy_replica(spark):
+    """The operator's LCG-derived sparse sign matrix and fold agree
+    with a direct NumPy replay on random vectors."""
+    from mapreduce_assignments_spark.operators.similarity import (
+        _RP_A,
+        _RP_C,
+        _RP_M,
+        random_projection,
+    )
+
+    rng = np.random.default_rng(3)
+    in_dim, out_dim = 16, 4
+    vecs = rng.normal(size=(20, in_dim)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    def r(i, j):
+        h = (((_RP_A * (i * out_dim + j) + _RP_C) % _RP_M) >> 16) % 6
+        return 1.0 if h == 0 else (-1.0 if h == 1 else 0.0)
+
+    R = np.array([[r(i, j) for j in range(out_dim)] for i in range(in_dim)])
+    expected = vecs.astype("float64") @ R * (3.0 / out_dim) ** 0.5
+
+    got = {
+        (row["vec_id"], row["dim"]): row["value"]
+        for row in random_projection(df, in_dim=in_dim, out_dim=out_dim).collect()
+    }
+    assert len(got) == 20 * out_dim
+    for vid in range(20):
+        for j in range(out_dim):
+            assert got[(vid, j)] == pytest.approx(expected[vid, j], abs=1e-6)
+    # the sparse matrix actually contains all three entry values
+    vals = set(R.flatten().tolist())
+    assert vals == {-1.0, 0.0, 1.0}
+
+
+def test_random_projection_preserves_distances_loosely(spark):
+    """JL sanity on the real shape (64 -> 8): squared distances are
+    preserved in expectation — check the MEDIAN ratio lands within a
+    generous band rather than any single pair."""
+    from mapreduce_assignments_spark.operators.similarity import random_projection
+
+    rng = np.random.default_rng(9)
+    n, in_dim, out_dim = 60, 64, 8
+    vecs = rng.normal(size=(n, in_dim)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = random_projection(df, in_dim=in_dim, out_dim=out_dim).collect()
+    red = np.zeros((n, out_dim))
+    for row in out:
+        red[row["vec_id"], row["dim"]] = row["value"]
+    ratios = []
+    for a in range(0, 30):
+        b = a + 30
+        d_in = float(np.sum((vecs[a].astype("float64") - vecs[b]) ** 2))
+        d_out = float(np.sum((red[a] - red[b]) ** 2))
+        ratios.append(d_out / d_in)
+    med = sorted(ratios)[len(ratios) // 2]
+    assert 0.5 < med < 2.0
