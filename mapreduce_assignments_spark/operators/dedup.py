@@ -49,6 +49,7 @@ __all__ = [
     "contamination_flags",
     "split_leakage",
     "incremental_dedup",
+    "ngram_novelty",
 ]
 
 
@@ -714,3 +715,40 @@ def incremental_dedup(
     return in_batch_keeper.join(
         seen_digests.select("digest"), "digest", "left_anti"
     ).select("doc_id", "digest")
+
+
+def ngram_novelty(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document n-gram novelty: ``(doc_id, n_grams, shared_grams,
+    novelty)`` where ``shared_grams`` counts the document's distinct
+    n-grams that also occur in at least one OTHER document and
+    ``novelty = 1 - shared/total`` — the cross-document memorization
+    signal training-data curation ranks on (a document whose n-grams
+    all appear elsewhere adds nothing; cf. the dedup literature's
+    duplicate-n-gram fraction). Documents shorter than ``n`` tokens
+    carry no n-grams and are absent, same contract as
+    :func:`shingles`.
+
+    Scale shape: one exchange keyed by shingle for the document
+    frequencies (map-side partial agg), then ONE annotation equi-join
+    back onto the per-doc shingle rows — fan-out is 1:1 (each instance
+    gains a df), never pairwise, so hot shingles cost nothing beyond
+    their own row count — and a final per-doc aggregation. Contrast
+    with :func:`ngram_jaccard_pairs`, which must generate pairs and
+    therefore needs the df-cap; a pure annotation join does not.
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    # distinct-per-doc by construction, so count(*) IS the document
+    # frequency of the shingle
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    annotated = sh.join(df_counts, "shingle")
+    return annotated.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("shared_grams"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)) / F.count("*"),
+            6,
+        ).alias("novelty"),
+    )

@@ -17,8 +17,9 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
 
-__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users", "co_engagement"]
+__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users", "co_engagement", "event_transitions"]
 
 
 def funnel_counts(
@@ -185,4 +186,44 @@ def co_engagement(
         .groupBy(F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b"))
         .agg(F.count("*").alias("users"))
         .where(F.col("users") >= min_support)
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: ``(prev_type, event_type, cnt, prob)`` — for each
+    ordered pair of consecutive events by the same user, how often
+    ``event_type`` follows ``prev_type``, and the row-normalized
+    transition probability (the what-do-users-do-next matrix).
+
+    Ordering within a user is ``(ts, event_id)`` so simultaneous
+    events sequence deterministically in every engine. ``prob`` is an
+    exact integer ratio evaluated in doubles — bit-identical across
+    engines — rounded to 6.
+
+    Scale shape: one shuffle on user_id for the lag window (the same
+    exchange sessionization uses — AQE skew-splits a celebrity user),
+    then a hash aggregation on the (prev, next) pair whose
+    cardinality is |event types|² — tiny — and a broadcast-sized
+    window for the row normalization.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    row_total = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(row_total), 6).alias("prob"),
     )

@@ -59,6 +59,7 @@ __all__ = [
     "bfs_distances",
     "clustering_coefficient",
     "link_prediction",
+    "degree_assortativity",
 ]
 
 # Below this node count, AQE is temporarily disabled for the iteration
@@ -734,4 +735,52 @@ def kcore(nodes: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
         ends.groupBy("id")
         .agg(F.count("*").alias("core_degree"))
         .where(F.col("core_degree") >= k)
+    )
+
+
+def degree_assortativity(nodes: DataFrame) -> DataFrame:
+    """Degree assortativity of the undirected graph — one row
+    ``(n_edges, assortativity)``: the Pearson correlation of endpoint
+    degrees over the symmetrized edge list (Newman, PRL'02). Positive
+    means hubs attach to hubs; social graphs trend positive, web
+    graphs negative.
+
+    All five sufficient statistics (pair count, Σx, Σx², Σxy over the
+    symmetrized pairs — symmetry makes the y-marginals equal the
+    x-marginals) are INTEGER sums, so they are exact and
+    engine-identical; only the final closed-form correlation is
+    evaluated in doubles, term-for-term the same expression in the
+    oracle. Regular graphs have zero degree variance — reported as
+    0.0 rather than NaN.
+
+    Scale shape: one degree aggregation, two key-partitioned joins to
+    annotate endpoints, then a single global aggregate (map-side
+    partial). Nothing quadratic, nothing skew-sensitive — the
+    annotation join fans out 1:1.
+    """
+    edges = _undirected_edges(nodes).localCheckpoint(eager=True)
+    ends = edges.select(F.col("a").alias("id")).unionAll(
+        edges.select(F.col("b").alias("id"))
+    )
+    deg = ends.groupBy("id").agg(F.count("*").alias("deg"))
+    annotated = edges.join(
+        deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), "a"
+    ).join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), "b")
+    sym = annotated.select(F.col("da").alias("x"), F.col("db").alias("y")).unionAll(
+        annotated.select(F.col("db").alias("x"), F.col("da").alias("y"))
+    )
+    stats = sym.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    mean = F.col("sx") / F.col("m")
+    var = F.col("sxx") / F.col("m") - mean * mean
+    cov = F.col("sxy") / F.col("m") - mean * mean
+    return stats.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.when(var != 0.0, cov / var).otherwise(F.lit(0.0)), 6
+        ).alias("assortativity"),
     )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 
 from ..functions.hashing import h60
 
-__all__ = ["kmv_distinct"]
+__all__ = ["kmv_distinct", "count_min_counters", "count_min_estimate"]
 
 
 def kmv_distinct(
@@ -70,3 +70,83 @@ def kmv_distinct(
             6,
         ).alias("est_distinct"),
     )
+
+
+def count_min_counters(
+    items: DataFrame, key: str, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch counters over the multiset of ``key`` values:
+    ``(d, bucket, cnt)`` — ``depth x width`` cells [Cormode &
+    Muthukrishnan, J.Alg'05]. Row ``d``'s hash is the same universal
+    family MinHash uses ((a_d·h28(key)+b_d) mod p, then mod width) —
+    engine-portable integer arithmetic, so the DuckDB oracle builds
+    the identical sketch.
+
+    Scale shape: the sketch is the whole point at 100 TB — the
+    aggregation is keyed by (d, bucket), so the map-side partial
+    combine collapses every partition to at most depth·width rows and
+    the exchange carries a fixed-size sketch no matter how large or
+    skewed the input (an exact per-key count would shuffle the hot
+    keys themselves).
+    """
+    from ..functions.hashing import MINHASH_A, MINHASH_B, MINHASH_PRIME, h28
+
+    if depth > len(MINHASH_A):
+        raise ValueError(f"depth must be <= {len(MINHASH_A)}")
+    base = h28(F.col(key).cast("string"))
+    rows = items.where(F.col(key).isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            (F.lit(MINHASH_A[d]) * base + F.lit(MINHASH_B[d]))
+                            % F.lit(MINHASH_PRIME)
+                            % F.lit(width)
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return rows.groupBy(F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def count_min_estimate(
+    counters: DataFrame, probes: DataFrame, key: str, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Point-query the count-min sketch for each probe key:
+    ``(<key>, estimate)`` = min over the depth rows of the probed
+    cells. The estimate NEVER undercounts (every occurrence of the key
+    incremented all of its cells); collisions only add. Counters are
+    a fixed depth·width frame — broadcast; probing is a narrow map +
+    one small join per depth row collapsed into a single equi-join on
+    (d, bucket).
+    """
+    from ..functions.hashing import MINHASH_A, MINHASH_B, MINHASH_PRIME, h28
+
+    base = h28(F.col(key).cast("string"))
+    cells = probes.select(
+        F.col(key),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            (F.lit(MINHASH_A[d]) * base + F.lit(MINHASH_B[d]))
+                            % F.lit(MINHASH_PRIME)
+                            % F.lit(width)
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(F.col(key), F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket"))
+    joined = cells.join(F.broadcast(counters), ["d", "bucket"])
+    return joined.groupBy(key).agg(F.min("cnt").alias("estimate"))

@@ -856,6 +856,46 @@ def q_kmv_distinct(spark, sf_dir):
     return sketches.kmv_distinct(toks, key="token", group_col="source", k=64)
 
 
+def q_countmin_words(spark, sf_dir):
+    """Count-min sketch point queries for the corpus's top-20 words:
+    (word, true_cnt, estimate) — estimate >= true always (collisions
+    only add); the oracle rebuilds the identical 4x256 sketch from the
+    same portable hash family."""
+    words = _docs(spark, sf_dir).select(
+        F.explode(text.tokens_array("text")).alias("word")
+    )
+    counters = sketches.count_min_counters(words, "word", width=256, depth=4)
+    true_counts = words.groupBy("word").agg(F.count("*").alias("true_cnt"))
+    w = Window.orderBy(F.desc("true_cnt"), F.asc("word"))
+    probes = (
+        true_counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("word", "true_cnt")
+    )
+    est = sketches.count_min_estimate(
+        counters, probes.select("word"), "word", width=256, depth=4
+    )
+    return probes.join(est, "word")
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Degree-degree Pearson correlation of the customer graph —
+    integer sufficient statistics, closed-form correlation replicated
+    term-for-term in the oracle."""
+    return graph.degree_assortativity(_customer_graph(spark, sf_dir))
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov matrix over per-user event sequences."""
+    return funnel.event_transitions(load_table(spark, sf_dir, "events"))
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty (duplicate-n-gram fraction) over
+    the documents table — the annotation-join curation metric."""
+    return dedup.ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
 def q_pack_sequences(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.size(text.tokens_array("text")).alias("ws_tokens")
@@ -3220,6 +3260,65 @@ ORDER BY lost_revenue DESC, c.c_custkey ASC
 LIMIT 20
 """
 
+# Sketch rebuilt from the same universal hash family ((a_d·h28+b_d)
+# mod p mod width) over the same 28-bit md5 base — integer-exact in
+# both engines, so estimates (and their overcounts) match bit-for-bit.
+ORACLE["countmin_words"] = f"""
+WITH words AS (SELECT unnest({_TOK}) AS word FROM documents),
+hashed AS (
+  SELECT word, CAST(CONCAT('0x', substring(md5(word), 1, 7)) AS BIGINT) AS h
+  FROM words
+),
+counters AS (
+  SELECT d, (({_A_SQL}[d + 1] * h + {_B_SQL}[d + 1]) % 2147483647) % 256 AS bucket,
+         count(*) AS cnt
+  FROM hashed, range(0, 4) t(d)
+  GROUP BY 1, 2
+),
+truec AS (SELECT word, count(*) AS true_cnt FROM words GROUP BY word),
+probes AS (
+  SELECT word, true_cnt FROM truec ORDER BY true_cnt DESC, word ASC LIMIT 20
+),
+probe_cells AS (
+  SELECT p.word, t.d,
+         (({_A_SQL}[t.d + 1] * CAST(CONCAT('0x', substring(md5(p.word), 1, 7)) AS BIGINT)
+           + {_B_SQL}[t.d + 1]) % 2147483647) % 256 AS bucket
+  FROM probes p, range(0, 4) t(d)
+)
+SELECT p.word, p.true_cnt, CAST(min(c.cnt) AS BIGINT) AS estimate
+FROM probes p
+JOIN probe_cells pc ON pc.word = p.word
+JOIN counters c ON c.d = pc.d AND c.bucket = pc.bucket
+GROUP BY 1, 2
+"""
+
+ORACLE["event_transitions"] = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type, count(*) AS cnt
+  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, event_type, cnt,
+       round(cnt / sum(cnt) OVER (PARTITION BY prev_type), 6) AS prob
+FROM c
+"""
+
+ORACLE["ngram_novelty"] = f"""
+WITH sh AS ({_SHINGLES_3}),
+dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+SELECT s.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_grams,
+       round(1.0 - CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   / count(*), 6) AS novelty
+FROM sh s JOIN dfc d ON d.shingle = s.shingle
+GROUP BY s.doc_id
+"""
+
 ORACLE["shipping_priority"] = """
 SELECT l.l_orderkey, o.o_orderdate,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
@@ -3937,6 +4036,29 @@ SELECT dist, count(*) AS n_nodes FROM r{rounds} GROUP BY dist
 
 ORACLE["bfs_hops"] = _bfs_oracle_sql()
 
+ORACLE["degree_assortativity"] = f"""
+WITH {_UNDIRECTED_CTES},
+ann AS (
+  SELECT da.d AS x, db.d AS y
+  FROM ue JOIN udeg da ON da.id = ue.a JOIN udeg db ON db.id = ue.b
+),
+sym AS (SELECT x, y FROM ann UNION ALL SELECT y AS x, x AS y FROM ann),
+s AS (
+  SELECT count(*) AS m,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM sym
+)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       round(CASE WHEN (sxx / m - (sx / m) * (sx / m)) != 0.0
+                  THEN (sxy / m - (sx / m) * (sx / m))
+                       / (sxx / m - (sx / m) * (sx / m))
+                  ELSE 0.0 END, 6) AS assortativity
+FROM s
+"""
+
+
 # --- trained-IVF oracle: the deterministic trainer, reproduced in SQL -------
 # ivf_train is deterministic by construction (hash-sampled farthest-
 # first init + Lloyd's with fixed tiebreaks), so the whole
@@ -4603,6 +4725,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join
     "random_projection": q_random_projection,        # deterministic JL reducer
+    "countmin_words": q_countmin_words,              # count-min sketch probes
+    "degree_assortativity": q_degree_assortativity,  # degree-degree Pearson
+    "event_transitions": q_event_transitions,        # Markov next-event matrix
+    "ngram_novelty": q_ngram_novelty,                # duplicate-n-gram fraction
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

@@ -318,3 +318,22 @@ def test_incremental_dedup_keeps_unseen_min_id(spark):
     ).select(F.md5("text").alias("digest"))
     got = {r["doc_id"] for r in incremental_dedup(new, seen).collect()}
     assert got == {10, 13}
+
+
+def test_ngram_novelty_hand_checked(spark):
+    from mapreduce_assignments_spark.operators.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # grams: "a b c", "b c d"
+            (2, "a b c x"),   # grams: "a b c", "b c x"
+            (3, "z z z q"),   # grams: "z z z", "z z q" — all unique
+            (4, "xy"),        # too short: absent from the report
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["shared_grams"], r["novelty"])
+        for r in ngram_novelty(docs, n=3).collect()
+    }
+    assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (2, 0, 1.0)}

@@ -97,3 +97,32 @@ def test_co_engagement_pairs(spark):
         ("error", "view"): 1,
     }
     assert co_engagement(ev, min_support=2).count() == 1
+
+
+def test_event_transitions_hand_checked(spark):
+    from datetime import datetime
+
+    from mapreduce_assignments_spark.operators.funnel import event_transitions
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: view -> click -> view
+        ("e1", t(0), 1, "view"),
+        ("e2", t(1), 1, "click"),
+        ("e3", t(2), 1, "view"),
+        # user 2: view -> view (ties on ts break by event_id)
+        ("e4", t(0), 2, "view"),
+        ("e5", t(0), 2, "view"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id string, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["prev_type"], r["event_type"]): (r["cnt"], r["prob"])
+        for r in event_transitions(events).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 0.5),
+        ("view", "view"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+    }

@@ -437,3 +437,22 @@ def test_link_prediction_degree_cap_skips_hub(spark):
     assert link_prediction(df, k=100, max_degree=5).count() == 0
     full = link_prediction(df, k=100, max_degree=64)
     assert full.count() == 9 * 8 // 2  # all leaf pairs via the hub
+
+
+def test_degree_assortativity_star_and_ring(spark):
+    from mapreduce_assignments_spark.operators.graph import degree_assortativity
+
+    # star K_{1,3}: perfectly disassortative -> exactly -1
+    star = spark.createDataFrame(
+        [(0, [1, 2, 3]), (1, []), (2, []), (3, [])], "id int, adj array<int>"
+    )
+    [row] = degree_assortativity(star).collect()
+    assert row["n_edges"] == 3
+    assert row["assortativity"] == -1.0
+    # ring: regular graph, zero degree variance -> guarded to 0.0
+    ring = spark.createDataFrame(
+        [(1, [2]), (2, [3]), (3, [4]), (4, [1])], "id int, adj array<int>"
+    )
+    [row] = degree_assortativity(ring).collect()
+    assert row["n_edges"] == 4
+    assert row["assortativity"] == 0.0

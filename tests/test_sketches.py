@@ -62,3 +62,35 @@ def test_kmv_window_is_group_limited(spark):
     # (with a CONSTANT group the partition spec folds away and Spark
     # plans an even cheaper global TakeOrderedAndProject instead)
     assert "WindowGroupLimit" in plan
+
+
+def test_count_min_never_undercounts_and_is_exact_without_collisions(spark):
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.operators.sketches import (
+        count_min_counters,
+        count_min_estimate,
+    )
+
+    rows = [(w,) for w in ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]]
+    items = spark.createDataFrame(rows, "word string")
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "word string")
+    # wide sketch: 4 keys in 4x1024 cells -> collisions vanishingly
+    # unlikely, estimates are exact
+    counters = count_min_counters(items, "word", width=1024, depth=4)
+    est = {
+        r["word"]: r["estimate"]
+        for r in count_min_estimate(counters, probes, "word", 1024, 4).collect()
+    }
+    assert est == {"a": 5, "b": 3, "c": 2, "d": 1}
+    # 1-wide sketch: everything collides into one cell per row ->
+    # every estimate is the total count (the never-undercount bound,
+    # saturated)
+    c1 = count_min_counters(items, "word", width=1, depth=4)
+    est1 = {
+        r["word"]: r["estimate"]
+        for r in count_min_estimate(c1, probes, "word", 1, 4).collect()
+    }
+    assert est1 == {"a": 11, "b": 11, "c": 11, "d": 11}
+    # counter frame is the fixed sketch size, never the key space
+    assert count_min_counters(items, "word", width=8, depth=4).count() <= 4 * 8
