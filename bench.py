@@ -94,11 +94,14 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "bucketed_customer_orders", "user_sessions", "event_props_stats",
         "funnel_counts", "cohort_retention", "brand_nation_revenue",
         "late_orders_by_priority", "top_return_customers", "session_stats", "co_engagement",
-        "event_cube",
+        "event_cube", "shipping_priority", "promo_revenue",
+        "large_volume_orders", "part_bracket_revenue", "event_transitions",
     ),
     "graph": (
         "pagerank", "personalized_pagerank", "degree_histogram",
         "triangle_count", "graph_components", "kcore",
+        "hits", "bfs_hops", "clustering_coefficient", "link_prediction",
+        "degree_assortativity",
     ),
     "dedup": (
         "exact_duplicates", "shingles", "ngram_jaccard", "minhash_signatures",
@@ -107,12 +110,13 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "curated_corpus", "split_leakage", "incremental_dedup",
         "verified_near_dupes",
         "minhash_calibration", "containment_pairs", "source_overlap",
+        "ngram_novelty",
     ),
     "similarity": (
         "brute_force_topk", "ivf_assign", "ivf_topk_trained",
         "ivf_index_probe", "embedding_near_dupes", "lsh_topk",
         "quantize_embeddings", "ivf_recall_report", "label_centroids",
-        "centroid_confusion",
+        "centroid_confusion", "random_projection",
     ),
     "text_quality": (
         "token_counts", "quality_score", "language_id", "doc_fingerprint",
@@ -120,7 +124,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "source_stats", "lang_source_matrix", "top_terms_per_source",
         "unigram_logprob", "bigram_logprob",
     ),
-    "sketches": ("kmv_distinct",),
+    "sketches": ("kmv_distinct", "countmin_words"),
     "validation": ("profile_events", "robust_outliers"),
     "packing": ("pack_sequences",),
     "features": (
