@@ -77,7 +77,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "index_retrieval": (
         "inverted_index_stats", "tf_histogram", "tf_idf", "term_frequencies",
         "boolean_retrieval", "boolean_retrieval_text", "bm25_topk",
-        "top_keywords",
+        "top_keywords", "query_likelihood", "rrf_fusion",
     ),
     "timeseries": (
         "hourly_counts", "hourly_counts_errors", "hourly_counts_tweets",

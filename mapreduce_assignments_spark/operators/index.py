@@ -41,6 +41,7 @@ __all__ = [
     "tf_idf",
     "top_keywords",
     "bm25_scores",
+    "query_likelihood_scores",
     "fetch_docs",
 ]
 
@@ -241,6 +242,69 @@ def bm25_scores(
         .join(dl, "docid")
         .crossJoin(F.broadcast(stats))
         .select("docid", contrib.alias("c"))
+        .groupBy("docid")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )
+
+
+def query_likelihood_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Jelinek–Mercer smoothed query-likelihood retrieval (Ponte &
+    Croft's language-modeling approach; public literature): rank
+    documents by ``Σ_t∈q ln(λ·tf_t/dl + (1-λ)·cf_t/C)`` — top-``k``
+    ``(docid, score)``. Unlike BM25 every document scores EVERY query
+    term (the collection-model term keeps absent terms finite); query
+    terms absent from the whole corpus (cf=0) are dropped, since no
+    smoothing mass exists for them and they would send every score to
+    -inf equally.
+
+    Engine parity: per-term contributions round to 6 dp BEFORE the
+    per-document sum, same discipline as :func:`bm25_scores`; the
+    smoothing weights enter as the same literal expressions both
+    engines constant-fold.
+
+    Scale shape: the (doc x query-term) grid is |docs|·|q| rows — |q|
+    is a small constant, so linear in the corpus; the per-term
+    collection frequencies and the corpus token total are broadcast
+    scalars; the tf annotation is a LEFT join on (docid, term).
+    Top-k is TakeOrderedAndProject.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0.0 < lam < 1.0:
+        raise ValueError("lam must be in (0, 1)")
+    tfs = term_frequencies(docs, text_col=text_col, id_col=id_col)
+    dl = tfs.groupBy("docid").agg(F.sum("tf").alias("dl"))
+    total = dl.agg(F.sum("dl").alias("coll_total"))
+    qt = tfs.where(F.col("term").isin(*query_terms))
+    cf = qt.groupBy("term").agg(F.sum("tf").alias("cf"))  # cf=0 terms absent
+    grid = dl.crossJoin(F.broadcast(cf)).crossJoin(F.broadcast(total))
+    annotated = grid.join(qt, ["docid", "term"], "left").select(
+        "docid",
+        "dl",
+        "cf",
+        "coll_total",
+        F.coalesce("tf", F.lit(0)).alias("tf"),
+    )
+    contrib = F.round(
+        F.log(
+            F.lit(lam) * F.col("tf") / F.col("dl")
+            + (F.lit(1.0) - F.lit(lam)) * F.col("cf") / F.col("coll_total")
+        ),
+        6,
+    )
+    return (
+        annotated.select("docid", contrib.alias("c"))
         .groupBy("docid")
         .agg(F.round(F.sum("c"), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("docid"))

@@ -723,6 +723,50 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_query_likelihood(spark, sf_dir):
+    """Jelinek–Mercer query-likelihood retrieval over the same query
+    the BM25 workload runs — the LM ranking complement."""
+    return index.query_likelihood_scores(
+        _docs(spark, sf_dir), query_terms=["spark", "table", "query"], k=20
+    )
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of the BM25
+    and query-likelihood top-20 lists: rrf = Σ 1/(60+rank) over the
+    lists that retrieved the doc (rank 0 = not retrieved). Both input
+    rankings are deterministic (rounded scores, docid tiebreak), so
+    the fused ranking is too."""
+    docs = _docs(spark, sf_dir)
+    terms = ["spark", "table", "query"]
+    w = Window.orderBy(F.desc("score"), F.asc("docid"))
+    bm = index.bm25_scores(docs, terms, k=20).select(
+        "docid", F.row_number().over(w).cast("int").alias("bm25_rank")
+    )
+    ql = index.query_likelihood_scores(docs, terms, k=20).select(
+        "docid", F.row_number().over(w).cast("int").alias("ql_rank")
+    )
+    fused = bm.join(ql, "docid", "full_outer").select(
+        "docid",
+        F.coalesce("bm25_rank", F.lit(0)).alias("bm25_rank"),
+        F.coalesce("ql_rank", F.lit(0)).alias("ql_rank"),
+    )
+    rrf = F.round(
+        F.when(
+            F.col("bm25_rank") > 0, F.lit(1.0) / (F.lit(60) + F.col("bm25_rank"))
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("ql_rank") > 0, F.lit(1.0) / (F.lit(60) + F.col("ql_rank"))
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("docid", "bm25_rank", "ql_rank", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("docid"))
+        .limit(10)
+    )
+
+
 def q_dense_hourly_counts(spark, sf_dir):
     return timeseries.fill_hourly_gaps(_events(spark, sf_dir))
 
@@ -2351,6 +2395,77 @@ c AS (
 SELECT docid, round(sum(c), 6) AS score
 FROM c GROUP BY docid
 ORDER BY score DESC, docid ASC LIMIT 20
+"""
+
+_QL_CTES = f"""
+tfs AS (
+  SELECT t AS term, doc_id AS docid, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+  GROUP BY t, doc_id
+),
+dl AS (SELECT docid, CAST(sum(tf) AS BIGINT) AS dl FROM tfs GROUP BY docid),
+total AS (SELECT CAST(sum(dl) AS BIGINT) AS coll_total FROM dl),
+qt AS (SELECT * FROM tfs WHERE term IN ('spark', 'table', 'query')),
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM qt GROUP BY term),
+qlgrid AS (SELECT d.docid, d.dl, c.term, c.cf FROM dl d CROSS JOIN cf c),
+qlc AS (
+  SELECT g.docid,
+         round(ln(0.7 * coalesce(qt.tf, 0) / g.dl
+                  + (1 - 0.7) * g.cf / t.coll_total), 6) AS c
+  FROM qlgrid g LEFT JOIN qt ON qt.docid = g.docid AND qt.term = g.term, total t
+),
+ql_scores AS (
+  SELECT docid, round(sum(c), 6) AS score
+  FROM qlc GROUP BY docid
+)"""
+
+ORACLE["query_likelihood"] = f"""
+WITH {_QL_CTES}
+SELECT docid, score FROM ql_scores
+ORDER BY score DESC, docid ASC LIMIT 20
+"""
+
+ORACLE["rrf_fusion"] = f"""
+WITH {_QL_CTES},
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM qt GROUP BY term),
+bmc AS (
+  SELECT qt.docid,
+         round(ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+               * qt.tf * (1.2 + 1)
+               / (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6) AS c
+  FROM qt JOIN dfs USING (term) JOIN dl USING (docid), stats
+),
+bm_top AS (
+  SELECT docid, round(sum(c), 6) AS score
+  FROM bmc GROUP BY docid
+  ORDER BY score DESC, docid ASC LIMIT 20
+),
+ql_top AS (
+  SELECT docid, score FROM ql_scores ORDER BY score DESC, docid ASC LIMIT 20
+),
+bmr AS (
+  SELECT docid, CAST(row_number() OVER (ORDER BY score DESC, docid ASC)
+                     AS INTEGER) AS bm25_rank
+  FROM bm_top
+),
+qlr AS (
+  SELECT docid, CAST(row_number() OVER (ORDER BY score DESC, docid ASC)
+                     AS INTEGER) AS ql_rank
+  FROM ql_top
+),
+f AS (
+  SELECT coalesce(b.docid, q.docid) AS docid,
+         coalesce(b.bm25_rank, 0) AS bm25_rank,
+         coalesce(q.ql_rank, 0) AS ql_rank
+  FROM bmr b FULL OUTER JOIN qlr q ON q.docid = b.docid
+)
+SELECT docid, bm25_rank, ql_rank,
+       round(CASE WHEN bm25_rank > 0 THEN 1.0 / (60 + bm25_rank) ELSE 0.0 END
+             + CASE WHEN ql_rank > 0 THEN 1.0 / (60 + ql_rank) ELSE 0.0 END,
+             6) AS rrf
+FROM f
+ORDER BY rrf DESC, docid ASC LIMIT 10
 """
 
 # gap filling: the dense axis re-derives from generate_series over the
@@ -4729,6 +4844,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_assortativity": q_degree_assortativity,  # degree-degree Pearson
     "event_transitions": q_event_transitions,        # Markov next-event matrix
     "ngram_novelty": q_ngram_novelty,                # duplicate-n-gram fraction
+    "query_likelihood": q_query_likelihood,          # JM-smoothed LM retrieval
+    "rrf_fusion": q_rrf_fusion,                      # BM25+QL rank fusion
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

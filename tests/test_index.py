@@ -185,3 +185,36 @@ def test_top_keywords_ranks_and_ties(spark):
         (2, 1, "z", ln2),
         (2, 2, "y", 0.0),
     ]
+
+
+def test_query_likelihood_hand_checked(spark):
+    """Two docs, one query term: tf/dl dominates with lambda=0.7 —
+    the doc with higher term density ranks first; a doc missing the
+    term still scores (collection smoothing) but lower."""
+    import math
+
+    import pytest
+
+    from mapreduce_assignments_spark.operators.index import query_likelihood_scores
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat bird bird"), (3, "fish fish fish")],
+        "doc_id long, text string",
+    )
+    rows = query_likelihood_scores(docs, ["cat"], k=10, lam=0.7).collect()
+    got = {r["docid"]: r["score"] for r in rows}
+    # collection stats: cf(cat)=3, C=9
+    def score(tf, dl):
+        return round(round(math.log(0.7 * tf / dl + 0.3 * 3 / 9), 6), 6)
+
+    assert got == {
+        1: score(2, 3),
+        2: score(1, 3),
+        3: score(0, 3),
+    }
+    assert [r["docid"] for r in rows] == [1, 2, 3]  # density order
+    # query terms absent from the corpus are dropped, not -inf
+    rows2 = query_likelihood_scores(docs, ["cat", "unicorn"], k=10).collect()
+    assert {r["docid"]: r["score"] for r in rows2} == got
+    with pytest.raises(ValueError):
+        query_likelihood_scores(docs, [], k=10)
