@@ -509,7 +509,9 @@ def clustering_coefficient(nodes: DataFrame) -> DataFrame:
     )
 
 
-def hits(nodes: DataFrame, n_iter: int = 8) -> DataFrame:
+def hits(
+    nodes: DataFrame, n_iter: int = 8, num_partitions: int | None = None
+) -> DataFrame:
     """HITS hubs-and-authorities over the DIRECTED adjacency graph
     (Kleinberg, JACM'99 — public literature): returns ``(id, auth,
     hub)`` after ``n_iter`` mutual-reinforcement rounds. Authority
@@ -532,6 +534,8 @@ def hits(nodes: DataFrame, n_iter: int = 8) -> DataFrame:
     half-round with localCheckpoint — the same iteration discipline as
     :func:`pagerank`. No driver-side collects at all.
     """
+    spark = nodes.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
     edges = (
         nodes.select(F.col("id").alias("src"), F.explode("adj").alias("dst"))
         .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
@@ -539,41 +543,42 @@ def hits(nodes: DataFrame, n_iter: int = 8) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     ids = nodes.select("id").localCheckpoint(eager=True)
+    n = ids.count()
 
-    def _rescale(raw: DataFrame, col: str, out: str) -> DataFrame:
-        m = raw.agg(F.max(col).alias("m"))
-        return raw.crossJoin(F.broadcast(m)).select(
+    def _gather(state: DataFrame, state_col: str, src: str, dst: str, out: str) -> DataFrame:
+        """One mass-flow half-step: scatter ``state_col`` along
+        (src -> dst), gather by sum, left-join back onto the full id
+        set with absent nodes at 0."""
+        return ids.join(
+            edges.join(state.withColumnRenamed("id", src), src)
+            .groupBy(F.col(dst).alias("id"))
+            .agg(F.sum(state_col).alias("raw")),
             "id",
-            F.when(F.col("m") != 0.0, F.col(col) / F.col("m"))
-            .otherwise(F.lit(0.0))
-            .alias(out),
-        )
+            "left",
+        ).select("id", F.coalesce("raw", F.lit(0.0)).alias(out))
+
+    def _rescaled(raw: DataFrame, col: str, out: str) -> DataFrame:
+        """Materialize the half-step ONCE (localCheckpoint), with the
+        max riding the same action as an observe metric (the pagerank
+        one-pass discipline — a crossJoin'd max aggregate would
+        re-execute the whole un-checkpointed half-step a second time);
+        the rescale is then a literal divide over the checkpointed
+        rows. max is aggregation-order-exact, so the driver round-trip
+        costs nothing in parity."""
+        obs = Observation()
+        mat = raw.observe(obs, F.max(col).alias("m")).localCheckpoint(eager=True)
+        m = obs.get["m"]
+        scaled = (F.col(col) / F.lit(m)) if m else F.lit(0.0)
+        return mat.select("id", scaled.alias(out))
 
     hub = ids.select("id", F.lit(1.0).alias("hub"))
     auth = None
-    for _ in range(n_iter):
-        araw = (
-            ids.join(
-                edges.join(hub.withColumnRenamed("id", "src"), "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.sum("hub").alias("raw")),
-                "id",
-                "left",
-            )
-            .select("id", F.coalesce("raw", F.lit(0.0)).alias("araw"))
-        )
-        auth = _rescale(araw, "araw", "auth").localCheckpoint(eager=True)
-        hraw = (
-            ids.join(
-                edges.join(auth.withColumnRenamed("id", "dst"), "dst")
-                .groupBy(F.col("src").alias("id"))
-                .agg(F.sum("auth").alias("raw")),
-                "id",
-                "left",
-            )
-            .select("id", F.coalesce("raw", F.lit(0.0)).alias("hraw"))
-        )
-        hub = _rescale(hraw, "hraw", "hub").localCheckpoint(eager=True)
+    # same iteration-loop conf discipline as pagerank: shuffles sized
+    # to the graph, AQE micro-stage re-planning off on tiny graphs
+    with _loop_tuning(spark, n, parts):
+        for _ in range(n_iter):
+            auth = _rescaled(_gather(hub, "hub", "src", "dst", "araw"), "araw", "auth")
+            hub = _rescaled(_gather(auth, "auth", "dst", "src", "hraw"), "hraw", "hub")
     return auth.join(hub, "id").select("id", "auth", "hub")
 
 

@@ -1267,7 +1267,8 @@ def q_hits(spark, sf_dir):
     update in SQL. Rounding happens BEFORE ranking — same exact-tie
     reasoning as q_pagerank (each nation's lowest-keyed members are
     mathematically tied)."""
-    scores = graph.hits(_customer_graph(spark, sf_dir), n_iter=8)
+    # partition count sized to the graph — same reasoning as q_pagerank
+    scores = graph.hits(_customer_graph(spark, sf_dir), n_iter=8, num_partitions=8)
     rounded = scores.select(
         "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
     )
