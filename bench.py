@@ -96,12 +96,13 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "late_orders_by_priority", "top_return_customers", "session_stats", "co_engagement",
         "event_cube", "shipping_priority", "promo_revenue",
         "large_volume_orders", "part_bracket_revenue", "event_transitions",
+        "user_entropy",
     ),
     "graph": (
         "pagerank", "personalized_pagerank", "degree_histogram",
         "triangle_count", "graph_components", "kcore",
         "hits", "bfs_hops", "clustering_coefficient", "link_prediction",
-        "degree_assortativity",
+        "degree_assortativity", "pagerank_convergence",
     ),
     "dedup": (
         "exact_duplicates", "shingles", "ngram_jaccard", "minhash_signatures",
@@ -125,6 +126,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "unigram_logprob", "bigram_logprob",
     ),
     "sketches": ("kmv_distinct", "countmin_words"),
+    "skew_diag": ("key_skew_report",),
     "validation": ("profile_events", "robust_outliers"),
     "packing": ("pack_sequences",),
     "features": (
@@ -146,6 +148,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "streaming_dedup", "streaming_interval_join",
         "streaming_snapshot_sink", "streaming_enriched_counts",
         "streaming_latest_events", "streaming_sliding_counts",
+        "streaming_countmin",
     ),
     "sources": ("jsonl_roundtrip", "csv_roundtrip"),
 }

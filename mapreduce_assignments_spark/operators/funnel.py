@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users", "co_engagement", "event_transitions"]
+__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users", "co_engagement", "event_transitions", "user_entropy"]
 
 
 def funnel_counts(
@@ -226,4 +226,35 @@ def event_transitions(events: DataFrame) -> DataFrame:
         "event_type",
         "cnt",
         F.round(F.col("cnt") / F.sum("cnt").over(row_total), 6).alias("prob"),
+    )
+
+
+def user_entropy(events: DataFrame) -> DataFrame:
+    """Per-user behavioral diversity: ``(user_id, n_events, n_types,
+    entropy)`` — the Shannon entropy (nats) of each user's event-type
+    distribution. 0 = monomaniac (one event type); ln(n_types) =
+    perfectly uniform. The engagement-breadth signal cohort dashboards
+    segment on.
+
+    Engine parity: per-type contributions ``-p·ln(p)`` round to 6 dp
+    BEFORE the per-user sum (the bm25 discipline — float addition is
+    order-dependent), then the sum rounds again.
+
+    Scale shape: one exchange keyed by (user, type) with map-side
+    partial aggregation, then a per-user rollup that reuses the same
+    hash partitioning prefix. Nothing is windowed over raw events.
+    """
+    by_type = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    per_user = by_type.groupBy("user_id").agg(
+        F.sum("cnt").alias("n_events"), F.count("*").alias("n_types")
+    )
+    p = F.col("cnt") / F.col("n_events")
+    contrib = F.round(-(p * F.log(p)), 6)
+    return (
+        by_type.join(per_user, "user_id")
+        .select("user_id", "n_events", "n_types", contrib.alias("c"))
+        .groupBy("user_id", "n_events", "n_types")
+        .agg(F.round(F.sum("c"), 6).alias("entropy"))
     )

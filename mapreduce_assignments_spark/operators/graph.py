@@ -135,10 +135,17 @@ def pagerank(
     checkpoint_every: int = 5,
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
+    residuals: list | None = None,
 ) -> DataFrame:
     """10-ish iteration PageRank over ``graph(id INT, adj ARRAY<INT>)``.
 
     Returns ``(id, pr)`` with Σpr = 1 (±1e-9) after every iteration.
+
+    Pass ``residuals=[]`` to collect the per-iteration L1 delta
+    ``Σ|pr_i - pr_{i-1}|`` (the convergence-monitoring signal; one
+    extra bounded-scalar aggregation per iteration over the already-
+    cached state — the default path is bit-for-bit unchanged when the
+    parameter is omitted).
 
     Note: for the duration of the loop this aligns
     ``spark.sql.shuffle.partitions`` with ``num_partitions`` (the
@@ -178,13 +185,27 @@ def pagerank(
             # the round-4 loop still paid a separate agg stage re-
             # scanning the fresh cache.
             obs = Observation()
-            state = (
-                links.select("id")
-                .join(recv, "id", "left")
-                .select("id", F.coalesce("recv", F.lit(0.0)).alias("recv"))
-                .observe(obs, F.sum("recv").alias("total"))
-                .cache()
-            )
+            if residuals is None:
+                state = (
+                    links.select("id")
+                    .join(recv, "id", "left")
+                    .select("id", F.coalesce("recv", F.lit(0.0)).alias("recv"))
+                    .observe(obs, F.sum("recv").alias("total"))
+                    .cache()
+                )
+            else:
+                # tracking variant: carry the previous pr through the
+                # same join so the delta can be aggregated from cache
+                state = (
+                    ranks.join(recv, "id", "left")
+                    .select(
+                        "id",
+                        F.col("pr").alias("prev_pr"),
+                        F.coalesce("recv", F.lit(0.0)).alias("recv"),
+                    )
+                    .observe(obs, F.sum("recv").alias("total"))
+                    .cache()
+                )
             state.write.format("noop").mode("overwrite").save()
             total = obs.get["total"] or 0.0
             # the noop write materialized `state`, so the previous
@@ -194,13 +215,19 @@ def pagerank(
                 prev_state.unpersist()
             prev_state = state
             missing = 1.0 - total
-            ranks = state.select(
-                "id",
-                (
-                    F.lit(alpha / n)
-                    + F.lit(1.0 - alpha) * (F.col("recv") + F.lit(missing / n))
-                ).alias("pr"),
+            new_pr = (
+                F.lit(alpha / n)
+                + F.lit(1.0 - alpha) * (F.col("recv") + F.lit(missing / n))
             )
+            if residuals is not None:
+                # bounded scalar off the cached state (kcore-count
+                # discipline); raw double sum + round-6 — the same
+                # order-drift class the dangling-mass total already is
+                [row] = state.agg(
+                    F.sum(F.abs(new_pr - F.col("prev_pr"))).alias("d")
+                ).collect()
+                residuals.append(row["d"])
+            ranks = state.select("id", new_pr.alias("pr"))
             if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
                 ranks = ckpt(ranks)
         # materialize the result, then release every cached helper.

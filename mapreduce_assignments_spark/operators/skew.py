@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "key_skew_report"]
 
 
 def salted_join(
@@ -58,3 +58,63 @@ def salted_join(
     small_s = small.crossJoin(F.broadcast(salts))
     joined = big_s.join(small_s, [*keys, "__salt"], how)
     return joined.drop("__salt")
+
+
+def key_skew_report(df: DataFrame, key: str) -> DataFrame:
+    """One-row skew diagnosis of a join/grouping key — the
+    before-you-shuffle report that tells you whether
+    :func:`salted_join` (or AQE skew splitting) is worth reaching for:
+    ``(n_keys, total_rows, max_cnt, top_share, gini)`` with
+    ``top_share`` the hottest key's row fraction and ``gini`` the
+    exact Gini coefficient of the per-key row distribution
+    (0 = perfectly even, →1 = one key owns everything).
+
+    The Gini is computed from the COUNT-OF-COUNTS histogram, not a
+    global sort: keys with equal counts are rank-interchangeable, so
+    the classic ``Σ rank·cnt`` reduces to one term per DISTINCT count
+    value (a run of ``k`` keys at count ``v`` starting at rank ``s``
+    contributes ``v·(2s+k-1)·k/2``). The ranked-window therefore runs
+    over a frame bounded by |distinct count values| — tiny — instead
+    of |keys|; at 100 TB this is the difference between a global sort
+    of every key and a single extra hash aggregation. All sufficient
+    statistics are integer-exact (the closed form keeps the /2 and ×2
+    cancelled); only the final ratios are doubles, term-for-term the
+    oracle's expression. Intermediate products are BIGINT — beyond
+    ~10^9 keys × 10^9 rows move the final products to DOUBLE.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.where(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.count("*").alias("cnt"))
+    )
+    hist = counts.groupBy("cnt").agg(F.count("*").alias("k"))
+    w = (
+        Window.orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.select(
+        "cnt",
+        "k",
+        (F.coalesce(F.sum("k").over(w), F.lit(0)) + 1).alias("s"),
+    )
+    stats = ranked.agg(
+        F.sum("k").alias("n"),
+        F.sum(F.col("cnt") * F.col("k")).alias("total"),
+        F.sum(
+            F.col("cnt") * (2 * F.col("s") + F.col("k") - 1) * F.col("k")
+        ).alias("weighted"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    return stats.select(
+        F.col("n").alias("n_keys"),
+        F.col("total").alias("total_rows"),
+        "max_cnt",
+        F.round(F.col("max_cnt") / F.col("total"), 6).alias("top_share"),
+        F.round(
+            F.col("weighted") / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -922,6 +922,47 @@ def q_countmin_words(spark, sf_dir):
     return probes.join(est, "word")
 
 
+def q_key_skew_report(spark, sf_dir):
+    """Skew diagnosis of orders.o_custkey — the should-I-salt report,
+    with an exact Gini from the count-of-counts histogram (no global
+    key sort)."""
+    return skew.key_skew_report(load_table(spark, sf_dir, "orders"), "o_custkey")
+
+
+def q_user_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type distribution."""
+    return funnel.user_entropy(load_table(spark, sf_dir, "events"))
+
+
+def q_pagerank_convergence(spark, sf_dir):
+    """Per-iteration L1 residual of the pagerank power iteration —
+    the convergence-monitoring diagnostic; the oracle recomputes every
+    delta from its unrolled per-iteration CTEs."""
+    rs: list = []
+    graph.pagerank(
+        _customer_graph(spark, sf_dir), n_iter=8, num_partitions=8, residuals=rs
+    )
+    return spark.createDataFrame(
+        [(i + 1, round(d, 6)) for i, d in enumerate(rs)], "iter int, l1_delta double"
+    )
+
+
+@_stream_tuned
+def q_streaming_countmin(spark, sf_dir):
+    """Count-min counters built INCREMENTALLY over the event stream
+    (complete-mode stateful aggregation) — the sketch is mergeable, so
+    the full-replay counters must equal the batch sketch exactly; the
+    oracle is the batch CMS in SQL."""
+    from .streaming import read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, _staged_events_dir(spark, sf_dir))
+    counters = sketches.count_min_counters(
+        stream.select("user_id"), "user_id", width=256, depth=4
+    )
+    run_to_memory(counters, "q_stream_cms_mem", "complete")
+    return spark.table("q_stream_cms_mem")
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Degree-degree Pearson correlation of the customer graph —
     integer sufficient statistics, closed-form correlation replicated
@@ -2793,6 +2834,62 @@ _COS = (
     "round(list_dot_product(qv, v) / "
     "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)"
 )
+ORACLE["key_skew_report"] = """
+WITH counts AS (
+  SELECT o_custkey, count(*) AS cnt FROM orders
+  WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+),
+hist AS (SELECT cnt, count(*) AS k FROM counts GROUP BY cnt),
+ranked AS (
+  SELECT cnt, k,
+         COALESCE(CAST(sum(k) OVER (ORDER BY cnt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) + 1 AS s
+  FROM hist
+),
+s AS (
+  SELECT CAST(sum(k) AS BIGINT) AS n,
+         CAST(sum(cnt * k) AS BIGINT) AS total,
+         CAST(sum(cnt * (2 * s + k - 1) * k) AS BIGINT) AS weighted,
+         max(cnt) AS max_cnt
+  FROM ranked
+)
+SELECT n AS n_keys, total AS total_rows, max_cnt,
+       round(max_cnt / total, 6) AS top_share,
+       round(weighted / (n * total) - (n + 1) / n, 6) AS gini
+FROM s
+"""
+
+ORACLE["user_entropy"] = """
+WITH by_type AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events, count(*) AS n_types
+  FROM by_type GROUP BY user_id
+),
+c AS (
+  SELECT b.user_id, p.n_events, p.n_types,
+         round(-(b.cnt / p.n_events * ln(b.cnt / p.n_events)), 6) AS c
+  FROM by_type b JOIN per_user p USING (user_id)
+)
+SELECT user_id, n_events, n_types, round(sum(c), 6) AS entropy
+FROM c GROUP BY 1, 2, 3
+"""
+
+ORACLE["streaming_countmin"] = f"""
+WITH hashed AS (
+  SELECT CAST(CONCAT('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 7))
+              AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT CAST(t.d AS INTEGER) AS d,
+       (({_A_SQL}[t.d + 1] * h + {_B_SQL}[t.d + 1]) % 2147483647) % 256 AS bucket,
+       count(*) AS cnt
+FROM hashed, range(0, 4) t(d)
+GROUP BY 1, 2
+"""
+
 # The projection matrix entry for (i, j) is derived from the same LCG
 # in both engines: high bits of (a*(i*8+j)+c) mod 2^31, folded mod 6
 # into {{+1, -1, 0, 0, 0, 0}}; scaled by sqrt(3/8). list_sum folds the
@@ -3924,6 +4021,45 @@ QUALIFY rank <= {k}
 """
 
 
+def _pagerank_convergence_oracle_sql(n_iter: int = 8) -> str:
+    """Per-iteration L1 residuals from the SAME unrolled update as the
+    pagerank oracle — every pr{i} is MATERIALIZED because each is now
+    referenced three times (next round + two deltas); inlining would
+    re-expand the prefix exponentially (the kcore lesson)."""
+    steps = [
+        "pr0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM g)"
+    ]
+    for i in range(1, n_iter + 1):
+        steps.append(f"""
+s{i} AS (
+  SELECT g.id, coalesce(r.recv, CAST(0.0 AS DOUBLE)) AS recv
+  FROM g LEFT JOIN (
+    SELECT e.dst AS id, sum(p.pr / e.outdeg) AS recv
+    FROM pr{i - 1} p JOIN edges e ON e.src = p.id
+    GROUP BY e.dst) r ON r.id = g.id
+),
+t{i} AS (SELECT sum(recv) AS total FROM s{i}),
+pr{i} AS MATERIALIZED (
+  SELECT id, CAST(0.15 AS DOUBLE) / nn.n
+           + CAST(0.85 AS DOUBLE)
+             * (recv + (CAST(1.0 AS DOUBLE) - t.total) / nn.n) AS pr
+  FROM s{i}, t{i} t, nn
+)""")
+    deltas = "\nUNION ALL\n".join(
+        f"""SELECT {i} AS iter,
+       round((SELECT sum(abs(a.pr - b.pr))
+              FROM pr{i} a JOIN pr{i - 1} b ON b.id = a.id), 6) AS l1_delta"""
+        for i in range(1, n_iter + 1)
+    )
+    return f"""
+WITH {_GRAPH_CTES},
+{",".join(steps)}
+{deltas}
+"""
+
+
+ORACLE["pagerank_convergence"] = _pagerank_convergence_oracle_sql()
+
 ORACLE["pagerank"] = _pagerank_oracle_sql()
 ORACLE["personalized_pagerank"] = _ppr_oracle_sql()
 
@@ -4847,6 +4983,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_novelty": q_ngram_novelty,                # duplicate-n-gram fraction
     "query_likelihood": q_query_likelihood,          # JM-smoothed LM retrieval
     "rrf_fusion": q_rrf_fusion,                      # BM25+QL rank fusion
+    "key_skew_report": q_key_skew_report,            # Gini skew diagnosis
+    "user_entropy": q_user_entropy,                  # behavioral diversity
+    "pagerank_convergence": q_pagerank_convergence,  # per-iter L1 residuals
+    "streaming_countmin": q_streaming_countmin,      # mergeable CMS on stream
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

@@ -126,3 +126,28 @@ def test_event_transitions_hand_checked(spark):
         ("view", "view"): (1, 0.5),
         ("click", "view"): (1, 1.0),
     }
+
+
+def test_user_entropy_hand_checked(spark):
+    import math
+    from datetime import datetime
+
+    from mapreduce_assignments_spark.operators.funnel import user_entropy
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        ("e1", t, 1, "a"), ("e2", t, 1, "a"), ("e3", t, 1, "b"), ("e4", t, 1, "b"),
+        ("e5", t, 2, "a"), ("e6", t, 2, "a"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id string, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["n_types"], r["entropy"])
+        for r in user_entropy(events).collect()
+    }
+    # user 1: uniform over 2 types -> ln 2 (as the sum of two
+    # pre-rounded halves); user 2: single type -> 0
+    half = round(-(0.5 * math.log(0.5)), 6)
+    assert got[1] == (4, 2, round(2 * half, 6))
+    assert got[2] == (2, 1, 0.0)

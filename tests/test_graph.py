@@ -456,3 +456,24 @@ def test_degree_assortativity_star_and_ring(spark):
     [row] = degree_assortativity(ring).collect()
     assert row["n_edges"] == 4
     assert row["assortativity"] == 0.0
+
+
+def test_pagerank_residuals_track_convergence(fixture_graph):
+    """residuals=[] collects monotone-ish shrinking L1 deltas and does
+    NOT change the returned ranks (the default path is untouched)."""
+    df, nodes, edges = fixture_graph
+    rs: list = []
+    with_track = {
+        r["id"]: r["pr"] for r in pagerank(df, n_iter=5, residuals=rs).collect()
+    }
+    plain = {r["id"]: r["pr"] for r in pagerank(df, n_iter=5).collect()}
+    # the tracked state joins ranks instead of links.select("id"), so
+    # the observe total's float sum order differs -> ulp drift only
+    # (the round-6 oracle contract absorbs it; exact equality holds at
+    # 6 dp)
+    assert set(with_track) == set(plain)
+    for k in plain:
+        assert with_track[k] == pytest.approx(plain[k], abs=1e-12)
+    assert len(rs) == 5
+    assert all(d >= 0 for d in rs)
+    assert rs[-1] < rs[0]  # power iteration contracts

@@ -283,3 +283,27 @@ def test_streaming_interval_join_matches_batch_window(spark, tmp_path):
         for r in spark.table("t_stream_ij_mem").collect()
     }
     assert got == {(1, 2), (6, 7)}
+
+
+def test_streaming_countmin_equals_batch_sketch(spark, tmp_path):
+    """CMS is mergeable: the counters built incrementally over the
+    micro-batched replay equal the one-shot batch sketch exactly."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark import workloads
+    from mapreduce_assignments_spark.operators.sketches import count_min_counters
+    from mapreduce_assignments_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in workloads.q_streaming_countmin(spark, sf).collect()
+    }
+    batch = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in count_min_counters(
+            load_table(spark, sf, "events").select("user_id"),
+            "user_id", width=256, depth=4,
+        ).collect()
+    }
+    assert got == batch
