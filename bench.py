@@ -150,7 +150,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "streaming_latest_events", "streaming_sliding_counts",
         "streaming_countmin",
     ),
-    "sources": ("jsonl_roundtrip", "csv_roundtrip"),
+    "sources": ("jsonl_roundtrip", "csv_roundtrip", "orc_roundtrip"),
 }
 _FAMILY_OF = {q: fam for fam, qs in FAMILIES.items() for q in qs}
 

@@ -162,3 +162,20 @@ def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
         .csv(path)
         .where(F.col("doc_id").isNotNull())
     )
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC document corpus — the third interchange format
+    (after JSONL and CSV) and the first COLUMNAR one: schema enforced
+    at read (no inference pass), column pruning and predicate pushdown
+    reach the ORC stripe level exactly as they do for parquet (both
+    are asserted in tests), and zstd stripes split by block, so
+    100 TB of corpus parallelizes per-stripe.
+
+    Unlike the text formats there is no DROPMALFORMED leg: ORC is
+    self-describing and checksummed, so a malformed row cannot exist —
+    corruption fails the read loudly instead of vanishing rows, which
+    is the format's contract (and the reason curated corpora graduate
+    from JSONL to a columnar format at rest).
+    """
+    return spark.read.schema(DOCUMENTS_JSONL_SCHEMA).orc(path)

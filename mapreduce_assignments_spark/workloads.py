@@ -628,6 +628,41 @@ def q_csv_roundtrip(spark, sf_dir):
     return docs.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+_STAGED_ORC: dict[str, str] = {}
+
+
+def _staged_docs_orc_dir(spark, sf_dir: str) -> str:
+    """Stage the documents table as zstd ORC — once per (process,
+    sf_dir), removed at exit."""
+    if sf_dir not in _STAGED_ORC:
+        import atexit
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="mras-orc-stage-")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartition(2)
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .orc(stage)
+        )
+        _STAGED_ORC[sf_dir] = stage
+    return _STAGED_ORC[sf_dir]
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """Documents → zstd ORC → schema-enforced columnar read: full row
+    parity with the original table (same oracle as the other
+    interchange-format roundtrips); pruning/pushdown reach the ORC
+    stripes (plan-asserted in tests)."""
+    from .sources.text_corpus import read_documents_orc
+
+    docs = read_documents_orc(spark, _staged_docs_orc_dir(spark, sf_dir))
+    return docs.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def q_label_centroids(spark, sf_dir):
     return similarity.label_centroids(_emb(spark, sf_dir))
 
@@ -2666,6 +2701,8 @@ FROM documents
 ORACLE["csv_roundtrip"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 """
+
+ORACLE["orc_roundtrip"] = ORACLE["csv_roundtrip"]
 
 ORACLE["label_centroids"] = """
 WITH e AS (
@@ -4987,6 +5024,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_entropy": q_user_entropy,                  # behavioral diversity
     "pagerank_convergence": q_pagerank_convergence,  # per-iter L1 residuals
     "streaming_countmin": q_streaming_countmin,      # mergeable CMS on stream
+    "orc_roundtrip": q_orc_roundtrip,                # columnar interchange format
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

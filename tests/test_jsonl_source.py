@@ -64,3 +64,26 @@ def test_csv_reader_quoting_and_malformed(spark, tmp_path):
     for doc_id, (text, lang, source, n_chars) in list(got.items()):
         if doc_id != 4:
             assert (text, lang, source, n_chars) == rows[doc_id - 1][1:]
+
+
+def test_orc_roundtrip_unicode_and_pushdown(spark, tmp_path):
+    """ORC write→read preserves exact values (incl. unicode/NULLs) and
+    the columnar contract holds: projection prunes ReadSchema and the
+    doc_id predicate is pushed into the ORC scan."""
+    from mapreduce_assignments_spark.sources.text_corpus import read_documents_orc
+
+    rows = [
+        (1, "plain ascii", "en", "s", 11),
+        (2, 'unicode é中文 "quoted"\ttab', "zh", "s", 15),
+        (3, None, None, "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    p = str(tmp_path / "docs_orc")
+    df.write.option("compression", "zstd").orc(p)
+    back = read_documents_orc(spark, p)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+    plan = back.where("doc_id = 2").select("lang")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,2)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
