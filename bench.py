@@ -111,7 +111,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "curated_corpus", "split_leakage", "incremental_dedup",
         "verified_near_dupes",
         "minhash_calibration", "containment_pairs", "source_overlap",
-        "ngram_novelty",
+        "ngram_novelty", "record_linkage",
     ),
     "similarity": (
         "brute_force_topk", "ivf_assign", "ivf_topk_trained",

@@ -50,6 +50,7 @@ __all__ = [
     "split_leakage",
     "incremental_dedup",
     "ngram_novelty",
+    "record_linkage_pairs",
 ]
 
 
@@ -751,4 +752,54 @@ def ngram_novelty(
             - F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)) / F.count("*"),
             6,
         ).alias("novelty"),
+    )
+
+
+def record_linkage_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_distance: int = 2,
+) -> DataFrame:
+    """Blocked entity resolution: candidate record pairs whose
+    ``name_col`` values are within ``max_distance`` Levenshtein edits,
+    compared ONLY inside blocks sharing every ``block_cols`` value —
+    ``(id_a, id_b, name_a, name_b, distance)`` with id_a < id_b (the
+    Fellegi–Sunter blocking strategy; public literature).
+
+    Blocking is the whole scale story: the O(|block|²) comparison
+    fan-out never crosses block boundaries, so the worst case is the
+    largest block squared, not the table squared — exactly the role
+    the LSH bands play for document dedup, with a domain key instead
+    of a hash. The self-join is an equi-join on the block key
+    (shuffle-partitioned; AQE splits oversized blocks), the triangular
+    ``id_a < id_b`` predicate halves it, and the edit-distance DP runs
+    only on rows that survive a cheap length-gap prefilter
+    (|len(a) - len(b)| > max_distance already exceeds the bound —
+    same trick as :func:`verified_near_dupes`). Levenshtein is
+    integer-exact in every engine.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("rid"),
+        F.col(name_col).alias("name"),
+        *[F.col(c) for c in block_cols],
+    ).where(F.col("name").isNotNull())
+    l = keyed.select(
+        F.col("rid").alias("id_a"), F.col("name").alias("name_a"),
+        *[F.col(c) for c in block_cols],
+    )
+    r = keyed.select(
+        F.col("rid").alias("id_b"), F.col("name").alias("name_b"),
+        *[F.col(c) for c in block_cols],
+    )
+    return (
+        l.join(r, block_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.abs(F.length("name_a") - F.length("name_b")) <= max_distance
+        )
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .where(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
     )

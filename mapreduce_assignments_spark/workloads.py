@@ -663,6 +663,18 @@ def q_orc_roundtrip(spark, sf_dir):
     return docs.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_record_linkage(spark, sf_dir):
+    """Blocked entity resolution over customer names: same-nation
+    blocks, Levenshtein <= 2 — the Fellegi–Sunter blocking shape."""
+    return dedup.record_linkage_pairs(
+        load_table(spark, sf_dir, "customer"),
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=["c_nationkey"],
+        max_distance=2,
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     return similarity.label_centroids(_emb(spark, sf_dir))
 
@@ -2703,6 +2715,16 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 ORACLE["orc_roundtrip"] = ORACLE["csv_roundtrip"]
+
+ORACLE["record_linkage"] = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS distance
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+  AND levenshtein(a.c_name, b.c_name) <= 2
+"""
 
 ORACLE["label_centroids"] = """
 WITH e AS (
@@ -5025,6 +5047,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_convergence": q_pagerank_convergence,  # per-iter L1 residuals
     "streaming_countmin": q_streaming_countmin,      # mergeable CMS on stream
     "orc_roundtrip": q_orc_roundtrip,                # columnar interchange format
+    "record_linkage": q_record_linkage,              # blocked entity resolution
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

@@ -337,3 +337,25 @@ def test_ngram_novelty_hand_checked(spark):
         for r in ngram_novelty(docs, n=3).collect()
     }
     assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (2, 0, 1.0)}
+
+
+def test_record_linkage_blocking_and_distance(spark):
+    from mapreduce_assignments_spark.operators.dedup import record_linkage_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "smith john", "A"),
+            (2, "smith jon", "A"),    # distance 1, same block
+            (3, "smith john", "B"),   # identical name, DIFFERENT block
+            (4, "wholly different", "A"),
+            (5, None, "A"),           # null name excluded
+        ],
+        "id long, name string, blk string",
+    )
+    rows = record_linkage_pairs(
+        df, id_col="id", name_col="name", block_cols=["blk"], max_distance=2
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in rows}
+    # cross-block identical names do NOT pair (blocking contract);
+    # only the in-block near-match survives
+    assert got == {(1, 2): 1}
