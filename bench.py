@@ -123,7 +123,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "token_counts", "quality_score", "language_id", "doc_fingerprint",
         "repetition_stats", "pii_scrub", "chunk_documents",
         "source_stats", "lang_source_matrix", "top_terms_per_source",
-        "unigram_logprob", "bigram_logprob",
+        "unigram_logprob", "bigram_logprob", "oov_rate",
     ),
     "sketches": ("kmv_distinct", "countmin_words"),
     "skew_diag": ("key_skew_report",),

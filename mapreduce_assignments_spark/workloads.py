@@ -663,6 +663,37 @@ def q_orc_roundtrip(spark, sf_dir):
     return docs.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary evaluation across the deterministic hash
+    split: the whitespace vocabulary is built from the TRAIN split
+    only; each held-out split reports its token volume and OOV rate —
+    the tokenizer/coverage eval every training pipeline runs before a
+    vocab freeze. The vocab anti-join is keyed by token (AQE
+    broadcast-izes a small vocab); nothing is collected."""
+    docs = sampling.hash_split(
+        _docs(spark, sf_dir), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    toks = docs.select(
+        "split", F.explode(text.tokens_array("text")).alias("tok")
+    )
+    vocab = toks.where(F.col("split") == "train").select("tok").distinct()
+    other = toks.where(F.col("split") != "train")
+    totals = other.groupBy("split").agg(F.count("*").alias("n_tokens"))
+    oov = (
+        other.join(vocab, "tok", "left_anti")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_oov"))
+    )
+    return totals.join(oov, "split", "left").select(
+        "split",
+        "n_tokens",
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        F.round(F.coalesce("n_oov", F.lit(0)) / F.col("n_tokens"), 6).alias(
+            "oov_rate"
+        ),
+    )
+
+
 def q_record_linkage(spark, sf_dir):
     """Blocked entity resolution over customer names: same-nation
     blocks, Levenshtein <= 2 — the Fellegi–Sunter blocking shape."""
@@ -2715,6 +2746,27 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 ORACLE["orc_roundtrip"] = ORACLE["csv_roundtrip"]
+
+ORACLE["oov_rate"] = f"""
+WITH split_docs AS (
+  SELECT doc_id, text,
+         CASE WHEN {_DOC_BIN} < 800000 THEN 'train'
+              WHEN {_DOC_BIN} < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+toks AS (SELECT split, unnest({_TOK.replace("text", "text")}) AS tok FROM split_docs),
+vocab AS (SELECT DISTINCT tok FROM toks WHERE split = 'train'),
+other AS (SELECT * FROM toks WHERE split != 'train'),
+totals AS (SELECT split, count(*) AS n_tokens FROM other GROUP BY split),
+oov AS (
+  SELECT split, count(*) AS n_oov FROM other
+  WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY split
+)
+SELECT t.split, t.n_tokens, COALESCE(o.n_oov, 0) AS n_oov,
+       round(COALESCE(o.n_oov, 0) / t.n_tokens, 6) AS oov_rate
+FROM totals t LEFT JOIN oov o ON o.split = t.split
+"""
 
 ORACLE["record_linkage"] = """
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -5048,6 +5100,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_countmin": q_streaming_countmin,      # mergeable CMS on stream
     "orc_roundtrip": q_orc_roundtrip,                # columnar interchange format
     "record_linkage": q_record_linkage,              # blocked entity resolution
+    "oov_rate": q_oov_rate,                          # held-out vocab coverage
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

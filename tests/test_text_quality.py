@@ -254,3 +254,32 @@ def test_bigram_logprob_hand_computed(spark):
     assert out[2]["n_bigrams"] == 1
     assert out[2]["avg_logprob"] == round(lp_ba, 6)
     assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_oov_rate_hand_checked(spark, monkeypatch):
+    """Pin the OOV semantics on a corpus where the splits are forced:
+    tokens unseen in train count as OOV, seen ones don't."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark import workloads
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta"),
+            (3, "alpha delta"),      # delta is OOV if 3 is held out
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(workloads, "_docs", lambda spark, sf_dir: docs)
+    monkeypatch.setattr(
+        workloads.sampling,
+        "hash_split",
+        lambda df, key, weights: df.withColumn(
+            "split",
+            F.when(F.col("doc_id") <= 2, "train").otherwise(F.lit("test")),
+        ),
+    )
+    [row] = workloads.q_oov_rate(spark, "unused").collect()
+    assert (row["split"], row["n_tokens"], row["n_oov"]) == ("test", 2, 1)
+    assert row["oov_rate"] == 0.5
