@@ -85,7 +85,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "sliding_hourly_stats", "value_percentiles", "asof_join", "range_join",
         "dense_hourly_counts", "scd2_history", "latest_events",
         "snapshot_diff", "hourly_anomalies", "normalize_events",
-        "rolling_active_users", "daily_trend",
+        "rolling_active_users", "daily_trend", "ewma_hourly",
+        "seasonal_anomalies",
     ),
     "relational": (
         "pricing_summary", "forecast_revenue", "top_revenue_orders", "revenue_by_nation",

@@ -34,6 +34,8 @@ __all__ = [
     "scd2_history",
     "snapshot_diff",
     "hourly_anomalies",
+    "ewma_hourly",
+    "seasonal_anomalies",
 ]
 
 
@@ -397,4 +399,110 @@ def sliding_hourly_stats(
         "total_value",
         F.round(F.avg("n").over(w), 6).alias("moving_avg_n"),
         F.round(F.sum("total_value").over(w), 6).alias("moving_total_value"),
+    )
+
+
+def ewma_hourly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    alpha: float = 0.3,
+    window: int = 24,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average of hourly event
+    volume: ``(hour, n, ewma)`` where
+    ``ewma = Σ_{k=0..window-1} α(1-α)^k · n_{t-k}`` — the standard
+    trend smoother, truncated to a fixed trailing window so the
+    weights are a FIXED finite expression instead of an unbounded
+    recursion (the tail beyond 24 hours carries <0.2% of the mass at
+    α=0.3). Rows without a full ``window`` of observed history are
+    unsmoothable and dropped.
+
+    Engine parity is exact by construction: the sum is a fixed chain
+    of ``lag(n, k) · weight_k`` terms added in literal order — the
+    same left-to-right double addition in Spark and DuckDB — not a
+    window SUM whose accumulation order an engine may choose.
+
+    Scale shape: the window runs over the already-aggregated hourly
+    table (calendar-bounded: years of data is only tens of thousands
+    of rows), so the unpartitioned sort is a non-issue at any corpus
+    size; the aggregation below it is the usual map-side-partial
+    hourly rollup. Frame semantics are ROWS over OBSERVED hours, same
+    contract as :func:`hourly_anomalies`.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    hourly = events.groupBy(
+        F.date_format(F.date_trunc("HOUR", F.col(ts_col)), "yyyy-MM-dd HH:00").alias(
+            "hour"
+        )
+    ).agg(F.count("*").alias("n"))
+    w = Window.orderBy("hour")
+    terms = None
+    for k in range(window):
+        weight = alpha * (1.0 - alpha) ** k
+        term = F.lag("n", k).over(w) * F.lit(weight)
+        terms = term if terms is None else terms + term
+    return (
+        hourly.select(
+            "hour",
+            "n",
+            F.row_number().over(w).alias("__rn"),
+            F.round(terms, 6).alias("ewma"),
+        )
+        .where(F.col("__rn") >= window)
+        .drop("__rn")
+    )
+
+
+def seasonal_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonal (hour-of-day) volume anomalies: each observed hour's
+    count is z-scored against the mean/stddev of the SAME hour-of-day
+    across all other days — the baseline that catches "3am looks like
+    3pm" where a trailing window (:func:`hourly_anomalies`) sees only
+    recent hours. Leave-one-out: the scored hour is excluded from its
+    own baseline via the sufficient-statistics identities
+    ``mean_i = (S - x_i)/(n-1)``, ``var_i = (SS - x_i²)/(n-1) -
+    mean_i²`` — S and SS are INTEGER sums, so the baselines are
+    engine-exact without a second pass. Slots with < 3 observations
+    or zero variance are unscorable and dropped; emits
+    ``(hour, hod, n, base_mean, zscore, is_anomaly)``.
+
+    Scale shape: one hourly rollup (map-side partial), one 24-row
+    aggregate of sufficient statistics broadcast back onto the hourly
+    table — no window over raw events, no self-join.
+    """
+    hourly = events.groupBy(
+        F.date_format(F.date_trunc("HOUR", F.col(ts_col)), "yyyy-MM-dd HH:00").alias(
+            "hour"
+        ),
+        F.hour(F.col(ts_col)).alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("hod").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    j = hourly.join(F.broadcast(stats), "hod")
+    mean = (F.col("s") - F.col("n")) / (F.col("cnt") - 1)
+    var = (F.col("ss") - F.col("n") * F.col("n")) / (F.col("cnt") - 1) - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        j.where((F.col("cnt") >= 3))
+        .select(
+            "hour",
+            "hod",
+            "n",
+            F.round(mean, 6).alias("base_mean"),
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > z_threshold).alias("is_anomaly"),
+            var.alias("__var"),
+        )
+        .where(F.col("__var") > 0)
+        .drop("__var")
     )

@@ -663,6 +663,19 @@ def q_orc_roundtrip(spark, sf_dir):
     return docs.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_ewma_hourly(spark, sf_dir):
+    """Truncated-EWMA hourly volume trend (24h window, alpha=0.3);
+    the 24 lag terms are added in literal order, so parity is exact
+    by construction."""
+    return temporal.ewma_hourly(_events(spark, sf_dir))
+
+
+def q_seasonal_anomalies(spark, sf_dir):
+    """Hour-of-day seasonal anomalies with leave-one-out baselines
+    from integer sufficient statistics."""
+    return temporal.seasonal_anomalies(_events(spark, sf_dir))
+
+
 def q_oov_rate(spark, sf_dir):
     """Out-of-vocabulary evaluation across the deterministic hash
     split: the whitespace vocabulary is built from the TRAIN split
@@ -2746,6 +2759,46 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 ORACLE["orc_roundtrip"] = ORACLE["csv_roundtrip"]
+
+ORACLE["ewma_hourly"] = """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT hour, n, round(lag(n, 0) OVER w * 0.3 + lag(n, 1) OVER w * 0.21 + lag(n, 2) OVER w * 0.14699999999999996 + lag(n, 3) OVER w * 0.10289999999999998 + lag(n, 4) OVER w * 0.07202999999999998 + lag(n, 5) OVER w * 0.05042099999999998 + lag(n, 6) OVER w * 0.035294699999999984 + lag(n, 7) OVER w * 0.02470628999999999 + lag(n, 8) OVER w * 0.01729440299999999 + lag(n, 9) OVER w * 0.012106082099999993 + lag(n, 10) OVER w * 0.008474257469999994 + lag(n, 11) OVER w * 0.005931980228999996 + lag(n, 12) OVER w * 0.0041523861602999965 + lag(n, 13) OVER w * 0.0029066703122099975 + lag(n, 14) OVER w * 0.002034669218546998 + lag(n, 15) OVER w * 0.0014242684529828986 + lag(n, 16) OVER w * 0.000996987917088029 + lag(n, 17) OVER w * 0.0006978915419616202 + lag(n, 18) OVER w * 0.0004885240793731341 + lag(n, 19) OVER w * 0.00034196685556119386 + lag(n, 20) OVER w * 0.00023937679889283567 + lag(n, 21) OVER w * 0.00016756375922498496 + lag(n, 22) OVER w * 0.00011729463145748948 + lag(n, 23) OVER w * 8.210624202024264e-05, 6) AS ewma
+FROM hourly
+WINDOW w AS (ORDER BY hour)
+QUALIFY row_number() OVER w >= 24
+"""
+
+ORACLE["seasonal_anomalies"] = """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         CAST(hour(ts) AS INTEGER) AS hod,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT hod, count(*) AS cnt,
+         CAST(sum(n) AS BIGINT) AS s,
+         CAST(sum(n * n) AS BIGINT) AS ss
+  FROM hourly GROUP BY hod
+),
+j AS (
+  SELECT h.hour, h.hod, h.n,
+         (s.s - h.n) / (s.cnt - 1) AS mean,
+         (s.ss - h.n * h.n) / (s.cnt - 1)
+           - ((s.s - h.n) / (s.cnt - 1)) * ((s.s - h.n) / (s.cnt - 1)) AS var,
+         s.cnt AS cnt
+  FROM hourly h JOIN stats s USING (hod)
+)
+SELECT hour, hod, n, round(mean, 6) AS base_mean,
+       round((n - mean) / sqrt(var), 6) AS zscore,
+       abs((n - mean) / sqrt(var)) > 3.0 AS is_anomaly
+FROM j
+WHERE cnt >= 3 AND var > 0
+"""
 
 ORACLE["oov_rate"] = f"""
 WITH split_docs AS (
@@ -5101,6 +5154,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orc_roundtrip": q_orc_roundtrip,                # columnar interchange format
     "record_linkage": q_record_linkage,              # blocked entity resolution
     "oov_rate": q_oov_rate,                          # held-out vocab coverage
+    "ewma_hourly": q_ewma_hourly,                    # truncated EWMA trend
+    "seasonal_anomalies": q_seasonal_anomalies,      # hour-of-day LOO z-scores
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,

@@ -416,3 +416,53 @@ def test_scd2_current_rows_equal_latest_snapshot(spark):
         ).collect()
     }
     assert current == latest and len(current) == 8
+
+
+def test_ewma_hourly_hand_checked(spark):
+    """3-hour window, alpha 0.5: weights 0.5/0.25/0.125, literal-order
+    sum; rows without full history are dropped."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.operators.temporal import ewma_hourly
+
+    rows = []
+    counts = [4, 2, 8, 6]  # hours 0..3
+    for h, c in enumerate(counts):
+        rows += [(datetime(2024, 1, 1, h, 5),)] * c
+    events = spark.createDataFrame(rows, "ts timestamp")
+    got = {
+        r["hour"]: (r["n"], r["ewma"])
+        for r in ewma_hourly(events, alpha=0.5, window=3).collect()
+    }
+    # first two hours lack full history
+    assert set(got) == {"2024-01-01 02:00", "2024-01-01 03:00"}
+    assert got["2024-01-01 02:00"] == (8, round(8 * 0.5 + 2 * 0.25 + 4 * 0.125, 6))
+    assert got["2024-01-01 03:00"] == (6, round(6 * 0.5 + 8 * 0.25 + 2 * 0.125, 6))
+
+
+def test_seasonal_anomalies_leave_one_out(spark):
+    """The 3am spike is anomalous against OTHER days' 3am hours, and
+    its own value does not inflate its baseline."""
+    from datetime import datetime
+
+    from mapreduce_assignments_spark.operators.temporal import seasonal_anomalies
+
+    rows = []
+    # five days at hour 3: volumes 2,2,2,2,30 (day 5 spikes); LOO
+    # baseline for the spike is mean 2, var 0 -> dropped? No: the
+    # OTHER rows keep variance from the spike's presence in THEIR
+    # baselines, so they stay scorable.
+    for day, c in zip(range(1, 6), [2, 2, 2, 2, 30]):
+        rows += [(datetime(2024, 1, day, 3, 0),)] * c
+    events = spark.createDataFrame(rows, "ts timestamp")
+    got = {r["hour"]: r for r in seasonal_anomalies(events).collect()}
+    # the spike hour itself: baseline = other days (mean 2, var 0) ->
+    # unscorable, dropped; normal hours score against a baseline that
+    # INCLUDES the spike and are not anomalous
+    assert "2024-01-05 03:00" not in got
+    for day in range(1, 5):
+        r = got[f"2024-01-0{day} 03:00"]
+        assert r["base_mean"] == 9.0  # (38 - 2) / 4
+        assert not r["is_anomaly"]
