@@ -86,7 +86,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "dense_hourly_counts", "scd2_history", "latest_events",
         "snapshot_diff", "hourly_anomalies", "normalize_events",
         "rolling_active_users", "daily_trend", "ewma_hourly",
-        "seasonal_anomalies",
+        "seasonal_anomalies", "incremental_rollup",
     ),
     "relational": (
         "pricing_summary", "forecast_revenue", "top_revenue_orders", "revenue_by_nation",

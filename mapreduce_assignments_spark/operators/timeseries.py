@@ -28,6 +28,8 @@ __all__ = [
     "hourly_counts_events",
     "event_props_stats",
     "fill_hourly_gaps",
+    "maintain_hourly_rollup",
+    "read_hourly_rollup",
 ]
 
 # "EEE MMM dd HH:mm:ss Z yyyy" — e.g. "Sun Jan 23 00:14:05 +0000 2011".
@@ -145,3 +147,76 @@ def fill_hourly_gaps(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour_ts"),
         F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
     )
+
+
+def maintain_hourly_rollup(
+    spark, rollup_dir: str, delta_events: DataFrame, ts_col: str = "ts"
+) -> None:
+    """Incrementally maintain an hourly-counts rollup AT REST
+    (parquet partitioned by date): aggregate the delta batch, read
+    back ONLY the date partitions the delta touches (partition-pruned
+    scan), merge old + new counts, and rewrite JUST those partitions
+    via dynamic partition overwrite. Untouched dates are never read
+    and never rewritten — asserted in tests by file listing.
+
+    This is the batch materialized-view-maintenance pattern: at
+    100 TB the rollup spans years but a daily delta touches one or
+    two dates, so maintenance cost is O(delta + touched partitions),
+    not O(history). The contract is append-only deltas (counts only
+    ever grow); replaying the full event log through this function in
+    any batch split yields bit-identical results to the one-shot
+    aggregation — the invariant the oracle checks.
+
+    ``spark.sql.sources.partitionOverwriteMode`` is set to
+    ``dynamic`` for the write and restored after — static mode would
+    clobber the whole rollup directory.
+    """
+    import os
+
+    delta = delta_events.groupBy(
+        F.date_format(F.date_trunc("DAY", F.col(ts_col)), "yyyy-MM-dd").alias("d"),
+        F.hour(F.col(ts_col)).alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    touched = [r["d"] for r in delta.select("d").distinct().collect()]
+    if not touched:
+        return
+    if os.path.isdir(rollup_dir) and any(
+        e.startswith("d=") for e in os.listdir(rollup_dir)
+    ):
+        existing = (
+            read_hourly_rollup(spark, rollup_dir)
+            .where(F.col("d").isin(touched))  # partition-pruned
+            .select("d", "hour", F.col("n").alias("n_old"))
+        )
+        merged = (
+            delta.join(existing, ["d", "hour"], "full_outer")
+            .select(
+                "d",
+                "hour",
+                (
+                    F.coalesce("n", F.lit(0)) + F.coalesce("n_old", F.lit(0))
+                ).alias("n"),
+            )
+        )
+    else:
+        merged = delta
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("d")
+            .write.mode("overwrite")
+            .partitionBy("d")
+            .parquet(rollup_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_hourly_rollup(spark, rollup_dir: str) -> DataFrame:
+    """Read the rollup with its KNOWN schema (partition column ``d``
+    as STRING): supplying the schema skips partition-value type
+    inference (which would guess DATE for yyyy-MM-dd directory names
+    and silently change the column type between engines) while
+    keeping partition pruning on the string values intact."""
+    return spark.read.schema("hour INT, n BIGINT, d STRING").parquet(rollup_dir)

@@ -663,6 +663,32 @@ def q_orc_roundtrip(spark, sf_dir):
     return docs.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+_STAGED_ROLLUP: dict[str, str] = {}
+
+
+def q_incremental_rollup(spark, sf_dir):
+    """Materialized-view maintenance: the hourly rollup built by TWO
+    incremental applications (events split in half by event_id hash
+    parity), each maintaining only its touched date partitions via
+    dynamic partition overwrite. The oracle is the ONE-SHOT
+    aggregation over all events — the merge invariant."""
+    if sf_dir not in _STAGED_ROLLUP:
+        import atexit
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="mras-rollup-stage-")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        events = _events(spark, sf_dir)
+        half = F.abs(F.xxhash64(F.col("event_id"))) % 2
+        timeseries.maintain_hourly_rollup(spark, stage, events.where(half == 0))
+        timeseries.maintain_hourly_rollup(spark, stage, events.where(half == 1))
+        _STAGED_ROLLUP[sf_dir] = stage
+    return timeseries.read_hourly_rollup(spark, _STAGED_ROLLUP[sf_dir]).select(
+        "d", "hour", "n"
+    )
+
+
 def q_ewma_hourly(spark, sf_dir):
     """Truncated-EWMA hourly volume trend (24h window, alpha=0.3);
     the 24 lag terms are added in literal order, so parity is exact
@@ -2759,6 +2785,13 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 ORACLE["orc_roundtrip"] = ORACLE["csv_roundtrip"]
+
+ORACLE["incremental_rollup"] = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+       CAST(hour(ts) AS INTEGER) AS hour,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
 
 ORACLE["ewma_hourly"] = """
 WITH hourly AS (
@@ -5155,6 +5188,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "record_linkage": q_record_linkage,              # blocked entity resolution
     "oov_rate": q_oov_rate,                          # held-out vocab coverage
     "ewma_hourly": q_ewma_hourly,                    # truncated EWMA trend
+    "incremental_rollup": q_incremental_rollup,      # dynamic-partition MV maintenance
     "seasonal_anomalies": q_seasonal_anomalies,      # hour-of-day LOO z-scores
     # -- round-5 extension batch 6 --
     "session_stats": q_session_stats,

@@ -100,3 +100,44 @@ def test_fill_hourly_gaps_inserts_zero_rows(spark):
         "2024-01-01 12:00:00": 0,
         "2024-01-01 13:00:00": 1,
     }
+
+
+def test_maintain_hourly_rollup_touches_only_delta_partitions(spark, tmp_path):
+    """Second delta touches only day 2: day 1's partition files must
+    be byte-identical afterwards (dynamic overwrite), and the merged
+    rollup equals the one-shot aggregation."""
+    import os
+    from datetime import datetime
+
+    from mapreduce_assignments_spark.operators.timeseries import (
+        maintain_hourly_rollup,
+        read_hourly_rollup,
+    )
+
+    def ev(day, hour, n):
+        return [(datetime(2024, 1, day, hour, 30),)] * n
+
+    d = str(tmp_path / "rollup")
+    batch1 = spark.createDataFrame(ev(1, 3, 2) + ev(2, 5, 1), "ts timestamp")
+    maintain_hourly_rollup(spark, d, batch1)
+
+    def snapshot(day):
+        p = os.path.join(d, f"d=2024-01-0{day}")
+        return {
+            f: os.path.getmtime(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        }
+
+    day1_before = snapshot(1)
+    batch2 = spark.createDataFrame(ev(2, 5, 4) + ev(2, 7, 1), "ts timestamp")
+    maintain_hourly_rollup(spark, d, batch2)
+    assert snapshot(1) == day1_before  # untouched partition not rewritten
+    got = {
+        (r["d"], r["hour"]): r["n"] for r in read_hourly_rollup(spark, d).collect()
+    }
+    assert got == {
+        ("2024-01-01", 3): 2,
+        ("2024-01-02", 5): 5,  # merged: 1 + 4
+        ("2024-01-02", 7): 1,
+    }
