@@ -680,7 +680,12 @@ def link_prediction(
     nbrs = edges.select(F.col("a").alias("id"), F.col("b").alias("nbr")).unionAll(
         edges.select(F.col("b").alias("id"), F.col("a").alias("nbr"))
     )
-    deg = nbrs.groupBy("id").agg(F.count("*").alias("degree"))
+    # deg feeds THREE consumers (the cap filter and both endpoint
+    # annotations) — checkpoint it once or the degree shuffle runs
+    # three times (the triangle_count lesson)
+    deg = nbrs.groupBy("id").agg(F.count("*").alias("degree")).localCheckpoint(
+        eager=True
+    )
     mids = deg.where(F.col("degree") <= max_degree).select("id")
     nb = nbrs.join(mids, "id", "left_semi")
     l, r = nb.alias("l"), nb.alias("r")
