@@ -97,7 +97,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "late_orders_by_priority", "top_return_customers", "session_stats", "co_engagement",
         "event_cube", "shipping_priority", "promo_revenue",
         "large_volume_orders", "part_bracket_revenue", "event_transitions",
-        "user_entropy",
+        "user_entropy", "conversion_lag", "revenue_share",
     ),
     "graph": (
         "pagerank", "personalized_pagerank", "degree_histogram",
@@ -125,10 +125,11 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "repetition_stats", "pii_scrub", "chunk_documents",
         "source_stats", "lang_source_matrix", "top_terms_per_source",
         "unigram_logprob", "bigram_logprob", "oov_rate",
+        "sentence_stats",
     ),
     "sketches": ("kmv_distinct", "countmin_words"),
     "skew_diag": ("key_skew_report",),
-    "validation": ("profile_events", "robust_outliers"),
+    "validation": ("profile_events", "robust_outliers", "length_drift_psi"),
     "packing": ("pack_sequences",),
     "features": (
         "hashing_tf", "hashing_tfidf", "hashing_tf_cells",

@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users", "co_engagement", "event_transitions", "user_entropy"]
+__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users", "co_engagement", "event_transitions", "user_entropy", "conversion_lag_stats"]
 
 
 def funnel_counts(
@@ -257,4 +257,51 @@ def user_entropy(events: DataFrame) -> DataFrame:
         .select("user_id", "n_events", "n_types", contrib.alias("c"))
         .groupBy("user_id", "n_events", "n_types")
         .agg(F.round(F.sum("c"), 6).alias("entropy"))
+    )
+
+
+def conversion_lag_stats(
+    events: DataFrame,
+    from_type: str = "click",
+    to_type: str = "purchase",
+    max_lag_minutes: int = 60,
+) -> DataFrame:
+    """Time-to-convert report: for every ``from_type`` event, the lag
+    to that user's FIRST ``to_type`` event within ``max_lag_minutes``
+    — one row ``(n_conversions, mean_lag_s, p50_lag_s, max_lag_s)``.
+    The batch analogue of the stream-stream interval join's
+    attribution window, summarized.
+
+    Lags are integer seconds (engine-exact); the mean divides the
+    integer sum, and the median is linear-interpolated
+    (``percentile`` / ``quantile_cont`` agree on sorted integers).
+
+    Scale shape: the candidate join is an equi-join on user_id with
+    the two time bounds as post-conditions (per-user fan-out is the
+    user's purchase count inside the window — bounded; AQE
+    skew-splits a bot); the first-purchase collapse is a min
+    aggregation on the click's own key.
+    """
+    clicks = events.where(F.col("event_type") == from_type).select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id"),
+        F.col("ts").alias("cts"),
+    )
+    buys = events.where(F.col("event_type") == to_type).select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    j = clicks.join(buys, "user_id").where(
+        (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr(f"interval {max_lag_minutes} minutes"))
+    )
+    firsts = j.groupBy("cid", "cts").agg(F.min("pts").alias("first_pts"))
+    lag = (
+        F.unix_timestamp("first_pts") - F.unix_timestamp("cts")
+    ).alias("lag_s")
+    lags = firsts.select(lag)
+    return lags.agg(
+        F.count("*").alias("n_conversions"),
+        F.round(F.sum("lag_s") / F.count("*"), 6).alias("mean_lag_s"),
+        F.round(F.expr("percentile(lag_s, 0.5)"), 6).alias("p50_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
     )

@@ -33,6 +33,7 @@ __all__ = [
     "STOPWORDS",
     "EMAIL_REGEX",
     "URL_REGEX",
+    "sentence_stats",
 ]
 
 # A BPE-ish pre-tokenization: letter runs, digit runs, single other
@@ -506,3 +507,32 @@ def top_terms_per_source(
         counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def sentence_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document sentence segmentation stats: ``(doc_id,
+    n_sentences, total_sentence_chars, avg_sentence_chars,
+    max_sentence_chars)`` — sentences are the non-empty trimmed
+    segments between ``[.!?]+`` runs (the regex heuristic every
+    curation pipeline starts from; documents with no sentence
+    boundary count as one sentence). Docs yielding zero non-empty
+    segments are absent.
+
+    Pure narrow higher-order-function stage: split / trim / filter /
+    fold run inside whole-stage codegen per row — no explode, no
+    shuffle beyond nothing at all (this is a per-row projection).
+    """
+    arr = F.filter(
+        F.transform(F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    lengths = F.transform(arr, lambda s: F.length(s))
+    total = F.aggregate(lengths, F.lit(0), lambda a, b: a + b)
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(arr).alias("n_sentences"),
+        total.alias("total_sentence_chars"),
+        F.round(total / F.size(arr), 6).alias("avg_sentence_chars"),
+        F.array_max(lengths).alias("max_sentence_chars"),
+    )
+    return out.where(F.col("n_sentences") > 0)

@@ -733,6 +733,44 @@ def q_oov_rate(spark, sf_dir):
     )
 
 
+def q_sentence_stats(spark, sf_dir):
+    """Per-document sentence segmentation stats — narrow HOF stage."""
+    return text_quality.sentence_stats(_docs(spark, sf_dir))
+
+
+def q_length_drift_psi(spark, sf_dir):
+    """PSI drift of the doc-length distribution between src0 and src1
+    — the ingestion drift gate over exact log2 buckets."""
+    return profiling.distribution_psi(
+        _docs(spark, sf_dir), "n_chars", "source", ref="src0", cur="src1"
+    )
+
+
+def q_conversion_lag(spark, sf_dir):
+    """Click→purchase time-to-convert summary within a 1h window."""
+    return funnel.conversion_lag_stats(load_table(spark, sf_dir, "events"))
+
+
+def q_revenue_share(spark, sf_dir):
+    """Each nation's share of global revenue — window-over-aggregate
+    on the star-join rollup (25 rounded summands; round-6 absorbs the
+    window sum's order ulps)."""
+    rev = relational.revenue_by_nation(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "r_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
+
+
 def q_record_linkage(spark, sf_dir):
     """Blocked entity resolution over customer names: same-nation
     blocks, Levenshtein <= 2 — the Fellegi–Sunter blocking shape."""
@@ -2852,6 +2890,78 @@ oov AS (
 SELECT t.split, t.n_tokens, COALESCE(o.n_oov, 0) AS n_oov,
        round(COALESCE(o.n_oov, 0) / t.n_tokens, 6) AS oov_rate
 FROM totals t LEFT JOIN oov o ON o.split = t.split
+"""
+
+ORACLE["sentence_stats"] = """
+WITH segs AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                    s -> trim(s)),
+                     s -> len(s) > 0) AS arr
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(arr) AS INTEGER) AS n_sentences,
+       CAST(list_sum(list_transform(arr, s -> len(s))) AS INTEGER)
+         AS total_sentence_chars,
+       round(CAST(list_sum(list_transform(arr, s -> len(s))) AS BIGINT)
+             / len(arr), 6) AS avg_sentence_chars,
+       CAST(list_max(list_transform(arr, s -> len(s))) AS INTEGER)
+         AS max_sentence_chars
+FROM segs WHERE len(arr) > 0
+"""
+
+ORACLE["length_drift_psi"] = """
+WITH b AS (
+  SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
+              ELSE -1 END AS INTEGER) AS bucket,
+         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_ref,
+         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_cur
+  FROM documents WHERE source IN ('src0', 'src1')
+  GROUP BY 1
+),
+t AS (SELECT CAST(sum(cnt_ref) AS BIGINT) AS ref_rows,
+             CAST(sum(cnt_cur) AS BIGINT) AS cur_rows FROM b),
+c AS (
+  SELECT b.*, t.ref_rows, t.cur_rows,
+         CASE WHEN b.cnt_ref > 0 AND b.cnt_cur > 0
+              THEN round((b.cnt_ref / t.ref_rows - b.cnt_cur / t.cur_rows)
+                         * ln((b.cnt_ref / t.ref_rows) / (b.cnt_cur / t.cur_rows)), 6)
+         END AS contrib
+  FROM b, t
+)
+SELECT max(ref_rows) AS ref_rows, max(cur_rows) AS cur_rows,
+       count(*) AS n_buckets_union,
+       count(contrib) AS n_buckets_common,
+       round(COALESCE(sum(contrib), 0.0), 6) AS psi
+FROM c
+"""
+
+ORACLE["conversion_lag"] = """
+WITH clicks AS (
+  SELECT event_id AS cid, user_id, ts AS cts FROM events
+  WHERE event_type = 'click'
+),
+buys AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+firsts AS (
+  SELECT c.cid, c.cts, min(b.pts) AS first_pts
+  FROM clicks c JOIN buys b ON b.user_id = c.user_id
+  WHERE b.pts >= c.cts AND b.pts <= c.cts + INTERVAL 60 MINUTES
+  GROUP BY 1, 2
+),
+lags AS (SELECT CAST(date_diff('second', cts, first_pts) AS BIGINT) AS lag_s FROM firsts)
+SELECT count(*) AS n_conversions,
+       round(CAST(sum(lag_s) AS BIGINT) / count(*), 6) AS mean_lag_s,
+       round(quantile_cont(lag_s, 0.5), 6) AS p50_lag_s,
+       max(lag_s) AS max_lag_s
+FROM lags
+"""
+
+ORACLE["revenue_share"] = f"""
+WITH rev AS ({_REVENUE_BY_NATION_SQL})
+SELECT n_name, r_name, revenue,
+       round(revenue / sum(revenue) OVER (), 6) AS share
+FROM rev
 """
 
 ORACLE["record_linkage"] = """
@@ -5186,6 +5296,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_countmin": q_streaming_countmin,      # mergeable CMS on stream
     "orc_roundtrip": q_orc_roundtrip,                # columnar interchange format
     "record_linkage": q_record_linkage,              # blocked entity resolution
+    "sentence_stats": q_sentence_stats,              # narrow HOF segmentation
+    "length_drift_psi": q_length_drift_psi,          # PSI ingestion drift gate
+    "conversion_lag": q_conversion_lag,              # time-to-convert summary
+    "revenue_share": q_revenue_share,                # window-over-aggregate
     "oov_rate": q_oov_rate,                          # held-out vocab coverage
     "ewma_hourly": q_ewma_hourly,                    # truncated EWMA trend
     "incremental_rollup": q_incremental_rollup,      # dynamic-partition MV maintenance

@@ -151,3 +151,30 @@ def test_user_entropy_hand_checked(spark):
     half = round(-(0.5 * math.log(0.5)), 6)
     assert got[1] == (4, 2, round(2 * half, 6))
     assert got[2] == (2, 1, 0.0)
+
+
+def test_conversion_lag_first_purchase_within_window(spark):
+    from datetime import datetime
+
+    from mapreduce_assignments_spark.operators.funnel import conversion_lag_stats
+
+    from datetime import timedelta
+
+    t = lambda m, s=0: datetime(2024, 1, 1) + timedelta(minutes=m, seconds=s)
+    rows = [
+        ("c1", t(0), 1, "click"),
+        ("p1", t(0, 30), 1, "purchase"),   # first: 30s
+        ("p2", t(5), 1, "purchase"),       # later purchase ignored
+        ("c2", t(10), 2, "click"),
+        ("p3", t(80), 2, "purchase"),      # outside 60min window
+        ("c3", t(20), 3, "click"),
+        ("p4", t(20, 90), 3, "purchase"),  # 90s
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id string, ts timestamp, user_id long, event_type string"
+    )
+    [row] = conversion_lag_stats(events).collect()
+    assert row["n_conversions"] == 2
+    assert row["mean_lag_s"] == 60.0   # (30 + 90) / 2
+    assert row["p50_lag_s"] == 60.0    # interpolated median of {30, 90}
+    assert row["max_lag_s"] == 90

@@ -52,3 +52,27 @@ def test_robust_outliers_flags_spike_not_baseline(spark):
     # median is robust: the 1000 outlier did not drag the baseline
     assert out[0]["med"] == 10.5
     assert out[100]["robust_z"] is None and not out[100]["is_outlier"]
+
+
+def test_distribution_psi_identical_and_drifted(spark):
+    from mapreduce_assignments_spark.operators.profiling import distribution_psi
+
+    same = spark.createDataFrame(
+        [(v, s) for s in ("a", "b") for v in [1, 2, 4, 8, 8, 8]],
+        "v long, seg string",
+    )
+    [row] = distribution_psi(same, "v", "seg", ref="a", cur="b").collect()
+    assert row["psi"] == 0.0  # identical distributions
+    assert row["n_buckets_common"] == row["n_buckets_union"]
+    drifted = spark.createDataFrame(
+        [(1, "a")] * 9 + [(1024, "a")] + [(1, "b")] + [(1024, "b")] * 9,
+        "v long, seg string",
+    )
+    [r2] = distribution_psi(drifted, "v", "seg", ref="a", cur="b").collect()
+    assert r2["psi"] > 0.25  # well past the 'drifted' gate
+    # segment-disjoint buckets are excluded but surfaced in the counts
+    disj = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (1024, "b"), (1, "b")], "v long, seg string"
+    )
+    [r3] = distribution_psi(disj, "v", "seg", ref="a", cur="b").collect()
+    assert r3["n_buckets_union"] == 3 and r3["n_buckets_common"] == 1

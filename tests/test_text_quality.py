@@ -283,3 +283,25 @@ def test_oov_rate_hand_checked(spark, monkeypatch):
     [row] = workloads.q_oov_rate(spark, "unused").collect()
     assert (row["split"], row["n_tokens"], row["n_oov"]) == ("test", 2, 1)
     assert row["oov_rate"] == 0.5
+
+
+def test_sentence_stats_hand_checked(spark):
+    from mapreduce_assignments_spark.operators.text_quality import sentence_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "One two. Three!  Four five six?"),
+            (2, "no boundary at all"),
+            (3, "...!!!"),  # only separators: zero sentences, absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_sentences"], r["total_sentence_chars"],
+                      r["avg_sentence_chars"], r["max_sentence_chars"])
+        for r in sentence_stats(docs).collect()
+    }
+    # doc 1 sentences: "One two"(7), "Three"(5), "Four five six"(13)
+    assert got[1] == (3, 25, round(25 / 3, 6), 13)
+    assert got[2] == (1, 18, 18.0, 18)
+    assert 3 not in got
