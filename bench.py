@@ -140,6 +140,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "sampling": (
         "hash_split", "deterministic_sample", "stratified_sample",
         "weighted_sample", "per_key_sample", "shuffle_shards",
+        "balance_classes",
     ),
     "multimodal": (
         "image_stats", "phash_duplicates", "media_sniff", "frame_sample",
@@ -150,7 +151,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "streaming_dedup", "streaming_interval_join",
         "streaming_snapshot_sink", "streaming_enriched_counts",
         "streaming_latest_events", "streaming_sliding_counts",
-        "streaming_countmin",
+        "streaming_countmin", "streaming_top_users",
     ),
     "sources": ("jsonl_roundtrip", "csv_roundtrip", "orc_roundtrip"),
 }

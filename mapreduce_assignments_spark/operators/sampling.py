@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from ..functions.hashing import h60
 
 __all__ = [
+    "balance_classes",
     "deterministic_sample",
     "hash_split",
     "per_key_sample",
@@ -217,3 +218,31 @@ def stratified_sample(
         threshold = F.when(cond, lim) if threshold is None else threshold.when(cond, lim)
     threshold = threshold.otherwise(F.lit(int(default_fraction * _BINS)))
     return df.where(b < threshold)
+
+
+def balance_classes(df: DataFrame, label_col: str, key: str) -> DataFrame:
+    """Deterministic class balancing: downsample every class to the
+    MINORITY class's size, keeping each class's hash-smallest rows —
+    ``(key, label)`` for the kept rows. The class-imbalance fix
+    applied before training a classifier head (or mixing data
+    sources), made reproducible across runs/engines/partitionings by
+    ranking on the content hash instead of ``rand()``.
+
+    Scale shape: one class-count aggregation (map-side partial) whose
+    MIN broadcasts back as a one-row crossJoin, then a per-class
+    hash-ranked window that Spark plans as WindowGroupLimit — each
+    map task keeps only its local candidates before the exchange, so
+    a giant majority class never funnels through one task's sort.
+    """
+    from pyspark.sql.window import Window
+
+    target = df.groupBy(label_col).agg(F.count("*").alias("n")).agg(
+        F.min("n").alias("target")
+    )
+    w = Window.partitionBy(label_col).orderBy(_bin(key), F.col(key))
+    ranked = (
+        df.select(F.col(key), F.col(label_col))
+        .crossJoin(F.broadcast(target))
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    return ranked.where(F.col("__rn") <= F.col("target")).select(key, label_col)

@@ -733,6 +733,30 @@ def q_oov_rate(spark, sf_dir):
     )
 
 
+def q_balance_classes(spark, sf_dir):
+    """Deterministic downsample of every embedding label class to the
+    minority class size — hash-ranked, WindowGroupLimit-planned."""
+    return sampling.balance_classes(_emb(spark, sf_dir), "label", "vec_id")
+
+
+@_stream_tuned
+def q_streaming_top_users(spark, sf_dir):
+    """Complete-mode streaming rank: top-10 users by event count over
+    the replayed stream; the oracle is the batch ranking (sorting is
+    legal in complete mode, and a full replay must agree with batch)."""
+    from .streaming import read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, _staged_events_dir(spark, sf_dir))
+    top = (
+        stream.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+    run_to_memory(top, "q_stream_topusers_mem", "complete")
+    return spark.table("q_stream_topusers_mem")
+
+
 def q_sentence_stats(spark, sf_dir):
     """Per-document sentence segmentation stats — narrow HOF stage."""
     return text_quality.sentence_stats(_docs(spark, sf_dir))
@@ -2890,6 +2914,28 @@ oov AS (
 SELECT t.split, t.n_tokens, COALESCE(o.n_oov, 0) AS n_oov,
        round(COALESCE(o.n_oov, 0) / t.n_tokens, 6) AS oov_rate
 FROM totals t LEFT JOIN oov o ON o.split = t.split
+"""
+
+ORACLE["balance_classes"] = """
+WITH t AS (
+  SELECT CAST(min(n) AS BIGINT) AS target FROM (
+    SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+),
+ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 1000000,
+                    vec_id) AS rn
+  FROM embeddings
+)
+SELECT r.vec_id, r.label FROM ranked r, t WHERE r.rn <= t.target
+"""
+
+ORACLE["streaming_top_users"] = """
+SELECT user_id, count(*) AS n_events FROM events
+GROUP BY user_id ORDER BY n_events DESC, user_id ASC LIMIT 10
 """
 
 ORACLE["sentence_stats"] = """
@@ -5297,6 +5343,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orc_roundtrip": q_orc_roundtrip,                # columnar interchange format
     "record_linkage": q_record_linkage,              # blocked entity resolution
     "sentence_stats": q_sentence_stats,              # narrow HOF segmentation
+    "balance_classes": q_balance_classes,            # minority-size downsample
+    "streaming_top_users": q_streaming_top_users,    # complete-mode stream rank
     "length_drift_psi": q_length_drift_psi,          # PSI ingestion drift gate
     "conversion_lag": q_conversion_lag,              # time-to-convert summary
     "revenue_share": q_revenue_share,                # window-over-aggregate

@@ -229,3 +229,22 @@ def test_shuffle_shards_deterministic_permutation(spark, docs_table):
         assert sorted(ps) == list(range(1, len(ps) + 1))
     with pytest.raises(ValueError):
         shuffle_shards(base, "doc_id", 0)
+
+
+def test_balance_classes_minority_size_and_determinism(spark):
+    from mapreduce_assignments_spark.operators.sampling import balance_classes
+
+    rows = [(i, "big") for i in range(20)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "k long, label string")
+    out = balance_classes(df, "label", "k")
+    got = [(r["k"], r["label"]) for r in out.collect()]
+    per_class = {}
+    for k, lbl in got:
+        per_class.setdefault(lbl, set()).add(k)
+    # every class downsampled to the minority size
+    assert {lbl: len(ks) for lbl, ks in per_class.items()} == {"big": 3, "small": 3}
+    assert per_class["small"] == {100, 101, 102}  # minority kept whole
+    # deterministic: a second run (different partitioning) keeps the
+    # SAME rows
+    again = balance_classes(df.repartition(7), "label", "k")
+    assert sorted(got) == sorted((r["k"], r["label"]) for r in again.collect())
