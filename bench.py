@@ -110,7 +110,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "minhash_lsh_candidates", "simhash", "simhash_near_dupes",
         "dedup_clusters", "contamination_flags", "dedup_apply",
         "curated_corpus", "split_leakage", "incremental_dedup",
-        "verified_near_dupes",
+        "verified_near_dupes", "eval_substring_hits",
         "minhash_calibration", "containment_pairs", "source_overlap",
         "ngram_novelty", "record_linkage",
     ),
@@ -140,7 +140,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "sampling": (
         "hash_split", "deterministic_sample", "stratified_sample",
         "weighted_sample", "per_key_sample", "shuffle_shards",
-        "balance_classes",
+        "balance_classes", "corpus_mix",
     ),
     "multimodal": (
         "image_stats", "phash_duplicates", "media_sniff", "frame_sample",

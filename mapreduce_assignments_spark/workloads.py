@@ -733,6 +733,72 @@ def q_oov_rate(spark, sf_dir):
     )
 
 
+_MIX_WEIGHTS = [("src0", 0.4), ("src1", 0.3), ("src2", 0.2), ("src3", 0.1)]
+_MIX_BUDGET = 20_000  # whitespace tokens
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Pretraining-mix construction: deterministically sample each
+    source so its expected token volume hits ``weight x budget`` —
+    the source-weighting step every pretraining data recipe runs.
+    Per-source keep fraction = min(1, target/T_s); the doc-level
+    Bernoulli draw is the same content-hash bin stratified_sample
+    uses, so the mix is reproducible and the oracle replays it. One
+    row per weighted source: targets vs what the sample actually
+    delivered."""
+    from .operators.sampling import _bin
+
+    w = spark.createDataFrame(_MIX_WEIGHTS, "source string, weight double")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(text.tokens_array("text")).alias("ntok"),
+        _bin("doc_id").alias("bin"),
+    )
+    totals = d.groupBy("source").agg(F.sum("ntok").alias("total_tokens"))
+    j = d.join(F.broadcast(w), "source").join(F.broadcast(totals), "source")
+    frac = F.least(
+        F.lit(1.0), F.col("weight") * _MIX_BUDGET / F.col("total_tokens")
+    )
+    kept = F.col("bin") < frac * 1_000_000
+    return j.groupBy("source", "weight", "total_tokens").agg(
+        F.round(F.col("weight") * _MIX_BUDGET, 6).alias("target_tokens"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("kept_docs"),
+        F.sum(F.when(kept, F.col("ntok")).otherwise(0)).alias("kept_tokens"),
+    )
+
+
+def q_eval_substring_hits(spark, sf_dir):
+    """Exact-substring decontamination probe: for each eval snippet
+    (the 5 lowest-id docs' first 40 chars — a stand-in for benchmark
+    strings), count the corpus documents containing it verbatim. The
+    n-gram decontamination's exact-match complement: snippets
+    broadcast, the scan stays narrow (JVM contains per row), nothing
+    shuffles but the tiny per-snippet counts."""
+    docs = _docs(spark, sf_dir)
+    snippets = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.substring("text", 1, 40).alias("snippet"),
+        )
+    )
+    hits = docs.crossJoin(F.broadcast(snippets)).where(
+        F.instr(F.col("text"), F.col("snippet")) > 0
+    )
+    return (
+        snippets.join(
+            hits.groupBy("eval_id").agg(F.count("*").alias("n_hits")),
+            "eval_id",
+            "left",
+        )
+        .select(
+            "eval_id", "snippet", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
+        )
+    )
+
+
 def q_balance_classes(spark, sf_dir):
     """Deterministic downsample of every embedding label class to the
     minority class size — hash-ranked, WindowGroupLimit-planned."""
@@ -2914,6 +2980,45 @@ oov AS (
 SELECT t.split, t.n_tokens, COALESCE(o.n_oov, 0) AS n_oov,
        round(COALESCE(o.n_oov, 0) / t.n_tokens, 6) AS oov_rate
 FROM totals t LEFT JOIN oov o ON o.split = t.split
+"""
+
+ORACLE["corpus_mix"] = f"""
+WITH w AS (
+  SELECT source, CAST(weight AS DOUBLE) AS weight
+  FROM (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1))
+    AS t(source, weight)
+),
+d AS (
+  SELECT doc_id, source, CAST(len({_TOK}) AS INTEGER) AS ntok,
+         CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1000000 AS bin
+  FROM documents
+),
+totals AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS total_tokens FROM d GROUP BY source),
+j AS (
+  SELECT d.*, w.weight, t.total_tokens,
+         least(1.0, w.weight * 20000 / t.total_tokens) AS frac
+  FROM d JOIN w USING (source) JOIN totals t USING (source)
+)
+SELECT source, weight, total_tokens,
+       round(weight * 20000, 6) AS target_tokens,
+       CAST(sum(CASE WHEN bin < frac * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(sum(CASE WHEN bin < frac * 1000000 THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM j GROUP BY 1, 2, 3
+"""
+
+ORACLE["eval_substring_hits"] = """
+WITH snippets AS (
+  SELECT doc_id AS eval_id, substring(text, 1, 40) AS snippet
+  FROM documents ORDER BY doc_id LIMIT 5
+),
+hits AS (
+  SELECT s.eval_id, count(*) AS n_hits
+  FROM snippets s JOIN documents d ON position(s.snippet IN d.text) > 0
+  GROUP BY s.eval_id
+)
+SELECT s.eval_id, s.snippet, COALESCE(h.n_hits, 0) AS n_hits
+FROM snippets s LEFT JOIN hits h ON h.eval_id = s.eval_id
 """
 
 ORACLE["balance_classes"] = """
@@ -5344,6 +5449,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "record_linkage": q_record_linkage,              # blocked entity resolution
     "sentence_stats": q_sentence_stats,              # narrow HOF segmentation
     "balance_classes": q_balance_classes,            # minority-size downsample
+    "corpus_mix": q_corpus_mix,                      # source-weighted mix build
+    "eval_substring_hits": q_eval_substring_hits,    # exact-match leak probe
     "streaming_top_users": q_streaming_top_users,    # complete-mode stream rank
     "length_drift_psi": q_length_drift_psi,          # PSI ingestion drift gate
     "conversion_lag": q_conversion_lag,              # time-to-convert summary

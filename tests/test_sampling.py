@@ -248,3 +248,29 @@ def test_balance_classes_minority_size_and_determinism(spark):
     # SAME rows
     again = balance_classes(df.repartition(7), "label", "k")
     assert sorted(got) == sorted((r["k"], r["label"]) for r in again.collect())
+
+
+def test_corpus_mix_downsamples_toward_targets(spark, monkeypatch):
+    """With a budget far below the corpus, kept token volume per
+    source lands near weight*budget (hash-Bernoulli expectation), and
+    sources outside the weight table are dropped."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark import workloads
+
+    rows = [
+        (i, " ".join(["tok"] * 20), "srcA" if i % 2 else "srcB")
+        for i in range(400)
+    ] + [(10_000, "tok tok", "srcC")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    monkeypatch.setattr(workloads, "_docs", lambda spark, sf_dir: docs)
+    monkeypatch.setattr(workloads, "_MIX_WEIGHTS", [("srcA", 0.75), ("srcB", 0.25)])
+    monkeypatch.setattr(workloads, "_MIX_BUDGET", 2_000)
+    out = {r["source"]: r for r in workloads.q_corpus_mix(spark, "unused").collect()}
+    assert set(out) == {"srcA", "srcB"}  # srcC unweighted -> dropped
+    # targets: A 1500 of 4000 tokens, B 500 of 4000; hash-Bernoulli
+    # should land within a generous band around the target
+    assert 0.5 * 1500 <= out["srcA"]["kept_tokens"] <= 1.5 * 1500
+    assert 0.3 * 500 <= out["srcB"]["kept_tokens"] <= 2.0 * 500
+    assert out["srcA"]["total_tokens"] == 4000
+    assert out["srcA"]["target_tokens"] == 1500.0
