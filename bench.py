@@ -153,7 +153,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "streaming_latest_events", "streaming_sliding_counts",
         "streaming_countmin", "streaming_top_users",
     ),
-    "sources": ("jsonl_roundtrip", "csv_roundtrip", "orc_roundtrip"),
+    "sources": ("jsonl_roundtrip", "csv_roundtrip", "orc_roundtrip",
+                "schema_evolution"),
 }
 _FAMILY_OF = {q: fam for fam, qs in FAMILIES.items() for q in qs}
 

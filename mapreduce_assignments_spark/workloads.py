@@ -737,6 +737,39 @@ _MIX_WEIGHTS = [("src0", 0.4), ("src1", 0.3), ("src2", 0.2), ("src3", 0.1)]
 _MIX_BUDGET = 20_000  # whitespace tokens
 
 
+_STAGED_EVOLVED: dict[str, str] = {}
+
+
+def q_schema_evolution(spark, sf_dir):
+    """Schema-evolution read: the corpus written in TWO generations —
+    an old 3-column layout (even doc_ids) and a widened 5-column one
+    (odd doc_ids) — into one directory, read back with
+    ``mergeSchema``; columns absent from a generation surface as
+    NULLs. The add-a-column-without-rewriting-history contract every
+    long-lived 100 TB table depends on (per-file schema negotiation
+    at the scan; no rewrite, no backfill)."""
+    if sf_dir not in _STAGED_EVOLVED:
+        import atexit
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="mras-evolve-stage-")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        docs = _docs(spark, sf_dir)
+        docs.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", "lang"
+        ).write.mode("append").parquet(stage)
+        docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).write.mode("append").parquet(stage)
+        _STAGED_EVOLVED[sf_dir] = stage
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(_STAGED_EVOLVED[sf_dir])
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
 def q_corpus_mix(spark, sf_dir):
     """Pretraining-mix construction: deterministically sample each
     source so its expected token volume hits ``weight x budget`` —
@@ -2980,6 +3013,13 @@ oov AS (
 SELECT t.split, t.n_tokens, COALESCE(o.n_oov, 0) AS n_oov,
        round(COALESCE(o.n_oov, 0) / t.n_tokens, 6) AS oov_rate
 FROM totals t LEFT JOIN oov o ON o.split = t.split
+"""
+
+ORACLE["schema_evolution"] = """
+SELECT doc_id, text, lang,
+       CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+       CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+FROM documents
 """
 
 ORACLE["corpus_mix"] = f"""
@@ -5450,6 +5490,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_stats": q_sentence_stats,              # narrow HOF segmentation
     "balance_classes": q_balance_classes,            # minority-size downsample
     "corpus_mix": q_corpus_mix,                      # source-weighted mix build
+    "schema_evolution": q_schema_evolution,          # mergeSchema generation read
     "eval_substring_hits": q_eval_substring_hits,    # exact-match leak probe
     "streaming_top_users": q_streaming_top_users,    # complete-mode stream rank
     "length_drift_psi": q_length_drift_psi,          # PSI ingestion drift gate

@@ -307,3 +307,46 @@ def test_streaming_countmin_equals_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_streaming_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Kill-and-resume: a checkpointed file-source stream processes
+    half the files, 'crashes' (stops), more files arrive, and the
+    RESUMED query (same checkpoint dir) processes only the new files
+    — final counts equal the batch answer, nothing double-counted."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    half1 = spark.range(0, 100).select((F.col("id") % 7).alias("k"))
+    half2 = spark.range(100, 250).select((F.col("id") % 7).alias("k"))
+    half1.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("k bigint").parquet(src)
+        agg = stream.groupBy("k").agg(F.count("*").alias("n"))
+
+        def upsert(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(out)
+
+        q = (
+            agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # processes first half, then "crashes" (terminates)
+    first = {r["k"]: r["n"] for r in spark.read.parquet(out).collect()}
+    assert sum(first.values()) == 100
+    half2.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # resumes from the checkpoint: only the new file
+    got = {r["k"]: r["n"] for r in spark.read.parquet(out).collect()}
+    expected = {
+        r["k"]: r["n"]
+        for r in half1.unionAll(half2).groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected
