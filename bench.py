@@ -98,6 +98,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "event_cube", "shipping_priority", "promo_revenue",
         "large_volume_orders", "part_bracket_revenue", "event_transitions",
         "user_entropy", "conversion_lag", "revenue_share",
+        "revenue_lag_features",
     ),
     "graph": (
         "pagerank", "personalized_pagerank", "degree_histogram",
@@ -110,7 +111,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "minhash_lsh_candidates", "simhash", "simhash_near_dupes",
         "dedup_clusters", "contamination_flags", "dedup_apply",
         "curated_corpus", "split_leakage", "incremental_dedup",
-        "verified_near_dupes", "eval_substring_hits",
+        "verified_near_dupes", "eval_substring_hits", "bloom_decontamination",
         "minhash_calibration", "containment_pairs", "source_overlap",
         "ngram_novelty", "record_linkage",
     ),

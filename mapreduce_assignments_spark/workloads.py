@@ -801,6 +801,101 @@ def q_corpus_mix(spark, sf_dir):
     )
 
 
+def q_bloom_decontamination(spark, sf_dir):
+    """Bloom-filter decontamination triage: 4 portable hash rows x
+    1024 bits built from the eval set's text digests, probed by every
+    corpus document — one row of confusion counts against exact
+    membership. The Bloom pass is the cheap 100 TB first stage (the
+    filter is a fixed bit array broadcast to every executor; only
+    flagged docs reach the exact join); its no-false-negatives
+    guarantee is what the true_hits count certifies. Same universal
+    hash family as MinHash/CMS, so the oracle rebuilds the identical
+    filter."""
+    from .functions.hashing import MINHASH_A, MINHASH_B, MINHASH_PRIME, h28
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("digest"))
+    eval_docs = docs.orderBy("doc_id").limit(20).select("digest")
+
+    def cells(df):
+        base = h28(F.col("digest"))
+        return df.select(
+            "digest",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            (
+                                (F.lit(MINHASH_A[d]) * base + F.lit(MINHASH_B[d]))
+                                % F.lit(MINHASH_PRIME)
+                                % F.lit(1024)
+                            ).alias("bit"),
+                        )
+                        for d in range(4)
+                    ]
+                )
+            ).alias("c"),
+        ).select("digest", F.col("c.d").alias("d"), F.col("c.bit").alias("bit"))
+
+    bits = cells(eval_docs).select("d", "bit").distinct()
+    # probe DISTINCT digests: duplicate docs would multiply their
+    # (digest, d, bit) cells and break the all-4-bits count
+    probe = cells(docs.select("digest").distinct())
+    matched = probe.join(F.broadcast(bits), ["d", "bit"]).groupBy("digest").agg(
+        F.count("*").alias("hits")
+    )
+    flagged = matched.where(F.col("hits") == 4).select("digest")
+    members = eval_docs.distinct()
+    per_doc = docs.join(
+        flagged.withColumn("flagged", F.lit(1)), "digest", "left"
+    ).join(members.withColumn("member", F.lit(1)), "digest", "left")
+    return per_doc.agg(
+        F.sum(F.coalesce("flagged", F.lit(0))).alias("n_flagged"),
+        F.sum(
+            F.when((F.col("flagged") == 1) & (F.col("member") == 1), 1).otherwise(0)
+        ).alias("true_hits"),
+        F.sum(
+            F.when((F.col("flagged") == 1) & F.col("member").isNull(), 1).otherwise(0)
+        ).alias("false_positives"),
+        F.sum(
+            F.when((F.col("member") == 1) & F.col("flagged").isNull(), 1).otherwise(0)
+        ).alias("false_negatives"),
+    )
+
+
+def q_revenue_lag_features(spark, sf_dir):
+    """Daily-revenue ML lag features: (day, revenue, lag1, lag7,
+    pct_change) — the feature-engineering step a demand forecaster
+    trains on. Exact-decimal daily sums rounded to the shared grid,
+    then a calendar-bounded window (days, not rows of the fact
+    table); rows without a full 7-day history drop."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("day")
+    out = daily.select(
+        "day",
+        "revenue",
+        F.lag("revenue", 1).over(w).alias("lag1"),
+        F.lag("revenue", 7).over(w).alias("lag7"),
+    ).where(F.col("lag7").isNotNull())
+    return out.select(
+        "day",
+        "revenue",
+        "lag1",
+        "lag7",
+        F.round((F.col("revenue") - F.col("lag1")) / F.col("lag1"), 6).alias(
+            "pct_change"
+        ),
+    )
+
+
 def q_eval_substring_hits(spark, sf_dir):
     """Exact-substring decontamination probe: for each eval snippet
     (the 5 lowest-id docs' first 40 chars — a stand-in for benchmark
@@ -3045,6 +3140,55 @@ SELECT source, weight, total_tokens,
        CAST(sum(CASE WHEN bin < frac * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
        CAST(sum(CASE WHEN bin < frac * 1000000 THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens
 FROM j GROUP BY 1, 2, 3
+"""
+
+ORACLE["bloom_decontamination"] = f"""
+WITH docs AS (SELECT doc_id, md5(text) AS digest FROM documents),
+eval_docs AS (SELECT digest FROM docs ORDER BY doc_id LIMIT 20),
+bits AS (
+  SELECT DISTINCT t.d,
+         (({_A_SQL}[t.d + 1]
+           * CAST(CONCAT('0x', substring(md5(digest), 1, 7)) AS BIGINT)
+           + {_B_SQL}[t.d + 1]) % 2147483647) % 1024 AS bit
+  FROM eval_docs, range(0, 4) t(d)
+),
+probe AS (
+  SELECT digest, t.d,
+         (({_A_SQL}[t.d + 1]
+           * CAST(CONCAT('0x', substring(md5(digest), 1, 7)) AS BIGINT)
+           + {_B_SQL}[t.d + 1]) % 2147483647) % 1024 AS bit
+  FROM (SELECT DISTINCT digest FROM docs), range(0, 4) t(d)
+),
+flagged AS (
+  SELECT p.digest FROM probe p JOIN bits b ON b.d = p.d AND b.bit = p.bit
+  GROUP BY p.digest HAVING count(*) = 4
+),
+members AS (SELECT DISTINCT digest FROM eval_docs)
+SELECT
+  CAST(sum(CASE WHEN f.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+  CAST(sum(CASE WHEN f.digest IS NOT NULL AND m.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS true_hits,
+  CAST(sum(CASE WHEN f.digest IS NOT NULL AND m.digest IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+  CAST(sum(CASE WHEN m.digest IS NOT NULL AND f.digest IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives
+FROM docs d
+LEFT JOIN flagged f ON f.digest = d.digest
+LEFT JOIN members m ON m.digest = d.digest
+"""
+
+ORACLE["revenue_lag_features"] = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT day, revenue,
+         lag(revenue, 1) OVER (ORDER BY day) AS lag1,
+         lag(revenue, 7) OVER (ORDER BY day) AS lag7
+  FROM daily
+)
+SELECT day, revenue, lag1, lag7,
+       round((revenue - lag1) / lag1, 6) AS pct_change
+FROM lagged WHERE lag7 IS NOT NULL
 """
 
 ORACLE["eval_substring_hits"] = """
@@ -5492,6 +5636,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix": q_corpus_mix,                      # source-weighted mix build
     "schema_evolution": q_schema_evolution,          # mergeSchema generation read
     "eval_substring_hits": q_eval_substring_hits,    # exact-match leak probe
+    "bloom_decontamination": q_bloom_decontamination,  # portable Bloom triage
+    "revenue_lag_features": q_revenue_lag_features,  # ML lag-feature matrix
     "streaming_top_users": q_streaming_top_users,    # complete-mode stream rank
     "length_drift_psi": q_length_drift_psi,          # PSI ingestion drift gate
     "conversion_lag": q_conversion_lag,              # time-to-convert summary

@@ -359,3 +359,22 @@ def test_record_linkage_blocking_and_distance(spark):
     # cross-block identical names do NOT pair (blocking contract);
     # only the in-block near-match survives
     assert got == {(1, 2): 1}
+
+
+def test_bloom_decontamination_no_false_negatives(spark, monkeypatch):
+    """The Bloom guarantee: every true member is flagged (FN = 0);
+    true_hits counts every corpus doc whose digest is in the eval
+    set, including exact-duplicate docs of an eval doc."""
+    from mapreduce_assignments_spark import workloads
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(40)]
+        + [(100, "text number 0")],  # duplicate of eval doc 0's text
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(workloads, "_docs", lambda spark, sf_dir: docs)
+    [row] = workloads.q_bloom_decontamination(spark, "unused").collect()
+    assert row["false_negatives"] == 0
+    # 20 eval docs + the planted duplicate are all true hits
+    assert row["true_hits"] == 21
+    assert row["n_flagged"] == row["true_hits"] + row["false_positives"]
