@@ -126,12 +126,12 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "repetition_stats", "pii_scrub", "chunk_documents",
         "source_stats", "lang_source_matrix", "top_terms_per_source",
         "unigram_logprob", "bigram_logprob", "oov_rate",
-        "sentence_stats",
+        "sentence_stats", "heldout_logprob",
     ),
     "sketches": ("kmv_distinct", "countmin_words"),
     "skew_diag": ("key_skew_report",),
     "validation": ("profile_events", "robust_outliers", "length_drift_psi"),
-    "packing": ("pack_sequences",),
+    "packing": ("pack_sequences", "packing_efficiency"),
     "features": (
         "hashing_tf", "hashing_tfidf", "hashing_tf_cells",
         "hashing_tfidf_cells", "bpe_merges", "bpe_merges_local",

@@ -34,6 +34,7 @@ __all__ = [
     "EMAIL_REGEX",
     "URL_REGEX",
     "sentence_stats",
+    "heldout_logprob",
 ]
 
 # A BPE-ish pre-tokenization: letter runs, digit runs, single other
@@ -536,3 +537,48 @@ def sentence_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.array_max(lengths).alias("max_sentence_chars"),
     )
     return out.where(F.col("n_sentences") > 0)
+
+
+def heldout_logprob(
+    train_docs: DataFrame,
+    test_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean token log-probability of HELD-OUT documents
+    under an add-one unigram LM trained on a DIFFERENT split —
+    :func:`unigram_logprob`'s self-scoring generalized to the
+    train/eval separation a real LM-quality gate needs. Terms unseen
+    in training fall back to the smoothing floor ``ln(1/(N+V))``
+    (that's what add-one is for). ``(doc_id, n_tokens, avg_logprob)``.
+
+    Same scale shape as unigram_logprob: all joins on (doc, term) tf
+    pairs, the vocabulary one row per term, the (N, V) scalar an
+    explicit broadcast; the only change is WHICH side built the LM.
+    """
+    ttf = (
+        train_docs.select(F.explode(tokens_array(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = ttf.agg(F.sum("cnt").alias("n_total"), F.count("*").alias("vocab"))
+    tf = (
+        test_docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_array(text_col)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    joined = tf.join(ttf, "term", "left").select(
+        "doc_id", "tf", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    lp = F.log((F.col("cnt") + F.lit(1.0)) / (F.col("n_total") + F.col("vocab")))
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("int").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * lp) / F.sum("tf"), 6).alias("avg_logprob"),
+        )
+    )

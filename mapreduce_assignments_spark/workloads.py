@@ -801,6 +801,56 @@ def q_corpus_mix(spark, sf_dir):
     )
 
 
+def q_heldout_logprob(spark, sf_dir):
+    """LM-quality gate with a real train/eval separation: add-one
+    unigram LM trained on the hash split's TRAIN docs, held-out
+    splits scored per doc and summarized per split."""
+    docs = sampling.hash_split(
+        _docs(spark, sf_dir), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    scored = text_quality.heldout_logprob(
+        docs.where(F.col("split") == "train"),
+        docs.where(F.col("split") != "train"),
+    )
+    per_split = docs.where(F.col("split") != "train").select("doc_id", "split")
+    return (
+        scored.join(per_split, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("avg_logprob") / F.count("*"), 6).alias("mean_logprob"),
+        )
+    )
+
+
+def q_packing_efficiency(spark, sf_dir):
+    """Shard fill-rate report for the sequence packer: per bucket,
+    how many shards the stream chunked into and how full they are —
+    the fragmentation dashboard a packing budget is tuned against."""
+    packed = packing.pack_sequences(
+        _docs(spark, sf_dir).select(
+            "doc_id", F.size(text.tokens_array("text")).alias("ws_tokens")
+        ),
+        token_col="ws_tokens",
+        budget=512,
+        n_buckets=8,
+    )
+    # the bucket's stream is CONTIGUOUS (concatenate-and-chunk), so it
+    # spans ceil(total/budget) physical shards and only the last one
+    # is partial — counting start-shards instead would overshoot past
+    # 1.0 whenever a document spills across a boundary
+    shards = F.floor((F.sum("ws_tokens") + 511) / 512).cast("long")
+    return packed.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_tokens"),
+        shards.alias("n_shards"),
+        F.round(
+            F.sum("ws_tokens") / (F.floor((F.sum("ws_tokens") + 511) / 512) * 512),
+            6,
+        ).alias("utilization"),
+    )
+
+
 def q_bloom_decontamination(spark, sf_dir):
     """Bloom-filter decontamination triage: 4 portable hash rows x
     1024 bits built from the eval set's text digests, probed by every
@@ -3140,6 +3190,61 @@ SELECT source, weight, total_tokens,
        CAST(sum(CASE WHEN bin < frac * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
        CAST(sum(CASE WHEN bin < frac * 1000000 THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens
 FROM j GROUP BY 1, 2, 3
+"""
+
+ORACLE["heldout_logprob"] = f"""
+WITH split_docs AS (
+  SELECT doc_id, text,
+         CASE WHEN {_DOC_BIN} < 800000 THEN 'train'
+              WHEN {_DOC_BIN} < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+ttf AS (
+  SELECT t AS term, count(*) AS cnt
+  FROM (SELECT unnest({_TOK}) AS t FROM split_docs WHERE split = 'train')
+  GROUP BY t
+),
+totals AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, count(*) AS vocab FROM ttf),
+tf AS (
+  SELECT doc_id, split, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, split, unnest({_TOK}) AS t
+        FROM split_docs WHERE split != 'train')
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT tf.doc_id, tf.split,
+         round(sum(tf.tf * ln((COALESCE(ttf.cnt, 0) + 1.0)
+                              / (t.n_total + t.vocab)))
+               / sum(tf.tf), 6) AS avg_logprob
+  FROM tf LEFT JOIN ttf ON ttf.term = tf.term, totals t
+  GROUP BY 1, 2
+)
+SELECT split, count(*) AS n_docs,
+       round(sum(avg_logprob) / count(*), 6) AS mean_logprob
+FROM scored GROUP BY split
+"""
+
+ORACLE["packing_efficiency"] = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS ws_tokens,
+         {_h60_sql("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+b AS (SELECT *, CAST(h % 8 AS INTEGER) AS bucket FROM t),
+c AS (
+  SELECT doc_id, ws_tokens, bucket,
+         CAST(sum(ws_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - ws_tokens AS start
+  FROM b
+)
+SELECT bucket, count(*) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+       CAST((sum(ws_tokens) + 511) // 512 AS BIGINT) AS n_shards,
+       round(CAST(sum(ws_tokens) AS BIGINT)
+             / (((sum(ws_tokens) + 511) // 512) * 512), 6) AS utilization
+FROM c GROUP BY bucket
 """
 
 ORACLE["bloom_decontamination"] = f"""
@@ -5637,6 +5742,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schema_evolution": q_schema_evolution,          # mergeSchema generation read
     "eval_substring_hits": q_eval_substring_hits,    # exact-match leak probe
     "bloom_decontamination": q_bloom_decontamination,  # portable Bloom triage
+    "heldout_logprob": q_heldout_logprob,            # train/eval LM gate
+    "packing_efficiency": q_packing_efficiency,      # shard fill-rate report
     "revenue_lag_features": q_revenue_lag_features,  # ML lag-feature matrix
     "streaming_top_users": q_streaming_top_users,    # complete-mode stream rank
     "length_drift_psi": q_length_drift_psi,          # PSI ingestion drift gate

@@ -133,3 +133,27 @@ def test_read_shard_is_partition_pruned(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
     assert m and "= 3)" in m.group(0), m.group(0) if m else "no partition filters"
+
+
+def test_packing_efficiency_accounts_every_token(spark, monkeypatch):
+    """Utilization = tokens / (shards * budget) per bucket, and the
+    report's totals reconcile with the packer's input."""
+    import pytest
+
+    from mapreduce_assignments_spark import workloads
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * 100)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(workloads, "_docs", lambda spark, sf_dir: docs)
+    rows = workloads.q_packing_efficiency(spark, "unused").collect()
+    assert sum(r["n_docs"] for r in rows) == 50
+    assert sum(r["total_tokens"] for r in rows) == 5000
+    for r in rows:
+        assert 0 < r["utilization"] <= 1.0
+        # Spark/DuckDB round HALF_UP; Python rounds half-to-even —
+        # compare numerically instead
+        assert r["utilization"] == pytest.approx(
+            r["total_tokens"] / (r["n_shards"] * 512), abs=1e-6
+        )

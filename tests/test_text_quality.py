@@ -305,3 +305,22 @@ def test_sentence_stats_hand_checked(spark):
     assert got[1] == (3, 25, round(25 / 3, 6), 13)
     assert got[2] == (1, 18, 18.0, 18)
     assert 3 not in got
+
+
+def test_heldout_logprob_unseen_terms_hit_smoothing_floor(spark):
+    import math
+
+    from mapreduce_assignments_spark.operators.text_quality import heldout_logprob
+
+    train = spark.createDataFrame(
+        [(1, "cat cat dog")], "doc_id long, text string"
+    )  # N=3, V=2
+    test = spark.createDataFrame(
+        [(10, "cat"), (11, "unicorn unicorn")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in heldout_logprob(train, test).collect()
+    }
+    assert got[10] == (1, round(math.log(3 / 5), 6))      # (2+1)/(3+2)
+    assert got[11] == (2, round(math.log(1 / 5), 6))      # unseen -> 1/(N+V)
