@@ -119,7 +119,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "brute_force_topk", "ivf_assign", "ivf_topk_trained",
         "ivf_index_probe", "embedding_near_dupes", "lsh_topk",
         "quantize_embeddings", "ivf_recall_report", "label_centroids",
-        "centroid_confusion", "random_projection",
+        "centroid_confusion", "random_projection", "hard_negatives",
     ),
     "text_quality": (
         "token_counts", "quality_score", "language_id", "doc_fingerprint",

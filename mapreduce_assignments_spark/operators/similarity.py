@@ -47,6 +47,7 @@ __all__ = [
     "label_centroids",
     "centroid_confusion",
     "random_projection",
+    "hard_negatives",
 ]
 
 
@@ -848,3 +849,60 @@ def random_projection(
             "dim", "value"
         ),
     )
+
+
+def hard_negatives(embeddings: DataFrame, n_anchors: int = 10) -> DataFrame:
+    """Contrastive-training triplet mining with HARD negatives: for
+    each anchor (the ``n_anchors`` lowest vec_ids), the most-similar
+    SAME-label vector (the positive) and the most-similar
+    OTHER-label vector (the hard negative — the pair a contrastive
+    loss learns the most from). One row per anchor:
+    ``(anchor_id, pos_id, pos_sim, neg_id, neg_sim)``.
+
+    Determinism: similarities round to 6 dp before ranking with
+    vec_id tiebreaks — the brute_force_topk contract. Scale shape:
+    anchors broadcast, the corpus is scanned ONCE (one scored pass
+    feeds both the positive and negative rankings), and the top-1
+    windows plan as WindowGroupLimit, so each map task forwards one
+    candidate per (anchor, side) rather than its whole scored
+    partition.
+    """
+    e = _as_double(embeddings)
+    anchors = (
+        e.orderBy("vec_id")
+        .limit(n_anchors)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("a_vec"),
+            F.col("label").alias("a_label"),
+        )
+    )
+    scored = (
+        e.crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "a_label",
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("a_vec"), F.col("embedding")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+
+    def top1(side: DataFrame, id_out: str, sim_out: str) -> DataFrame:
+        return (
+            side.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                "anchor_id",
+                F.col("vec_id").alias(id_out),
+                F.col("sim").alias(sim_out),
+            )
+        )
+
+    pos = top1(scored.where(F.col("label") == F.col("a_label")), "pos_id", "pos_sim")
+    neg = top1(scored.where(F.col("label") != F.col("a_label")), "neg_id", "neg_sim")
+    return pos.join(neg, "anchor_id")

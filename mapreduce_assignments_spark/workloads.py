@@ -1451,6 +1451,12 @@ def q_pii_scrub(spark, sf_dir):
     return text_quality.pii_scrub(withpii)
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive triplet mining — positives and hard negatives for
+    the 10 lowest-id anchors in one scored pass."""
+    return similarity.hard_negatives(_emb(spark, sf_dir), n_anchors=10)
+
+
 def q_random_projection(spark, sf_dir):
     """64-dim embeddings reduced to 8 via the deterministic Achlioptas
     sparse sign matrix, emitted as (vec_id, dim, value) scalar rows;
@@ -3637,6 +3643,37 @@ FROM hashed, range(0, 4) t(d)
 GROUP BY 1, 2
 """
 
+ORACLE["hard_negatives"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+anchors AS (
+  SELECT vec_id AS anchor_id, v AS qv, label AS a_label
+  FROM e ORDER BY vec_id LIMIT 10
+),
+scored AS (
+  SELECT a.anchor_id, a.a_label, e.vec_id, e.label,
+         round(list_dot_product(a.qv, e.v)
+               / (sqrt(list_dot_product(a.qv, a.qv))
+                  * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+  FROM anchors a, e WHERE e.vec_id != a.anchor_id
+),
+pos AS (
+  SELECT anchor_id, vec_id AS pos_id, sim AS pos_sim
+  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM scored WHERE label = a_label)
+  WHERE rn = 1
+),
+neg AS (
+  SELECT anchor_id, vec_id AS neg_id, sim AS neg_sim
+  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM scored WHERE label != a_label)
+  WHERE rn = 1
+)
+SELECT p.anchor_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim
+FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+"""
+
 # The projection matrix entry for (i, j) is derived from the same LCG
 # in both engines: high bits of (a*(i*8+j)+c) mod 2^31, folded mod 6
 # into {{+1, -1, 0, 0, 0, 0}}; scaled by sqrt(3/8). list_sum folds the
@@ -5724,6 +5761,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join
     "random_projection": q_random_projection,        # deterministic JL reducer
+    "hard_negatives": q_hard_negatives,              # contrastive triplet mining
     "countmin_words": q_countmin_words,              # count-min sketch probes
     "degree_assortativity": q_degree_assortativity,  # degree-degree Pearson
     "event_transitions": q_event_transitions,        # Markov next-event matrix

@@ -487,3 +487,23 @@ def test_random_projection_preserves_distances_loosely(spark):
         ratios.append(d_out / d_in)
     med = sorted(ratios)[len(ratios) // 2]
     assert 0.5 < med < 2.0
+
+
+def test_hard_negatives_picks_nearest_same_and_other_label(spark):
+    from mapreduce_assignments_spark.operators.similarity import hard_negatives
+
+    # anchor 0 (label 0): planted near-identical same-label 10 and a
+    # slightly-rotated other-label 20; fillers are near-orthogonal
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (10, [0.999, 0.01, 0.0, 0.0], 0),     # positive
+        (11, [0.0, 1.0, 0.0, 0.0], 0),        # same label, far
+        (20, [0.99, 0.1, 0.0, 0.0], 1),       # hard negative
+        (21, [0.0, 0.0, 1.0, 0.0], 1),        # easy negative
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["anchor_id"]: r for r in hard_negatives(df, n_anchors=1).collect()}
+    assert set(out) == {0}
+    assert out[0]["pos_id"] == 10
+    assert out[0]["neg_id"] == 20
+    assert out[0]["pos_sim"] > out[0]["neg_sim"] > 0.9
