@@ -120,6 +120,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "ivf_index_probe", "embedding_near_dupes", "lsh_topk",
         "quantize_embeddings", "ivf_recall_report", "label_centroids",
         "centroid_confusion", "random_projection", "hard_negatives",
+        "label_spread",
     ),
     "text_quality": (
         "token_counts", "quality_score", "language_id", "doc_fingerprint",
@@ -145,7 +146,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     ),
     "multimodal": (
         "image_stats", "phash_duplicates", "media_sniff", "frame_sample",
-        "audio_stats", "resize_images",
+        "audio_stats", "resize_images", "aspect_ratio_histogram",
     ),
     "streaming": (
         "streaming_hourly_counts", "streaming_user_sessions",

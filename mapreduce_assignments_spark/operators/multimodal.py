@@ -58,6 +58,7 @@ __all__ = [
     "make_wav",
     "make_fake_image",
     "make_fake_video",
+    "image_dimensions",
 ]
 
 # magic-byte prefixes -> container label; checked JVM-side via hex().
@@ -472,4 +473,31 @@ def sample_frames(
 
     return assets.select(id_col, content_col).mapInPandas(
         frame_batches, "asset_id long, frame_idx int, frame binary"
+    )
+
+
+def image_dimensions(assets: DataFrame, content_col: str = "content") -> DataFrame:
+    """Header-only image metadata: ``(asset_id, width, height,
+    channels)`` parsed from the FAKEIMG header's big-endian fields
+    with JVM hex arithmetic (the audio_stats technique) — rows whose
+    magic doesn't match are dropped.
+
+    The scale point is what this DOESN'T do: no decode, no Python,
+    and only the first 16 bytes of each binary are touched — the
+    metadata-without-decode pass that lets a 100 TB media table be
+    profiled (aspect ratios, resolution histograms, channel mix) at
+    parquet-scan speed before any expensive decode stage is planned.
+    """
+    def be(pos: int, nbytes: int):
+        return F.conv(
+            F.hex(F.expr(f"substring({content_col}, {pos}, {nbytes})")), 16, 10
+        ).cast("int")
+
+    return assets.where(
+        F.expr(f"substring({content_col}, 1, 7)") == F.lit(b"FAKEIMG")
+    ).select(
+        "asset_id",
+        be(8, 4).alias("width"),
+        be(12, 4).alias("height"),
+        be(16, 1).alias("channels"),
     )

@@ -48,6 +48,7 @@ __all__ = [
     "centroid_confusion",
     "random_projection",
     "hard_negatives",
+    "label_spread",
 ]
 
 
@@ -906,3 +907,26 @@ def hard_negatives(embeddings: DataFrame, n_anchors: int = 10) -> DataFrame:
     pos = top1(scored.where(F.col("label") == F.col("a_label")), "pos_id", "pos_sim")
     neg = top1(scored.where(F.col("label") != F.col("a_label")), "neg_id", "neg_sim")
     return pos.join(neg, "anchor_id")
+
+
+def label_spread(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding-norm health report: ``(label, n,
+    mean_norm, var_norm)`` — collapsed or exploding norms within one
+    label are the first sign of a broken encoder or a mislabeled
+    ingestion batch. Norms round to 6 dp per row before aggregation
+    (the engine-parity discipline); mean/variance come from the
+    sum/sumsq closed form evaluated identically in the oracle. One
+    narrow fold per row plus a single label-keyed aggregation.
+    """
+    e = _as_double(embeddings)
+    norm = F.round(F.sqrt(_dot(F.col("embedding"), F.col("embedding"))), 6)
+    per = e.select("label", norm.alias("nrm"))
+    return per.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("nrm") / F.count("*"), 6).alias("mean_norm"),
+        F.round(
+            F.sum(F.col("nrm") * F.col("nrm")) / F.count("*")
+            - (F.sum("nrm") / F.count("*")) * (F.sum("nrm") / F.count("*")),
+            6,
+        ).alias("var_norm"),
+    )

@@ -1810,6 +1810,41 @@ def _fake_image_assets(spark, sf_dir):
     )
 
 
+def _variable_image_assets(spark, sf_dir):
+    """Variable-dimension FAKEIMG per document — width 4 + doc_id%12,
+    height 8 — with the ENTIRE header (magic + big-endian u32 dims)
+    assembled JVM-side (unhex of zero-padded hex is the u32be
+    encoder), payload = the first width*8 text bytes."""
+    w = (F.lit(4) + F.col("doc_id") % 12).cast("int")
+    u32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(
+            F.lit(b"FAKEIMG"),
+            u32(w),
+            u32(F.lit(8)),
+            F.unhex(F.lit("01")),
+            F.expr("substring(encode(text, 'UTF-8'), 1, 96)"),
+        ).alias("content"),
+    )
+
+
+def q_aspect_ratio_histogram(spark, sf_dir):
+    """Media-profiling without decode: dims parsed from the 16-byte
+    header only, rolled into a (width, height) histogram with aspect
+    ratios — the resolution-mix dashboard for a 100 TB media table."""
+    dims = multimodal.image_dimensions(_variable_image_assets(spark, sf_dir))
+    return dims.groupBy("width", "height").agg(
+        F.count("*").alias("n_assets"),
+        F.round(F.max("width") / F.max("height"), 6).alias("aspect_ratio"),
+    )
+
+
+def q_label_spread(spark, sf_dir):
+    """Per-label embedding-norm mean/variance — encoder health."""
+    return similarity.label_spread(_emb(spark, sf_dir))
+
+
 def q_image_stats(spark, sf_dir):
     return multimodal.image_stats(_fake_image_assets(spark, sf_dir))
 
@@ -3641,6 +3676,31 @@ SELECT CAST(t.d AS INTEGER) AS d,
        count(*) AS cnt
 FROM hashed, range(0, 4) t(d)
 GROUP BY 1, 2
+"""
+
+ORACLE["aspect_ratio_histogram"] = """
+WITH dims AS (
+  SELECT CAST(4 + doc_id % 12 AS INTEGER) AS width, 8 AS height
+  FROM documents
+)
+SELECT width, CAST(height AS INTEGER) AS height,
+       count(*) AS n_assets,
+       round(max(width) / max(height), 6) AS aspect_ratio
+FROM dims GROUP BY 1, 2
+"""
+
+ORACLE["label_spread"] = """
+WITH per AS (
+  SELECT label,
+         round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))), 6) AS nrm
+  FROM embeddings
+)
+SELECT label, count(*) AS n,
+       round(sum(nrm) / count(*), 6) AS mean_norm,
+       round(sum(nrm * nrm) / count(*)
+             - (sum(nrm) / count(*)) * (sum(nrm) / count(*)), 6) AS var_norm
+FROM per GROUP BY label
 """
 
 ORACLE["hard_negatives"] = """
@@ -5762,6 +5822,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join
     "random_projection": q_random_projection,        # deterministic JL reducer
     "hard_negatives": q_hard_negatives,              # contrastive triplet mining
+    "label_spread": q_label_spread,                  # embedding-norm health
+    "aspect_ratio_histogram": q_aspect_ratio_histogram,  # header-only media profile
     "countmin_words": q_countmin_words,              # count-min sketch probes
     "degree_assortativity": q_degree_assortativity,  # degree-degree Pearson
     "event_transitions": q_event_transitions,        # Markov next-event matrix

@@ -300,3 +300,24 @@ def test_resize_images_upscale_and_seam(spark):
     )
     with pytest.raises(ValueError):
         resize_images(df, out_w=0, out_h=4)
+
+
+def test_image_dimensions_header_only_parse(spark):
+    from mapreduce_assignments_spark.operators.multimodal import (
+        image_dimensions,
+        make_fake_image,
+    )
+
+    rows = [
+        (1, make_fake_image(16, 9, 3)),
+        (2, make_fake_image(640, 480, 1)),
+        (3, b"NOTMEDIA garbage"),  # wrong magic: dropped
+        (4, make_fake_image(7, 5, 1)[:16]),  # header only, payload gone
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, content binary")
+    got = {
+        r["asset_id"]: (r["width"], r["height"], r["channels"])
+        for r in image_dimensions(df).collect()
+    }
+    # the parse never touches the payload — truncated asset 4 still reads
+    assert got == {1: (16, 9, 3), 2: (640, 480, 1), 4: (7, 5, 1)}
