@@ -98,7 +98,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "event_cube", "shipping_priority", "promo_revenue",
         "large_volume_orders", "part_bracket_revenue", "event_transitions",
         "user_entropy", "conversion_lag", "revenue_share",
-        "revenue_lag_features",
+        "revenue_lag_features", "volume_shipping", "market_share",
+        "customer_distribution", "top_supplier", "small_quantity_revenue",
     ),
     "graph": (
         "pagerank", "personalized_pagerank", "degree_histogram",

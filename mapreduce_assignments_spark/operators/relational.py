@@ -36,6 +36,11 @@ __all__ = [
     "session_stats",
     "top_orders_per_customer",
     "customers_without_orders",
+    "volume_shipping",
+    "market_share",
+    "customer_distribution",
+    "top_supplier",
+    "small_quantity_revenue",
 ]
 
 # Decimal widths are chosen so every product stays within 38 digits
@@ -481,3 +486,258 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFram
         "c_custkey",
         "left_anti",
     ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    ship_from: str = "1996-01-01",
+    ship_before: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7-style volume-shipping report: revenue flowing between
+    two nations (supplier nation → customer nation, both directions)
+    per ship year — ``(supp_nation, cust_nation, l_year, revenue)``.
+
+    Scale: the nation pair prunes BOTH dimension paths before they
+    broadcast — supplier and customer each shrink to two nations'
+    worth of keys, so the fact table's two hash joins probe tiny
+    broadcast sides; the disjunctive pair predicate is evaluated on
+    broadcast columns after the joins, never as a fact-side cross.
+    The ship-year range pushes to the lineitem scan.
+    """
+    pair = [nation_a, nation_b]
+    n1 = nation.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp = supplier.join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey")
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
+    ).select("c_custkey", "cust_nation")
+    revenue = F.sum(
+        _exact_product_dec(F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount"))
+    )
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(ship_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(ship_before).cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(revenue, 6).cast("double").alias("revenue"))
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+    part_type: str = "ECONOMY",
+    order_from: str = "1996-01-01",
+    order_before: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8-style national market share: within one region's
+    market for one part type, the fraction of revenue supplied by the
+    target nation per order year — ``(o_year, mkt_share,
+    total_revenue)``. Attribution is by the SUPPLIER's nation
+    (``l_suppkey → s_nationkey``), the consuming market by the
+    CUSTOMER's region — classic Q8 minus the absent supplycost.
+
+    Scale: part-type and region filters prune their dimensions before
+    broadcast; supplier reduces to a (suppkey, is_target) flag frame;
+    only lineitem ⋈ orders shuffles; both sums come from ONE
+    conditional-aggregation pass per year group, no second scan.
+    """
+    region_nations = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nkey"))
+    )
+    cust = customer.join(
+        F.broadcast(region_nations), F.col("c_nationkey") == F.col("c_nkey")
+    ).select("c_custkey")
+    target_keys = nation.where(F.col("n_name") == target_nation).select(
+        F.col("n_nationkey").alias("t_nkey")
+    )
+    supp_flag = supplier.join(
+        F.broadcast(target_keys),
+        F.col("s_nationkey") == F.col("t_nkey"),
+        "left_outer",
+    ).select("s_suppkey", F.col("t_nkey").isNotNull().alias("is_target"))
+    dp = _exact_product_dec(
+        F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_type") == part_type)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(order_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(order_before).cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_flag), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("is_target"), dp).otherwise(F.lit(0).cast(_DEC)))
+                .cast("double")
+                / F.sum(dp).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(dp), 6).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def customer_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_priority: str = "1-URGENT",
+) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: how many
+    customers placed exactly N qualifying orders (orders with the
+    excluded priority do not count; customers with none appear in the
+    N=0 bucket) — ``(c_count, custdist)``.
+
+    Scale: the classic two-level aggregation over a LEFT OUTER join.
+    The filter sits on the orders side BEFORE the join (so excluded
+    orders never cross the wire), the first groupBy shuffles on
+    custkey (same key as the join — one exchange), and the second
+    groupBy reduces to at most max-orders-per-customer rows.
+    """
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.where(F.col("o_orderpriority") != exclude_priority).select(
+                F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+            ),
+            "c_custkey",
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    ship_from: str = "1996-01-01",
+    ship_before: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-style top supplier: the supplier(s) with maximum
+    revenue over one ship quarter — ``(s_suppkey, s_name,
+    total_revenue)``, ties all returned (the view-vs-max shape).
+
+    Scale: revenue per supplier is a partial+final hash aggregate on
+    the pruned quarter; the max is a single-row broadcast joined back
+    against the aggregate (no window over the full supplier set, no
+    second scan of the fact table).
+    """
+    dp = _exact_product_dec(
+        F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")
+    )
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(ship_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(ship_before).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(dp).alias("rev_dec"))
+    )
+    best = rev.agg(F.max("rev_dec").alias("best"))
+    return (
+        rev.join(F.broadcast(best), F.col("rev_dec") == F.col("best"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_dec"), 6).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#23",
+    frac: float = 0.2,
+    years: float = 7.0,
+) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: average yearly
+    revenue lost if orders below ``frac`` of a part's average quantity
+    were not filled, for one brand — one row ``(avg_yearly)``.
+
+    The correlated ``avg(l_quantity)`` subquery becomes a per-part
+    aggregate joined back to the fact rows — the decorrelation every
+    modern optimizer performs, written explicitly.
+
+    Scale: the per-part average aggregates ONLY the brand's lineitems
+    (the brand filter is applied via the broadcast part dimension
+    before both passes), so the heavy fact table is scanned once per
+    pass over a pruned key set; the final filter-and-sum is a
+    broadcast join of per-part thresholds (bounded by part count, and
+    collapsible to a shuffle join at 100 TB without plan changes).
+    """
+    brand_keys = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(brand_keys), F.col("l_partkey") == F.col("p_partkey")
+    )
+    # threshold in exact decimal: frac * avg = frac * sum/cnt, rounded
+    # to a fixed grid so Spark and DuckDB agree on boundary rows
+    thresholds = li.groupBy("p_partkey").agg(
+        F.round(
+            F.lit(frac)
+            * F.sum(_dec("l_quantity")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("qty_cap")
+    )
+    return (
+        li.join(
+            F.broadcast(thresholds.withColumnRenamed("p_partkey", "t_partkey")),
+            F.col("l_partkey") == F.col("t_partkey"),
+        )
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.lit(years), 6
+            ).alias("avg_yearly")
+        )
+    )

@@ -2298,6 +2298,60 @@ def q_part_bracket_revenue(spark, sf_dir):
     )
 
 
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional revenue flow between two nations
+    per ship year."""
+    return relational.volume_shipping(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3's share of ASIA's ECONOMY-part market
+    per order year — conditional aggregation over a 5-way star."""
+    return relational.market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by qualifying order
+    count (two-level aggregation over a left outer join)."""
+    return relational.customer_distribution(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the max-revenue supplier(s) of 1996Q1, ties
+    kept — aggregate, single-row max broadcast back, dimension join."""
+    return relational.top_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: decorrelated avg-quantity subquery — yearly
+    revenue in Brand#23 lineitems below 20% of their part's average
+    quantity."""
+    return relational.small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Tokenizer-fit dashboard: per source, BPE tokens per whitespace
     token under the corpus's own learned 5-merge table — fertility is
@@ -4444,6 +4498,101 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
        AND l.l_quantity BETWEEN 20 AND 30)
 """
 
+ORACLE["volume_shipping"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))), 6)
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+ORACLE["market_share"] = """
+WITH base AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))) AS dp,
+         (sn.n_name = 'NATION_3') AS is_target
+  FROM lineitem l
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+  JOIN region r   ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+  WHERE p.p_type = 'ECONOMY'
+    AND r.r_name = 'ASIA'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT CAST(o_year AS INTEGER) AS o_year,
+       round(CAST(sum(CASE WHEN is_target THEN dp
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(dp) AS DOUBLE), 6) AS mkt_share,
+       CAST(round(sum(dp), 6) AS DOUBLE) AS total_revenue
+FROM base
+GROUP BY o_year
+"""
+
+ORACLE["customer_distribution"] = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+ORACLE["top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(round(r.rev_dec, 6) AS DOUBLE) AS total_revenue
+FROM rev r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rev_dec = (SELECT max(rev_dec) FROM rev)
+"""
+
+ORACLE["small_quantity_revenue"] = """
+WITH li AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#23'
+), caps AS (
+  SELECT l_partkey,
+         round(CAST(0.2 AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS qty_cap
+  FROM li GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 6)
+       AS avg_yearly
+FROM li l
+JOIN caps c ON l.l_partkey = c.l_partkey
+WHERE l.l_quantity < c.qty_cap
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -5817,6 +5966,11 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_prediction": q_link_prediction,            # common-neighbor Jaccard
     # -- round-6 TPC-H-shape batch (scalar-output, rotation-eligible) --
     "shipping_priority": q_shipping_priority,        # Q3 in-flight orders
+    "volume_shipping": q_volume_shipping,            # Q7 two-nation flow
+    "market_share": q_market_share,                  # Q8 national share
+    "customer_distribution": q_customer_distribution,  # Q13 custdist
+    "top_supplier": q_top_supplier,                  # Q15 max-revenue view
+    "small_quantity_revenue": q_small_quantity_revenue,  # Q17 decorrelated avg
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

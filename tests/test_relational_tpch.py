@@ -90,6 +90,131 @@ def test_large_volume_orders_threshold_and_order(spark):
     assert [r["total_qty"] for r in rows] == [300.0, 300.0]
 
 
+def test_volume_shipping_directions_and_years(spark):
+    li = spark.createDataFrame(
+        [
+            # supp 1 (NATION_1) -> cust 20 (NATION_2), 1996
+            (1, 1, 100.0, 0.0, _ts("1996-05-01")),
+            # supp 2 (NATION_2) -> cust 10 (NATION_1), 1997
+            (2, 2, 200.0, 0.5, _ts("1997-05-01")),
+            # supp 1 -> cust 10: both NATION_1, excluded
+            (3, 1, 999.0, 0.0, _ts("1996-05-01")),
+            # outside ship range
+            (1, 1, 888.0, 0.0, _ts("1995-05-01")),
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [(1, 20), (2, 10), (3, 10)], "o_orderkey long, o_custkey long"
+    )
+    cust = spark.createDataFrame(
+        [(10, 1), (20, 2)], "c_custkey long, c_nationkey long"
+    )
+    supp = spark.createDataFrame(
+        [(1, 1), (2, 2)], "s_suppkey long, s_nationkey long"
+    )
+    nation = spark.createDataFrame(
+        [(1, "NATION_1"), (2, "NATION_2")], "n_nationkey long, n_name string"
+    )
+    rows = {
+        (r["supp_nation"], r["cust_nation"], r["l_year"]): r["revenue"]
+        for r in relational.volume_shipping(li, orders, cust, supp, nation).collect()
+    }
+    assert rows == {
+        ("NATION_1", "NATION_2", 1996): 100.0,
+        ("NATION_2", "NATION_1", 1997): 100.0,
+    }
+
+
+def test_customer_distribution_zero_bucket_and_exclusion(spark):
+    cust = spark.createDataFrame(
+        [(1,), (2,), (3,)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 1, "5-LOW"),
+            (101, 1, "1-URGENT"),  # excluded: cust 1 counts 1, not 2
+            (102, 2, "1-URGENT"),  # excluded: cust 2 drops to the 0 bucket
+        ],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    rows = {
+        r["c_count"]: r["custdist"]
+        for r in relational.customer_distribution(cust, orders).collect()
+    }
+    assert rows == {1: 1, 0: 2}
+
+
+def test_top_supplier_keeps_ties(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, _ts("1996-02-01")),
+            (2, 50.0, 0.0, _ts("1996-02-01")),
+            (2, 50.0, 0.0, _ts("1996-03-01")),
+            (3, 999.0, 0.0, _ts("1996-06-01")),  # outside quarter
+        ],
+        "l_suppkey long, l_extendedprice double, l_discount double, "
+        "l_shipdate timestamp",
+    )
+    supp = spark.createDataFrame(
+        [(1, "S1"), (2, "S2"), (3, "S3")], "s_suppkey long, s_name string"
+    )
+    rows = sorted(
+        (r["s_suppkey"], r["total_revenue"])
+        for r in relational.top_supplier(li, supp).collect()
+    )
+    assert rows == [(1, 100.0), (2, 100.0)]
+
+
+def test_small_quantity_revenue_threshold(spark):
+    # part 1 avg qty = 10 -> cap 2.0; only the qty-1 row qualifies
+    li = spark.createDataFrame(
+        [
+            (1, 1.0, 70.0),
+            (1, 19.0, 999.0),
+            (2, 1.0, 555.0),  # wrong brand
+        ],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#23"), (2, "Brand#9")], "p_partkey long, p_brand string"
+    )
+    [row] = relational.small_quantity_revenue(li, part).collect()
+    assert row["avg_yearly"] == pytest.approx(10.0)
+
+
+def test_market_share_conditional_split(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 100.0, 0.0),  # target supplier
+            (1, 1, 2, 300.0, 0.0),  # non-target supplier
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_extendedprice double, l_discount double",
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, _ts("1996-06-01"))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    cust = spark.createDataFrame([(10, 5)], "c_custkey long, c_nationkey long")
+    supp = spark.createDataFrame(
+        [(1, 3), (2, 4)], "s_suppkey long, s_nationkey long"
+    )
+    part = spark.createDataFrame([(1, "ECONOMY")], "p_partkey long, p_type string")
+    nation = spark.createDataFrame(
+        [(3, "NATION_3", 0), (4, "NATION_4", 0), (5, "NATION_5", 2)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    region = spark.createDataFrame([(2, "ASIA")], "r_regionkey long, r_name string")
+    [row] = relational.market_share(
+        li, orders, cust, supp, part, nation, region
+    ).collect()
+    assert row["o_year"] == 1996
+    assert row["mkt_share"] == pytest.approx(0.25)
+    assert row["total_revenue"] == 400.0
+
+
 def test_part_bracket_revenue_disjunction(spark):
     li = _li(
         spark,
