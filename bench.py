@@ -121,29 +121,30 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "ivf_index_probe", "embedding_near_dupes", "lsh_topk",
         "quantize_embeddings", "ivf_recall_report", "label_centroids",
         "centroid_confusion", "random_projection", "hard_negatives",
-        "label_spread",
+        "label_spread", "semantic_dedup",
     ),
     "text_quality": (
         "token_counts", "quality_score", "language_id", "doc_fingerprint",
         "repetition_stats", "pii_scrub", "chunk_documents",
         "source_stats", "lang_source_matrix", "top_terms_per_source",
         "unigram_logprob", "bigram_logprob", "oov_rate",
-        "sentence_stats", "heldout_logprob",
+        "sentence_stats", "heldout_logprob", "filter_funnel",
     ),
     "sketches": ("kmv_distinct", "countmin_words"),
     "skew_diag": ("key_skew_report",),
-    "validation": ("profile_events", "robust_outliers", "length_drift_psi"),
+    "validation": ("profile_events", "robust_outliers", "length_drift_psi",
+                   "k_anonymity"),
     "packing": ("pack_sequences", "packing_efficiency"),
     "features": (
         "hashing_tf", "hashing_tfidf", "hashing_tf_cells",
         "hashing_tfidf_cells", "bpe_merges", "bpe_merges_local",
         "bpe_vocab", "bpe_token_counts", "tokenizer_fertility",
-        "value_buckets",
+        "value_buckets", "target_encoding",
     ),
     "sampling": (
         "hash_split", "deterministic_sample", "stratified_sample",
         "weighted_sample", "per_key_sample", "shuffle_shards",
-        "balance_classes", "corpus_mix",
+        "balance_classes", "corpus_mix", "temporal_split",
     ),
     "multimodal": (
         "image_stats", "phash_duplicates", "media_sniff", "frame_sample",

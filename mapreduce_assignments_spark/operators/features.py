@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from ..functions.hashing import h60
 from .text import tokens_array
 
-__all__ = ["hashing_tf", "hashing_tfidf", "quantile_buckets", "bpe_merges", "bpe_merges_local", "bpe_encode", "bpe_token_counts", "normalize_values"]
+__all__ = ["hashing_tf", "hashing_tfidf", "quantile_buckets", "bpe_merges", "bpe_merges_local", "bpe_encode", "bpe_token_counts", "normalize_values", "target_encoding"]
 
 
 def _bucket_counts(
@@ -484,4 +484,45 @@ def normalize_values(
         F.round(F.col(value_col), 6).alias(value_col),
         z.alias("zscore"),
         mm.alias("minmax"),
+    )
+
+
+def target_encoding(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """Smoothed mean target encoding — the leakage-resistant
+    categorical feature: per category, ``encoded = (sum_target +
+    m * global_mean) / (n + m)`` with smoothing weight ``m``, pulling
+    rare categories toward the global mean. Returns one row per
+    category: ``(category, n, cat_mean, encoded)``.
+
+    Scale: two partial-aggregated passes over the fact column — the
+    per-category sums (one exchange on the category key, cardinality =
+    category-domain rows) and a single-row global aggregate that
+    broadcasts back via crossJoin. Sums run in exact decimal so the
+    division inputs are engine-stable; no window, no per-row state.
+    """
+    dec = F.col(target_col).cast("decimal(18,6)")
+    per_cat = df.groupBy(F.col(category_col).alias("category")).agg(
+        F.count("*").alias("n"), F.sum(dec).alias("_s")
+    )
+    glob = df.agg(
+        F.sum(dec).alias("_gs"), F.count("*").alias("_gn")
+    )
+    gmean = F.col("_gs").cast("double") / F.col("_gn")
+    return (
+        per_cat.crossJoin(F.broadcast(glob))
+        .select(
+            "category",
+            "n",
+            F.round(F.col("_s").cast("double") / F.col("n"), 6).alias("cat_mean"),
+            F.round(
+                (F.col("_s").cast("double") + F.lit(smoothing) * gmean)
+                / (F.col("n") + F.lit(smoothing)),
+                6,
+            ).alias("encoded"),
+        )
     )

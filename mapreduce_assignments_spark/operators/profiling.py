@@ -23,7 +23,7 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["profile_columns", "robust_outliers", "distribution_psi"]
+__all__ = ["profile_columns", "robust_outliers", "distribution_psi", "k_anonymity"]
 
 
 def profile_columns(
@@ -164,4 +164,27 @@ def distribution_psi(
         F.count("*").alias("n_buckets_union"),
         F.count(contrib).alias("n_buckets_common"),
         F.round(F.coalesce(F.sum(contrib), F.lit(0.0)), 6).alias("psi"),
+    )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    re-identification risk gate a dataset must pass before release:
+    one row per equivalence class ``(<quasi_cols...>, class_size,
+    violates)``, where ``violates`` marks classes smaller than ``k``
+    (the dataset's k-anonymity is the minimum class size).
+
+    Scale: a single partial-aggregated groupBy on the quasi-identifier
+    tuple — output cardinality is the quasi-identifier domain, not the
+    row count, so the result is dashboard-sized even at 100 TB. NULL
+    quasi-values form their own class (Spark and SQL GROUP BY agree on
+    NULL grouping), matching the release-gate convention that missing
+    values are still a linkable signature.
+    """
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count("*").alias("class_size"))
+        .withColumn("violates", F.col("class_size") < F.lit(k))
     )

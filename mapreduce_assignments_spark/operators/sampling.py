@@ -29,6 +29,7 @@ __all__ = [
     "per_key_sample",
     "shuffle_shards",
     "stratified_sample",
+    "temporal_split",
     "weighted_sample",
 ]
 
@@ -246,3 +247,29 @@ def balance_classes(df: DataFrame, label_col: str, key: str) -> DataFrame:
         .withColumn("__rn", F.row_number().over(w))
     )
     return ranked.where(F.col("__rn") <= F.col("target")).select(key, label_col)
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoffs: "list[tuple[str, str]]",
+    final_split: str = "test",
+) -> DataFrame:
+    """Add a time-based ``split`` column: each ``(name, upper_bound)``
+    cutoff claims rows with ``ts < upper_bound`` not already claimed;
+    the remainder lands in ``final_split``. The standard
+    forecast-correct alternative to :func:`hash_split` — a model must
+    never train on the future, so the split axis is time, not key
+    hash.
+
+    Scale: a narrow CASE over the timestamp — no shuffle, no state,
+    and the cutoff literals prune partition-ranged storage when the
+    table is date-partitioned.
+    """
+    if not cutoffs:
+        raise ValueError("at least one cutoff required")
+    expr = None
+    for name, upper in cutoffs:
+        cond = F.col(ts_col) < F.lit(upper).cast("timestamp")
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr.otherwise(F.lit(final_split)))

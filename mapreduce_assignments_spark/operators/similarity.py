@@ -49,6 +49,7 @@ __all__ = [
     "random_projection",
     "hard_negatives",
     "label_spread",
+    "semantic_dedup",
 ]
 
 
@@ -929,4 +930,70 @@ def label_spread(embeddings: DataFrame) -> DataFrame:
             - (F.sum("nrm") / F.count("*")) * (F.sum("nrm") / F.count("*")),
             6,
         ).alias("var_norm"),
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    max_cell_size: int | None = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication summary (Abbas et al.
+    2023): bucket the corpus into centroid cells, call a vector a
+    semantic duplicate if some LOWER-id vector in its cell has cosine
+    ``>= threshold``, and report per cell — ``(cell, n_vecs,
+    n_dropped, n_kept)``. The keep-lowest-id rule is the
+    deterministic stand-in for SemDeDup's keep-one-per-group choice.
+
+    Scale: identical candidate bounding to
+    :func:`embedding_near_dupes` — the pairwise cosine is quadratic
+    only within a cell, ``max_cell_size`` caps the blowup, and the
+    duplicate flag is a semi-join of cell members against the
+    (id_a < id_b) pair set, so no row ever materializes more than its
+    cell's pair list. Cells over the cap are excluded entirely (the
+    documented recall-for-boundedness trade).
+    """
+    assigned = ivf_assign(embeddings, centroids)
+    if max_cell_size is not None:
+        cell_n = Window.partitionBy("cell")
+        assigned = (
+            assigned.withColumn("__cell_n", F.count("*").over(cell_n))
+            .where(F.col("__cell_n") <= max_cell_size)
+            .drop("__cell_n")
+        )
+    # members feeds FOUR consumers (both pair sides, the per-cell
+    # count, and the semi-join probe) — localCheckpoint so the scan +
+    # assignment argmax runs once, not four times (the dedup_clusters
+    # discipline for multiply-consumed frames)
+    members = assigned.select("cell", "vec_id", "embedding").localCheckpoint()
+    a = members.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = members.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    dupes = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+            >= F.lit(threshold)
+        )
+        .select("cell", F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    flagged = members.select("cell", "vec_id").join(
+        dupes, ["cell", "vec_id"], "left_semi"
+    )
+    per_cell = members.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    drops = flagged.groupBy("cell").agg(F.count("*").alias("n_dropped"))
+    return (
+        per_cell.join(drops, "cell", "left_outer")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        )
     )

@@ -35,6 +35,7 @@ __all__ = [
     "URL_REGEX",
     "sentence_stats",
     "heldout_logprob",
+    "filter_funnel",
 ]
 
 # A BPE-ish pre-tokenization: letter runs, digit runs, single other
@@ -580,5 +581,69 @@ def heldout_logprob(
         .agg(
             F.sum("tf").cast("int").alias("n_tokens"),
             F.round(F.sum(F.col("tf") * lp) / F.sum("tf"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+def filter_funnel(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style sequential quality-filter funnel: each rule sees
+    only the survivors of the previous ones, and the report shows
+    where documents die — ``(stage, rule, n_in, n_rejected, n_out)``,
+    one row per rule in application order.
+
+    Rules (all integer-arithmetic, so the funnel is engine-exact with
+    no float boundary cases):
+      1. ``min_tokens``      — at least 5 whitespace tokens
+      2. ``mean_token_len``  — mean token length in [2, 12]
+         (as ``2·n_tok ≤ Σlen ≤ 12·n_tok``)
+      3. ``uppercase_ratio`` — uppercase chars ≤ 30% of all chars
+         (as ``10·upper ≤ 3·chars``)
+
+    Scale: ONE pass — per-row rule booleans are computed map-side and
+    reduced into a single wide aggregate row (conditional sums), then
+    unpivoted driver-free via ``inline``; nothing row-sized ever
+    reaches the exchange. Adding a rule is adding a boolean column.
+    """
+    toks = tokens_array(text_col)
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_chars = F.length(F.col(text_col))
+    upper = F.length(F.regexp_replace(F.col(text_col), "[^A-Z]", ""))
+    r1 = n_tok >= 5
+    r2 = (sum_len >= 2 * n_tok) & (sum_len <= 12 * n_tok)
+    r3 = F.lit(10) * upper <= F.lit(3) * n_chars
+    flags = docs.select(
+        r1.alias("r1"), r2.alias("r2"), r3.alias("r3")
+    )
+    one = flags.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(~F.col("r1"), 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("r1") & ~F.col("r2"), 1).otherwise(0)).alias("f2"),
+        F.sum(
+            F.when(F.col("r1") & F.col("r2") & ~F.col("r3"), 1).otherwise(0)
+        ).alias("f3"),
+    )
+    stage = lambda i, rule, n_in, f: F.struct(  # noqa: E731
+        F.lit(i).alias("stage"),
+        F.lit(rule).alias("rule"),
+        n_in.alias("n_in"),
+        f.alias("n_rejected"),
+        (n_in - f).alias("n_out"),
+    )
+    n1 = F.col("n0") - F.col("f1")
+    n2 = n1 - F.col("f2")
+    return one.select(
+        F.inline(
+            F.array(
+                stage(1, "min_tokens", F.col("n0"), F.col("f1")),
+                stage(2, "mean_token_len", n1, F.col("f2")),
+                stage(3, "uppercase_ratio", n2, F.col("f3")),
+            )
         )
     )

@@ -2352,6 +2352,69 @@ def q_small_quantity_revenue(spark, sf_dir):
     )
 
 
+def q_target_encoding(spark, sf_dir):
+    """Smoothed mean target encoding of order priority against order
+    value (m=10) — the classic leakage-resistant categorical feature."""
+    return features.target_encoding(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit of the (mktsegment, nationkey)
+    quasi-identifier over customers, k=5 — the re-identification risk
+    gate before a data release."""
+    return profiling.k_anonymity(
+        load_table(spark, sf_dir, "customer"),
+        ["c_mktsegment", "c_nationkey"],
+        k=5,
+    )
+
+
+def q_temporal_split(spark, sf_dir):
+    """Time-based train/val/test split of the events stream with a
+    user-overlap leakage report: per split, row and user counts plus
+    how many of its users also appear in train (temporal splits leak
+    ENTITIES even when they cannot leak the future)."""
+    s = sampling.temporal_split(
+        _events(spark, sf_dir),
+        "ts",
+        [("train", "2024-01-20"), ("val", "2024-01-25")],
+    )
+    train_users = (
+        s.where(F.col("split") == "train").select("user_id").distinct()
+        .withColumn("__in_train", F.lit(1))
+    )
+    return (
+        s.join(F.broadcast(train_users), "user_id", "left_outer")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct(
+                F.when(F.col("__in_train").isNotNull(), F.col("user_id"))
+            ).alias("n_overlap_users"),
+        )
+    )
+
+
+def q_filter_funnel(spark, sf_dir):
+    """Sequential Gopher-style quality-filter funnel over the corpus —
+    where do documents die, rule by rule."""
+    return text_quality.filter_funnel(_docs(spark, sf_dir))
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style per-cell semantic dedup summary over the
+    embeddings table (seed centroids vec_id < 8, cosine ≥ 0.9 within
+    a cell, keep-lowest-id)."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c")
+    )
+    return similarity.semantic_dedup(emb, centroids, threshold=0.9)
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Tokenizer-fit dashboard: per source, BPE tokens per whitespace
     token under the corpus's own learned 5-merge table — fertility is
@@ -4593,6 +4656,101 @@ JOIN caps c ON l.l_partkey = c.l_partkey
 WHERE l.l_quantity < c.qty_cap
 """
 
+ORACLE["target_encoding"] = """
+WITH pc AS (
+  SELECT o_orderpriority AS category, count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT sum(CAST(o_totalprice AS DECIMAL(18,6))) AS gs, count(*) AS gn
+  FROM orders
+)
+SELECT category, n,
+       round(CAST(s AS DOUBLE) / n, 6) AS cat_mean,
+       round((CAST(s AS DOUBLE)
+              + CAST(10.0 AS DOUBLE) * (CAST(gs AS DOUBLE) / gn))
+             / (CAST(n AS DOUBLE) + CAST(10.0 AS DOUBLE)), 6) AS encoded
+FROM pc, g
+"""
+
+ORACLE["k_anonymity"] = """
+SELECT c_mktsegment, c_nationkey, count(*) AS class_size,
+       count(*) < 5 AS violates
+FROM customer GROUP BY 1, 2
+"""
+
+ORACLE["temporal_split"] = """
+WITH s AS (
+  SELECT user_id,
+         CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'train'
+              WHEN ts < TIMESTAMP '2024-01-25' THEN 'val'
+              ELSE 'test' END AS split
+  FROM events
+), tu AS (SELECT DISTINCT user_id FROM s WHERE split = 'train')
+SELECT s.split, count(*) AS n_rows,
+       count(DISTINCT s.user_id) AS n_users,
+       count(DISTINCT CASE WHEN tu.user_id IS NOT NULL
+                           THEN s.user_id END) AS n_overlap_users
+FROM s LEFT JOIN tu ON s.user_id = tu.user_id
+GROUP BY s.split
+"""
+
+ORACLE["filter_funnel"] = f"""
+WITH f AS (
+  SELECT len({_TOK}) AS n_tok,
+         list_sum(list_transform({_TOK}, t -> len(t))) AS sum_len,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_chars
+  FROM documents
+), fl AS (
+  SELECT (n_tok >= 5) AS r1,
+         (sum_len >= 2 * n_tok AND sum_len <= 12 * n_tok) AS r2,
+         (10 * upper_chars <= 3 * n_chars) AS r3
+  FROM f
+), agg AS (
+  SELECT count(*) AS n0,
+         CAST(sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         CAST(sum(CASE WHEN r1 AND r2 AND NOT r3 THEN 1 ELSE 0 END) AS BIGINT) AS f3
+  FROM fl
+)
+SELECT CAST(1 AS INTEGER) AS stage, 'min_tokens' AS rule,
+       n0 AS n_in, f1 AS n_rejected, n0 - f1 AS n_out FROM agg
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'mean_token_len', n0 - f1, f2, n0 - f1 - f2 FROM agg
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'uppercase_ratio', n0 - f1 - f2, f3,
+       n0 - f1 - f2 - f3 FROM agg
+"""
+
+ORACLE["semantic_dedup"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cen AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cen.cell_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_CCOS} DESC, cen.cell_id ASC) AS rn
+    FROM e, cen)
+  WHERE rn = 1),
+capped AS (
+  SELECT * FROM assigned
+  QUALIFY count(*) OVER (PARTITION BY cell) <= 4096),
+dupes AS (
+  SELECT DISTINCT b.cell, b.vec_id
+  FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6)
+        >= CAST(0.9 AS DOUBLE)),
+pc AS (SELECT cell, count(*) AS n_vecs FROM capped GROUP BY cell),
+dr AS (SELECT cell, count(*) AS n_dropped FROM dupes GROUP BY cell)
+SELECT pc.cell, pc.n_vecs,
+       CAST(COALESCE(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(pc.n_vecs - COALESCE(dr.n_dropped, 0) AS BIGINT) AS n_kept
+FROM pc LEFT JOIN dr ON pc.cell = dr.cell
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -5971,6 +6129,11 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_distribution": q_customer_distribution,  # Q13 custdist
     "top_supplier": q_top_supplier,                  # Q15 max-revenue view
     "small_quantity_revenue": q_small_quantity_revenue,  # Q17 decorrelated avg
+    "target_encoding": q_target_encoding,            # smoothed category feature
+    "k_anonymity": q_k_anonymity,                    # release-gate privacy audit
+    "temporal_split": q_temporal_split,              # time split + entity leakage
+    "filter_funnel": q_filter_funnel,                # sequential quality rules
+    "semantic_dedup": q_semantic_dedup,              # SemDeDup per-cell summary
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

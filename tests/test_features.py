@@ -198,3 +198,17 @@ def test_bpe_token_counts_hand_computed(spark):
         r["doc_id"]: r["bpe_tokens"] for r in bpe_token_counts(df, []).collect()
     }
     assert plain == {1: 5, 2: 0, 3: 2}
+
+
+def test_target_encoding_smoothing_pulls_to_global_mean(spark):
+    from mapreduce_assignments_spark.operators.features import target_encoding
+
+    df = spark.createDataFrame(
+        [("a", 10.0)] * 8 + [("b", 100.0)] * 2,
+        "cat string, y double",
+    )
+    rows = {r["category"]: r for r in target_encoding(df, "cat", "y", smoothing=2.0).collect()}
+    # global mean = (80 + 200) / 10 = 28
+    assert rows["a"]["n"] == 8 and rows["a"]["cat_mean"] == 10.0
+    assert rows["a"]["encoded"] == pytest.approx((80 + 2 * 28.0) / 10, abs=1e-6)
+    assert rows["b"]["encoded"] == pytest.approx((200 + 2 * 28.0) / 4, abs=1e-6)

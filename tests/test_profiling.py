@@ -76,3 +76,17 @@ def test_distribution_psi_identical_and_drifted(spark):
     )
     [r3] = distribution_psi(disj, "v", "seg", ref="a", cur="b").collect()
     assert r3["n_buckets_union"] == 3 and r3["n_buckets_common"] == 1
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from mapreduce_assignments_spark.operators.profiling import k_anonymity
+
+    df = spark.createDataFrame(
+        [("x", 1)] * 5 + [("x", 2)] * 2 + [(None, 2)],
+        "seg string, nat int",
+    )
+    rows = {(r["seg"], r["nat"]): (r["class_size"], r["violates"])
+            for r in k_anonymity(df, ["seg", "nat"], k=5).collect()}
+    assert rows[("x", 1)] == (5, False)
+    assert rows[("x", 2)] == (2, True)
+    assert rows[(None, 2)] == (1, True)  # NULLs form their own class

@@ -274,3 +274,29 @@ def test_corpus_mix_downsamples_toward_targets(spark, monkeypatch):
     assert 0.3 * 500 <= out["srcB"]["kept_tokens"] <= 2.0 * 500
     assert out["srcA"]["total_tokens"] == 4000
     assert out["srcA"]["target_tokens"] == 1500.0
+
+
+def test_temporal_split_boundaries(spark):
+    from datetime import datetime
+    from mapreduce_assignments_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 10)), (2, datetime(2024, 1, 20)),
+         (3, datetime(2024, 1, 24, 23, 59, 59)), (4, datetime(2024, 2, 1))],
+        "id int, ts timestamp",
+    )
+    rows = {r["id"]: r["split"] for r in temporal_split(
+        df, "ts", [("train", "2024-01-20"), ("val", "2024-01-25")]
+    ).collect()}
+    # upper bounds are exclusive; exactly-at-cutoff rolls to the next split
+    assert rows == {1: "train", 2: "val", 3: "val", 4: "test"}
+
+
+def test_temporal_split_requires_cutoffs(spark):
+    from mapreduce_assignments_spark.operators.sampling import temporal_split
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(1).withColumn("ts", F.current_timestamp())
+    with pytest.raises(ValueError):
+        temporal_split(df, "ts", [])

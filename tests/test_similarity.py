@@ -507,3 +507,26 @@ def test_hard_negatives_picks_nearest_same_and_other_label(spark):
     assert out[0]["pos_id"] == 10
     assert out[0]["neg_id"] == 20
     assert out[0]["pos_sim"] > out[0]["neg_sim"] > 0.9
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    from mapreduce_assignments_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # centroid/cell 0
+            (1, [0.0, 1.0]),   # centroid/cell 1
+            (10, [2.0, 0.01]), # cell 0, near-parallel to 20
+            (20, [4.0, 0.02]), # duplicate of 10 (same direction) -> dropped
+            (30, [0.0, 5.0]),  # alone-ish in cell 1 with vec 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cen = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell_id long, c array<double>"
+    )
+    rows = {r["cell"]: r for r in semantic_dedup(emb, cen, threshold=0.999).collect()}
+    # cell 0 holds vecs {0,10,20}; 10 and 20 are parallel and 0 is close
+    # to both, so 10 and 20 both have a lower-id near-dupe
+    assert rows[0]["n_vecs"] == 3 and rows[0]["n_dropped"] == 2 and rows[0]["n_kept"] == 1
+    assert rows[1]["n_vecs"] == 2 and rows[1]["n_dropped"] == 1

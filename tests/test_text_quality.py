@@ -324,3 +324,22 @@ def test_heldout_logprob_unseen_terms_hit_smoothing_floor(spark):
     }
     assert got[10] == (1, round(math.log(3 / 5), 6))      # (2+1)/(3+2)
     assert got[11] == (2, round(math.log(1 / 5), 6))      # unseen -> 1/(N+V)
+
+
+def test_filter_funnel_sequential_attribution(spark):
+    from mapreduce_assignments_spark.operators.text_quality import filter_funnel
+
+    docs = spark.createDataFrame(
+        [
+            (1, "too short"),                          # dies at rule 1
+            (2, "a a a a a a"),                        # passes 1, mean len 1 -> dies at 2
+            (3, "ABC DEF GHI JKL MNO"),                # passes 1+2, all caps -> dies at 3
+            (4, "this is a clean document right here"),  # survives
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["rule"]: r for r in filter_funnel(docs).collect()}
+    assert (rows["min_tokens"]["n_in"], rows["min_tokens"]["n_rejected"]) == (4, 1)
+    assert (rows["mean_token_len"]["n_in"], rows["mean_token_len"]["n_rejected"]) == (3, 1)
+    assert (rows["uppercase_ratio"]["n_in"], rows["uppercase_ratio"]["n_rejected"]) == (2, 1)
+    assert rows["uppercase_ratio"]["n_out"] == 1
