@@ -100,6 +100,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "user_entropy", "conversion_lag", "revenue_share",
         "revenue_lag_features", "volume_shipping", "market_share",
         "customer_distribution", "top_supplier", "small_quantity_revenue",
+        "revenue_rollup", "last_touch_attribution",
     ),
     "graph": (
         "pagerank", "personalized_pagerank", "degree_histogram",
@@ -114,7 +115,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "curated_corpus", "split_leakage", "incremental_dedup",
         "verified_near_dupes", "eval_substring_hits", "bloom_decontamination",
         "minhash_calibration", "containment_pairs", "source_overlap",
-        "ngram_novelty", "record_linkage",
+        "ngram_novelty", "record_linkage", "cluster_canonical",
     ),
     "similarity": (
         "brute_force_topk", "ivf_assign", "ivf_topk_trained",

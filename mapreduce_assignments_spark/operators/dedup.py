@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
 
 from ..functions.hashing import NUM_MINHASHES, h28, h60, minhash_value
 from .text import tokens_array
@@ -51,6 +52,7 @@ __all__ = [
     "incremental_dedup",
     "ngram_novelty",
     "record_linkage_pairs",
+    "cluster_canonical",
 ]
 
 
@@ -809,4 +811,35 @@ def record_linkage_pairs(
         )
         .where(F.col("distance") >= 0)
         .select("id_a", "id_b", "name_a", "name_b", "distance")
+    )
+
+
+def cluster_canonical(clusters: DataFrame, scores: DataFrame) -> DataFrame:
+    """Quality-aware canonical selection per near-duplicate cluster —
+    the curation refinement of :func:`dedup_clusters`' keep-lowest-id
+    rule: given the cluster labeling ``(doc_id, canonical_id,
+    cluster_size)`` and a per-doc ``(doc_id, quality)`` score, keep
+    the HIGHEST-quality member (ties to the lowest doc_id) — one row
+    per cluster: ``(cluster_id, keep_doc_id, keep_quality,
+    cluster_size)``.
+
+    Scale: one join on doc_id (cluster membership is a tiny fraction
+    of the corpus — only near-dup participants) and one window over
+    cluster_id; cluster fan-out is bounded by the LSH/Jaccard
+    candidate generation upstream, so no skew hazard beyond what the
+    clustering itself already bounded.
+    """
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(scores, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("canonical_id").alias("cluster_id"),
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("quality").alias("keep_quality"),
+            "cluster_size",
+        )
     )

@@ -41,6 +41,8 @@ __all__ = [
     "customer_distribution",
     "top_supplier",
     "small_quantity_revenue",
+    "revenue_rollup",
+    "last_touch_attribution",
 ]
 
 # Decimal widths are chosen so every product stays within 38 digits
@@ -740,4 +742,80 @@ def small_quantity_revenue(
                 F.sum(_dec("l_extendedprice")).cast("double") / F.lit(years), 6
             ).alias("avg_yearly")
         )
+    )
+
+
+def revenue_rollup(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """ROLLUP report: discounted revenue by (customer nation, order
+    year) with nation subtotals and a grand total in the same result —
+    ``(n_name, o_year, lvl, revenue)`` where ``lvl`` is the
+    ``grouping_id`` bit mask (0 = leaf, 1 = nation subtotal,
+    3 = grand total). NULL grouping slots are coalesced to sentinels
+    (``'(all)'`` / ``-1``) so the result is canonicalizer-safe.
+
+    Scale: Spark plans rollup as ONE Expand (3 grouping sets) feeding
+    a single partial-aggregated exchange — subtotals cost one extra
+    pass over the aggregate rows, never a second scan or a
+    union-of-three-queries rewrite. Dimensions broadcast as usual.
+    """
+    revenue = F.sum(
+        _exact_product_dec(F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount"))
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.year("o_orderdate").alias("o_year"),
+                "l_extendedprice", "l_discount")
+        .rollup("n_name", "o_year")
+        .agg(
+            F.grouping_id().cast("int").alias("lvl"),
+            F.round(revenue, 6).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name"),
+            F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+            "lvl",
+            "revenue",
+        )
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: tuple = ("click", "view"),
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion event is
+    credited to the SAME user's most recent preceding touch event
+    (``touch_types``), or ``'(none)'`` if the user never touched
+    before converting — ``(touch_type, n_conversions)``.
+
+    Scale: one window pass per user (shuffle on user_id, AQE
+    skew-splits celebrities) using ``last(..., ignorenulls=True)``
+    over a trailing unbounded frame — Spark evaluates it streaming in
+    one sort, no self-join of conversions against touches (the naive
+    formulation is a range join that explodes on active users).
+    Ordering ties break on event_id for cross-engine determinism.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin(*touch_types), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__touch", touch)
+        .where(F.col("event_type") == convert_type)
+        .groupBy(F.coalesce("__touch", F.lit("(none)")).alias("touch_type"))
+        .agg(F.count("*").alias("n_conversions"))
     )

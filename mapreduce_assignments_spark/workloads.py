@@ -2415,6 +2415,34 @@ def q_semantic_dedup(spark, sf_dir):
     return similarity.semantic_dedup(emb, centroids, threshold=0.9)
 
 
+def q_revenue_rollup(spark, sf_dir):
+    """ROLLUP revenue report: (nation, order-year) leaves plus nation
+    subtotals and a grand total from ONE Expand-based aggregation."""
+    return relational.revenue_rollup(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_last_touch_attribution(spark, sf_dir):
+    """Last-touch attribution of purchases to the user's most recent
+    preceding click/view — one streaming window pass, no range join."""
+    return relational.last_touch_attribution(_events(spark, sf_dir))
+
+
+def q_cluster_canonical(spark, sf_dir):
+    """Quality-aware canonical per near-dup cluster: the highest
+    quality_score member wins (ties to lowest doc_id) — the curation
+    refinement of dedup_clusters' keep-lowest-id rule."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    return dedup.cluster_canonical(
+        dedup.dedup_clusters(pairs), text_quality.quality_score(docs)
+    )
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Tokenizer-fit dashboard: per source, BPE tokens per whitespace
     token under the corpus's own learned 5-merge table — fertility is
@@ -4751,6 +4779,53 @@ SELECT pc.cell, pc.n_vecs,
 FROM pc LEFT JOIN dr ON pc.cell = dr.cell
 """
 
+ORACLE["revenue_rollup"] = """
+SELECT COALESCE(n_name, '(all)') AS n_name,
+       CAST(COALESCE(year(o.o_orderdate), -1) AS INTEGER) AS o_year,
+       CAST(grouping(n_name, year(o.o_orderdate)) AS INTEGER) AS lvl,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))), 6)
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP(n_name, year(o.o_orderdate))
+"""
+
+ORACLE["last_touch_attribution"] = """
+WITH t AS (
+  SELECT event_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT COALESCE(touch, '(none)') AS touch_type,
+       count(*) AS n_conversions
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+# canonical-by-quality: CTE-reuses BOTH the clustering oracle and the
+# quality oracle verbatim, so the composition can never drift from its
+# parts
+ORACLE["cluster_canonical"] = f"""
+WITH clusters AS (
+{ORACLE["dedup_clusters"]}
+), q AS (
+{ORACLE["quality_score"]}
+)
+SELECT cluster_id, keep_doc_id, keep_quality, cluster_size FROM (
+  SELECT c.canonical_id AS cluster_id, c.doc_id AS keep_doc_id,
+         q.quality AS keep_quality, c.cluster_size,
+         row_number() OVER (PARTITION BY c.canonical_id
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+WHERE rn = 1
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -6134,6 +6209,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_split": q_temporal_split,              # time split + entity leakage
     "filter_funnel": q_filter_funnel,                # sequential quality rules
     "semantic_dedup": q_semantic_dedup,              # SemDeDup per-cell summary
+    "revenue_rollup": q_revenue_rollup,              # ROLLUP grouping sets
+    "last_touch_attribution": q_last_touch_attribution,  # window attribution
+    "cluster_canonical": q_cluster_canonical,        # quality-aware keeper
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

@@ -378,3 +378,21 @@ def test_bloom_decontamination_no_false_negatives(spark, monkeypatch):
     # 20 eval docs + the planted duplicate are all true hits
     assert row["true_hits"] == 21
     assert row["n_flagged"] == row["true_hits"] + row["false_positives"]
+
+
+def test_cluster_canonical_prefers_quality_then_id(spark):
+    from mapreduce_assignments_spark.operators.dedup import cluster_canonical
+
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (7, 7, 2), (9, 7, 2)],
+        "doc_id long, canonical_id long, cluster_size long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.4), (9, 0.4)],
+        "doc_id long, quality double",
+    )
+    rows = {r["cluster_id"]: r for r in cluster_canonical(clusters, scores).collect()}
+    assert rows[1]["keep_doc_id"] == 2      # highest quality, lowest id on tie
+    assert rows[1]["keep_quality"] == 0.9
+    assert rows[7]["keep_doc_id"] == 7      # pure id tiebreak
+    assert rows[7]["cluster_size"] == 2

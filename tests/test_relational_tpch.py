@@ -233,3 +233,47 @@ def test_part_bracket_revenue_disjunction(spark):
     )
     [row] = relational.part_bracket_revenue(li, part).collect()
     assert row["revenue"] == pytest.approx(100.0 + 100.0 + 400.0)
+
+
+def test_revenue_rollup_levels(spark):
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.0), (2, 50.0, 0.0)],
+        "l_orderkey long, l_extendedprice double, l_discount double",
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, _ts("1996-03-01")), (2, 11, _ts("1997-03-01"))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    cust = spark.createDataFrame(
+        [(10, 1), (11, 1)], "c_custkey long, c_nationkey long"
+    )
+    nation = spark.createDataFrame([(1, "N1")], "n_nationkey long, n_name string")
+    from mapreduce_assignments_spark.operators.relational import revenue_rollup
+
+    rows = {(r["n_name"], r["o_year"], r["lvl"]): r["revenue"]
+            for r in revenue_rollup(li, orders, cust, nation).collect()}
+    assert rows[("N1", 1996, 0)] == 100.0
+    assert rows[("N1", 1997, 0)] == 50.0
+    assert rows[("N1", -1, 1)] == 150.0      # nation subtotal
+    assert rows[("(all)", -1, 3)] == 150.0   # grand total
+    assert len(rows) == 4
+
+
+def test_last_touch_attribution_window(spark):
+    from datetime import datetime
+    from mapreduce_assignments_spark.operators.relational import last_touch_attribution
+
+    ev = spark.createDataFrame(
+        [
+            (1, "u1", "click", datetime(2024, 1, 1, 0)),
+            (2, "u1", "error", datetime(2024, 1, 1, 1)),
+            (3, "u1", "purchase", datetime(2024, 1, 1, 2)),  # -> click
+            (4, "u1", "view", datetime(2024, 1, 1, 3)),
+            (5, "u1", "purchase", datetime(2024, 1, 1, 4)),  # -> view
+            (6, "u2", "purchase", datetime(2024, 1, 1, 0)),  # -> (none)
+        ],
+        "event_id long, user_id string, event_type string, ts timestamp",
+    )
+    rows = {r["touch_type"]: r["n_conversions"]
+            for r in last_touch_attribution(ev).collect()}
+    assert rows == {"click": 1, "view": 1, "(none)": 1}
