@@ -86,7 +86,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "dense_hourly_counts", "scd2_history", "latest_events",
         "snapshot_diff", "hourly_anomalies", "normalize_events",
         "rolling_active_users", "daily_trend", "ewma_hourly",
-        "seasonal_anomalies", "incremental_rollup",
+        "seasonal_anomalies", "incremental_rollup", "interpolate_gaps",
     ),
     "relational": (
         "pricing_summary", "forecast_revenue", "top_revenue_orders", "revenue_by_nation",
@@ -122,7 +122,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "ivf_index_probe", "embedding_near_dupes", "lsh_topk",
         "quantize_embeddings", "ivf_recall_report", "label_centroids",
         "centroid_confusion", "random_projection", "hard_negatives",
-        "label_spread", "semantic_dedup",
+        "label_spread", "semantic_dedup", "knn_label_accuracy",
     ),
     "text_quality": (
         "token_counts", "quality_score", "language_id", "doc_fingerprint",
@@ -157,6 +157,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "streaming_snapshot_sink", "streaming_enriched_counts",
         "streaming_latest_events", "streaming_sliding_counts",
         "streaming_countmin", "streaming_top_users",
+        "streaming_session_stats",
     ),
     "sources": ("jsonl_roundtrip", "csv_roundtrip", "orc_roundtrip",
                 "schema_evolution"),

@@ -50,6 +50,7 @@ __all__ = [
     "hard_negatives",
     "label_spread",
     "semantic_dedup",
+    "knn_label_accuracy",
 ]
 
 
@@ -995,5 +996,52 @@ def semantic_dedup(
             "n_vecs",
             F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
             (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        )
+    )
+
+
+def knn_label_accuracy(
+    embeddings: DataFrame, n_queries: int = 50, label_col: str = "label"
+) -> DataFrame:
+    """1-NN leave-one-out label accuracy over an embedding probe set —
+    the standard embedding-quality eval: for the first ``n_queries``
+    vectors (by id), predict each one\'s label from its nearest
+    OTHER vector\'s label and report per true label — ``(label,
+    n_queries, n_correct, accuracy)``.
+
+    Scale: the probe set is id-bounded (``vec_id < n_queries``) and
+    broadcasts; the corpus scans ONCE through the cost-gated top-k
+    helper (:func:`_topk_per_query` salts when the corpus is big), so
+    the eval is a broadcast-probe pass, not an all-pairs join — eval
+    cost grows with corpus size × probe count, never corpus².
+    """
+    emb = _as_double(embeddings)
+    probes = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    top1 = brute_force_topk(emb, probes, k=1)
+    labels = embeddings.select("vec_id", F.col(label_col).alias("__lab"))
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("__lab").alias("true_label")
+    )
+    pred = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("__lab").alias("pred_label")
+    )
+    return (
+        top1.join(F.broadcast(truth), "query_id")
+        .join(pred, "neighbor_id")
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            ).alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+                )
+                / F.count("*"),
+                6,
+            ).alias("accuracy"),
         )
     )

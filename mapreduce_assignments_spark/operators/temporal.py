@@ -36,6 +36,7 @@ __all__ = [
     "hourly_anomalies",
     "ewma_hourly",
     "seasonal_anomalies",
+    "interpolate_gaps",
 ]
 
 
@@ -505,4 +506,76 @@ def seasonal_anomalies(
         )
         .where(F.col("__var") > 0)
         .drop("__var")
+    )
+
+
+def interpolate_gaps(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense hourly series PER GROUP with linear interpolation over
+    missing hours — the imputation step between gap-filling (zeros,
+    :func:`timeseries.fill_hourly_gaps`) and modeling: a missing
+    bucket gets the straight line between its nearest observed
+    neighbors (edges clamp to the nearest observation). Returns
+    ``(event_type, hour_ts, value, filled)``.
+
+    Scale: one partial-aggregated (group, hour) rollup; the calendar
+    axis per group is TIME-bounded (sequence of hours between that
+    group's min and max), so the join against it is group-count ×
+    calendar rows — dashboard-sized; the neighbor lookup is two
+    streaming window passes (trailing last / leading first,
+    ignorenulls) over the dense axis, never a self-join of gaps
+    against observations. Observed sums aggregate in exact decimal
+    and round to 6 dp BEFORE interpolation so both engines
+    interpolate between identical endpoints.
+    """
+    g = F.col(group_col)
+    hourly = (
+        events.select(
+            g.alias("grp"), F.date_trunc("hour", F.col(ts_col)).alias("h"),
+            F.col(value_col).cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("grp", "h")
+        .agg(F.round(F.sum("v"), 6).cast("double").alias("v"))
+    )
+    calendar = (
+        hourly.groupBy("grp")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "grp",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+        )
+    )
+    dense = calendar.join(hourly, ["grp", "h"], "left")
+    hr = (F.unix_timestamp("h") / 3600).cast("long")
+    back = Window.partitionBy("grp").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd = Window.partitionBy("grp").orderBy("h").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    prev_h = F.last(F.when(F.col("v").isNotNull(), hr), ignorenulls=True).over(back)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    next_h = F.first(F.when(F.col("v").isNotNull(), hr), ignorenulls=True).over(fwd)
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            F.round(
+                prev_v
+                + (next_v - prev_v) * (hr - prev_h) / (next_h - prev_h),
+                6,
+            )
+        )
+    )
+    return dense.select(
+        F.col("grp").alias(group_col),
+        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour_ts"),
+        interp.alias("value"),
+        F.col("v").isNull().alias("filled"),
     )

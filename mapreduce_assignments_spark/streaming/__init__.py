@@ -9,6 +9,7 @@ from .stream_ops import (  # noqa: F401
     streaming_exact_dedup,
     streaming_interval_join,
     streaming_sliding_counts,
+    streaming_session_stats,
     streaming_hourly_counts,
     streaming_user_sessions,
 )
@@ -24,4 +25,5 @@ __all__ = [
     "streaming_interval_join",
     "EVENTS_SCHEMA",
     "run_to_memory",
+    "streaming_session_stats",
 ]

@@ -38,6 +38,7 @@ __all__ = [
     "streaming_enriched_counts",
     "streaming_interval_join",
     "run_to_memory",
+    "streaming_session_stats",
 ]
 
 EVENTS_SCHEMA = (
@@ -312,3 +313,38 @@ def run_to_memory(stream: DataFrame, name: str, output_mode: str = "update"):
     )
     q.awaitTermination()
     return q
+
+
+def streaming_session_stats(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-session statistics on the STREAM via the native dynamic-gap
+    ``session_window`` — the streaming proof of the batch operator\'s
+    claim (operators/relational.py ``session_stats``: "the same API
+    runs unchanged under readStream with a watermark"). Two events
+    within ``gap_minutes`` merge into one growing session; the
+    watermark closes sessions once no extension can arrive, bounding
+    state to sessions still open within the lateness horizon.
+
+    Output schema matches the batch operator exactly, so a full
+    replay must agree with the batch oracle row-for-row — the
+    batch/stream consistency contract.
+    """
+    sw = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(sw.alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

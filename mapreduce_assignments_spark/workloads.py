@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
 import struct
+from datetime import timedelta
 
 from .functions.hashing import MINHASH_A, MINHASH_B, MINHASH_PRIME, NUM_MINHASHES
 from .operators import (
@@ -2415,6 +2416,81 @@ def q_semantic_dedup(spark, sf_dir):
     return similarity.semantic_dedup(emb, centroids, threshold=0.9)
 
 
+_STAGED_SESSION_STREAM: dict = {}
+
+
+def q_streaming_session_stats(spark, sf_dir):
+    """Native session_window ON THE STREAM (append mode + watermark),
+    replayed to closure: session windows forbid update mode, and
+    append emits a session only once the watermark passes its end —
+    which needs a LATER batch to advance the watermark. So the replay
+    runs three availableNow passes over a shared checkpoint: the real
+    events, then two far-future sentinel files whose only job is to
+    push the watermark past every real session end (the second
+    sentinel triggers the batch that flushes sessions the first one
+    unlocked). Emitted batches append to a parquet sink; the final
+    read must equal the BATCH session_stats oracle row-for-row — the
+    batch/stream consistency contract, now for dynamic-gap windows.
+    Staged once per (process, sf_dir); sentinel rows (user -1)
+    filtered out."""
+    from .streaming import streaming_session_stats
+
+    if sf_dir not in _STAGED_SESSION_STREAM:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="mras-session-stream-")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        src, out, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+        ev = _events(spark, sf_dir).select("ts", "user_id", "value")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+
+        def run_once():
+            stream = spark.readStream.schema(
+                "ts timestamp, user_id bigint, value double"
+            ).parquet(src)
+            q = (
+                streaming_session_stats(stream)
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(
+                    lambda b, i: b.write.mode("append").parquet(out)
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        run_once()  # real data: nothing emitted yet (watermark at 0)
+        for days in (30, 60):
+            sentinel = spark.createDataFrame(
+                [(max_ts + timedelta(days=days), -1, 0.0)],
+                "ts timestamp, user_id bigint, value double",
+            )
+            sentinel.coalesce(1).write.mode("append").parquet(src)
+            run_once()
+        _STAGED_SESSION_STREAM[sf_dir] = out
+    return (
+        spark.read.parquet(_STAGED_SESSION_STREAM[sf_dir])
+        .where(F.col("user_id") != -1)
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
+
+
+def q_interpolate_gaps(spark, sf_dir):
+    """Linearly interpolated dense hourly value series per event type
+    — the imputation step between zero-fill and modeling."""
+    return temporal.interpolate_gaps(_events(spark, sf_dir))
+
+
+def q_knn_label_accuracy(spark, sf_dir):
+    """1-NN leave-one-out label accuracy over the first 50 embedding
+    probes — the standard embedding-quality eval."""
+    return similarity.knn_label_accuracy(_emb(spark, sf_dir), n_queries=50)
+
+
 def q_revenue_rollup(spark, sf_dir):
     """ROLLUP revenue report: (nation, order-year) leaves plus nation
     subtotals and a grand total from ONE Expand-based aggregation."""
@@ -4302,6 +4378,9 @@ SELECT user_id,
 FROM g GROUP BY user_id, sid
 """
 
+# the stream must land exactly on the batch answer after full replay
+ORACLE["streaming_session_stats"] = ORACLE["session_stats"]
+
 ORACLE["normalize_events"] = """
 WITH stats AS (
   SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd,
@@ -4824,6 +4903,71 @@ SELECT cluster_id, keep_doc_id, keep_quality, cluster_size FROM (
                             ORDER BY q.quality DESC, c.doc_id ASC) AS rn
   FROM clusters c JOIN q ON c.doc_id = q.doc_id)
 WHERE rn = 1
+"""
+
+ORACLE["interpolate_gaps"] = """
+WITH hourly AS (
+  SELECT event_type AS grp, date_trunc('hour', ts) AS h,
+         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), cal AS (
+  SELECT grp, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM (SELECT grp, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY grp)
+), dense AS (
+  SELECT c.grp, c.h, hv.v
+  FROM cal c LEFT JOIN hourly hv ON c.grp = hv.grp AND c.h = hv.h
+), nb AS (
+  SELECT grp, h, v,
+    CAST(epoch(h) / 3600 AS BIGINT) AS hr,
+    last_value(v IGNORE NULLS) OVER w_back AS prev_v,
+    last_value(CASE WHEN v IS NOT NULL
+                    THEN CAST(epoch(h) / 3600 AS BIGINT) END IGNORE NULLS)
+      OVER w_back AS prev_h,
+    first_value(v IGNORE NULLS) OVER w_fwd AS next_v,
+    first_value(CASE WHEN v IS NOT NULL
+                     THEN CAST(epoch(h) / 3600 AS BIGINT) END IGNORE NULLS)
+      OVER w_fwd AS next_h
+  FROM dense
+  WINDOW
+    w_back AS (PARTITION BY grp ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY grp ORDER BY h
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT grp AS event_type, strftime(h, '%Y-%m-%d %H:00:00') AS hour_ts,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN prev_v IS NULL THEN next_v
+            WHEN next_v IS NULL THEN prev_v
+            ELSE round(prev_v + (next_v - prev_v) * (hr - prev_h)
+                       / (next_h - prev_h), 6) END AS value,
+       (v IS NULL) AS filled
+FROM nb
+"""
+
+_KCOS = (
+    "round(list_dot_product(q.qv, e.v) / "
+    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6)"
+)
+ORACLE["knn_label_accuracy"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, label AS true_label
+      FROM e WHERE vec_id < 50),
+scored AS (
+  SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id,
+         e.label AS pred_label, {_KCOS} AS sim
+  FROM q JOIN e ON e.vec_id <> q.query_id),
+top1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM scored)
+  WHERE rn = 1)
+SELECT true_label AS label, count(*) AS n_queries,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS accuracy
+FROM top1 GROUP BY 1
 """
 
 ORACLE["length_histogram"] = """
@@ -6212,6 +6356,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_rollup": q_revenue_rollup,              # ROLLUP grouping sets
     "last_touch_attribution": q_last_touch_attribution,  # window attribution
     "cluster_canonical": q_cluster_canonical,        # quality-aware keeper
+    "interpolate_gaps": q_interpolate_gaps,          # linear gap imputation
+    "knn_label_accuracy": q_knn_label_accuracy,      # 1-NN embedding eval
+    "streaming_session_stats": q_streaming_session_stats,  # stream session_window
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

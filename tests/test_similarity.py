@@ -530,3 +530,21 @@ def test_semantic_dedup_keeps_lowest_id(spark):
     # to both, so 10 and 20 both have a lower-id near-dupe
     assert rows[0]["n_vecs"] == 3 and rows[0]["n_dropped"] == 2 and rows[0]["n_kept"] == 1
     assert rows[1]["n_vecs"] == 2 and rows[1]["n_dropped"] == 1
+
+
+def test_knn_label_accuracy_counts(spark):
+    from mapreduce_assignments_spark.operators.similarity import knn_label_accuracy
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], "x"),   # NN is 2 (x) -> correct
+            (1, [0.0, 1.0], "y"),   # NN is 3 (x) -> wrong
+            (2, [1.0, 0.1], "x"),
+            (3, [0.1, 1.0], "x"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    rows = {r["label"]: r for r in knn_label_accuracy(emb, n_queries=2).collect()}
+    assert rows["x"]["n_queries"] == 1 and rows["x"]["n_correct"] == 1
+    assert rows["x"]["accuracy"] == 1.0
+    assert rows["y"]["n_queries"] == 1 and rows["y"]["n_correct"] == 0

@@ -350,3 +350,57 @@ def test_streaming_checkpoint_restart_is_exactly_once(spark, tmp_path):
         for r in half1.unionAll(half2).groupBy("k").agg(F.count("*").alias("n")).collect()
     }
     assert got == expected
+
+
+def test_streaming_session_stats_matches_batch(spark, tmp_path):
+    """Full replay of the native session_window stream (append mode,
+    sentinel-driven watermark flush) equals the batch session_stats."""
+    from datetime import datetime, timedelta
+
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.operators.relational import session_stats
+    from mapreduce_assignments_spark.streaming import streaming_session_stats
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0), 1.0),
+            (1, datetime(2024, 1, 1, 0, 20), 2.0),   # merges (gap 20m)
+            (1, datetime(2024, 1, 1, 2, 0), 3.0),    # new session
+            (2, datetime(2024, 1, 1, 1, 0), 4.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    ev.select("ts", "user_id", "value").write.mode("overwrite").parquet(src)
+    max_ts = datetime(2024, 1, 1, 2, 0)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id bigint, value double"
+        ).parquet(src)
+        q = (
+            streaming_session_stats(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    for days in (30, 60):
+        spark.createDataFrame(
+            [(max_ts + timedelta(days=days), -1, 0.0)],
+            "ts timestamp, user_id bigint, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .where(F.col("user_id") != -1)
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .collect()
+    )
+    want = sorted(tuple(r) for r in session_stats(ev).collect())
+    assert got == want and len(got) == 3

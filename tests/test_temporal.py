@@ -466,3 +466,26 @@ def test_seasonal_anomalies_leave_one_out(spark):
         r = got[f"2024-01-0{day} 03:00"]
         assert r["base_mean"] == 9.0  # (38 - 2) / 4
         assert not r["is_anomaly"]
+
+
+def test_interpolate_gaps_linear_and_edges(spark):
+    from datetime import datetime
+    from mapreduce_assignments_spark.operators.temporal import interpolate_gaps
+
+    ev = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 0, 15), 10.0),
+            # hours 1 and 2 missing -> interpolated 20, 30
+            ("a", datetime(2024, 1, 1, 3, 45), 40.0),
+            ("b", datetime(2024, 1, 1, 5, 0), 7.0),  # single-hour group
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    rows = {(r["event_type"], r["hour_ts"]): (r["value"], r["filled"])
+            for r in interpolate_gaps(ev).collect()}
+    assert rows[("a", "2024-01-01 00:00:00")] == (10.0, False)
+    assert rows[("a", "2024-01-01 01:00:00")] == (20.0, True)
+    assert rows[("a", "2024-01-01 02:00:00")] == (30.0, True)
+    assert rows[("a", "2024-01-01 03:00:00")] == (40.0, False)
+    assert rows[("b", "2024-01-01 05:00:00")] == (7.0, False)
+    assert len(rows) == 5
