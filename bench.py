@@ -77,7 +77,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "index_retrieval": (
         "inverted_index_stats", "tf_histogram", "tf_idf", "term_frequencies",
         "boolean_retrieval", "boolean_retrieval_text", "bm25_topk",
-        "top_keywords", "query_likelihood", "rrf_fusion",
+        "top_keywords", "query_likelihood", "rrf_fusion", "phrase_search",
     ),
     "timeseries": (
         "hourly_counts", "hourly_counts_errors", "hourly_counts_tweets",
@@ -95,7 +95,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "bucketed_customer_orders", "user_sessions", "event_props_stats",
         "funnel_counts", "cohort_retention", "brand_nation_revenue",
         "late_orders_by_priority", "top_return_customers", "session_stats", "co_engagement",
-        "event_cube", "shipping_priority", "promo_revenue",
+        "event_cube", "shipping_priority", "promo_revenue", "session_paths",
         "large_volume_orders", "part_bracket_revenue", "event_transitions",
         "user_entropy", "conversion_lag", "revenue_share",
         "revenue_lag_features", "volume_shipping", "market_share",
@@ -140,7 +140,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "hashing_tf", "hashing_tfidf", "hashing_tf_cells",
         "hashing_tfidf_cells", "bpe_merges", "bpe_merges_local",
         "bpe_vocab", "bpe_token_counts", "tokenizer_fertility",
-        "value_buckets", "target_encoding",
+        "value_buckets", "target_encoding", "span_corruption",
     ),
     "sampling": (
         "hash_split", "deterministic_sample", "stratified_sample",

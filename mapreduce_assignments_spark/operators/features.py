@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from ..functions.hashing import h60
 from .text import tokens_array
 
-__all__ = ["hashing_tf", "hashing_tfidf", "quantile_buckets", "bpe_merges", "bpe_merges_local", "bpe_encode", "bpe_token_counts", "normalize_values", "target_encoding"]
+__all__ = ["hashing_tf", "hashing_tfidf", "quantile_buckets", "bpe_merges", "bpe_merges_local", "bpe_encode", "bpe_token_counts", "normalize_values", "target_encoding", "span_corruption_stats"]
 
 
 def _bucket_counts(
@@ -525,4 +525,69 @@ def target_encoding(
                 6,
             ).alias("encoded"),
         )
+    )
+
+
+def span_corruption_stats(
+    docs: DataFrame,
+    mask_pct: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5-style span-corruption accounting: token ``i`` of a document
+    is masked iff ``h28(doc_id || ':' || i) % 100 < mask_pct`` (a
+    deterministic per-position coin — same tokens mask on every run
+    and every engine), and a SPAN is a maximal run of consecutive
+    masked tokens (what a denoising objective replaces with one
+    sentinel). Returns ``(doc_id, n_tokens, n_masked, n_spans)`` —
+    the budget sheet for choosing a corruption rate.
+
+    Scale: completely narrow — the flag array, the masked count, and
+    the run-boundary count are all per-row higher-order functions
+    over the token array (transform / filter / aggregate); no
+    explode, no shuffle until the caller aggregates. The span count
+    folds left with (prev, count) state, adding 1 exactly when a
+    masked token follows an unmasked one.
+    """
+    toks = tokens_array(text_col)
+    flags = F.transform(
+        toks,
+        lambda t, i: (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(id_col).cast("string"),
+                            F.lit(":"),
+                            i.cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < mask_pct
+        ),
+    )
+    spans = F.aggregate(
+        flags,
+        F.struct(
+            F.lit(False).alias("prev"), F.lit(0).alias("cnt")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (
+                acc["cnt"]
+                + F.when(x & ~acc["prev"], F.lit(1)).otherwise(F.lit(0))
+            ).alias("cnt"),
+        ),
+    )["cnt"]
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(flags, lambda x: x)).cast("long").alias("n_masked"),
+        spans.cast("long").alias("n_spans"),
     )

@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users", "co_engagement", "event_transitions", "user_entropy", "conversion_lag_stats"]
+__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users", "co_engagement", "event_transitions", "user_entropy", "conversion_lag_stats", "session_paths"]
 
 
 def funnel_counts(
@@ -304,4 +304,53 @@ def conversion_lag_stats(
         F.round(F.sum("lag_s") / F.count("*"), 6).alias("mean_lag_s"),
         F.round(F.expr("percentile(lag_s, 0.5)"), 6).alias("p50_lag_s"),
         F.max("lag_s").alias("max_lag_s"),
+    )
+
+
+def session_paths(
+    events: DataFrame, gap_minutes: int = 30, depth: int = 3, k: int = 20
+) -> DataFrame:
+    """Top-k session entry paths: sessionize per user (``gap_minutes``
+    inactivity gap), take each session's first ``depth`` event types
+    in time order, and count sessions per ``'a>b>c'`` path — the
+    product-analytics "how do sessions start" report.
+
+    Scale: one shuffle on user_id for the sessionizing lag/cumsum and
+    the per-session rank (three window passes share the sort), then a
+    partial-aggregated count on the path string (path cardinality is
+    event-type^depth — tiny). Ordering ties break on event_id so the
+    path is deterministic across engines; sessions shorter than
+    ``depth`` keep their truncated path.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts"))
+    brk = F.when(
+        F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us), 1
+    ).otherwise(0)
+    sess = events.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "sid", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    firsts = (
+        sess.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= depth)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        firsts.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
     )

@@ -30,7 +30,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from .text import tokenize
+from .text import tokenize, tokens_array
 
 __all__ = [
     "term_frequencies",
@@ -43,6 +43,7 @@ __all__ = [
     "bm25_scores",
     "query_likelihood_scores",
     "fetch_docs",
+    "phrase_search",
 ]
 
 
@@ -309,4 +310,38 @@ def query_likelihood_scores(
         .agg(F.round(F.sum("c"), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("docid"))
         .limit(k)
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: tuple = ("spark", "table"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact two-term phrase retrieval over a positional index — the
+    adjacency-constrained AND the boolean evaluator cannot express:
+    returns ``(doc_id, n_matches)`` for documents where ``phrase[1]``
+    immediately follows ``phrase[0]`` (n_matches counts occurrences).
+
+    Scale: the positional postings are built ONLY for the two query
+    terms (the term filter lands inside the explode projection, so
+    non-query tokens never materialize as rows), then a self-equi-join
+    on ``(doc_id, pos + 1 = pos)`` — both sides are term-filtered
+    posting lists, the join key is the document, and fan-out is
+    bounded by per-doc term frequency. A full positional index would
+    be built the same way without the term filter.
+    """
+    t1, t2 = phrase
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_array(text_col)).alias("pos", "term"),
+    ).where(F.col("term").isin(t1, t2))
+    p1 = pos.where(F.col("term") == t1).select("doc_id", F.col("pos").alias("p1"))
+    p2 = pos.where(F.col("term") == t2).select("doc_id", F.col("pos").alias("p2"))
+    return (
+        p1.join(p2, "doc_id")
+        .where(F.col("p2") == F.col("p1") + 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
     )

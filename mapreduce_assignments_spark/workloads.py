@@ -2491,6 +2491,25 @@ def q_knn_label_accuracy(spark, sf_dir):
     return similarity.knn_label_accuracy(_emb(spark, sf_dir), n_queries=50)
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5-style span-corruption budget sheet: deterministic 15%
+    per-position masking, per-doc token/masked/span counts — all
+    narrow higher-order functions, no explode."""
+    return features.span_corruption_stats(_docs(spark, sf_dir))
+
+
+def q_phrase_search(spark, sf_dir):
+    """Positional-index phrase retrieval for "spark table" — the
+    adjacency-constrained AND over term-filtered postings."""
+    return index.phrase_search(_docs(spark, sf_dir), ("spark", "table"))
+
+
+def q_session_paths(spark, sf_dir):
+    """Top-20 session entry paths (first 3 event types per 30-minute
+    session) — the how-do-sessions-start report."""
+    return funnel.session_paths(_events(spark, sf_dir))
+
+
 def q_revenue_rollup(spark, sf_dir):
     """ROLLUP revenue report: (nation, order-year) leaves plus nation
     subtotals and a grand total from ONE Expand-based aggregation."""
@@ -4970,6 +4989,62 @@ SELECT true_label AS label, count(*) AS n_queries,
 FROM top1 GROUP BY 1
 """
 
+ORACLE["span_corruption"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+f AS (
+  SELECT doc_id, len(ts) AS n_tokens,
+         list_transform(range(0, len(ts)), i ->
+           (CAST(CONCAT('0x', substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 7))
+                 AS BIGINT) % 100) < 15) AS fl
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(fl, x -> x)) AS BIGINT) AS n_masked,
+       CAST(COALESCE(list_sum(list_transform(range(1, len(fl) + 1), j ->
+              CASE WHEN fl[j] AND (j = 1 OR NOT fl[j - 1])
+                   THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_spans
+FROM f
+"""
+
+ORACLE["phrase_search"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+pos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                        i -> {{'p': i, 'term': ts[i]}})) AS u
+  FROM t),
+p1 AS (SELECT doc_id, u.p AS p1 FROM pos WHERE u.term = 'spark'),
+p2 AS (SELECT doc_id, u.p AS p2 FROM pos WHERE u.term = 'table')
+SELECT p1.doc_id, count(*) AS n_matches
+FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.p2 = p1.p1 + 1
+GROUP BY 1
+"""
+
+ORACLE["session_paths"] = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                               ORDER BY ts, event_id) AS rn
+  FROM g
+), paths AS (
+  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -6359,6 +6434,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interpolate_gaps": q_interpolate_gaps,          # linear gap imputation
     "knn_label_accuracy": q_knn_label_accuracy,      # 1-NN embedding eval
     "streaming_session_stats": q_streaming_session_stats,  # stream session_window
+    "span_corruption": q_span_corruption,            # T5 masking budget
+    "phrase_search": q_phrase_search,                # positional phrase AND
+    "session_paths": q_session_paths,                # session entry paths
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

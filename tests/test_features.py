@@ -212,3 +212,21 @@ def test_target_encoding_smoothing_pulls_to_global_mean(spark):
     assert rows["a"]["n"] == 8 and rows["a"]["cat_mean"] == 10.0
     assert rows["a"]["encoded"] == pytest.approx((80 + 2 * 28.0) / 10, abs=1e-6)
     assert rows["b"]["encoded"] == pytest.approx((200 + 2 * 28.0) / 4, abs=1e-6)
+
+
+def test_span_corruption_deterministic_and_bounded(spark):
+    from mapreduce_assignments_spark.operators.features import span_corruption_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, ""), (3, "one")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in span_corruption_stats(docs).collect()}
+    assert rows[2]["n_tokens"] == 0 and rows[2]["n_masked"] == 0 and rows[2]["n_spans"] == 0
+    r1 = rows[1]
+    assert r1["n_tokens"] == 10
+    assert 0 <= r1["n_masked"] <= 10
+    assert r1["n_spans"] <= r1["n_masked"]
+    # deterministic: a second run returns identical values
+    again = {r["doc_id"]: r for r in span_corruption_stats(docs).collect()}
+    assert again[1] == r1

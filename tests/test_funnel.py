@@ -178,3 +178,27 @@ def test_conversion_lag_first_purchase_within_window(spark):
     assert row["mean_lag_s"] == 60.0   # (30 + 90) / 2
     assert row["p50_lag_s"] == 60.0    # interpolated median of {30, 90}
     assert row["max_lag_s"] == 90
+
+
+def test_session_paths_depth_and_truncation(spark):
+    from datetime import datetime
+    from mapreduce_assignments_spark.operators.funnel import session_paths
+
+    ev = spark.createDataFrame(
+        [
+            # user 1, session 1: view > click > purchase > error (depth 3 cut)
+            (1, 1, "view", datetime(2024, 1, 1, 0, 0)),
+            (2, 1, "click", datetime(2024, 1, 1, 0, 5)),
+            (3, 1, "purchase", datetime(2024, 1, 1, 0, 10)),
+            (4, 1, "error", datetime(2024, 1, 1, 0, 15)),
+            # user 1, session 2 (2h later): lone view -> truncated path
+            (5, 1, "view", datetime(2024, 1, 1, 3, 0)),
+            # user 2: same entry path as user 1 session 1
+            (6, 2, "view", datetime(2024, 1, 1, 0, 0)),
+            (7, 2, "click", datetime(2024, 1, 1, 0, 1)),
+            (8, 2, "purchase", datetime(2024, 1, 1, 0, 2)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    rows = {r["path"]: r["n_sessions"] for r in session_paths(ev).collect()}
+    assert rows == {"view>click>purchase": 2, "view": 1}

@@ -218,3 +218,20 @@ def test_query_likelihood_hand_checked(spark):
     assert {r["docid"]: r["score"] for r in rows2} == got
     with pytest.raises(ValueError):
         query_likelihood_scores(docs, [], k=10)
+
+
+def test_phrase_search_adjacency_only(spark):
+    from mapreduce_assignments_spark.operators.index import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark table scan"),        # match
+            (2, "table spark"),             # wrong order
+            (3, "spark big table"),         # not adjacent
+            (4, "spark table spark table"), # two matches
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["n_matches"]
+            for r in phrase_search(docs, ("spark", "table")).collect()}
+    assert rows == {1: 1, 4: 2}
