@@ -96,6 +96,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "funnel_counts", "cohort_retention", "brand_nation_revenue",
         "late_orders_by_priority", "top_return_customers", "session_stats", "co_engagement",
         "event_cube", "shipping_priority", "promo_revenue", "session_paths",
+        "ab_test_zscore", "order_gap_stats",
         "large_volume_orders", "part_bracket_revenue", "event_transitions",
         "user_entropy", "conversion_lag", "revenue_share",
         "revenue_lag_features", "volume_shipping", "market_share",
@@ -123,6 +124,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "quantize_embeddings", "ivf_recall_report", "label_centroids",
         "centroid_confusion", "random_projection", "hard_negatives",
         "label_spread", "semantic_dedup", "knn_label_accuracy",
+        "embedding_covariance",
     ),
     "text_quality": (
         "token_counts", "quality_score", "language_id", "doc_fingerprint",

@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users", "co_engagement", "event_transitions", "user_entropy", "conversion_lag_stats", "session_paths"]
+__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users", "co_engagement", "event_transitions", "user_entropy", "conversion_lag_stats", "session_paths", "ab_test_zscore"]
 
 
 def funnel_counts(
@@ -353,4 +353,50 @@ def session_paths(
         .agg(F.count("*").alias("n_sessions"))
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(k)
+    )
+
+
+def ab_test_zscore(
+    events: DataFrame, convert_type: str = "purchase"
+) -> DataFrame:
+    """Two-proportion z-test between deterministic A/B variants
+    (``user_id % 2``): did variant 1 convert (≥1 ``convert_type``
+    event) at a different rate than variant 0? One row ``(n_a, n_b,
+    conv_a, conv_b, rate_a, rate_b, zscore)`` — the experiment
+    dashboard's significance readout.
+
+    Scale: per-user conversion is a partial-aggregated bool-max on
+    user_id (one exchange), the 2×2 contingency reduces to a single
+    row, and the z arithmetic is driver-free scalar math on exact
+    integer counts — so the statistic is bit-stable across engines.
+    Zero-conversion or single-variant corpora yield NULL z (the
+    pooled variance is 0), never a divide-by-zero.
+    """
+    per_user = (
+        events.select(
+            "user_id",
+            (F.pmod(F.col("user_id"), F.lit(2)) == 1).alias("is_b"),
+            (F.col("event_type") == convert_type).cast("int").alias("c"),
+        )
+        .groupBy("user_id", "is_b")
+        .agg(F.max("c").alias("converted"))
+    )
+    agg = per_user.agg(
+        F.sum(F.when(~F.col("is_b"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(~F.col("is_b"), F.col("converted")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("is_b"), F.col("converted")).otherwise(0)).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    var = pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.when(var > 0, F.round((p_b - p_a) / F.sqrt(var), 6)).alias("zscore"),
     )

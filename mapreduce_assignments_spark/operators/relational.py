@@ -43,6 +43,7 @@ __all__ = [
     "small_quantity_revenue",
     "revenue_rollup",
     "last_touch_attribution",
+    "order_gap_stats",
 ]
 
 # Decimal widths are chosen so every product stays within 38 digits
@@ -818,4 +819,39 @@ def last_touch_attribution(
         .where(F.col("event_type") == convert_type)
         .groupBy(F.coalesce("__touch", F.lit("(none)")).alias("touch_type"))
         .agg(F.count("*").alias("n_conversions"))
+    )
+
+
+def order_gap_stats(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Inter-purchase interval report: per market segment, the
+    distribution of day gaps between a customer's consecutive orders —
+    ``(c_mktsegment, n_gaps, avg_gap_days, median_gap_days)``. The
+    repeat-purchase-cadence metric retention teams watch.
+
+    Scale: one window pass per customer (lag over the order date —
+    shuffle on custkey, AQE splits heavy customers), then a
+    partial-aggregated rollup per segment with an exact median over
+    the segment's gap list (segments are few; the percentile state is
+    the gap multiset, bounded by orders — computed per segment, never
+    globally sorted). Gaps are integer day diffs, so engine parity is
+    exact; ties in order dates yield 0-day gaps, deterministically
+    ordered by o_orderkey.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn(
+            "gap_days",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.sum("gap_days") / F.count("*"), 6).alias("avg_gap_days"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias("median_gap_days"),
+        )
     )

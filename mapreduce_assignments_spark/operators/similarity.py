@@ -51,6 +51,7 @@ __all__ = [
     "label_spread",
     "semantic_dedup",
     "knn_label_accuracy",
+    "embedding_covariance",
 ]
 
 
@@ -1043,5 +1044,64 @@ def knn_label_accuracy(
                 / F.count("*"),
                 6,
             ).alias("accuracy"),
+        )
+    )
+
+
+def embedding_covariance(embeddings: DataFrame) -> DataFrame:
+    """Full covariance matrix of the embedding distribution —
+    ``(i, j, cov)`` for all d² component pairs, ``cov = E[x_i·x_j] −
+    E[x_i]·E[x_j]`` — the input to PCA/whitening and the standard
+    embedding-health diagnostic (collapsed dimensions show up as
+    near-zero rows).
+
+    Scale: the per-row flattened outer product (d² narrow doubles)
+    feeds ONE partial-aggregated exchange keyed on the flat position —
+    map-side combine reduces every partition to d² partial sums, so
+    the shuffle is d² × partitions regardless of corpus size; means
+    ride the same pass as a second aggregate on the same key. No
+    vec×vec self-join, no per-row state. d is model-bounded (64 here),
+    so the result is dashboard-sized.
+    """
+    emb = _as_double(embeddings)
+    d = len(emb.select("embedding").first()["embedding"])
+    flat = emb.select(
+        F.posexplode(
+            F.flatten(
+                F.transform(
+                    "embedding",
+                    lambda x: F.transform(F.col("embedding"), lambda y: x * y),
+                )
+            )
+        ).alias("pos", "xy"),
+        F.col("embedding"),
+    ).select(
+        "pos",
+        "xy",
+        F.col("embedding")[(F.col("pos") / d).cast("int")].alias("xi"),
+    )
+    return (
+        flat.groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("xy").alias("sxy"),
+            F.sum("xi").alias("sxi"),
+        )
+        .join(
+            F.broadcast(
+                emb.select(F.posexplode("embedding").alias("j", "xj"))
+                .groupBy("j")
+                .agg(F.sum("xj").alias("sxj"))
+            ),
+            F.col("j") == F.col("pos") % d,
+        )
+        .select(
+            (F.col("pos") / d).cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.round(
+                F.col("sxy") / F.col("n")
+                - (F.col("sxi") / F.col("n")) * (F.col("sxj") / F.col("n")),
+                6,
+            ).alias("cov"),
         )
     )

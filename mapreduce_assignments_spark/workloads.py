@@ -2510,6 +2510,27 @@ def q_session_paths(spark, sf_dir):
     return funnel.session_paths(_events(spark, sf_dir))
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Full 64×64 covariance matrix of the embedding distribution —
+    one partial-aggregated exchange on the flattened outer product."""
+    return similarity.embedding_covariance(_emb(spark, sf_dir))
+
+
+def q_ab_test_zscore(spark, sf_dir):
+    """Two-proportion z-test between user_id-parity A/B variants on
+    purchase conversion — the experiment significance readout."""
+    return funnel.ab_test_zscore(_events(spark, sf_dir))
+
+
+def q_order_gap_stats(spark, sf_dir):
+    """Inter-purchase day-gap distribution per market segment — the
+    repeat-purchase-cadence retention metric."""
+    return relational.order_gap_stats(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 def q_revenue_rollup(spark, sf_dir):
     """ROLLUP revenue report: (nation, order-year) leaves plus nation
     subtotals and a grand total from ONE Expand-based aggregation."""
@@ -5045,6 +5066,77 @@ ORDER BY n_sessions DESC, path ASC
 LIMIT 20
 """
 
+ORACLE["embedding_covariance"] = """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+fl AS (
+  SELECT v, flatten(list_transform(v, x -> list_transform(v, y -> x * y))) AS f
+  FROM e
+), flat AS (
+  SELECT (p.k - 1) // 64 AS i, (p.k - 1) % 64 AS j, p.xy,
+         v[((p.k - 1) // 64) + 1] AS xi
+  FROM (
+    SELECT v, unnest(list_transform(range(1, len(f) + 1),
+                     k -> {'k': k, 'xy': f[k]})) AS p
+    FROM fl)
+), agg AS (
+  SELECT i, j, count(*) AS n, sum(xy) AS sxy, sum(xi) AS sxi
+  FROM flat GROUP BY i, j
+), m AS (
+  SELECT (u.k - 1) AS j, sum(u.xj) AS sxj
+  FROM (
+    SELECT unnest(list_transform(range(1, len(v) + 1),
+                  k -> {'k': k, 'xj': v[k]})) AS u
+    FROM e)
+  GROUP BY 1
+)
+SELECT CAST(a.i AS INTEGER) AS i, CAST(a.j AS INTEGER) AS j,
+       round(a.sxy / a.n - (a.sxi / a.n) * (m.sxj / a.n), 6) AS cov
+FROM agg a JOIN m ON a.j = m.j
+"""
+
+ORACLE["ab_test_zscore"] = """
+WITH pu AS (
+  SELECT user_id, (user_id % 2 = 1) AS is_b,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT CAST(sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN NOT is_b THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN is_b THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+  FROM pu
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+       round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+       CASE WHEN (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b) > 0
+            THEN round((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+                       / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                              * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                              * (1.0 / n_a + 1.0 / n_b)), 6)
+       END AS zscore
+FROM agg
+"""
+
+ORACLE["order_gap_stats"] = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT c.c_mktsegment, count(*) AS n_gaps,
+       round(CAST(sum(gap_days) AS DOUBLE) / count(*), 6) AS avg_gap_days,
+       round(quantile_cont(gap_days, 0.5), 6) AS median_gap_days
+FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY 1
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -6437,6 +6529,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_corruption": q_span_corruption,            # T5 masking budget
     "phrase_search": q_phrase_search,                # positional phrase AND
     "session_paths": q_session_paths,                # session entry paths
+    "embedding_covariance": q_embedding_covariance,  # d²-bounded cov matrix
+    "ab_test_zscore": q_ab_test_zscore,              # two-proportion z-test
+    "order_gap_stats": q_order_gap_stats,            # repeat-purchase cadence
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

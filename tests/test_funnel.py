@@ -202,3 +202,37 @@ def test_session_paths_depth_and_truncation(spark):
     )
     rows = {r["path"]: r["n_sessions"] for r in session_paths(ev).collect()}
     assert rows == {"view>click>purchase": 2, "view": 1}
+
+
+def test_ab_test_zscore_hand_checked(spark):
+    from datetime import datetime
+    from mapreduce_assignments_spark.operators.funnel import ab_test_zscore
+
+    ts = datetime(2024, 1, 1)
+    # variant A (even ids): users 0,2 -> 1 converts; variant B: users 1,3 -> both convert
+    ev = spark.createDataFrame(
+        [
+            (0, "purchase", ts), (0, "view", ts),
+            (2, "view", ts),
+            (1, "purchase", ts),
+            (3, "purchase", ts),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    [r] = ab_test_zscore(ev).collect()
+    assert (r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]) == (2, 2, 1, 2)
+    assert r["rate_a"] == 0.5 and r["rate_b"] == 1.0
+    # pooled p = 3/4, var = .75*.25*(1/2+1/2) = 0.1875, z = .5/sqrt(.1875)
+    assert r["zscore"] == pytest.approx(0.5 / 0.1875 ** 0.5, abs=1e-6)
+
+
+def test_ab_test_zscore_degenerate_null(spark):
+    from datetime import datetime
+    from mapreduce_assignments_spark.operators.funnel import ab_test_zscore
+
+    ev = spark.createDataFrame(
+        [(0, "view", datetime(2024, 1, 1)), (1, "view", datetime(2024, 1, 1))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    [r] = ab_test_zscore(ev).collect()
+    assert r["zscore"] is None  # zero conversions -> zero pooled variance

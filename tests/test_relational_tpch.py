@@ -277,3 +277,24 @@ def test_last_touch_attribution_window(spark):
     rows = {r["touch_type"]: r["n_conversions"]
             for r in last_touch_attribution(ev).collect()}
     assert rows == {"click": 1, "view": 1, "(none)": 1}
+
+
+def test_order_gap_stats_hand_checked(spark):
+    from mapreduce_assignments_spark.operators.relational import order_gap_stats
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, _ts("1996-01-01")),
+            (2, 10, _ts("1996-01-11")),  # gap 10
+            (3, 10, _ts("1996-01-31")),  # gap 20
+            (4, 11, _ts("1996-01-01")),  # single order: no gap
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    cust = spark.createDataFrame(
+        [(10, "BUILDING"), (11, "BUILDING")], "c_custkey long, c_mktsegment string"
+    )
+    [r] = order_gap_stats(orders, cust).collect()
+    assert r["n_gaps"] == 2
+    assert r["avg_gap_days"] == 15.0
+    assert r["median_gap_days"] == 15.0

@@ -548,3 +548,15 @@ def test_knn_label_accuracy_counts(spark):
     assert rows["x"]["n_queries"] == 1 and rows["x"]["n_correct"] == 1
     assert rows["x"]["accuracy"] == 1.0
     assert rows["y"]["n_queries"] == 1 and rows["y"]["n_correct"] == 0
+
+
+def test_embedding_covariance_hand_checked(spark):
+    from mapreduce_assignments_spark.operators.similarity import embedding_covariance
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [3.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(emb).collect()}
+    # means: (2, 1); E[x0^2]=5 -> var0=1; E[x0 x1]=3 -> cov=1; E[x1^2]=2 -> var1=1
+    assert rows == {(0, 0): 1.0, (0, 1): 1.0, (1, 0): 1.0, (1, 1): 1.0}
