@@ -78,6 +78,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "inverted_index_stats", "tf_histogram", "tf_idf", "term_frequencies",
         "boolean_retrieval", "boolean_retrieval_text", "bm25_topk",
         "top_keywords", "query_likelihood", "rrf_fusion", "phrase_search",
+        "prefix_search",
     ),
     "timeseries": (
         "hourly_counts", "hourly_counts_errors", "hourly_counts_tweets",
@@ -96,7 +97,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "funnel_counts", "cohort_retention", "brand_nation_revenue",
         "late_orders_by_priority", "top_return_customers", "session_stats", "co_engagement",
         "event_cube", "shipping_priority", "promo_revenue", "session_paths",
-        "ab_test_zscore", "order_gap_stats",
+        "ab_test_zscore", "order_gap_stats", "user_purge_report",
         "large_volume_orders", "part_bracket_revenue", "event_transitions",
         "user_entropy", "conversion_lag", "revenue_share",
         "revenue_lag_features", "volume_shipping", "market_share",
@@ -162,7 +163,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "streaming_session_stats",
     ),
     "sources": ("jsonl_roundtrip", "csv_roundtrip", "orc_roundtrip",
-                "schema_evolution"),
+                "schema_evolution", "csv_malformed_report"),
 }
 _FAMILY_OF = {q: fam for fam, qs in FAMILIES.items() for q in qs}
 

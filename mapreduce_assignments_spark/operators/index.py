@@ -44,6 +44,7 @@ __all__ = [
     "query_likelihood_scores",
     "fetch_docs",
     "phrase_search",
+    "prefix_search",
 ]
 
 
@@ -344,4 +345,33 @@ def phrase_search(
         .where(F.col("p2") == F.col("p1") + 1)
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_matches"))
+    )
+
+
+def prefix_search(
+    docs: DataFrame,
+    prefix: str = "sp",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Prefix (wildcard ``prefix*``) term retrieval: per matching
+    document, how many DISTINCT terms matched and how many
+    occurrences — ``(doc_id, n_terms, n_occurrences)``. The
+    dictionary-range scan of a sorted term index, expressed as a
+    token filter.
+
+    Scale: the prefix predicate sits inside the explode projection so
+    non-matching tokens never become rows (same pruning as
+    :func:`phrase_search`); the aggregate is one partial-combined
+    exchange on doc_id. Against the MapFile-style sorted index the
+    same query is a partition-range scan — this is the scan-side
+    formulation for when no index exists.
+    """
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_array(text_col)).alias("term"),
+    ).where(F.col("term").startswith(prefix))
+    return pos.groupBy("doc_id").agg(
+        F.count_distinct("term").alias("n_terms"),
+        F.count("*").alias("n_occurrences"),
     )

@@ -179,3 +179,29 @@ def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
     from JSONL to a columnar format at rest).
     """
     return spark.read.schema(DOCUMENTS_JSONL_SCHEMA).orc(path)
+
+
+def read_documents_csv_permissive(spark: SparkSession, path: str) -> DataFrame:
+    """PERMISSIVE twin of :func:`read_documents_csv`: instead of
+    dropping malformed rows it KEEPS every line and annotates parse
+    failures in a ``_corrupt`` column — the quarantine/dead-letter
+    ingestion mode. A row whose field fails type conversion surfaces
+    with ``_corrupt`` set (and the field nulled); a row that parses
+    but violates the CONTRACT (missing doc_id) stays ``_corrupt``-NULL
+    — the reader reports, the caller decides. Same RFC-4180 quoting
+    and single-line contract as the strict reader.
+    """
+    # StructType.add MUTATES the receiver — build a fresh copy so the
+    # strict readers keep their 5-field schema
+    schema = T.StructType(
+        list(DOCUMENTS_JSONL_SCHEMA.fields)
+        + [T.StructField("_corrupt", T.StringType())]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )

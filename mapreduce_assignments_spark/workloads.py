@@ -2510,6 +2510,47 @@ def q_session_paths(spark, sf_dir):
     return funnel.session_paths(_events(spark, sf_dir))
 
 
+def q_csv_malformed_report(spark, sf_dir):
+    """Dead-letter accounting over the SAME planted-malformed CSV
+    stage the roundtrip query drops silently: PERMISSIVE read with a
+    _corrupt column, one row (n_rows, n_corrupt, n_null_id, n_valid)
+    — parse failures vs contract violations vs clean rows."""
+    from .sources.text_corpus import read_documents_csv_permissive
+
+    raw = read_documents_csv_permissive(spark, _staged_docs_csv_dir(spark, sf_dir))
+    corrupt = F.col("_corrupt").isNotNull()
+    null_id = F.col("_corrupt").isNull() & F.col("doc_id").isNull()
+    return raw.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(corrupt.cast("int")).cast("long").alias("n_corrupt"),
+        F.sum(null_id.cast("int")).cast("long").alias("n_null_id"),
+        F.sum((~corrupt & F.col("doc_id").isNotNull()).cast("int"))
+        .cast("long")
+        .alias("n_valid"),
+    )
+
+
+def q_user_purge_report(spark, sf_dir):
+    """GDPR-style deletion dry run over every 5th user: one
+    conditional-aggregation pass accounts for what a purge would
+    remove — (n_purge_users, n_events_removed, n_events_kept). When
+    the purge predicate is row-computable this single pass IS the
+    scale shape (an external deletion list would take the
+    customers_without_orders anti-join instead)."""
+    flag = F.col("user_id") % 5 == 0
+    return _events(spark, sf_dir).agg(
+        F.count_distinct(F.when(flag, F.col("user_id"))).alias("n_purge_users"),
+        F.sum(flag.cast("int")).cast("long").alias("n_events_removed"),
+        F.sum((~flag).cast("int")).cast("long").alias("n_events_kept"),
+    )
+
+
+def q_prefix_search(spark, sf_dir):
+    """Wildcard 'sp*' term retrieval: distinct matched terms and
+    occurrences per document."""
+    return index.prefix_search(_docs(spark, sf_dir), prefix="sp")
+
+
 def q_embedding_covariance(spark, sf_dir):
     """Full 64×64 covariance matrix of the embedding distribution —
     one partial-aggregated exchange on the flattened outer product."""
@@ -5137,6 +5178,34 @@ WHERE gap_days IS NOT NULL
 GROUP BY 1
 """
 
+# the stage plants exactly 2 extra lines: one type-corrupt, one
+# parse-clean but id-less — so the report is derivable from the
+# canonical table
+ORACLE["csv_malformed_report"] = """
+SELECT CAST(count(*) + 2 AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_corrupt,
+       CAST(1 AS BIGINT) AS n_null_id,
+       CAST(count(*) AS BIGINT) AS n_valid
+FROM documents
+"""
+
+ORACLE["user_purge_report"] = """
+SELECT CAST(count(DISTINCT CASE WHEN user_id % 5 = 0 THEN user_id END) AS BIGINT)
+         AS n_purge_users,
+       CAST(sum(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_events_removed,
+       CAST(sum(CASE WHEN user_id % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_events_kept
+FROM events
+"""
+
+ORACLE["prefix_search"] = f"""
+SELECT doc_id, count(DISTINCT t) AS n_terms, count(*) AS n_occurrences
+FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+WHERE t LIKE 'sp%'
+GROUP BY doc_id
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -6532,6 +6601,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance": q_embedding_covariance,  # d²-bounded cov matrix
     "ab_test_zscore": q_ab_test_zscore,              # two-proportion z-test
     "order_gap_stats": q_order_gap_stats,            # repeat-purchase cadence
+    "csv_malformed_report": q_csv_malformed_report,  # dead-letter accounting
+    "user_purge_report": q_user_purge_report,        # GDPR purge dry run
+    "prefix_search": q_prefix_search,                # wildcard term retrieval
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

@@ -235,3 +235,15 @@ def test_phrase_search_adjacency_only(spark):
     rows = {r["doc_id"]: r["n_matches"]
             for r in phrase_search(docs, ("spark", "table")).collect()}
     assert rows == {1: 1, 4: 2}
+
+
+def test_prefix_search_counts(spark):
+    from mapreduce_assignments_spark.operators.index import prefix_search
+
+    docs = spark.createDataFrame(
+        [(1, "spark spam other spark"), (2, "nothing here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (r["n_terms"], r["n_occurrences"])
+            for r in prefix_search(docs, "sp").collect()}
+    assert rows == {1: (2, 3)}

@@ -87,3 +87,27 @@ def test_orc_roundtrip_unicode_and_pushdown(spark, tmp_path):
     plan = back.where("doc_id = 2").select("lang")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,2)]" in plan
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_permissive_csv_reader_quarantines(spark, tmp_path):
+    """PERMISSIVE reader keeps malformed rows with _corrupt set and
+    leaves the strict readers' shared schema untouched."""
+    from mapreduce_assignments_spark.sources.text_corpus import (
+        DOCUMENTS_JSONL_SCHEMA,
+        read_documents_csv_permissive,
+    )
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        '1,"good row",en,web,8\n'
+        'notanumber,"bad id",en,web,6\n'
+        ',"no id",en,web,5\n'
+    )
+    rows = read_documents_csv_permissive(spark, str(p)).collect()
+    assert len(rows) == 3
+    by_text = {r["text"]: r for r in rows}
+    assert by_text["good row"]["_corrupt"] is None
+    assert by_text["bad id"]["_corrupt"] is not None      # type failure
+    assert by_text["no id"]["_corrupt"] is None           # contract, not parse
+    assert by_text["no id"]["doc_id"] is None
+    assert len(DOCUMENTS_JSONL_SCHEMA.fields) == 5        # no .add() mutation
