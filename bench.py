@@ -108,7 +108,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "pagerank", "personalized_pagerank", "degree_histogram",
         "triangle_count", "graph_components", "kcore",
         "hits", "bfs_hops", "clustering_coefficient", "link_prediction",
-        "degree_assortativity", "pagerank_convergence",
+        "degree_assortativity", "pagerank_convergence", "harmonic_centrality",
     ),
     "dedup": (
         "exact_duplicates", "shingles", "ngram_jaccard", "minhash_signatures",

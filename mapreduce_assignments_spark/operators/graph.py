@@ -60,6 +60,7 @@ __all__ = [
     "clustering_coefficient",
     "link_prediction",
     "degree_assortativity",
+    "harmonic_centrality",
 ]
 
 # Below this node count, AQE is temporarily disabled for the iteration
@@ -820,4 +821,45 @@ def degree_assortativity(nodes: DataFrame) -> DataFrame:
         F.round(
             F.when(var != 0.0, cov / var).otherwise(F.lit(0.0)), 6
         ).alias("assortativity"),
+    )
+
+
+def harmonic_centrality(
+    nodes: DataFrame, sources: list[int], max_hops: int = 6, k: int = 25
+) -> DataFrame:
+    """Probe-based harmonic centrality: for every node, ``Σ over
+    probe sources of 1/d(source, node)`` (unreached pairs contribute
+    0 — harmonic centrality's defining advantage over closeness on
+    disconnected graphs). Returns the top-``k`` nodes by the rounded
+    estimate, id-ascending on ties — ``(rank, id, harmonic,
+    n_reached)``.
+
+    The probe-set formulation is the standard scale approximation
+    (exact all-pairs harmonic is O(V·E)): accuracy grows with probe
+    count, cost is one BFS per probe. Each BFS is the
+    level-synchronous frontier loop of :func:`bfs_distances` (settled
+    sets localCheckpoint'd per hop); the final combine is one
+    aggregation over the union of per-probe distance tables.
+    """
+    per_source = None
+    for s in sources:
+        d = bfs_distances(nodes, [s], max_hops=max_hops)
+        per_source = d if per_source is None else per_source.unionAll(d)
+    scored = (
+        per_source.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("harmonic"),
+            F.count("*").alias("n_reached"),
+        )
+    )
+    w = Window.orderBy(F.desc("harmonic"), F.asc("id"))
+    return (
+        scored.select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "id",
+            "harmonic",
+            "n_reached",
+        )
+        .where(F.col("rank") <= k)
     )

@@ -2551,6 +2551,14 @@ def q_prefix_search(spark, sf_dir):
     return index.prefix_search(_docs(spark, sf_dir), prefix="sp")
 
 
+def q_harmonic_centrality(spark, sf_dir):
+    """Probe-based harmonic centrality top-25 from the 2 lowest
+    custkeys — one BFS per probe, unreached pairs contribute 0."""
+    g = _customer_graph(spark, sf_dir)
+    sources = [r["id"] for r in g.select("id").orderBy("id").limit(2).collect()]
+    return graph.harmonic_centrality(g, sources=sources, max_hops=6, k=25)
+
+
 def q_embedding_covariance(spark, sf_dir):
     """Full 64×64 covariance matrix of the embedding distribution —
     one partial-aggregated exchange on the flattened outer product."""
@@ -5894,6 +5902,54 @@ SELECT dist, count(*) AS n_nodes FROM r{rounds} GROUP BY dist
 
 ORACLE["bfs_hops"] = _bfs_oracle_sql()
 
+
+def _harmonic_oracle_sql(rounds: int = 6, k: int = 25) -> str:
+    """Two independent unrolled BFS chains (one per probe source — the
+    2 lowest custkeys), combined into the probe-based harmonic
+    centrality top-k. Per-round CTEs consumed twice are MATERIALIZED
+    (the kcore lesson); per-id sums have ≤ 2 addends so double
+    addition is order-free."""
+    chains = []
+    for p in range(2):
+        parts = [f"""s{p}_r0 AS MATERIALIZED (
+  SELECT CAST(c_custkey AS INTEGER) AS id, 0 AS dist
+  FROM customer ORDER BY c_custkey LIMIT 1 OFFSET {p}
+),
+s{p}_f0 AS (SELECT id FROM s{p}_r0)"""]
+        for i in range(1, rounds + 1):
+            parts.append(f"""
+s{p}_n{i} AS MATERIALIZED (
+  SELECT DISTINCT nb.nbr AS id
+  FROM nb JOIN s{p}_f{i - 1} f ON f.id = nb.id
+  WHERE nb.nbr NOT IN (SELECT id FROM s{p}_r{i - 1})
+),
+s{p}_r{i} AS MATERIALIZED (
+  SELECT * FROM s{p}_r{i - 1} UNION ALL SELECT id, {i} AS dist FROM s{p}_n{i}
+),
+s{p}_f{i} AS (SELECT id FROM s{p}_n{i})""")
+        chains.append(",".join(parts))
+    return f"""
+WITH {_UNDIRECTED_CTES},
+nb AS (SELECT a AS id, b AS nbr FROM ue UNION ALL SELECT b, a FROM ue),
+{chains[0]},
+{chains[1]},
+all_d AS (
+  SELECT id, dist FROM s0_r{rounds}
+  UNION ALL SELECT id, dist FROM s1_r{rounds}
+),
+sc AS (
+  SELECT id, round(sum(CAST(1.0 AS DOUBLE) / dist), 6) AS harmonic,
+         count(*) AS n_reached
+  FROM all_d WHERE dist > 0 GROUP BY id
+)
+SELECT CAST(rn AS INTEGER) AS rank, id, harmonic, n_reached FROM (
+  SELECT *, row_number() OVER (ORDER BY harmonic DESC, id ASC) AS rn FROM sc)
+WHERE rn <= {k}
+"""
+
+
+ORACLE["harmonic_centrality"] = _harmonic_oracle_sql()
+
 ORACLE["degree_assortativity"] = f"""
 WITH {_UNDIRECTED_CTES},
 ann AS (
@@ -6604,6 +6660,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_malformed_report": q_csv_malformed_report,  # dead-letter accounting
     "user_purge_report": q_user_purge_report,        # GDPR purge dry run
     "prefix_search": q_prefix_search,                # wildcard term retrieval
+    "harmonic_centrality": q_harmonic_centrality,    # probe-based centrality
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

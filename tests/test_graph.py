@@ -477,3 +477,22 @@ def test_pagerank_residuals_track_convergence(fixture_graph):
     assert len(rs) == 5
     assert all(d >= 0 for d in rs)
     assert rs[-1] < rs[0]  # power iteration contracts
+
+
+def test_harmonic_centrality_path_graph(spark):
+    """Path 1-2-3-4 probed from sources [1, 2]: hand-computable
+    harmonic sums and deterministic id tiebreaks."""
+    from mapreduce_assignments_spark.operators.graph import harmonic_centrality
+
+    g = spark.createDataFrame(
+        [(1, [2]), (2, [1, 3]), (3, [2, 4]), (4, [3])],
+        "id int, adj array<int>",
+    )
+    rows = {r["id"]: r for r in harmonic_centrality(g, sources=[1, 2], k=10).collect()}
+    # from 1: d(2)=1 d(3)=2 d(4)=3 ; from 2: d(1)=1 d(3)=1 d(4)=2
+    assert rows[3]["harmonic"] == 1.5 and rows[3]["n_reached"] == 2
+    assert rows[1]["harmonic"] == 1.0 and rows[1]["n_reached"] == 1
+    assert rows[2]["harmonic"] == 1.0
+    assert rows[4]["harmonic"] == pytest.approx(1 / 3 + 1 / 2, abs=1e-6)
+    # rank: 3 (1.5) first; ties at 1.0 break id-asc (1 before 2)
+    assert [rows[i]["rank"] for i in (3, 1, 2)] == [1, 2, 3]
