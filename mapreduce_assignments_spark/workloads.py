@@ -2424,11 +2424,10 @@ def q_streaming_session_stats(spark, sf_dir):
     replayed to closure: session windows forbid update mode, and
     append emits a session only once the watermark passes its end —
     which needs a LATER batch to advance the watermark. So the replay
-    runs three availableNow passes over a shared checkpoint: the real
-    events, then two far-future sentinel files whose only job is to
-    push the watermark past every real session end (the second
-    sentinel triggers the batch that flushes sessions the first one
-    unlocked). Emitted batches append to a parquet sink; the final
+    runs two availableNow passes over a shared checkpoint: the real
+    events WITH a far-future sentinel (so batch 1 already advances the
+    watermark past every real session end), then a second sentinel
+    file whose batch flushes them. Emitted batches append to a parquet sink; the final
     read must equal the BATCH session_stats oracle row-for-row — the
     batch/stream consistency contract, now for dynamic-gap windows.
     Staged once per (process, sf_dir); sentinel rows (user -1)
@@ -2446,6 +2445,14 @@ def q_streaming_session_stats(spark, sf_dir):
         ev = _events(spark, sf_dir).select("ts", "user_id", "value")
         ev.repartition(4).write.mode("overwrite").parquet(src)
         max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        # the FIRST sentinel rides in the initial batch: after batch 1
+        # the watermark is already sentinel-1h (past every real session
+        # end), so ONE follow-up batch flushes everything — two
+        # streaming runs total, not three
+        spark.createDataFrame(
+            [(max_ts + timedelta(days=30), -1, 0.0)],
+            "ts timestamp, user_id bigint, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
 
         def run_once():
             stream = spark.readStream.schema(
@@ -2463,14 +2470,12 @@ def q_streaming_session_stats(spark, sf_dir):
             )
             q.awaitTermination(300)
 
-        run_once()  # real data: nothing emitted yet (watermark at 0)
-        for days in (30, 60):
-            sentinel = spark.createDataFrame(
-                [(max_ts + timedelta(days=days), -1, 0.0)],
-                "ts timestamp, user_id bigint, value double",
-            )
-            sentinel.coalesce(1).write.mode("append").parquet(src)
-            run_once()
+        run_once()  # real data + sentinel A: nothing emitted yet
+        spark.createDataFrame(
+            [(max_ts + timedelta(days=60), -1, 0.0)],
+            "ts timestamp, user_id bigint, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()  # sentinel B's batch flushes every real session
         _STAGED_SESSION_STREAM[sf_dir] = out
     return (
         spark.read.parquet(_STAGED_SESSION_STREAM[sf_dir])
