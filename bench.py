@@ -88,6 +88,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "snapshot_diff", "hourly_anomalies", "normalize_events",
         "rolling_active_users", "daily_trend", "ewma_hourly",
         "seasonal_anomalies", "incremental_rollup", "interpolate_gaps",
+        "hourly_top_movers",
     ),
     "relational": (
         "pricing_summary", "forecast_revenue", "top_revenue_orders", "revenue_by_nation",
@@ -98,6 +99,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "late_orders_by_priority", "top_return_customers", "session_stats", "co_engagement",
         "event_cube", "shipping_priority", "promo_revenue", "session_paths",
         "ab_test_zscore", "order_gap_stats", "user_purge_report",
+        "nation_trade_balance", "discount_effectiveness",
         "large_volume_orders", "part_bracket_revenue", "event_transitions",
         "user_entropy", "conversion_lag", "revenue_share",
         "revenue_lag_features", "volume_shipping", "market_share",

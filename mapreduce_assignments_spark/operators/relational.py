@@ -44,6 +44,8 @@ __all__ = [
     "revenue_rollup",
     "last_touch_attribution",
     "order_gap_stats",
+    "nation_trade_balance",
+    "discount_effectiveness",
 ]
 
 # Decimal widths are chosen so every product stays within 38 digits
@@ -853,5 +855,85 @@ def order_gap_stats(orders: DataFrame, customer: DataFrame) -> DataFrame:
             F.count("*").alias("n_gaps"),
             F.round(F.sum("gap_days") / F.count("*"), 6).alias("avg_gap_days"),
             F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias("median_gap_days"),
+        )
+    )
+
+
+def nation_trade_balance(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Per-nation trade balance: revenue SUPPLIED by the nation's
+    suppliers (exports) vs revenue CONSUMED by its customers
+    (imports), and the balance — ``(n_name, exports, imports,
+    balance)``.
+
+    Scale: two independent single-exchange star aggregations over the
+    same fact scan shape (supplier-side keys off l_suppkey and needs
+    no orders join; customer-side routes through orders), each rolled
+    up to nation-sized frames BEFORE the final full-outer combine —
+    the combine joins 25-row tables, never facts. Exact-decimal sums
+    throughout.
+    """
+    dp = _exact_product_dec(
+        F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")
+    )
+    n = F.broadcast(nation.select("n_nationkey", "n_name"))
+    exports = (
+        lineitem.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(dp).alias("exp_dec"))
+    )
+    imports = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(dp).alias("imp_dec"))
+    )
+    zero = F.lit(0).cast(_DEC)
+    return (
+        exports.join(imports, "n_name", "full_outer")
+        .select(
+            "n_name",
+            F.round(F.coalesce("exp_dec", zero), 6).cast("double").alias("exports"),
+            F.round(F.coalesce("imp_dec", zero), 6).cast("double").alias("imports"),
+            F.round(
+                F.coalesce("exp_dec", zero) - F.coalesce("imp_dec", zero), 6
+            )
+            .cast("double")
+            .alias("balance"),
+        )
+    )
+
+
+def discount_effectiveness(lineitem: DataFrame) -> DataFrame:
+    """Does discounting move volume? Per discount level (the data's
+    own 2-decimal grid): lineitem count, average quantity, and
+    discounted revenue — ``(discount, n_items, avg_qty, revenue)``.
+
+    Scale: one partial-aggregated exchange keyed on the discount
+    level (cardinality = the discount grid, ~a dozen rows); quantity
+    and revenue sums are exact decimal so the averages divide
+    engine-stably.
+    """
+    dp = _exact_product_dec(
+        F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")
+    )
+    return (
+        lineitem.groupBy(
+            F.round(F.col("l_discount"), 2).alias("discount")
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6)
+            .alias("avg_qty"),
+            F.round(F.sum(dp), 6).cast("double").alias("revenue"),
         )
     )

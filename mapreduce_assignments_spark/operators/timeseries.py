@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
 
 __all__ = [
     "hourly_counts_tweets",
@@ -30,6 +31,7 @@ __all__ = [
     "fill_hourly_gaps",
     "maintain_hourly_rollup",
     "read_hourly_rollup",
+    "hourly_top_movers",
 ]
 
 # "EEE MMM dd HH:mm:ss Z yyyy" — e.g. "Sun Jan 23 00:14:05 +0000 2011".
@@ -220,3 +222,44 @@ def read_hourly_rollup(spark, rollup_dir: str) -> DataFrame:
     and silently change the column type between engines) while
     keeping partition pruning on the string values intact."""
     return spark.read.schema("hour INT, n BIGINT, d STRING").parquet(rollup_dir)
+
+
+def hourly_top_movers(
+    events: DataFrame, k: int = 10, ts_col: str = "ts"
+) -> DataFrame:
+    """The k biggest hour-over-hour swings per event type: for every
+    (type, hour) bucket, the count delta against the type's PREVIOUS
+    OBSERVED hour, ranked by absolute delta — ``(event_type, hour_ts,
+    cnt, prev_cnt, delta)``. The what-just-spiked dashboard.
+
+    Scale: one partial-aggregated (type, hour) rollup (bucket-count
+    rows), a lag window per type over that already-tiny frame, and a
+    global top-k — TakeOrderedAndProject, no full sort. Ties break on
+    (type, hour) for cross-engine determinism.
+    """
+    hourly = (
+        events.select(
+            "event_type", F.date_trunc("hour", F.col(ts_col)).alias("h")
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    moved = (
+        hourly.withColumn("prev_cnt", F.lag("cnt").over(w))
+        .where(F.col("prev_cnt").isNotNull())
+        .withColumn("delta", F.col("cnt") - F.col("prev_cnt"))
+    )
+    return (
+        moved.orderBy(
+            F.abs(F.col("delta")).desc(), F.asc("event_type"), F.asc("h")
+        )
+        .limit(k)
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour_ts"),
+            "cnt",
+            "prev_cnt",
+            "delta",
+        )
+    )

@@ -2556,6 +2556,30 @@ def q_prefix_search(spark, sf_dir):
     return index.prefix_search(_docs(spark, sf_dir), prefix="sp")
 
 
+def q_nation_trade_balance(spark, sf_dir):
+    """Exports vs imports per nation: two nation-sized star rollups,
+    full-outer combined at dimension scale."""
+    return relational.nation_trade_balance(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_discount_effectiveness(spark, sf_dir):
+    """Volume response per discount level — grid-cardinality
+    conditional aggregation."""
+    return relational.discount_effectiveness(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_hourly_top_movers(spark, sf_dir):
+    """Top-10 hour-over-hour count swings per event type — the
+    what-just-spiked dashboard."""
+    return timeseries.hourly_top_movers(_events(spark, sf_dir))
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -5219,6 +5243,59 @@ WHERE t LIKE 'sp%'
 GROUP BY doc_id
 """
 
+_DP_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,6)) "
+    "* (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))"
+)
+ORACLE["nation_trade_balance"] = f"""
+WITH exp AS (
+  SELECT n.n_name, sum({_DP_SQL}) AS e
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1
+), imp AS (
+  SELECT n.n_name, sum({_DP_SQL}) AS i
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+)
+SELECT COALESCE(exp.n_name, imp.n_name) AS n_name,
+       CAST(round(COALESCE(e, CAST(0 AS DECIMAL(18,6))), 6) AS DOUBLE) AS exports,
+       CAST(round(COALESCE(i, CAST(0 AS DECIMAL(18,6))), 6) AS DOUBLE) AS imports,
+       CAST(round(COALESCE(e, CAST(0 AS DECIMAL(18,6)))
+                  - COALESCE(i, CAST(0 AS DECIMAL(18,6))), 6) AS DOUBLE) AS balance
+FROM exp FULL OUTER JOIN imp ON exp.n_name = imp.n_name
+"""
+
+ORACLE["discount_effectiveness"] = f"""
+SELECT round(l_discount, 2) AS discount,
+       count(*) AS n_items,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS avg_qty,
+       CAST(round(sum({_DP_SQL}), 6) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY 1
+"""
+
+ORACLE["hourly_top_movers"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), moved AS (
+  SELECT event_type, h, cnt,
+         lag(cnt) OVER (PARTITION BY event_type ORDER BY h) AS prev_cnt
+  FROM hourly
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:00:00') AS hour_ts,
+       cnt, prev_cnt, cnt - prev_cnt AS delta
+FROM moved WHERE prev_cnt IS NOT NULL
+ORDER BY abs(cnt - prev_cnt) DESC, event_type ASC, h ASC
+LIMIT 10
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -6666,6 +6743,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_purge_report": q_user_purge_report,        # GDPR purge dry run
     "prefix_search": q_prefix_search,                # wildcard term retrieval
     "harmonic_centrality": q_harmonic_centrality,    # probe-based centrality
+    "nation_trade_balance": q_nation_trade_balance,  # exports vs imports
+    "discount_effectiveness": q_discount_effectiveness,  # grid-level response
+    "hourly_top_movers": q_hourly_top_movers,        # hour-over-hour swings
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

@@ -298,3 +298,22 @@ def test_order_gap_stats_hand_checked(spark):
     assert r["n_gaps"] == 2
     assert r["avg_gap_days"] == 15.0
     assert r["median_gap_days"] == 15.0
+
+
+def test_nation_trade_balance_two_sides(spark):
+    li = spark.createDataFrame(
+        [(1, 1, 100.0, 0.0), (2, 2, 40.0, 0.0)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    orders = spark.createDataFrame([(1, 10), (2, 11)], "o_orderkey long, o_custkey long")
+    cust = spark.createDataFrame([(10, 2), (11, 1)], "c_custkey long, c_nationkey long")
+    supp = spark.createDataFrame([(1, 1), (2, 2)], "s_suppkey long, s_nationkey long")
+    nation = spark.createDataFrame(
+        [(1, "N1"), (2, "N2")], "n_nationkey long, n_name string"
+    )
+    from mapreduce_assignments_spark.operators.relational import nation_trade_balance
+
+    rows = {r["n_name"]: r for r in nation_trade_balance(li, orders, cust, supp, nation).collect()}
+    # N1 exports 100 (supp 1), imports 40 (cust 11); N2 mirror
+    assert (rows["N1"]["exports"], rows["N1"]["imports"], rows["N1"]["balance"]) == (100.0, 40.0, 60.0)
+    assert (rows["N2"]["exports"], rows["N2"]["imports"], rows["N2"]["balance"]) == (40.0, 100.0, -60.0)

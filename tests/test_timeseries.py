@@ -141,3 +141,22 @@ def test_maintain_hourly_rollup_touches_only_delta_partitions(spark, tmp_path):
         ("2024-01-02", 5): 5,  # merged: 1 + 4
         ("2024-01-02", 7): 1,
     }
+
+
+def test_hourly_top_movers_delta_and_gap_skip(spark):
+    from datetime import datetime
+    from mapreduce_assignments_spark.operators.timeseries import hourly_top_movers
+
+    ev = spark.createDataFrame(
+        # type a: hours 0 (2 events), 1 (5 events) -> delta +3
+        [("a", datetime(2024, 1, 1, 0, m)) for m in (1, 2)]
+        + [("a", datetime(2024, 1, 1, 1, m)) for m in range(5)]
+        # type b: hour 0 only -> no prev, excluded
+        + [("b", datetime(2024, 1, 1, 0, 1))],
+        "event_type string, ts timestamp",
+    )
+    rows = hourly_top_movers(ev, k=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["event_type"], r["cnt"], r["prev_cnt"], r["delta"]) == ("a", 5, 2, 3)
+    assert r["hour_ts"] == "2024-01-01 01:00:00"
