@@ -98,7 +98,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "funnel_counts", "cohort_retention", "brand_nation_revenue",
         "late_orders_by_priority", "top_return_customers", "session_stats", "co_engagement",
         "event_cube", "shipping_priority", "promo_revenue", "session_paths",
-        "ab_test_zscore", "order_gap_stats", "user_purge_report",
+        "ab_test_zscore", "order_gap_stats", "user_purge_report", "basket_lift",
         "nation_trade_balance", "discount_effectiveness",
         "large_volume_orders", "part_bracket_revenue", "event_transitions",
         "user_entropy", "conversion_lag", "revenue_share",
@@ -135,6 +135,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "source_stats", "lang_source_matrix", "top_terms_per_source",
         "unigram_logprob", "bigram_logprob", "oov_rate",
         "sentence_stats", "heldout_logprob", "filter_funnel",
+        "filter_funnel_examples",
     ),
     "sketches": ("kmv_distinct", "countmin_words"),
     "skew_diag": ("key_skew_report",),

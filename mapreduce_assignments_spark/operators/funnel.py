@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users", "co_engagement", "event_transitions", "user_entropy", "conversion_lag_stats", "session_paths", "ab_test_zscore"]
+__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users", "co_engagement", "event_transitions", "user_entropy", "conversion_lag_stats", "session_paths", "ab_test_zscore", "basket_lift"]
 
 
 def funnel_counts(
@@ -399,4 +399,72 @@ def ab_test_zscore(
         F.round(p_a, 6).alias("rate_a"),
         F.round(p_b, 6).alias("rate_b"),
         F.when(var > 0, F.round((p_b - p_a) / F.sqrt(var), 6)).alias("zscore"),
+    )
+
+
+def basket_lift(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Market-basket association over sessions: treating each
+    user session (``gap_minutes`` inactivity gap) as a basket of
+    DISTINCT event types, the lift of every ordered type pair —
+    ``(type_a, type_b, n_both, lift)`` with
+    ``lift = P(a,b) / (P(a)·P(b))`` over sessions. Lift > 1 means the
+    events co-occur in a session more than independence predicts.
+
+    Scale: sessionization is the shared lag/cumsum window; baskets
+    collapse to DISTINCT (session, type) rows (≤ type-domain per
+    session) before the within-basket pair join, so pair fan-out is
+    bounded by the type domain squared per session — never events².
+    Marginals and the session total are type-domain-sized frames
+    broadcast back; all probabilities are exact integer ratios.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    brk = F.when(
+        F.lag(us).over(w).isNull()
+        | (us - F.lag(us).over(w) > gap_minutes * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    # localCheckpoint: baskets feed four consumers (marginals, both
+    # pair sides, session total) — and the total rides a broadcast
+    # crossJoin, which over an un-checkpointed plan would re-execute
+    # the whole sessionization per consumer
+    baskets = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "sid", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .select("user_id", "sid", "event_type")
+        .distinct()
+        .localCheckpoint()
+    )
+    total = baskets.select("user_id", "sid").distinct().agg(
+        F.count("*").alias("n_sessions")
+    )
+    marg = baskets.groupBy(F.col("event_type").alias("t")).agg(
+        F.count("*").alias("n_t")
+    )
+    a = baskets.select("user_id", "sid", F.col("event_type").alias("type_a"))
+    b = baskets.select("user_id", "sid", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, ["user_id", "sid"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    ma = marg.select(F.col("t").alias("type_a"), F.col("n_t").alias("n_a"))
+    mb = marg.select(F.col("t").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        both.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                (F.col("n_both").cast("double") * F.col("n_sessions"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
     )

@@ -36,6 +36,7 @@ __all__ = [
     "sentence_stats",
     "heldout_logprob",
     "filter_funnel",
+    "filter_funnel_examples",
 ]
 
 # A BPE-ish pre-tokenization: letter runs, digit runs, single other
@@ -645,5 +646,72 @@ def filter_funnel(
                 stage(2, "mean_token_len", n1, F.col("f2")),
                 stage(3, "uppercase_ratio", n2, F.col("f3")),
             )
+        )
+    )
+
+
+def filter_funnel_examples(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Debugging companion to :func:`filter_funnel`: for each rule,
+    the ``k`` lowest-id documents that DIED there — ``(stage, rule,
+    n_rejected, example_ids)`` with ids comma-joined in order. The
+    "show me what this rule is killing" surface every filter tuning
+    session needs.
+
+    Scale: each document is assigned its stage-of-death in one narrow
+    pass (same integer rules as the funnel), then a per-stage
+    row_number window keeps only ``k`` rows per stage BEFORE any
+    collect_list — the example arrays are k-bounded by construction,
+    never a full failing set materialized per group.
+    """
+    toks = tokens_array(text_col)
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_chars = F.length(F.col(text_col))
+    upper = F.length(F.regexp_replace(F.col(text_col), "[^A-Z]", ""))
+    r1 = n_tok >= 5
+    r2 = (sum_len >= 2 * n_tok) & (sum_len <= 12 * n_tok)
+    r3 = F.lit(10) * upper <= F.lit(3) * n_chars
+    death = (
+        F.when(~r1, F.lit(1)).when(~r2, F.lit(2)).when(~r3, F.lit(3))
+    )
+    from pyspark.sql import Window
+
+    dead = docs.select(
+        F.col(id_col).alias("doc_id"), death.alias("stage")
+    ).where(F.col("stage").isNotNull())
+    w = Window.partitionBy("stage").orderBy("doc_id")
+    rules = F.create_map(
+        F.lit(1), F.lit("min_tokens"),
+        F.lit(2), F.lit("mean_token_len"),
+        F.lit(3), F.lit("uppercase_ratio"),
+    )
+    counts = dead.groupBy("stage").agg(F.count("*").alias("n_rejected"))
+    examples = (
+        dead.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("stage")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+                ",",
+            ).alias("example_ids")
+        )
+    )
+    return (
+        counts.join(examples, "stage")
+        .select(
+            "stage",
+            rules[F.col("stage")].alias("rule"),
+            "n_rejected",
+            "example_ids",
         )
     )

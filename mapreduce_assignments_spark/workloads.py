@@ -2580,6 +2580,19 @@ def q_hourly_top_movers(spark, sf_dir):
     return timeseries.hourly_top_movers(_events(spark, sf_dir))
 
 
+def q_basket_lift(spark, sf_dir):
+    """Session-basket association lift between event-type pairs —
+    co-occurrence vs independence over 30-minute session baskets."""
+    return funnel.basket_lift(_events(spark, sf_dir))
+
+
+def q_filter_funnel_examples(spark, sf_dir):
+    """Per-rule rejection examples for the quality funnel: the 3
+    lowest-id documents each rule kills, ids k-bounded BEFORE any
+    collect."""
+    return text_quality.filter_funnel_examples(_docs(spark, sf_dir))
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -5296,6 +5309,70 @@ ORDER BY abs(cnt - prev_cnt) DESC, event_type ASC, h ASC
 LIMIT 10
 """
 
+ORACLE["basket_lift"] = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+), b AS (
+  SELECT DISTINCT user_id, sid, event_type FROM g
+), tot AS (
+  SELECT count(*) AS n_sessions
+  FROM (SELECT DISTINCT user_id, sid FROM b)
+), marg AS (
+  SELECT event_type AS t, count(*) AS n_t FROM b GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, c.event_type AS type_b, count(*) AS n_both
+  FROM b a JOIN b c
+    ON a.user_id = c.user_id AND a.sid = c.sid
+   AND a.event_type < c.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       round(CAST(n_both AS DOUBLE) * tot.n_sessions
+             / (ma.n_t * mb.n_t), 6) AS lift
+FROM pairs
+JOIN marg ma ON ma.t = type_a
+JOIN marg mb ON mb.t = type_b
+CROSS JOIN tot
+"""
+
+ORACLE["filter_funnel_examples"] = f"""
+WITH f AS (
+  SELECT doc_id, len({_TOK}) AS n_tok,
+         list_sum(list_transform({_TOK}, t -> len(t))) AS sum_len,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_chars
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         CASE WHEN NOT (n_tok >= 5) THEN 1
+              WHEN NOT (sum_len >= 2 * n_tok AND sum_len <= 12 * n_tok) THEN 2
+              WHEN NOT (10 * upper_chars <= 3 * n_chars) THEN 3 END AS stage
+  FROM f
+), dead AS (SELECT doc_id, stage FROM d WHERE stage IS NOT NULL),
+ex AS (
+  SELECT stage, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS example_ids
+  FROM (SELECT *, row_number() OVER (PARTITION BY stage ORDER BY doc_id) AS rn
+        FROM dead)
+  WHERE rn <= 3 GROUP BY stage
+), cnt AS (SELECT stage, count(*) AS n_rejected FROM dead GROUP BY stage)
+SELECT CAST(cnt.stage AS INTEGER) AS stage,
+       CASE cnt.stage WHEN 1 THEN 'min_tokens'
+                      WHEN 2 THEN 'mean_token_len'
+                      ELSE 'uppercase_ratio' END AS rule,
+       cnt.n_rejected, ex.example_ids
+FROM cnt JOIN ex ON cnt.stage = ex.stage
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -6746,6 +6823,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_trade_balance": q_nation_trade_balance,  # exports vs imports
     "discount_effectiveness": q_discount_effectiveness,  # grid-level response
     "hourly_top_movers": q_hourly_top_movers,        # hour-over-hour swings
+    "basket_lift": q_basket_lift,                    # session-basket association
+    "filter_funnel_examples": q_filter_funnel_examples,  # rule-kill examples
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

@@ -236,3 +236,25 @@ def test_ab_test_zscore_degenerate_null(spark):
     )
     [r] = ab_test_zscore(ev).collect()
     assert r["zscore"] is None  # zero conversions -> zero pooled variance
+
+
+def test_basket_lift_hand_checked(spark):
+    from datetime import datetime
+    from mapreduce_assignments_spark.operators.funnel import basket_lift
+
+    t0 = datetime(2024, 1, 1, 0, 0)
+    t1 = datetime(2024, 1, 1, 0, 10)
+    far = datetime(2024, 1, 1, 5, 0)
+    ev = spark.createDataFrame(
+        [
+            # u1 session 1: {click, view}; u1 session 2: {click}
+            (1, 1, "click", t0), (2, 1, "view", t1), (3, 1, "click", far),
+            # u2 session 1: {view}
+            (4, 2, "view", t0),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    [r] = basket_lift(ev).collect()
+    # 3 sessions; click in 2, view in 2, both in 1 -> lift = 1*3/(2*2)
+    assert (r["type_a"], r["type_b"], r["n_both"]) == ("click", "view", 1)
+    assert r["lift"] == 0.75

@@ -343,3 +343,20 @@ def test_filter_funnel_sequential_attribution(spark):
     assert (rows["mean_token_len"]["n_in"], rows["mean_token_len"]["n_rejected"]) == (3, 1)
     assert (rows["uppercase_ratio"]["n_in"], rows["uppercase_ratio"]["n_rejected"]) == (2, 1)
     assert rows["uppercase_ratio"]["n_out"] == 1
+
+
+def test_filter_funnel_examples_bounded_and_ordered(spark):
+    from mapreduce_assignments_spark.operators.text_quality import (
+        filter_funnel_examples,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in (5, 3, 9, 7)]  # four rule-1 deaths
+        + [(20, "a a a a a a")]           # rule-2 death
+        + [(30, "a clean document with several tokens here")],
+        "doc_id long, text string",
+    )
+    rows = {r["stage"]: r for r in filter_funnel_examples(docs).collect()}
+    assert rows[1]["n_rejected"] == 4
+    assert rows[1]["example_ids"] == "3,5,7"  # k=3 lowest ids, ordered
+    assert rows[2]["example_ids"] == "20"
