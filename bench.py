@@ -127,7 +127,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "quantize_embeddings", "ivf_recall_report", "label_centroids",
         "centroid_confusion", "random_projection", "hard_negatives",
         "label_spread", "semantic_dedup", "knn_label_accuracy",
-        "embedding_covariance",
+        "embedding_covariance", "quantization_error",
     ),
     "text_quality": (
         "token_counts", "quality_score", "language_id", "doc_fingerprint",
@@ -135,7 +135,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "source_stats", "lang_source_matrix", "top_terms_per_source",
         "unigram_logprob", "bigram_logprob", "oov_rate",
         "sentence_stats", "heldout_logprob", "filter_funnel",
-        "filter_funnel_examples",
+        "filter_funnel_examples", "sentence_dedup_stats",
     ),
     "sketches": ("kmv_distinct", "countmin_words"),
     "skew_diag": ("key_skew_report",),

@@ -52,6 +52,7 @@ __all__ = [
     "semantic_dedup",
     "knn_label_accuracy",
     "embedding_covariance",
+    "quantization_error",
 ]
 
 
@@ -1103,5 +1104,59 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
                 - (F.col("sxi") / F.col("n")) * (F.col("sxj") / F.col("n")),
                 6,
             ).alias("cov"),
+        )
+    )
+
+
+def quantization_error(
+    embeddings: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """How much cosine fidelity does int8 scalar quantization cost?
+    Per label: ``(label, n_vecs, mean_cos, min_cos)`` where ``cos`` is
+    the cosine between each original vector and its
+    dequantized reconstruction under :func:`quantize_embeddings`'
+    exact code math — the accept/reject gate before switching an ANN
+    index to int8 storage.
+
+    Scale: the per-dimension bounds are the same driver-collected
+    2·dim doubles as the quantizer (textbook small side); the
+    quantize→dequantize→cosine pipeline is then one NARROW per-row
+    pass against broadcast literal bounds (no shuffle until the
+    label-sized final aggregate). Per-row cosines round to 6 dp
+    BEFORE averaging (the source_stats discipline) so the report is
+    engine-exact.
+    """
+    emb = _as_double(embeddings)
+    dims = (
+        emb.select(F.posexplode_outer("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    )
+    mn = [r["mn"] for r in sorted(dims, key=lambda r: r["pos"])]
+    mx = [r["mx"] for r in sorted(dims, key=lambda r: r["pos"])]
+    mn_arr = F.array(*[F.lit(float(x)) for x in mn])
+    mx_arr = F.array(*[F.lit(float(x)) for x in mx])
+    bounds = F.zip_with(
+        mn_arr, mx_arr, lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi"))
+    )
+    deq = F.zip_with(
+        F.col("embedding"),
+        bounds,
+        lambda v, b: F.when(b["hi"] == b["lo"], b["lo"]).otherwise(
+            b["lo"]
+            + F.floor((v - b["lo"]) / (b["hi"] - b["lo"]) * 255 + 0.5)
+            / F.lit(255.0)
+            * (b["hi"] - b["lo"])
+        ),
+    )
+    cos = F.round(cosine_similarity(F.col("embedding"), deq), 6)
+    return (
+        emb.select(F.col(label_col).alias("label"), cos.alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("cos"), 6).alias("mean_cos"),
+            F.min("cos").alias("min_cos"),
         )
     )

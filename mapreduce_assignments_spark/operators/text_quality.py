@@ -37,6 +37,7 @@ __all__ = [
     "heldout_logprob",
     "filter_funnel",
     "filter_funnel_examples",
+    "sentence_dedup_stats",
 ]
 
 # A BPE-ish pre-tokenization: letter runs, digit runs, single other
@@ -713,5 +714,61 @@ def filter_funnel_examples(
             rules[F.col("stage")].alias("rule"),
             "n_rejected",
             "example_ids",
+        )
+    )
+
+
+def sentence_dedup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Sentence-granularity duplication dashboard: per source, how
+    much sentence MASS is shared with other documents — ``(source,
+    n_instances, n_dup_instances, dup_ratio)``, where an instance is
+    one sentence occurrence and it counts as duplicated when its
+    exact text appears in ≥ 2 distinct documents. The finer-grained
+    sibling of document-level exact dedup (boilerplate shows up here
+    long before whole documents repeat).
+
+    Sentences are the same ``[.!?]+``-split non-empty trimmed
+    segments as :func:`sentence_stats`, so the two reports line up.
+
+    Scale: the sentence-df table collapses to DISTINCT (doc, sentence)
+    BEFORE counting (one exchange on the sentence text), and the
+    instance side joins it on the same key — never instances²; the
+    final rollup is source-cardinality. At 100 TB the join key could
+    hash to a digest first, trading the string shuffle for md5 —
+    semantics unchanged.
+    """
+    arr = F.filter(
+        F.transform(F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    inst = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.explode(arr).alias("sent"),
+    )
+    df_tbl = (
+        inst.select("doc_id", "sent")
+        .distinct()
+        .groupBy("sent")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        inst.join(df_tbl, "sent")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_instances"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_instances"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("dup_ratio"),
         )
     )

@@ -2593,6 +2593,18 @@ def q_filter_funnel_examples(spark, sf_dir):
     return text_quality.filter_funnel_examples(_docs(spark, sf_dir))
 
 
+def q_quantization_error(spark, sf_dir):
+    """Cosine fidelity of int8 scalar quantization per label — the
+    accept/reject gate before switching ANN storage to int8."""
+    return similarity.quantization_error(_emb(spark, sf_dir))
+
+
+def q_sentence_dedup_stats(spark, sf_dir):
+    """Sentence-mass duplication per source — the boilerplate
+    dashboard below document-level dedup."""
+    return text_quality.sentence_dedup_stats(_docs(spark, sf_dir))
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -5373,6 +5385,61 @@ SELECT CAST(cnt.stage AS INTEGER) AS stage,
 FROM cnt JOIN ex ON cnt.stage = ex.stage
 """
 
+ORACLE["quantization_error"] = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+flat AS (
+  SELECT vec_id, CAST(g.i AS INTEGER) AS pos,
+         v[CAST(g.i AS INTEGER) + 1] AS x
+  FROM e, generate_series(0, 63) g(i)
+),
+dims AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM flat GROUP BY pos),
+b AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM dims),
+dq AS (
+  SELECT e.label,
+         e.v,
+         list_transform(range(1, 65), i ->
+           CASE WHEN b.mxs[i] = b.mns[i] THEN b.mns[i]
+                ELSE b.mns[i]
+                     + floor((e.v[i] - b.mns[i]) / (b.mxs[i] - b.mns[i]) * 255
+                             + 0.5)
+                       / CAST(255 AS DOUBLE) * (b.mxs[i] - b.mns[i]) END) AS d
+  FROM e, b
+),
+cosr AS (
+  SELECT label,
+         round(list_dot_product(v, d)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(d, d))),
+               6) AS cos
+  FROM dq
+)
+SELECT label, count(*) AS n_vecs,
+       round(avg(cos), 6) AS mean_cos, min(cos) AS min_cos
+FROM cosr GROUP BY label
+"""
+
+ORACLE["sentence_dedup_stats"] = """
+WITH inst AS (
+  SELECT doc_id, source, s.sent
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                                             x -> trim(x)),
+                              x -> len(x) > 0)) AS sent
+    FROM documents) s(doc_id, source, sent)
+), dfreq AS (
+  SELECT sent, count(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id, sent FROM inst)
+  GROUP BY sent
+)
+SELECT i.source, count(*) AS n_instances,
+       CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_instances,
+       round(CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_ratio
+FROM inst i JOIN dfreq d USING (sent)
+GROUP BY i.source
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -6825,6 +6892,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_top_movers": q_hourly_top_movers,        # hour-over-hour swings
     "basket_lift": q_basket_lift,                    # session-basket association
     "filter_funnel_examples": q_filter_funnel_examples,  # rule-kill examples
+    "quantization_error": q_quantization_error,      # int8 fidelity gate
+    "sentence_dedup_stats": q_sentence_dedup_stats,  # boilerplate dashboard
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

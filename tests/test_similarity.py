@@ -560,3 +560,17 @@ def test_embedding_covariance_hand_checked(spark):
     rows = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(emb).collect()}
     # means: (2, 1); E[x0^2]=5 -> var0=1; E[x0 x1]=3 -> cov=1; E[x1^2]=2 -> var1=1
     assert rows == {(0, 0): 1.0, (0, 1): 1.0, (1, 0): 1.0, (1, 1): 1.0}
+
+
+def test_quantization_error_perfect_on_two_point_grid(spark):
+    """With exactly two distinct values per dimension the int8 grid
+    hits both endpoints exactly -> cosine fidelity 1.0."""
+    from mapreduce_assignments_spark.operators.similarity import quantization_error
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 1.0], "a"), (1, [2.0, 3.0], "a")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    [r] = quantization_error(emb).collect()
+    assert r["label"] == "a" and r["n_vecs"] == 2
+    assert r["mean_cos"] == 1.0 and r["min_cos"] == 1.0

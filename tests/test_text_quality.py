@@ -360,3 +360,23 @@ def test_filter_funnel_examples_bounded_and_ordered(spark):
     assert rows[1]["n_rejected"] == 4
     assert rows[1]["example_ids"] == "3,5,7"  # k=3 lowest ids, ordered
     assert rows[2]["example_ids"] == "20"
+
+
+def test_sentence_dedup_stats_cross_doc_only(spark):
+    from mapreduce_assignments_spark.operators.text_quality import (
+        sentence_dedup_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared boilerplate. unique one.", "web"),
+            (2, "shared boilerplate. another unique.", "web"),
+            (3, "all alone here.", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in sentence_dedup_stats(docs).collect()}
+    assert rows["web"]["n_instances"] == 4
+    assert rows["web"]["n_dup_instances"] == 2  # the shared sentence, twice
+    assert rows["web"]["dup_ratio"] == 0.5
+    assert rows["books"]["n_dup_instances"] == 0
