@@ -136,6 +136,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "unigram_logprob", "bigram_logprob", "oov_rate",
         "sentence_stats", "heldout_logprob", "filter_funnel",
         "filter_funnel_examples", "sentence_dedup_stats",
+        "vocab_coverage", "idf_drift",
     ),
     "sketches": ("kmv_distinct", "countmin_words"),
     "skew_diag": ("key_skew_report",),

@@ -38,6 +38,8 @@ __all__ = [
     "filter_funnel",
     "filter_funnel_examples",
     "sentence_dedup_stats",
+    "vocab_coverage",
+    "idf_drift",
 ]
 
 # A BPE-ish pre-tokenization: letter runs, digit runs, single other
@@ -771,4 +773,101 @@ def sentence_dedup_stats(
                 6,
             ).alias("dup_ratio"),
         )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame, ks: tuple = (100, 1000, 10000),
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    OCCURRENCES the top-k most frequent terms cover, for each k —
+    ``(k, covered_tokens, total_tokens, coverage)``. The curve
+    tokenizer/vocab sizing decisions read off.
+
+    Scale: the term-count table aggregates once (partial combine);
+    the top-max(k) slice comes via ``orderBy().limit()`` — Spark
+    plans TakeOrderedAndProject, a per-partition heap + single merge,
+    NOT a global sort of the vocabulary; the cumulative sums then run
+    on that k-bounded frame (single-partition window over ≤ max(k)
+    rows is bounded by construction). Ties rank (cnt DESC, term ASC)
+    so the curve is engine-deterministic.
+    """
+    wc = (
+        docs.select(F.explode(tokens_array(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    total = wc.agg(F.sum("cnt").alias("total_tokens"))
+    top = wc.orderBy(F.desc("cnt"), F.asc("term")).limit(max(ks))
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = top.withColumn("rn", F.row_number().over(w))
+    rows = None
+    for k in sorted(ks):
+        r = ranked.where(F.col("rn") <= k).agg(
+            F.lit(k).alias("k"),
+            F.sum("cnt").alias("covered_tokens"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows.crossJoin(F.broadcast(total)).select(
+        "k",
+        "covered_tokens",
+        "total_tokens",
+        F.round(F.col("covered_tokens") / F.col("total_tokens"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+def idf_drift(
+    docs: DataFrame, k: int = 20, min_df: int = 5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical drift monitor: split the corpus into deterministic
+    halves (``doc_id % 2``) and rank terms by how much their IDF
+    moved — ``(term, df_a, df_b, delta)`` for the top-k
+    ``|ln(n_a/df_a) − ln(n_b/df_b)|``, terms below ``min_df`` in both
+    halves excluded (rare-term noise). The vocabulary-level sibling
+    of the PSI length gate: distribution drift you can READ (which
+    words changed).
+
+    Scale: two df tables from one distinct-(doc, term) collapse (the
+    halves are a column, not two scans), full-outer joined at
+    vocabulary size; half totals broadcast; the top-k is
+    TakeOrderedAndProject. Ties break term-ascending.
+    """
+    pairs = (
+        docs.select(
+            (F.col(id_col) % 2 == 0).alias("is_a"),
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_array(text_col)).alias("term"),
+        )
+        .distinct()
+    )
+    halves = pairs.groupBy("term").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("df_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("long").alias("df_b"),
+    )
+    totals = docs.agg(
+        F.sum(((F.col(id_col) % 2) == 0).cast("int")).cast("long").alias("n_a"),
+        F.sum(((F.col(id_col) % 2) != 0).cast("int")).cast("long").alias("n_b"),
+    )
+    return (
+        halves.where((F.col("df_a") >= min_df) | (F.col("df_b") >= min_df))
+        .where((F.col("df_a") > 0) & (F.col("df_b") > 0))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "df_a",
+            "df_b",
+            F.round(
+                F.log(F.col("n_a") / F.col("df_a"))
+                - F.log(F.col("n_b") / F.col("df_b")),
+                6,
+            ).alias("delta"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), F.asc("term"))
+        .limit(k)
     )

@@ -2605,6 +2605,18 @@ def q_sentence_dedup_stats(spark, sf_dir):
     return text_quality.sentence_dedup_stats(_docs(spark, sf_dir))
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Top-k vocabulary coverage curve (k = 100/1000/10000) — the
+    tokenizer-sizing readout."""
+    return text_quality.vocab_coverage(_docs(spark, sf_dir))
+
+
+def q_idf_drift(spark, sf_dir):
+    """Top-20 IDF movers between the corpus's deterministic halves —
+    lexical drift you can read."""
+    return text_quality.idf_drift(_docs(spark, sf_dir))
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -5440,6 +5452,50 @@ FROM inst i JOIN dfreq d USING (sent)
 GROUP BY i.source
 """
 
+ORACLE["vocab_coverage"] = f"""
+WITH wc AS (
+  SELECT t AS term, count(*) AS cnt
+  FROM (SELECT unnest({_TOK}) AS t FROM documents) GROUP BY t
+), tot AS (SELECT sum(cnt) AS total_tokens FROM wc),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rn FROM wc
+)
+SELECT k, covered_tokens, CAST(tot.total_tokens AS BIGINT) AS total_tokens,
+       round(CAST(covered_tokens AS DOUBLE) / tot.total_tokens, 6) AS coverage
+FROM (
+  SELECT 100 AS k, CAST(sum(cnt) AS BIGINT) AS covered_tokens
+  FROM ranked WHERE rn <= 100
+  UNION ALL
+  SELECT 1000, CAST(sum(cnt) AS BIGINT) FROM ranked WHERE rn <= 1000
+  UNION ALL
+  SELECT 10000, CAST(sum(cnt) AS BIGINT) FROM ranked WHERE rn <= 10000
+) c CROSS JOIN tot
+"""
+
+ORACLE["idf_drift"] = f"""
+WITH pairs AS (
+  SELECT DISTINCT (doc_id % 2 = 0) AS is_a, doc_id, t AS term
+  FROM (SELECT doc_id, unnest({_TOK}) AS t FROM documents)
+), halves AS (
+  SELECT term,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS df_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS df_b
+  FROM pairs GROUP BY term
+), tot AS (
+  SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM documents
+)
+SELECT term, df_a, df_b,
+       round(ln(CAST(n_a AS DOUBLE) / df_a) - ln(CAST(n_b AS DOUBLE) / df_b), 6)
+         AS delta
+FROM halves CROSS JOIN tot
+WHERE (df_a >= 5 OR df_b >= 5) AND df_a > 0 AND df_b > 0
+ORDER BY abs(round(ln(CAST(n_a AS DOUBLE) / df_a)
+                   - ln(CAST(n_b AS DOUBLE) / df_b), 6)) DESC, term ASC
+LIMIT 20
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -6894,6 +6950,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_funnel_examples": q_filter_funnel_examples,  # rule-kill examples
     "quantization_error": q_quantization_error,      # int8 fidelity gate
     "sentence_dedup_stats": q_sentence_dedup_stats,  # boilerplate dashboard
+    "vocab_coverage": q_vocab_coverage,              # tokenizer-sizing curve
+    "idf_drift": q_idf_drift,                        # readable lexical drift
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

@@ -380,3 +380,32 @@ def test_sentence_dedup_stats_cross_doc_only(spark):
     assert rows["web"]["n_dup_instances"] == 2  # the shared sentence, twice
     assert rows["web"]["dup_ratio"] == 0.5
     assert rows["books"]["n_dup_instances"] == 0
+
+
+def test_vocab_coverage_monotone_and_exact(spark):
+    from mapreduce_assignments_spark.operators.text_quality import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string"
+    )
+    rows = {r["k"]: r for r in vocab_coverage(docs, ks=(1, 2, 3)).collect()}
+    assert rows[1]["covered_tokens"] == 3 and rows[1]["coverage"] == 0.5
+    assert rows[2]["covered_tokens"] == 5
+    assert rows[3]["coverage"] == 1.0
+
+
+def test_idf_drift_direction(spark):
+    from mapreduce_assignments_spark.operators.text_quality import idf_drift
+
+    # 'hot' appears in every even doc (half a), never in odd docs ->
+    # excluded (df_b = 0); 'warm' in all evens and one odd
+    docs = spark.createDataFrame(
+        [(i, "warm common" + (" hot" if i % 2 == 0 else "")) for i in range(10)]
+        + [(11, "warm common")],
+        "doc_id long, text string",
+    )
+    rows = {r["term"]: r for r in idf_drift(docs, k=5, min_df=2).collect()}
+    assert "hot" not in rows            # one-sided terms excluded
+    assert rows["warm"]["df_a"] == 5 and rows["warm"]["df_b"] == 6
+    # common is in all docs of both halves: delta = ln(5/5)-ln(6/6)=0
+    assert rows["common"]["delta"] == 0.0
