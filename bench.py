@@ -88,7 +88,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "snapshot_diff", "hourly_anomalies", "normalize_events",
         "rolling_active_users", "daily_trend", "ewma_hourly",
         "seasonal_anomalies", "incremental_rollup", "interpolate_gaps",
-        "hourly_top_movers",
+        "hourly_top_movers", "activity_heatmap",
     ),
     "relational": (
         "pricing_summary", "forecast_revenue", "top_revenue_orders", "revenue_by_nation",
@@ -104,7 +104,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "user_entropy", "conversion_lag", "revenue_share",
         "revenue_lag_features", "volume_shipping", "market_share",
         "customer_distribution", "top_supplier", "small_quantity_revenue",
-        "revenue_rollup", "last_touch_attribution",
+        "revenue_rollup", "last_touch_attribution", "rfm_segments",
     ),
     "graph": (
         "pagerank", "personalized_pagerank", "degree_histogram",

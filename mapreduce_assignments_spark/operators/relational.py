@@ -46,6 +46,7 @@ __all__ = [
     "order_gap_stats",
     "nation_trade_balance",
     "discount_effectiveness",
+    "rfm_segments",
 ]
 
 # Decimal widths are chosen so every product stays within 38 digits
@@ -936,4 +937,58 @@ def discount_effectiveness(lineitem: DataFrame) -> DataFrame:
             .alias("avg_qty"),
             F.round(F.sum(dp), 6).cast("double").alias("revenue"),
         )
+    )
+
+
+def rfm_segments(orders: DataFrame, n_buckets: int = 3) -> DataFrame:
+    """RFM customer segmentation rollup: score every customer 1–n on
+    Recency (days since last order, LOWER is better but scored on the
+    raw value — bucket 1 = most recent), Frequency (order count), and
+    Monetary (total spend), then count customers per (r, f, m)
+    segment — ``(r_bucket, f_bucket, m_bucket, n_customers)``, at
+    most n³ rows. The classic marketing segmentation, computed
+    exactly.
+
+    Scale: one per-customer rollup (exchange on custkey), a single
+    3×(n−1)-value exact-percentile aggregate broadcast back (the
+    :func:`features.quantile_buckets` shape — no ntile, no global
+    sort, no single-partition window), and a narrow bucket projection
+    into the final 3-key count. Bucket boundary convention matches
+    quantile_buckets: a value equal to a split lands in the LOWER
+    bucket.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-12-31").cast("timestamp"), F.max("o_orderdate")
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("monetary"),
+    )
+    qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    bounds = per_cust.agg(
+        F.expr(f"percentile(recency_days, array({qs}))").alias("_rb"),
+        F.expr(f"percentile(frequency, array({qs}))").alias("_fb"),
+        F.expr(f"percentile(monetary, array({qs}))").alias("_mb"),
+    )
+
+    def bucket(col, b):
+        return (
+            F.size(F.filter(F.col(b), lambda s: F.col(col) > s)) + 1
+        ).alias(col + "_bucket")
+
+    return (
+        per_cust.crossJoin(F.broadcast(bounds))
+        .select(
+            bucket("recency_days", "_rb"),
+            bucket("frequency", "_fb"),
+            bucket("monetary", "_mb"),
+        )
+        .groupBy(
+            F.col("recency_days_bucket").alias("r_bucket"),
+            F.col("frequency_bucket").alias("f_bucket"),
+            F.col("monetary_bucket").alias("m_bucket"),
+        )
+        .agg(F.count("*").alias("n_customers"))
     )

@@ -32,6 +32,7 @@ __all__ = [
     "maintain_hourly_rollup",
     "read_hourly_rollup",
     "hourly_top_movers",
+    "activity_heatmap",
 ]
 
 # "EEE MMM dd HH:mm:ss Z yyyy" — e.g. "Sun Jan 23 00:14:05 +0000 2011".
@@ -261,5 +262,30 @@ def hourly_top_movers(
             "cnt",
             "prev_cnt",
             "delta",
+        )
+    )
+
+
+def activity_heatmap(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap: ``(dow, hour,
+    n_events, n_users)`` — the when-is-the-audience-awake dashboard.
+    ``dow`` is 1=Sunday…7=Saturday (both engines' ``dayofweek``
+    convention over civil timestamps).
+
+    Scale: one partial-aggregated exchange on a 168-cell key; the
+    distinct user count makes it two-phase keyed on (cell, user)
+    first — still bounded by cells × users, and the final frame is
+    dashboard-sized by construction.
+    """
+    return (
+        events.select(
+            F.dayofweek(F.col(ts_col)).alias("dow"),
+            F.hour(F.col(ts_col)).alias("hour"),
+            "user_id",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
         )
     )

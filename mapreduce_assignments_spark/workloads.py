@@ -2617,6 +2617,18 @@ def q_idf_drift(spark, sf_dir):
     return text_quality.idf_drift(_docs(spark, sf_dir))
 
 
+def q_activity_heatmap(spark, sf_dir):
+    """Day-of-week × hour-of-day activity with distinct users — the
+    168-cell audience heatmap."""
+    return timeseries.activity_heatmap(_events(spark, sf_dir))
+
+
+def q_rfm_segments(spark, sf_dir):
+    """Exact tercile RFM segmentation rollup over orders — the
+    classic marketing segmentation without a global sort."""
+    return relational.rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -5496,6 +5508,40 @@ ORDER BY abs(round(ln(CAST(n_a AS DOUBLE) / df_a)
 LIMIT 20
 """
 
+ORACLE["activity_heatmap"] = """
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hour,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+ORACLE["rfm_segments"] = """
+WITH pc AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), TIMESTAMP '2001-12-31')
+           AS recency_days,
+         count(*) AS frequency,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT quantile_cont(recency_days, [1.0/3, 2.0/3]) AS rb,
+         quantile_cont(frequency,    [1.0/3, 2.0/3]) AS fb,
+         quantile_cont(monetary,     [1.0/3, 2.0/3]) AS mb
+  FROM pc
+)
+SELECT CAST(len(list_filter(b.rb, s -> pc.recency_days > s)) + 1 AS INTEGER)
+         AS r_bucket,
+       CAST(len(list_filter(b.fb, s -> pc.frequency > s)) + 1 AS INTEGER)
+         AS f_bucket,
+       CAST(len(list_filter(b.mb, s -> pc.monetary > s)) + 1 AS INTEGER)
+         AS m_bucket,
+       count(*) AS n_customers
+FROM pc CROSS JOIN b
+GROUP BY 1, 2, 3
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -6952,6 +6998,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_dedup_stats": q_sentence_dedup_stats,  # boilerplate dashboard
     "vocab_coverage": q_vocab_coverage,              # tokenizer-sizing curve
     "idf_drift": q_idf_drift,                        # readable lexical drift
+    "activity_heatmap": q_activity_heatmap,          # dow-hour audience grid
+    "rfm_segments": q_rfm_segments,                  # exact-tercile RFM rollup
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

@@ -317,3 +317,20 @@ def test_nation_trade_balance_two_sides(spark):
     # N1 exports 100 (supp 1), imports 40 (cust 11); N2 mirror
     assert (rows["N1"]["exports"], rows["N1"]["imports"], rows["N1"]["balance"]) == (100.0, 40.0, 60.0)
     assert (rows["N2"]["exports"], rows["N2"]["imports"], rows["N2"]["balance"]) == (40.0, 100.0, -60.0)
+
+
+def test_rfm_segments_buckets(spark):
+    from mapreduce_assignments_spark.operators.relational import rfm_segments
+
+    orders = spark.createDataFrame(
+        # three customers with clearly separated R, F, M profiles
+        [(1, 10, _ts("2001-12-01"), 900.0)] * 3        # recent, frequent, big
+        + [(2, 11, _ts("2000-06-01"), 100.0)]          # middling
+        + [(3, 12, _ts("1995-01-01"), 10.0)],          # stale, rare, small
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    rows = {(r["r_bucket"], r["f_bucket"], r["m_bucket"]): r["n_customers"]
+            for r in rfm_segments(orders).collect()}
+    assert rows[(1, 3, 3)] == 1   # cust 10: most recent, most orders, most spend
+    assert rows[(3, 1, 1)] == 1   # cust 12: stalest, fewest, smallest
+    assert sum(rows.values()) == 3

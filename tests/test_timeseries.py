@@ -160,3 +160,21 @@ def test_hourly_top_movers_delta_and_gap_skip(spark):
     r = rows[0]
     assert (r["event_type"], r["cnt"], r["prev_cnt"], r["delta"]) == ("a", 5, 2, 3)
     assert r["hour_ts"] == "2024-01-01 01:00:00"
+
+
+def test_activity_heatmap_cells(spark):
+    from datetime import datetime
+    from mapreduce_assignments_spark.operators.timeseries import activity_heatmap
+
+    # 2024-01-07 is a Sunday -> dow 1 in Spark's convention
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 7, 9, 5)),
+            (1, datetime(2024, 1, 7, 9, 55)),
+            (2, datetime(2024, 1, 8, 9, 5)),  # Monday -> dow 2
+        ],
+        "user_id long, ts timestamp",
+    )
+    rows = {(r["dow"], r["hour"]): (r["n_events"], r["n_users"])
+            for r in activity_heatmap(ev).collect()}
+    assert rows == {(1, 9): (2, 1), (2, 9): (1, 1)}
