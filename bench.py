@@ -99,6 +99,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "late_orders_by_priority", "top_return_customers", "session_stats", "co_engagement",
         "event_cube", "shipping_priority", "promo_revenue", "session_paths",
         "ab_test_zscore", "order_gap_stats", "user_purge_report", "basket_lift",
+        "transition_latency", "linear_attribution",
         "nation_trade_balance", "discount_effectiveness",
         "large_volume_orders", "part_bracket_revenue", "event_transitions",
         "user_entropy", "conversion_lag", "revenue_share",

@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users", "co_engagement", "event_transitions", "user_entropy", "conversion_lag_stats", "session_paths", "ab_test_zscore", "basket_lift"]
+__all__ = ["funnel_counts", "cohort_retention", "rolling_active_users", "co_engagement", "event_transitions", "user_entropy", "conversion_lag_stats", "session_paths", "ab_test_zscore", "basket_lift", "transition_latency", "linear_attribution"]
 
 
 def funnel_counts(
@@ -467,4 +467,109 @@ def basket_lift(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 6,
             ).alias("lift"),
         )
+    )
+
+
+def transition_latency(events: DataFrame) -> DataFrame:
+    """How long do users dwell between consecutive event types? Per
+    directed transition (prev_type → next_type): ``(from_type,
+    to_type, n, median_seconds, avg_seconds)`` over each user's
+    time-ordered stream. The latency companion to
+    :func:`event_transitions`' probability matrix.
+
+    Scale: one lag window per user (the shared sessionization sort),
+    integer second deltas, then a type²-cardinality rollup whose
+    exact median aggregates per-transition multisets — never a global
+    sort. Ties in ts order by event_id, so deltas are deterministic.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    step = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("delta_s", ((us - F.lag(us).over(w)) / 1_000_000.0))
+        .where(F.col("prev_type").isNotNull())
+    )
+    return (
+        step.groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(delta_s, 0.5)"), 6).alias("median_seconds"),
+            F.round(F.avg("delta_s"), 6).alias("avg_seconds"),
+        )
+    )
+
+
+def linear_attribution(
+    events: DataFrame,
+    touch_types: tuple = ("click", "view"),
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution: each conversion
+    splits one unit of credit equally across ALL of the user's
+    preceding touches, aggregated by touch type — ``(touch_type,
+    total_credit, n_conversions)``. The fairness-spectrum counterpart
+    of :func:`relational.last_touch_attribution`.
+
+    Scale: running per-type touch counts are trailing windows over
+    the SAME user sort (one shuffle, one sort, k window expressions
+    for k touch types — never a conversions × touches join, which is
+    quadratic in active users); per-conversion credits are exact
+    integer ratios rounded at the end. Conversions with zero
+    preceding touches appear as ``'(none)'`` with whole credits.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    counts = {
+        t: F.sum(
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        ).over(w)
+        for t in touch_types
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    # an empty trailing frame sums to NULL, not 0 — coalesce so a
+    # first-event conversion lands in '(none)' instead of nowhere
+    conv = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .select(
+            "*",
+            *[
+                F.coalesce(counts[t], F.lit(0)).alias(f"__c_{t}")
+                for t in touch_types
+            ],
+            F.coalesce(total, F.lit(0)).alias("__tot"),
+        )
+        .where(F.col("event_type") == convert_type)
+    )
+    per_type = None
+    for t in touch_types:
+        r = conv.select(
+            F.lit(t).alias("touch_type"),
+            F.when(
+                F.col("__tot") > 0, F.col(f"__c_{t}") / F.col("__tot")
+            ).otherwise(F.lit(0.0)).alias("credit"),
+        )
+        per_type = r if per_type is None else per_type.unionAll(r)
+    none_credit = conv.select(
+        F.lit("(none)").alias("touch_type"),
+        F.when(F.col("__tot") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("credit"),
+    )
+    return (
+        per_type.unionAll(none_credit)
+        .groupBy("touch_type")
+        .agg(
+            F.round(F.sum("credit"), 6).alias("total_credit"),
+            F.sum(F.when(F.col("credit") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_conversions"),
+        )
+        .where(F.col("total_credit") > 0)
     )

@@ -2629,6 +2629,18 @@ def q_rfm_segments(spark, sf_dir):
     return relational.rfm_segments(load_table(spark, sf_dir, "orders"))
 
 
+def q_transition_latency(spark, sf_dir):
+    """Dwell-time stats per event-type transition — the latency
+    companion to the Markov transition matrix."""
+    return funnel.transition_latency(_events(spark, sf_dir))
+
+
+def q_linear_attribution(spark, sf_dir):
+    """Equal-credit multi-touch attribution of purchases across
+    click/view touches — trailing running counts, no touch join."""
+    return funnel.linear_attribution(_events(spark, sf_dir))
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -5542,6 +5554,56 @@ FROM pc CROSS JOIN b
 GROUP BY 1, 2, 3
 """
 
+ORACLE["transition_latency"] = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER w AS prev_type,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER w))
+           / CAST(1000000 AS DOUBLE) AS delta_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n,
+       round(quantile_cont(delta_s, 0.5), 6) AS median_seconds,
+       round(avg(delta_s), 6) AS avg_seconds
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+ORACLE["linear_attribution"] = """
+WITH c AS (
+  SELECT event_type,
+         COALESCE(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    OVER wp, 0) AS ck,
+         COALESCE(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    OVER wp, 0) AS cv
+  FROM events
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), conv AS (SELECT ck, cv FROM c WHERE event_type = 'purchase'),
+credits AS (
+  SELECT 'click' AS touch_type,
+         CASE WHEN ck + cv > 0 THEN CAST(ck AS DOUBLE) / (ck + cv)
+              ELSE CAST(0 AS DOUBLE) END AS credit
+  FROM conv
+  UNION ALL
+  SELECT 'view',
+         CASE WHEN ck + cv > 0 THEN CAST(cv AS DOUBLE) / (ck + cv)
+              ELSE CAST(0 AS DOUBLE) END
+  FROM conv
+  UNION ALL
+  SELECT '(none)',
+         CASE WHEN ck + cv = 0 THEN CAST(1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END
+  FROM conv
+)
+SELECT touch_type, round(sum(credit), 6) AS total_credit,
+       CAST(sum(CASE WHEN credit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_conversions
+FROM credits GROUP BY 1
+HAVING round(sum(credit), 6) > 0
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -7000,6 +7062,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idf_drift": q_idf_drift,                        # readable lexical drift
     "activity_heatmap": q_activity_heatmap,          # dow-hour audience grid
     "rfm_segments": q_rfm_segments,                  # exact-tercile RFM rollup
+    "transition_latency": q_transition_latency,      # dwell-time matrix
+    "linear_attribution": q_linear_attribution,      # equal-credit attribution
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

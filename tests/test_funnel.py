@@ -258,3 +258,45 @@ def test_basket_lift_hand_checked(spark):
     # 3 sessions; click in 2, view in 2, both in 1 -> lift = 1*3/(2*2)
     assert (r["type_a"], r["type_b"], r["n_both"]) == ("click", "view", 1)
     assert r["lift"] == 0.75
+
+
+def test_transition_latency_deltas(spark):
+    from datetime import datetime
+    from mapreduce_assignments_spark.operators.funnel import transition_latency
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "view", datetime(2024, 1, 1, 0, 0, 0)),
+            (2, 1, "click", datetime(2024, 1, 1, 0, 0, 30)),
+            (3, 1, "view", datetime(2024, 1, 1, 0, 1, 0)),
+            (4, 1, "click", datetime(2024, 1, 1, 0, 2, 30)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    rows = {(r["from_type"], r["to_type"]): r for r in transition_latency(ev).collect()}
+    vc = rows[("view", "click")]
+    assert vc["n"] == 2
+    assert vc["median_seconds"] == 60.0  # deltas 30 and 90
+    assert vc["avg_seconds"] == 60.0
+    assert rows[("click", "view")]["n"] == 1
+
+
+def test_linear_attribution_splits_and_none(spark):
+    from datetime import datetime
+    from mapreduce_assignments_spark.operators.funnel import linear_attribution
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "click", datetime(2024, 1, 1, 0, 0)),
+            (2, 1, "view", datetime(2024, 1, 1, 0, 1)),
+            (3, 1, "view", datetime(2024, 1, 1, 0, 2)),
+            (4, 1, "purchase", datetime(2024, 1, 1, 0, 3)),  # 1/3 click, 2/3 view
+            (5, 2, "purchase", datetime(2024, 1, 1, 0, 0)),  # no touches
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    rows = {r["touch_type"]: r for r in linear_attribution(ev).collect()}
+    assert rows["click"]["total_credit"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rows["view"]["total_credit"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows["(none)"]["total_credit"] == 1.0
+    assert rows["(none)"]["n_conversions"] == 1
