@@ -128,7 +128,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "quantize_embeddings", "ivf_recall_report", "label_centroids",
         "centroid_confusion", "random_projection", "hard_negatives",
         "label_spread", "semantic_dedup", "knn_label_accuracy",
-        "embedding_covariance", "quantization_error",
+        "embedding_covariance", "quantization_error", "index_shard_balance",
     ),
     "text_quality": (
         "token_counts", "quality_score", "language_id", "doc_fingerprint",
@@ -168,7 +168,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "streaming_session_stats",
     ),
     "sources": ("jsonl_roundtrip", "csv_roundtrip", "orc_roundtrip",
-                "schema_evolution", "csv_malformed_report"),
+                "schema_evolution", "csv_malformed_report",
+                "manifest_ingest"),
 }
 _FAMILY_OF = {q: fam for fam, qs in FAMILIES.items() for q in qs}
 

@@ -80,3 +80,46 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` queries work."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def manifest_ingest(spark, src_dir: str, state_dir: str) -> "DataFrame":
+    """Manifest-tracked incremental file ingestion: read ONLY the
+    parquet part-files under ``src_dir`` that a persisted manifest
+    (``state_dir/manifest/``) has not recorded yet, append their rows
+    to the accumulated sink (``state_dir/data/``), and record them.
+    Returns the accumulated sink as a DataFrame. Re-running with no
+    new files is a no-op — the exactly-once contract batch ingestion
+    pipelines build on object stores (same role as Structured
+    Streaming's file-source checkpoint, but inspectable and
+    engine-agnostic).
+
+    Scale: the manifest holds one row PER FILE (not per record), the
+    listing is a driver-side directory scan (bounded by file count —
+    the unit object stores bill by), and the delta read is an
+    explicit path-list parquet scan, so unchanged files are never
+    reopened.
+    """
+    import os
+
+    import pyspark.sql.functions as F
+
+    manifest_dir = os.path.join(state_dir, "manifest")
+    data_dir = os.path.join(state_dir, "data")
+    seen: set = set()
+    if os.path.isdir(manifest_dir):
+        seen = {
+            r["path"]
+            for r in spark.read.parquet(manifest_dir).select("path").collect()
+        }
+    files = sorted(
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    )
+    new = [f for f in files if f not in seen]
+    if new:
+        spark.read.parquet(*new).write.mode("append").parquet(data_dir)
+        spark.createDataFrame(
+            [(p,) for p in new], "path string"
+        ).write.mode("append").parquet(manifest_dir)
+    return spark.read.parquet(data_dir)

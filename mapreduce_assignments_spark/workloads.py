@@ -2641,6 +2641,65 @@ def q_linear_attribution(spark, sf_dir):
     return funnel.linear_attribution(_events(spark, sf_dir))
 
 
+_STAGED_MANIFEST: dict = {}
+
+
+def q_manifest_ingest(spark, sf_dir):
+    """Exactly-once file ingestion via a persisted manifest: events
+    staged as two file batches, THREE ingest calls (the third sees no
+    new files and must be a no-op) — the accumulated sink then counts
+    per event_type and must equal the one-shot aggregation, proving
+    nothing was skipped or double-ingested."""
+    from .sources.tables import manifest_ingest
+
+    if sf_dir not in _STAGED_MANIFEST:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="mras-manifest-")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        src, state = f"{root}/src", f"{root}/state"
+        ev = _events(spark, sf_dir).select("event_id", "event_type")
+        half = F.abs(F.xxhash64(F.col("event_id"))) % 2
+        ev.where(half == 0).coalesce(1).write.mode("append").parquet(src)
+        manifest_ingest(spark, src, state)
+        ev.where(half == 1).coalesce(1).write.mode("append").parquet(src)
+        manifest_ingest(spark, src, state)
+        _STAGED_MANIFEST[sf_dir] = (src, state)
+    src, state = _STAGED_MANIFEST[sf_dir]
+    # the steady-state call: no new files, so this must be a no-op
+    return (
+        manifest_ingest(spark, src, state)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_index_shard_balance(spark, sf_dir):
+    """Operational skew report for the IVF index layout: per-cell
+    population from the seed-centroid assignment reduced to
+    (n_cells, max_cell, min_cell, balance_ratio) — the
+    is-one-shard-hot check before an index ships."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c")
+    )
+    cells = (
+        similarity.ivf_assign(emb, centroids)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+    return cells.agg(
+        F.count("*").alias("n_cells"),
+        F.max("n").alias("max_cell"),
+        F.min("n").alias("min_cell"),
+        F.round(
+            F.max("n") / (F.sum("n") / F.count("*")), 6
+        ).alias("balance_ratio"),
+    )
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -5604,6 +5663,30 @@ FROM credits GROUP BY 1
 HAVING round(sum(credit), 6) > 0
 """
 
+# three manifest-tracked ingest calls over two file batches must land
+# exactly on the one-shot aggregation — no skips, no double-ingest
+ORACLE["manifest_ingest"] = """
+SELECT event_type, count(*) AS n FROM events GROUP BY 1
+"""
+
+ORACLE["index_shard_balance"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cen AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cen.cell_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_CCOS} DESC, cen.cell_id ASC) AS rn
+    FROM e, cen)
+  WHERE rn = 1),
+cells AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell)
+SELECT count(*) AS n_cells,
+       CAST(max(n) AS BIGINT) AS max_cell,
+       CAST(min(n) AS BIGINT) AS min_cell,
+       round(max(n) / (CAST(sum(n) AS DOUBLE) / count(*)), 6) AS balance_ratio
+FROM cells
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -7064,6 +7147,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_segments": q_rfm_segments,                  # exact-tercile RFM rollup
     "transition_latency": q_transition_latency,      # dwell-time matrix
     "linear_attribution": q_linear_attribution,      # equal-credit attribution
+    "manifest_ingest": q_manifest_ingest,            # exactly-once file ingest
+    "index_shard_balance": q_index_shard_balance,    # IVF shard skew gate
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

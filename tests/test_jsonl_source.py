@@ -111,3 +111,19 @@ def test_permissive_csv_reader_quarantines(spark, tmp_path):
     assert by_text["no id"]["_corrupt"] is None           # contract, not parse
     assert by_text["no id"]["doc_id"] is None
     assert len(DOCUMENTS_JSONL_SCHEMA.fields) == 5        # no .add() mutation
+
+
+def test_manifest_ingest_exactly_once(spark, tmp_path):
+    from mapreduce_assignments_spark.sources.tables import manifest_ingest
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    spark.range(0, 10).coalesce(1).write.mode("append").parquet(src)
+    assert manifest_ingest(spark, src, state).count() == 10
+    # second batch arrives
+    spark.range(10, 15).coalesce(1).write.mode("append").parquet(src)
+    assert manifest_ingest(spark, src, state).count() == 15
+    # steady state: same files, no double-ingest
+    assert manifest_ingest(spark, src, state).count() == 15
+    got = sorted(r["id"] for r in manifest_ingest(spark, src, state).collect())
+    assert got == list(range(15))
