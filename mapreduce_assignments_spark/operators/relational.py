@@ -47,6 +47,8 @@ __all__ = [
     "nation_trade_balance",
     "discount_effectiveness",
     "rfm_segments",
+    "rolling_weekly_revenue",
+    "yoy_growth",
 ]
 
 # Decimal widths are chosen so every product stays within 38 digits
@@ -991,4 +993,78 @@ def rfm_segments(orders: DataFrame, n_buckets: int = 3) -> DataFrame:
             F.col("monetary_bucket").alias("m_bucket"),
         )
         .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def rolling_weekly_revenue(orders: DataFrame) -> DataFrame:
+    """Daily order revenue with a TRUE 7-calendar-day trailing window
+    (RANGE frame over day numbers, not ROWS over observed days — gap
+    days genuinely shrink the window, the distinction the
+    hourly_anomalies docstring lesson is about) — ``(order_day,
+    day_revenue, week_revenue)``.
+
+    Scale: revenue first collapses to one row PER DAY (partial
+    aggregation on the calendar key), and the RANGE window runs over
+    that day-cardinality frame — thousands of rows for years of data,
+    so the unpartitioned window is bounded by the calendar, not the
+    corpus. Exact-decimal day sums; the week sum adds ≤ 7 rounded
+    doubles in frame order, engine-deterministic.
+    """
+    daily = (
+        orders.select(
+            F.date_trunc("day", F.col("o_orderdate")).alias("d"),
+            F.col("o_totalprice").cast("decimal(18,6)").alias("p"),
+        )
+        .groupBy("d")
+        .agg(F.round(F.sum("p"), 6).cast("double").alias("day_revenue"))
+        .withColumn("day_no", F.datediff(F.col("d"), F.lit("1970-01-01").cast("timestamp")))
+    )
+    w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("order_day"),
+        "day_revenue",
+        F.round(F.sum("day_revenue").over(w), 6).alias("week_revenue"),
+    )
+
+
+def yoy_growth(orders: DataFrame) -> DataFrame:
+    """Year-over-year monthly revenue growth: ``(month, revenue,
+    prev_year_revenue, yoy_pct)`` — the month joined against itself
+    twelve months back (an equi-join on the shifted month key, not a
+    lag-12 window: a missing month must yield NULL, not the 12th
+    PRIOR OBSERVED month).
+
+    Scale: both sides are the same month-cardinality rollup; the
+    self-join is dimension-sized. Exact-decimal sums; growth rounds
+    from two rounded doubles.
+    """
+    monthly = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.trunc("o_orderdate", "month").alias("m0"),
+            F.col("o_totalprice").cast("decimal(18,6)").alias("p"),
+        )
+        .groupBy("month", "m0")
+        .agg(F.round(F.sum("p"), 6).cast("double").alias("revenue"))
+    )
+    prev = monthly.select(
+        F.date_format(F.add_months(F.col("m0"), 12), "yyyy-MM").alias("month"),
+        F.col("revenue").alias("prev_year_revenue"),
+    )
+    return (
+        monthly.join(prev, "month", "left_outer")
+        .select(
+            "month",
+            "revenue",
+            "prev_year_revenue",
+            F.when(
+                F.col("prev_year_revenue") > 0,
+                F.round(
+                    (F.col("revenue") - F.col("prev_year_revenue"))
+                    / F.col("prev_year_revenue")
+                    * 100,
+                    6,
+                ),
+            ).alias("yoy_pct"),
+        )
     )

@@ -40,6 +40,7 @@ __all__ = [
     "sentence_dedup_stats",
     "vocab_coverage",
     "idf_drift",
+    "char_entropy",
 ]
 
 # A BPE-ish pre-tokenization: letter runs, digit runs, single other
@@ -870,4 +871,45 @@ def idf_drift(
         )
         .orderBy(F.abs(F.col("delta")).desc(), F.asc("term"))
         .limit(k)
+    )
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-level Shannon entropy per document, summarized per
+    source — ``(source, n_docs, avg_entropy, min_entropy)`` in bits.
+    Low-entropy documents are repeated-character junk; abnormally
+    high entropy flags binary-in-text contamination — both standard
+    crawl-filter signals.
+
+    Scale: per-document character histograms come from one explode +
+    (doc, char) aggregation (combiner collapses repeats map-side;
+    alphabet-bounded fan-in per doc), the per-doc entropy is a
+    second char→doc rollup, and the source summary is
+    source-cardinality. Per-doc entropies round to 6 dp before
+    averaging (the source_stats discipline).
+    """
+    chars = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.col(text_col), "")).alias("ch"),
+        )
+        .where(F.length("ch") > 0)
+        .groupBy("doc_id", "source", "ch")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = chars.groupBy("doc_id").agg(F.sum("cnt").alias("tot"))
+    p = F.col("cnt") / F.col("tot")
+    per_doc = (
+        chars.join(totals, "doc_id")
+        .groupBy("doc_id", "source")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+        F.min("entropy").alias("min_entropy"),
     )

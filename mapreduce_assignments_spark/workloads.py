@@ -2700,6 +2700,24 @@ def q_index_shard_balance(spark, sf_dir):
     )
 
 
+def q_rolling_weekly_revenue(spark, sf_dir):
+    """Daily revenue with a true 7-calendar-day RANGE window over the
+    day-cardinality rollup."""
+    return relational.rolling_weekly_revenue(load_table(spark, sf_dir, "orders"))
+
+
+def q_yoy_growth(spark, sf_dir):
+    """Year-over-year monthly revenue growth via the shifted-month
+    self-join (missing months yield NULL, as they must)."""
+    return relational.yoy_growth(load_table(spark, sf_dir, "orders"))
+
+
+def q_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal per source — junk detectors'
+    low/high-entropy flags."""
+    return text_quality.char_entropy(_docs(spark, sf_dir))
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -5687,6 +5705,66 @@ SELECT count(*) AS n_cells,
 FROM cells
 """
 
+ORACLE["rolling_weekly_revenue"] = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DOUBLE)
+           AS day_revenue
+  FROM orders GROUP BY 1
+), keyed AS (
+  SELECT d, day_revenue,
+         date_diff('day', TIMESTAMP '1970-01-01', d) AS day_no
+  FROM daily
+)
+SELECT strftime(d, '%Y-%m-%d') AS order_day, day_revenue,
+       round(sum(day_revenue) OVER (ORDER BY day_no
+                                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+             6) AS week_revenue
+FROM keyed
+"""
+
+ORACLE["yoy_growth"] = """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         date_trunc('month', o_orderdate) AS m0,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1, 2
+), prev AS (
+  SELECT strftime(m0 + INTERVAL 12 MONTH, '%Y-%m') AS month,
+         revenue AS prev_year_revenue
+  FROM monthly
+)
+SELECT m.month, m.revenue, p.prev_year_revenue,
+       CASE WHEN p.prev_year_revenue > 0
+            THEN round((m.revenue - p.prev_year_revenue)
+                       / p.prev_year_revenue * 100, 6) END AS yoy_pct
+FROM monthly m LEFT OUTER JOIN prev p ON m.month = p.month
+"""
+
+ORACLE["char_entropy"] = """
+WITH chars AS (
+  SELECT doc_id, source, c.ch, count(*) AS cnt
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_filter(string_split_regex(text, ''), x -> len(x) > 0))
+             AS ch
+    FROM documents) c(doc_id, source, ch)
+  GROUP BY 1, 2, 3
+), tot AS (SELECT doc_id, sum(cnt) AS tot FROM chars GROUP BY 1),
+per_doc AS (
+  SELECT c.doc_id, c.source,
+         round(-sum((CAST(c.cnt AS DOUBLE) / t.tot)
+                    * log2(CAST(c.cnt AS DOUBLE) / t.tot)), 6) AS entropy
+  FROM chars c JOIN tot t USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(entropy), 6) AS avg_entropy,
+       min(entropy) AS min_entropy
+FROM per_doc GROUP BY 1
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -7149,6 +7227,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linear_attribution": q_linear_attribution,      # equal-credit attribution
     "manifest_ingest": q_manifest_ingest,            # exactly-once file ingest
     "index_shard_balance": q_index_shard_balance,    # IVF shard skew gate
+    "rolling_weekly_revenue": q_rolling_weekly_revenue,  # RANGE-frame trailing week
+    "yoy_growth": q_yoy_growth,                      # shifted-month self-join
+    "char_entropy": q_char_entropy,                  # junk-entropy signal
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

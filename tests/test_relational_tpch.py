@@ -334,3 +334,43 @@ def test_rfm_segments_buckets(spark):
     assert rows[(1, 3, 3)] == 1   # cust 10: most recent, most orders, most spend
     assert rows[(3, 1, 1)] == 1   # cust 12: stalest, fewest, smallest
     assert sum(rows.values()) == 3
+
+
+def test_rolling_weekly_revenue_range_frame_bridges_gaps(spark):
+    from mapreduce_assignments_spark.operators.relational import (
+        rolling_weekly_revenue,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, _ts("1996-01-01"), 10.0),
+            (2, _ts("1996-01-03"), 20.0),
+            (3, _ts("1996-01-10"), 40.0),  # 7+ days after day 1
+        ],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    rows = {r["order_day"]: r["week_revenue"]
+            for r in rolling_weekly_revenue(orders).collect()}
+    assert rows["1996-01-01"] == 10.0
+    assert rows["1996-01-03"] == 30.0
+    # RANGE frame: Jan 10 window is Jan 4-10 -> only its own revenue
+    # (a ROWS frame would wrongly include Jan 3 and Jan 1)
+    assert rows["1996-01-10"] == 40.0
+
+
+def test_yoy_growth_missing_month_is_null(spark):
+    from mapreduce_assignments_spark.operators.relational import yoy_growth
+
+    orders = spark.createDataFrame(
+        [
+            (1, _ts("1996-03-15"), 100.0),
+            (2, _ts("1997-03-02"), 150.0),
+            (3, _ts("1997-05-02"), 70.0),  # no 1996-05 -> NULL prev
+        ],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    rows = {r["month"]: r for r in yoy_growth(orders).collect()}
+    assert rows["1997-03"]["prev_year_revenue"] == 100.0
+    assert rows["1997-03"]["yoy_pct"] == 50.0
+    assert rows["1997-05"]["prev_year_revenue"] is None
+    assert rows["1997-05"]["yoy_pct"] is None

@@ -409,3 +409,15 @@ def test_idf_drift_direction(spark):
     assert rows["warm"]["df_a"] == 5 and rows["warm"]["df_b"] == 6
     # common is in all docs of both halves: delta = ln(5/5)-ln(6/6)=0
     assert rows["common"]["delta"] == 0.0
+
+
+def test_char_entropy_uniform_vs_constant(spark):
+    from mapreduce_assignments_spark.operators.text_quality import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa", "junk"), (2, "abcd", "web")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in char_entropy(docs).collect()}
+    assert rows["junk"]["avg_entropy"] == 0.0       # constant string
+    assert rows["web"]["avg_entropy"] == 2.0        # 4 uniform symbols
