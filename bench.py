@@ -106,7 +106,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "revenue_lag_features", "volume_shipping", "market_share",
         "customer_distribution", "top_supplier", "small_quantity_revenue",
         "revenue_rollup", "last_touch_attribution", "rfm_segments",
-        "rolling_weekly_revenue", "yoy_growth",
+        "rolling_weekly_revenue", "yoy_growth", "lines_per_order_histogram",
     ),
     "graph": (
         "pagerank", "personalized_pagerank", "degree_histogram",
@@ -138,7 +138,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "unigram_logprob", "bigram_logprob", "oov_rate",
         "sentence_stats", "heldout_logprob", "filter_funnel",
         "filter_funnel_examples", "sentence_dedup_stats",
-        "vocab_coverage", "idf_drift", "char_entropy",
+        "vocab_coverage", "idf_drift", "char_entropy", "language_id_accuracy",
     ),
     "sketches": ("kmv_distinct", "countmin_words"),
     "skew_diag": ("key_skew_report",),

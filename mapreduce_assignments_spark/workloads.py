@@ -2718,6 +2718,43 @@ def q_char_entropy(spark, sf_dir):
     return text_quality.char_entropy(_docs(spark, sf_dir))
 
 
+def q_language_id_accuracy(spark, sf_dir):
+    """Confusion matrix of the marker-based language-ID heuristic
+    against the table's ground-truth lang labels — (true_lang,
+    pred_lang, n, pct_of_true). The eval that tells you whether the
+    heuristic is shippable per language."""
+    docs = _docs(spark, sf_dir)
+    pred = text_quality.language_id(docs).select("doc_id", "pred_lang")
+    truth = docs.select("doc_id", F.col("lang").alias("true_lang"))
+    cm = (
+        truth.join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    per_true = cm.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    return (
+        cm.join(F.broadcast(per_true), "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            F.round(F.col("n") / F.col("n_true"), 6).alias("pct_of_true"),
+        )
+    )
+
+
+def q_lines_per_order_histogram(spark, sf_dir):
+    """Join fan-out profile: how many orders have exactly k lineitems
+    — (n_lines, n_orders). The distribution every orders ⋈ lineitem
+    cost model starts from."""
+    per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+    )
+    return per_order.groupBy("n_lines").agg(F.count("*").alias("n_orders"))
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -5765,6 +5802,28 @@ SELECT source, count(*) AS n_docs,
 FROM per_doc GROUP BY 1
 """
 
+# confusion of the heuristic against ground truth: CTE-reuses the
+# language_id oracle verbatim
+ORACLE["language_id_accuracy"] = f"""
+WITH l AS (
+{ORACLE["language_id"]}
+), cm AS (
+  SELECT d.lang AS true_lang, l.pred_lang, count(*) AS n
+  FROM documents d JOIN l USING (doc_id)
+  GROUP BY 1, 2
+), pt AS (SELECT true_lang, sum(n) AS n_true FROM cm GROUP BY 1)
+SELECT cm.true_lang, cm.pred_lang, CAST(cm.n AS BIGINT) AS n,
+       round(CAST(cm.n AS DOUBLE) / pt.n_true, 6) AS pct_of_true
+FROM cm JOIN pt USING (true_lang)
+"""
+
+ORACLE["lines_per_order_histogram"] = """
+WITH po AS (
+  SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1
+)
+SELECT n_lines, count(*) AS n_orders FROM po GROUP BY 1
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -7230,6 +7289,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_weekly_revenue": q_rolling_weekly_revenue,  # RANGE-frame trailing week
     "yoy_growth": q_yoy_growth,                      # shifted-month self-join
     "char_entropy": q_char_entropy,                  # junk-entropy signal
+    "language_id_accuracy": q_language_id_accuracy,  # heuristic-vs-truth eval
+    "lines_per_order_histogram": q_lines_per_order_histogram,  # fan-out profile
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

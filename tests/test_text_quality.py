@@ -421,3 +421,22 @@ def test_char_entropy_uniform_vs_constant(spark):
     rows = {r["source"]: r for r in char_entropy(docs).collect()}
     assert rows["junk"]["avg_entropy"] == 0.0       # constant string
     assert rows["web"]["avg_entropy"] == 2.0        # 4 uniform symbols
+
+
+def test_language_id_accuracy_shape(spark):
+    """Workload-level smoke on tiny frames: confusion rows partition
+    each true language and pct sums to 1 within it."""
+    from mapreduce_assignments_spark import workloads
+
+    out = workloads.ALL_QUERIES["language_id_accuracy"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    assert rows
+    import collections
+
+    per_true = collections.defaultdict(float)
+    for r in rows:
+        per_true[r["true_lang"]] += r["pct_of_true"]
+    for lang, s in per_true.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
