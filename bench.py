@@ -99,7 +99,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "late_orders_by_priority", "top_return_customers", "session_stats", "co_engagement",
         "event_cube", "shipping_priority", "promo_revenue", "session_paths",
         "ab_test_zscore", "order_gap_stats", "user_purge_report", "basket_lift",
-        "transition_latency", "linear_attribution",
+        "transition_latency", "linear_attribution", "interarrival_rates",
         "nation_trade_balance", "discount_effectiveness",
         "large_volume_orders", "part_bracket_revenue", "event_transitions",
         "user_entropy", "conversion_lag", "revenue_share",
@@ -113,6 +113,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "triangle_count", "graph_components", "kcore",
         "hits", "bfs_hops", "clustering_coefficient", "link_prediction",
         "degree_assortativity", "pagerank_convergence", "harmonic_centrality",
+        "component_size_histogram",
     ),
     "dedup": (
         "exact_duplicates", "shingles", "ngram_jaccard", "minhash_signatures",

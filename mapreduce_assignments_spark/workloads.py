@@ -2755,6 +2755,39 @@ def q_lines_per_order_histogram(spark, sf_dir):
     return per_order.groupBy("n_lines").agg(F.count("*").alias("n_orders"))
 
 
+def q_component_size_histogram(spark, sf_dir):
+    """Connected-component size distribution of the customer graph —
+    (component_size, n_components). The one-glance fragmentation
+    readout over the same labeling graph_components produces."""
+    comp = q_graph_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").alias("component_size")
+    )
+    return sizes.groupBy("component_size").agg(
+        F.count("*").alias("n_components")
+    )
+
+
+def q_interarrival_rates(spark, sf_dir):
+    """Per-event-type inter-arrival statistics within each user's
+    stream of THAT type: n_gaps, mean gap seconds, and the
+    exponential-MLE rate per hour (λ = 1/mean) — the load-model
+    parameters capacity planning reads off."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("gap_s", (us - F.lag(us).over(w)) / 1_000_000.0)
+        .where(F.col("gap_s").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+        F.round(F.lit(3600.0) / F.avg("gap_s"), 6).alias("rate_per_hour"),
+    )
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -5824,6 +5857,31 @@ WITH po AS (
 SELECT n_lines, count(*) AS n_orders FROM po GROUP BY 1
 """
 
+# semantically independent, like graph_components' own oracle: each
+# nation's members form exactly one component by construction
+ORACLE["component_size_histogram"] = """
+WITH sizes AS (
+  SELECT count(*) AS component_size FROM customer GROUP BY c_nationkey
+)
+SELECT component_size, count(*) AS n_components
+FROM sizes GROUP BY 1
+"""
+
+ORACLE["interarrival_rates"] = """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER w))
+           / CAST(1000000 AS DOUBLE) AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT event_type, count(*) AS n_gaps,
+       round(avg(gap_s), 6) AS mean_gap_s,
+       round(CAST(3600 AS DOUBLE) / avg(gap_s), 6) AS rate_per_hour
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY 1
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -7291,6 +7349,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,                  # junk-entropy signal
     "language_id_accuracy": q_language_id_accuracy,  # heuristic-vs-truth eval
     "lines_per_order_histogram": q_lines_per_order_histogram,  # fan-out profile
+    "component_size_histogram": q_component_size_histogram,  # fragmentation readout
+    "interarrival_rates": q_interarrival_rates,      # exponential load model
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

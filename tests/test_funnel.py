@@ -300,3 +300,36 @@ def test_linear_attribution_splits_and_none(spark):
     assert rows["view"]["total_credit"] == pytest.approx(2 / 3, abs=1e-6)
     assert rows["(none)"]["total_credit"] == 1.0
     assert rows["(none)"]["n_conversions"] == 1
+
+
+def test_interarrival_rates_per_type_stream(spark):
+    from datetime import datetime
+    from mapreduce_assignments_spark import workloads
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+    from mapreduce_assignments_spark.operators import funnel  # noqa: F401
+
+    # drive the workload shape directly on a tiny frame via the same
+    # window logic: one user, clicks at 0s/60s/180s -> gaps 60, 120
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "click", datetime(2024, 1, 1, 0, 0, 0)),
+            (2, 1, "click", datetime(2024, 1, 1, 0, 1, 0)),
+            (3, 1, "click", datetime(2024, 1, 1, 0, 3, 0)),
+            (4, 1, "view", datetime(2024, 1, 1, 0, 2, 0)),  # single: no gap
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = (
+        ev.withColumn("gap_s", (us - F.lag(us).over(w)) / 1_000_000.0)
+        .where(F.col("gap_s").isNotNull())
+    )
+    out = {r["event_type"]: r for r in gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+    ).collect()}
+    assert out["click"]["n_gaps"] == 2
+    assert out["click"]["mean_gap_s"] == 90.0
+    assert "view" not in out
