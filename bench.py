@@ -167,7 +167,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "streaming_snapshot_sink", "streaming_enriched_counts",
         "streaming_latest_events", "streaming_sliding_counts",
         "streaming_countmin", "streaming_top_users",
-        "streaming_session_stats",
+        "streaming_session_stats", "streaming_quality_gate",
     ),
     "sources": ("jsonl_roundtrip", "csv_roundtrip", "orc_roundtrip",
                 "schema_evolution", "csv_malformed_report",

@@ -2788,6 +2788,87 @@ def q_interarrival_rates(spark, sf_dir):
     )
 
 
+_STAGED_QUALITY_STREAM: dict = {}
+
+
+def q_streaming_quality_gate(spark, sf_dir):
+    """The quality funnel computed INCREMENTALLY on a document
+    stream: each micro-batch contributes its stage-of-death counts
+    (per-doc independent, hence additive) via foreachBatch partials;
+    the final read sums partials and reconstructs the sequential
+    funnel rows. Full replay must equal the batch filter_funnel
+    oracle — curation-as-a-stream with exact batch parity, no
+    stateful operator needed (the additivity IS the design point)."""
+    if sf_dir not in _STAGED_QUALITY_STREAM:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="mras-quality-stream-")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        src, out = f"{root}/src", f"{root}/out"
+        _docs(spark, sf_dir).select("doc_id", "text").repartition(
+            4
+        ).write.mode("overwrite").parquet(src)
+
+        def partials(batch_df, batch_id):
+            toks = text.tokens_array("text")
+            n_tok = F.size(toks)
+            sum_len = F.aggregate(
+                F.transform(toks, lambda t: F.length(t)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            n_chars = F.length(F.col("text"))
+            upper = F.length(F.regexp_replace(F.col("text"), "[^A-Z]", ""))
+            r1 = n_tok >= 5
+            r2 = (sum_len >= 2 * n_tok) & (sum_len <= 12 * n_tok)
+            r3 = F.lit(10) * upper <= F.lit(3) * n_chars
+            batch_df.agg(
+                F.count("*").alias("n0"),
+                F.sum(F.when(~r1, 1).otherwise(0)).alias("f1"),
+                F.sum(F.when(r1 & ~r2, 1).otherwise(0)).alias("f2"),
+                F.sum(F.when(r1 & r2 & ~r3, 1).otherwise(0)).alias("f3"),
+            ).write.mode("append").parquet(out)
+
+        q = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)  # force multiple batches
+            .parquet(src)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .foreachBatch(partials)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        _STAGED_QUALITY_STREAM[sf_dir] = out
+    sums = spark.read.parquet(_STAGED_QUALITY_STREAM[sf_dir]).agg(
+        F.sum("n0").alias("n0"),
+        F.sum("f1").alias("f1"),
+        F.sum("f2").alias("f2"),
+        F.sum("f3").alias("f3"),
+    )
+    stage = lambda i, rule, n_in, f: F.struct(  # noqa: E731
+        F.lit(i).alias("stage"),
+        F.lit(rule).alias("rule"),
+        n_in.alias("n_in"),
+        f.alias("n_rejected"),
+        (n_in - f).alias("n_out"),
+    )
+    n1 = F.col("n0") - F.col("f1")
+    n2 = n1 - F.col("f2")
+    return sums.select(
+        F.inline(
+            F.array(
+                stage(1, "min_tokens", F.col("n0"), F.col("f1")),
+                stage(2, "mean_token_len", n1, F.col("f2")),
+                stage(3, "uppercase_ratio", n2, F.col("f3")),
+            )
+        )
+    )
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -5156,6 +5237,9 @@ SELECT CAST(3 AS INTEGER), 'uppercase_ratio', n0 - f1 - f2, f3,
        n0 - f1 - f2 - f3 FROM agg
 """
 
+# the additive streaming funnel must land exactly on the batch funnel
+ORACLE["streaming_quality_gate"] = ORACLE["filter_funnel"]
+
 ORACLE["semantic_dedup"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cen AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < 8),
@@ -7351,6 +7435,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lines_per_order_histogram": q_lines_per_order_histogram,  # fan-out profile
     "component_size_histogram": q_component_size_histogram,  # fragmentation readout
     "interarrival_rates": q_interarrival_rates,      # exponential load model
+    "streaming_quality_gate": q_streaming_quality_gate,  # additive funnel stream
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

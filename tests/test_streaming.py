@@ -404,3 +404,24 @@ def test_streaming_session_stats_matches_batch(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in session_stats(ev).collect())
     assert got == want and len(got) == 3
+
+
+def test_streaming_quality_gate_matches_batch_funnel(spark):
+    """Multi-batch streamed funnel partials sum to the one-shot batch
+    funnel at sf0.001 — the additive-curation contract."""
+    from mapreduce_assignments_spark import workloads
+    from mapreduce_assignments_spark.operators.text_quality import filter_funnel
+
+    got = sorted(
+        tuple(r)
+        for r in workloads.ALL_QUERIES["streaming_quality_gate"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in filter_funnel(
+            workloads._docs(spark, "/root/testdata/sf0.001")
+        ).collect()
+    )
+    assert got == want
