@@ -107,6 +107,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "customer_distribution", "top_supplier", "small_quantity_revenue",
         "revenue_rollup", "last_touch_attribution", "rfm_segments",
         "rolling_weekly_revenue", "yoy_growth", "lines_per_order_histogram",
+        "customer_growth_topk", "order_size_correlation",
     ),
     "graph": (
         "pagerank", "personalized_pagerank", "degree_histogram",

@@ -2869,6 +2869,65 @@ def q_streaming_quality_gate(spark, sf_dir):
     )
 
 
+def q_customer_growth_topk(spark, sf_dir):
+    """Top-15 customers by 1997-over-1996 spend growth (both years
+    required): two year-filtered rollups inner-joined at customer
+    cardinality, TakeOrdered top-k; ties break on custkey."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_spend(y, alias):
+        return (
+            o.where(F.year("o_orderdate") == y)
+            .groupBy("o_custkey")
+            .agg(
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 6)
+                .cast("double")
+                .alias(alias)
+            )
+        )
+
+    a = year_spend(1996, "spend_1996")
+    b = year_spend(1997, "spend_1997")
+    return (
+        a.join(b, "o_custkey")
+        .where(F.col("spend_1996") > 0)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "spend_1996",
+            "spend_1997",
+            F.round(
+                (F.col("spend_1997") - F.col("spend_1996"))
+                / F.col("spend_1996")
+                * 100,
+                6,
+            ).alias("growth_pct"),
+        )
+        .orderBy(F.desc("growth_pct"), F.asc("c_custkey"))
+        .limit(15)
+    )
+
+
+def q_order_size_correlation(spark, sf_dir):
+    """Does basket size predict order value? Pearson correlation of
+    lineitem count vs o_totalprice across orders — one
+    sufficient-statistics aggregate, no per-pair work."""
+    per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+    )
+    j = per_order.join(
+        load_table(spark, sf_dir, "orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.corr(F.col("n_lines").cast("double"), "o_totalprice"), 6).alias(
+            "pearson_r"
+        ),
+    )
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -5966,6 +6025,36 @@ FROM g WHERE gap_s IS NOT NULL
 GROUP BY 1
 """
 
+ORACLE["customer_growth_topk"] = """
+WITH a AS (
+  SELECT o_custkey,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DOUBLE)
+           AS spend_1996
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+), b AS (
+  SELECT o_custkey,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DOUBLE)
+           AS spend_1997
+  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+)
+SELECT a.o_custkey AS c_custkey, a.spend_1996, b.spend_1997,
+       round((b.spend_1997 - a.spend_1996) / a.spend_1996 * 100, 6)
+         AS growth_pct
+FROM a JOIN b USING (o_custkey)
+WHERE a.spend_1996 > 0
+ORDER BY growth_pct DESC, c_custkey ASC
+LIMIT 15
+"""
+
+ORACLE["order_size_correlation"] = """
+WITH po AS (
+  SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1
+)
+SELECT count(*) AS n_orders,
+       round(corr(CAST(po.n_lines AS DOUBLE), o.o_totalprice), 6) AS pearson_r
+FROM po JOIN orders o ON po.l_orderkey = o.o_orderkey
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -7436,6 +7525,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "component_size_histogram": q_component_size_histogram,  # fragmentation readout
     "interarrival_rates": q_interarrival_rates,      # exponential load model
     "streaming_quality_gate": q_streaming_quality_gate,  # additive funnel stream
+    "customer_growth_topk": q_customer_growth_topk,  # YoY growth leaders
+    "order_size_correlation": q_order_size_correlation,  # basket-value Pearson
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

@@ -374,3 +374,15 @@ def test_yoy_growth_missing_month_is_null(spark):
     assert rows["1997-03"]["yoy_pct"] == 50.0
     assert rows["1997-05"]["prev_year_revenue"] is None
     assert rows["1997-05"]["yoy_pct"] is None
+
+
+def test_customer_growth_requires_both_years(spark):
+    from mapreduce_assignments_spark import workloads
+
+    out = workloads.ALL_QUERIES["customer_growth_topk"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out
+    assert all(r["spend_1996"] > 0 and r["spend_1997"] is not None for r in out)
+    pcts = [r["growth_pct"] for r in out]
+    assert pcts == sorted(pcts, reverse=True)
