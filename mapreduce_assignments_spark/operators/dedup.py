@@ -53,6 +53,7 @@ __all__ = [
     "ngram_novelty",
     "record_linkage_pairs",
     "cluster_canonical",
+    "prefix_jaccard_pairs",
 ]
 
 
@@ -842,4 +843,80 @@ def cluster_canonical(clusters: DataFrame, scores: DataFrame) -> DataFrame:
             F.col("quality").alias("keep_quality"),
             "cluster_size",
         )
+    )
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PPJoin-style PREFIX FILTERING
+    (Bayardo–Ma–Srikant / Xiao et al., public literature): under a
+    global rarity order on shingles, a pair with Jaccard ≥ t MUST
+    share a shingle within each side's first ``|x| − ⌈t·|x|⌉ + 1``
+    shingles (since J ≥ t forces overlap ≥ t·|x| on both sides), so
+    candidates come from an inverted join over PREFIXES only, then
+    exact verification. Same output contract as
+    :func:`ngram_jaccard_pairs` — ``(doc_a, doc_b, jaccard)``, and by
+    construction the SAME rows: the filter is lossless.
+
+    Scale: the candidate join touches the rare end of every document's
+    shingle list — prefix length shrinks as t grows (at t=0.9 only
+    ~10% of shingles index), and rare-first ordering makes the indexed
+    postings short, attacking the same hot-shingle blowup the df-cap
+    handles by truncation, but WITHOUT losing recall. Verification
+    joins full shingle lists only for candidate pairs (pair-bounded,
+    never corpus²).
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    ranked = (
+        sh.join(df_tbl, "shingle")
+        .withColumn("rnk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.where(
+        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "shingle")
+        .where(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(cand, "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )

@@ -2928,6 +2928,14 @@ def q_order_size_correlation(spark, sf_dir):
     )
 
 
+def q_prefix_jaccard(spark, sf_dir):
+    """PPJoin-style prefix-filtered exact Jaccard pairs at the same
+    threshold as ngram_jaccard — lossless candidate pruning, so the
+    oracle is ngram_jaccard's verbatim."""
+    out = dedup.prefix_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -3523,6 +3531,9 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.1
 # undirected pair edges (UNION dedup terminates the recursion), and
 # min() over that closure is exactly the component minimum the Spark
 # min-label-propagation loop converges to.
+# lossless prefix filtering must land exactly on the naive join
+ORACLE["prefix_jaccard"] = ORACLE["ngram_jaccard"]
+
 ORACLE["dedup_clusters"] = f"""
 WITH RECURSIVE pairs AS (
 {ORACLE["ngram_jaccard"]}
@@ -7527,6 +7538,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_quality_gate": q_streaming_quality_gate,  # additive funnel stream
     "customer_growth_topk": q_customer_growth_topk,  # YoY growth leaders
     "order_size_correlation": q_order_size_correlation,  # basket-value Pearson
+    "prefix_jaccard": q_prefix_jaccard,              # PPJoin lossless pruning
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

@@ -396,3 +396,34 @@ def test_cluster_canonical_prefers_quality_then_id(spark):
     assert rows[1]["keep_quality"] == 0.9
     assert rows[7]["keep_doc_id"] == 7      # pure id tiebreak
     assert rows[7]["cluster_size"] == 2
+
+
+def test_prefix_jaccard_equals_naive_at_multiple_thresholds(spark):
+    """The PPJoin prefix filter is LOSSLESS: identical pairs to the
+    naive inverted join at every threshold tried."""
+    from mapreduce_assignments_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a lazy dog"),
+            (3, "completely different text with no overlap at all"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (5, "another completely different text entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    for t in (0.1, 0.5, 0.9):
+        naive = sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=t).collect()
+        )
+        fast = sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+            for r in prefix_jaccard_pairs(docs, n=3, threshold=t).collect()
+        )
+        assert fast == naive, t
+    assert naive  # the 0.9 pass still finds the exact duplicate pair
