@@ -107,7 +107,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "customer_distribution", "top_supplier", "small_quantity_revenue",
         "revenue_rollup", "last_touch_attribution", "rfm_segments",
         "rolling_weekly_revenue", "yoy_growth", "lines_per_order_histogram",
-        "customer_growth_topk", "order_size_correlation",
+        "customer_growth_topk", "order_size_correlation", "region_nation_share",
     ),
     "graph": (
         "pagerank", "personalized_pagerank", "degree_histogram",
@@ -133,6 +133,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "centroid_confusion", "random_projection", "hard_negatives",
         "label_spread", "semantic_dedup", "knn_label_accuracy",
         "embedding_covariance", "quantization_error", "index_shard_balance",
+        "nn_similarity_histogram",
     ),
     "text_quality": (
         "token_counts", "quality_score", "language_id", "doc_fingerprint",

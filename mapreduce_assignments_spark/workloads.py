@@ -2936,6 +2936,52 @@ def q_prefix_jaccard(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_region_nation_share(spark, sf_dir):
+    """Hierarchical percent-of-parent report: nation revenue, its
+    share within the region, and the region's share of the world —
+    two window-over-aggregate levels on a dimension-sized frame."""
+    rev = relational.revenue_by_nation(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+    wr = Window.partitionBy("r_name")
+    wg = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(wr), 6).alias(
+            "share_of_region"
+        ),
+        F.round(
+            F.sum("revenue").over(wr) / F.sum("revenue").over(wg), 6
+        ).alias("region_share_of_world"),
+    )
+
+
+def q_nn_similarity_histogram(spark, sf_dir):
+    """Distribution of nearest-neighbor cosines for the 50-probe eval
+    set, bucketed at 0.05 — the embedding-collapse early-warning
+    (a mass spike near 1.0 means near-duplicate embeddings)."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    top1 = similarity.brute_force_topk(emb, probes, k=1)
+    return (
+        top1.select(F.floor(F.col("sim") / 0.05).cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.round(F.col("bin") * 0.05, 2).alias("sim_bin_lo"),
+            "n",
+        )
+    )
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -6066,6 +6112,46 @@ SELECT count(*) AS n_orders,
 FROM po JOIN orders o ON po.l_orderkey = o.o_orderkey
 """
 
+ORACLE["region_nation_share"] = """
+WITH rev AS (
+  SELECT n.n_name, r.r_name,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (CAST(1 AS DECIMAL(8,6))
+                           - CAST(l_discount AS DECIMAL(8,6)))), 6)
+              AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY r_name), 6)
+         AS share_of_region,
+       round(sum(revenue) OVER (PARTITION BY r_name)
+             / sum(revenue) OVER (), 6) AS region_share_of_world
+FROM rev
+"""
+
+ORACLE["nn_similarity_histogram"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 50),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_KCOS} AS sim
+  FROM q JOIN e ON e.vec_id <> q.query_id),
+top1 AS (
+  SELECT sim FROM (
+    SELECT sim, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM scored)
+  WHERE rn = 1)
+SELECT round(floor(sim / CAST(0.05 AS DOUBLE)) * CAST(0.05 AS DOUBLE), 2)
+         AS sim_bin_lo,
+       count(*) AS n
+FROM top1 GROUP BY 1
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -7539,6 +7625,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_growth_topk": q_customer_growth_topk,  # YoY growth leaders
     "order_size_correlation": q_order_size_correlation,  # basket-value Pearson
     "prefix_jaccard": q_prefix_jaccard,              # PPJoin lossless pruning
+    "region_nation_share": q_region_nation_share,    # percent-of-parent levels
+    "nn_similarity_histogram": q_nn_similarity_histogram,  # collapse early-warning
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

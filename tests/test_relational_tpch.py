@@ -386,3 +386,20 @@ def test_customer_growth_requires_both_years(spark):
     assert all(r["spend_1996"] > 0 and r["spend_1997"] is not None for r in out)
     pcts = [r["growth_pct"] for r in out]
     assert pcts == sorted(pcts, reverse=True)
+
+
+def test_region_nation_share_sums_to_one(spark):
+    from mapreduce_assignments_spark import workloads
+    import collections
+
+    rows = workloads.ALL_QUERIES["region_nation_share"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    per_region = collections.defaultdict(float)
+    world = 0.0
+    for r in rows:
+        per_region[r["r_name"]] += r["share_of_region"]
+    for rname, s in per_region.items():
+        assert abs(s - 1.0) < 1e-4, (rname, s)
+    region_shares = {r["r_name"]: r["region_share_of_world"] for r in rows}
+    assert abs(sum(region_shares.values()) - 1.0) < 1e-4
