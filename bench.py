@@ -147,7 +147,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "sketches": ("kmv_distinct", "countmin_words"),
     "skew_diag": ("key_skew_report",),
     "validation": ("profile_events", "robust_outliers", "length_drift_psi",
-                   "k_anonymity"),
+                   "k_anonymity", "winsorize_values"),
     "packing": ("pack_sequences", "packing_efficiency"),
     "features": (
         "hashing_tf", "hashing_tfidf", "hashing_tf_cells",
@@ -174,7 +174,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     ),
     "sources": ("jsonl_roundtrip", "csv_roundtrip", "orc_roundtrip",
                 "schema_evolution", "csv_malformed_report",
-                "manifest_ingest"),
+                "manifest_ingest", "compact_small_files"),
 }
 _FAMILY_OF = {q: fam for fam, qs in FAMILIES.items() for q in qs}
 

@@ -2982,6 +2982,68 @@ def q_nn_similarity_histogram(spark, sf_dir):
     )
 
 
+_STAGED_COMPACT: dict = {}
+
+
+def q_compact_small_files(spark, sf_dir):
+    """Small-files compaction maintenance: a deliberately fragmented
+    events copy (16 part files) rewritten into 2 — the object-store
+    hygiene job every table needs. Reports file counts (asserted by
+    listing, constants by construction) and row count; the oracle
+    pins ROW PARITY against the canonical table plus the staged
+    before/after file counts — compaction must never lose or invent
+    rows."""
+    if sf_dir not in _STAGED_COMPACT:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="mras-compact-")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        frag, tight = f"{root}/frag", f"{root}/tight"
+        ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+        ev.repartition(16).write.mode("overwrite").parquet(frag)
+        spark.read.parquet(frag).coalesce(2).write.mode("overwrite").parquet(tight)
+
+        def n_parts(d):
+            return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+        _STAGED_COMPACT[sf_dir] = (tight, n_parts(frag), n_parts(tight))
+    tight, before, after = _STAGED_COMPACT[sf_dir]
+    return (
+        spark.read.parquet(tight)
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            F.lit(before).cast("int").alias("files_before"),
+            F.lit(after).cast("int").alias("files_after"),
+            "n_rows",
+        )
+    )
+
+
+def q_winsorize_values(spark, sf_dir):
+    """Winsorization report at p05/p95 of event values: clip counts
+    and the mean before vs after — the outlier-taming preprocessing
+    step, with one exact-percentile aggregate broadcast back."""
+    ev = _events(spark, sf_dir).select(F.col("value").cast("double").alias("v"))
+    bounds = ev.agg(
+        F.round(F.expr("percentile(v, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(v, 0.95)"), 6).alias("hi"),
+    )
+    j = ev.crossJoin(F.broadcast(bounds))
+    wv = F.when(F.col("v") < F.col("lo"), F.col("lo")).when(
+        F.col("v") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("v"))
+    return j.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("v") < F.col("lo")).cast("int")).cast("long").alias("n_clipped_lo"),
+        F.sum((F.col("v") > F.col("hi")).cast("int")).cast("long").alias("n_clipped_hi"),
+        F.round(F.avg("v"), 6).alias("mean_raw"),
+        F.round(F.avg(wv), 6).alias("mean_winsorized"),
+    )
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -6152,6 +6214,33 @@ SELECT round(floor(sim / CAST(0.05 AS DOUBLE)) * CAST(0.05 AS DOUBLE), 2)
 FROM top1 GROUP BY 1
 """
 
+# 16 -> 2 files by construction; rows must match the canonical table
+ORACLE["compact_small_files"] = """
+SELECT CAST(16 AS INTEGER) AS files_before,
+       CAST(2 AS INTEGER) AS files_after,
+       count(*) AS n_rows
+FROM events
+"""
+
+ORACLE["winsorize_values"] = """
+WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events),
+b AS (
+  SELECT round(quantile_cont(v, 0.05), 6) AS lo,
+         round(quantile_cont(v, 0.95), 6) AS hi
+  FROM v
+)
+SELECT count(*) AS n,
+       CAST(sum(CASE WHEN v.v < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_lo,
+       CAST(sum(CASE WHEN v.v > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_hi,
+       round(avg(v.v), 6) AS mean_raw,
+       round(avg(CASE WHEN v.v < b.lo THEN b.lo
+                      WHEN v.v > b.hi THEN b.hi
+                      ELSE v.v END), 6) AS mean_winsorized
+FROM v CROSS JOIN b
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -7627,6 +7716,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_jaccard": q_prefix_jaccard,              # PPJoin lossless pruning
     "region_nation_share": q_region_nation_share,    # percent-of-parent levels
     "nn_similarity_histogram": q_nn_similarity_histogram,  # collapse early-warning
+    "compact_small_files": q_compact_small_files,    # small-files hygiene
+    "winsorize_values": q_winsorize_values,          # outlier-taming report
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

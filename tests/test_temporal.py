@@ -489,3 +489,23 @@ def test_interpolate_gaps_linear_and_edges(spark):
     assert rows[("a", "2024-01-01 03:00:00")] == (40.0, False)
     assert rows[("b", "2024-01-01 05:00:00")] == (7.0, False)
     assert len(rows) == 5
+
+
+def test_winsorize_values_hand_checked(spark):
+    """Drive the winsorize shape on a tiny frame: p05/p95 of 1..100
+    clip exactly the tails."""
+    import pyspark.sql.functions as F
+
+    ev = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    bounds = ev.agg(
+        F.round(F.expr("percentile(v, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(v, 0.95)"), 6).alias("hi"),
+    )
+    [b] = bounds.collect()
+    assert b["lo"] == 5.95 and b["hi"] == 95.05
+    j = ev.crossJoin(F.broadcast(bounds))
+    [r] = j.agg(
+        F.sum((F.col("v") < F.col("lo")).cast("int")).alias("lo_n"),
+        F.sum((F.col("v") > F.col("hi")).cast("int")).alias("hi_n"),
+    ).collect()
+    assert r["lo_n"] == 5 and r["hi_n"] == 5
