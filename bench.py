@@ -86,6 +86,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "sliding_hourly_stats", "value_percentiles", "asof_join", "range_join",
         "dense_hourly_counts", "scd2_history", "latest_events",
         "snapshot_diff", "hourly_anomalies", "normalize_events",
+        "point_in_time_state",
         "rolling_active_users", "daily_trend", "ewma_hourly",
         "seasonal_anomalies", "incremental_rollup", "interpolate_gaps",
         "hourly_top_movers", "activity_heatmap",

@@ -37,6 +37,7 @@ __all__ = [
     "ewma_hourly",
     "seasonal_anomalies",
     "interpolate_gaps",
+    "point_in_time_join",
 ]
 
 
@@ -579,3 +580,36 @@ def interpolate_gaps(
         interp.alias("value"),
         F.col("v").isNull().alias("filled"),
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: tuple,
+    ts_col: str = "ts",
+    how: str = "left_outer",
+) -> DataFrame:
+    """Point-in-time-correct enrichment — THE feature-store join that
+    prevents temporal leakage: each fact row picks the dimension
+    version whose validity interval contains the fact's timestamp
+    (``valid_from <= ts`` and ``ts < valid_to`` / open-ended), never
+    a later version. Pair with :func:`scd2_history` for the history
+    side; an ordinary latest-value join would silently train on the
+    future.
+
+    Scale: an equi-join on the keys with the interval predicate as
+    the join residual — each key's candidate set is its VERSION count
+    (bounded by changes, not log volume), and validity intervals are
+    disjoint by construction so each fact matches at most one
+    version. One shuffle on the keys; AQE handles hot keys.
+    """
+    cond = None
+    for k in keys:
+        c = facts[k] == history[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (history["valid_from"] <= facts[ts_col])
+        & (history["valid_to"].isNull() | (facts[ts_col] < history["valid_to"]))
+    )
+    return facts.join(history, cond, how)

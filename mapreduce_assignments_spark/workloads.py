@@ -3044,6 +3044,45 @@ def q_winsorize_values(spark, sf_dir):
     )
 
 
+def q_point_in_time_state(spark, sf_dir):
+    """Feature-store point-in-time join: every purchase enriched with
+    the browsing-state version (SCD2 over NON-purchase events) valid
+    AT the purchase timestamp — per state: purchase count and average
+    state staleness. A latest-value join would leak the future;
+    this one cannot."""
+    ev = _events(spark, sf_dir)
+    hist = temporal.scd2_history(
+        ev.where(F.col("event_type") != "purchase").select(
+            "user_id", "event_type", "ts", "event_id"
+        ),
+        keys=("user_id",),
+        attrs=("event_type",),
+        ts_col="ts",
+        tiebreak="event_id",
+    ).select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    j = temporal.point_in_time_join(
+        purchases.withColumnRenamed("user_id", "k_user"),
+        hist.withColumnRenamed("h_user", "k_user"),
+        keys=("k_user",),
+        ts_col="ts",
+    )
+    staleness = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("valid_from"))
+    ) / 1_000_000.0
+    return j.groupBy(
+        F.coalesce(F.col("state"), F.lit("(none)")).alias("state")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.avg(staleness), 6).alias("avg_staleness_s"),
+    )
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -6241,6 +6280,32 @@ SELECT count(*) AS n,
 FROM v CROSS JOIN b
 """
 
+ORACLE["point_in_time_state"] = """
+WITH chg AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS pt,
+         event_id
+  FROM events WHERE event_type <> 'purchase'
+), versions AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM chg WHERE pt IS NULL OR pt <> event_type
+), p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT p.ts, v.event_type AS state, v.valid_from
+  FROM p LEFT JOIN versions v
+    ON p.user_id = v.user_id
+   AND v.valid_from <= p.ts
+   AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+)
+SELECT COALESCE(state, '(none)') AS state, count(*) AS n_purchases,
+       round(avg((epoch_us(ts) - epoch_us(valid_from))
+                 / CAST(1000000 AS DOUBLE)), 6) AS avg_staleness_s
+FROM m GROUP BY 1
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -7718,6 +7783,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nn_similarity_histogram": q_nn_similarity_histogram,  # collapse early-warning
     "compact_small_files": q_compact_small_files,    # small-files hygiene
     "winsorize_values": q_winsorize_values,          # outlier-taming report
+    "point_in_time_state": q_point_in_time_state,    # leakage-proof feature join
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

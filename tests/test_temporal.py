@@ -509,3 +509,29 @@ def test_winsorize_values_hand_checked(spark):
         F.sum((F.col("v") > F.col("hi")).cast("int")).alias("hi_n"),
     ).collect()
     assert r["lo_n"] == 5 and r["hi_n"] == 5
+
+
+def test_point_in_time_join_never_sees_future(spark):
+    from datetime import datetime
+    from mapreduce_assignments_spark.operators.temporal import point_in_time_join
+
+    hist = spark.createDataFrame(
+        [
+            (1, "bronze", datetime(2024, 1, 1), datetime(2024, 2, 1)),
+            (1, "gold", datetime(2024, 2, 1), None),
+        ],
+        "k_user long, state string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 15)),   # bronze era
+            (1, datetime(2024, 2, 1)),    # boundary: new version starts
+            (1, datetime(2023, 12, 1)),   # before any version
+        ],
+        "k_user long, ts timestamp",
+    )
+    j = point_in_time_join(facts, hist, keys=("k_user",))
+    got = {r["ts"].isoformat(): r["state"] for r in j.collect()}
+    assert got["2024-01-15T00:00:00"] == "bronze"
+    assert got["2024-02-01T00:00:00"] == "gold"   # boundary goes to the NEW version
+    assert got["2023-12-01T00:00:00"] is None     # pre-history: no match, no leak
