@@ -89,7 +89,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "point_in_time_state",
         "rolling_active_users", "daily_trend", "ewma_hourly",
         "seasonal_anomalies", "incremental_rollup", "interpolate_gaps",
-        "hourly_top_movers", "activity_heatmap",
+        "hourly_top_movers", "activity_heatmap", "slo_burn_rate",
     ),
     "relational": (
         "pricing_summary", "forecast_revenue", "top_revenue_orders", "revenue_by_nation",
@@ -148,13 +148,15 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "sketches": ("kmv_distinct", "countmin_words"),
     "skew_diag": ("key_skew_report",),
     "validation": ("profile_events", "robust_outliers", "length_drift_psi",
-                   "k_anonymity", "winsorize_values"),
+                   "k_anonymity", "winsorize_values",
+                   "numeric_percentiles_profile"),
     "packing": ("pack_sequences", "packing_efficiency"),
     "features": (
         "hashing_tf", "hashing_tfidf", "hashing_tf_cells",
         "hashing_tfidf_cells", "bpe_merges", "bpe_merges_local",
         "bpe_vocab", "bpe_token_counts", "tokenizer_fertility",
         "value_buckets", "target_encoding", "span_corruption",
+        "hash_collision_report",
     ),
     "sampling": (
         "hash_split", "deterministic_sample", "stratified_sample",

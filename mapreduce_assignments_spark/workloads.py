@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 import struct
 from datetime import timedelta
 
-from .functions.hashing import MINHASH_A, MINHASH_B, MINHASH_PRIME, NUM_MINHASHES
+from .functions.hashing import MINHASH_A, MINHASH_B, MINHASH_PRIME, NUM_MINHASHES, h60
 from .operators import (
     dedup,
     features,
@@ -3080,6 +3080,74 @@ def q_point_in_time_state(spark, sf_dir):
     ).agg(
         F.count("*").alias("n_purchases"),
         F.round(F.avg(staleness), 6).alias("avg_staleness_s"),
+    )
+
+
+def q_hash_collision_report(spark, sf_dir):
+    """Hashing-trick collision diagnostics at n_features=1024: how
+    many buckets hold exactly k distinct vocabulary terms —
+    (n_terms_in_bucket, n_buckets). The dimensioning readout for
+    hashing_tf's feature-width trade."""
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(F.explode(text.tokens_array("text")).alias("term"))
+        .distinct()
+    )
+    per_bucket = vocab.groupBy(
+        F.pmod(h60("term"), F.lit(1024)).cast("int").alias("bucket")
+    ).agg(F.count("*").alias("n_terms_in_bucket"))
+    return per_bucket.groupBy("n_terms_in_bucket").agg(
+        F.count("*").alias("n_buckets")
+    )
+
+
+def q_numeric_percentiles_profile(spark, sf_dir):
+    """Exact percentile profile of the lineitem measures in long form
+    — (column, p, value): the quartile sheet data contracts pin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = [0.25, 0.5, 0.75, 0.95]
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    arr = ", ".join(str(p) for p in ps)
+    one = li.agg(
+        *[
+            F.expr(f"percentile({c}, array({arr}))").alias(f"__{c}")
+            for c in cols
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(p).alias("p"),
+                F.round(F.col(f"__{c}")[i], 6).alias("value"),
+            )
+            for c in cols
+            for i, p in enumerate(ps)
+        ]
+    )
+    return one.select(F.inline(rows))
+
+
+def q_slo_burn_rate(spark, sf_dir):
+    """SRE burn-rate readout: hourly error rate vs its trailing-6h
+    rate, and their ratio (the fast/slow burn alert pair) — lag
+    windows over the hour-cardinality rollup only."""
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("event_type") == "error").cast("int")).alias("err"),
+        )
+    )
+    w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    rate1 = F.round(F.col("err") / F.col("n"), 6)
+    rate6 = F.round(F.sum("err").over(w6) / F.sum("n").over(w6), 6)
+    return hourly.select(
+        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour_ts"),
+        rate1.alias("err_rate_1h"),
+        rate6.alias("err_rate_6h"),
+        F.when(rate6 > 0, F.round(rate1 / rate6, 6)).alias("burn_rate"),
     )
 
 
@@ -6306,6 +6374,66 @@ SELECT COALESCE(state, '(none)') AS state, count(*) AS n_purchases,
 FROM m GROUP BY 1
 """
 
+ORACLE["hash_collision_report"] = f"""
+WITH v AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT unnest({_TOK}) AS t FROM documents)
+), pb AS (
+  SELECT {_h60_sql("term")} % 1024 AS bucket,
+         count(*) AS n_terms_in_bucket
+  FROM v GROUP BY 1
+)
+SELECT n_terms_in_bucket, count(*) AS n_buckets FROM pb GROUP BY 1
+"""
+
+ORACLE["numeric_percentiles_profile"] = """
+SELECT c.column, c.p, c.value FROM (
+  SELECT 'l_quantity' AS column, CAST(0.25 AS DOUBLE) AS p,
+         round(quantile_cont(l_quantity, 0.25), 6) AS value FROM lineitem
+  UNION ALL SELECT 'l_quantity', CAST(0.5 AS DOUBLE),
+         round(quantile_cont(l_quantity, 0.5), 6) FROM lineitem
+  UNION ALL SELECT 'l_quantity', CAST(0.75 AS DOUBLE),
+         round(quantile_cont(l_quantity, 0.75), 6) FROM lineitem
+  UNION ALL SELECT 'l_quantity', CAST(0.95 AS DOUBLE),
+         round(quantile_cont(l_quantity, 0.95), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', CAST(0.25 AS DOUBLE),
+         round(quantile_cont(l_extendedprice, 0.25), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', CAST(0.5 AS DOUBLE),
+         round(quantile_cont(l_extendedprice, 0.5), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', CAST(0.75 AS DOUBLE),
+         round(quantile_cont(l_extendedprice, 0.75), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', CAST(0.95 AS DOUBLE),
+         round(quantile_cont(l_extendedprice, 0.95), 6) FROM lineitem
+  UNION ALL SELECT 'l_discount', CAST(0.25 AS DOUBLE),
+         round(quantile_cont(l_discount, 0.25), 6) FROM lineitem
+  UNION ALL SELECT 'l_discount', CAST(0.5 AS DOUBLE),
+         round(quantile_cont(l_discount, 0.5), 6) FROM lineitem
+  UNION ALL SELECT 'l_discount', CAST(0.75 AS DOUBLE),
+         round(quantile_cont(l_discount, 0.75), 6) FROM lineitem
+  UNION ALL SELECT 'l_discount', CAST(0.95 AS DOUBLE),
+         round(quantile_cont(l_discount, 0.95), 6) FROM lineitem
+) c
+"""
+
+ORACLE["slo_burn_rate"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
+  FROM events GROUP BY 1
+), r AS (
+  SELECT h,
+         round(CAST(err AS DOUBLE) / n, 6) AS err_rate_1h,
+         round(CAST(sum(err) OVER w6 AS DOUBLE) / sum(n) OVER w6, 6)
+           AS err_rate_6h
+  FROM hourly
+  WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(h, '%Y-%m-%d %H:00:00') AS hour_ts, err_rate_1h, err_rate_6h,
+       CASE WHEN err_rate_6h > 0
+            THEN round(err_rate_1h / err_rate_6h, 6) END AS burn_rate
+FROM r
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -7784,6 +7912,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compact_small_files": q_compact_small_files,    # small-files hygiene
     "winsorize_values": q_winsorize_values,          # outlier-taming report
     "point_in_time_state": q_point_in_time_state,    # leakage-proof feature join
+    "hash_collision_report": q_hash_collision_report,  # feature-width diagnostics
+    "numeric_percentiles_profile": q_numeric_percentiles_profile,  # quartile sheet
+    "slo_burn_rate": q_slo_burn_rate,                # fast/slow burn alerts
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

@@ -178,3 +178,17 @@ def test_activity_heatmap_cells(spark):
     rows = {(r["dow"], r["hour"]): (r["n_events"], r["n_users"])
             for r in activity_heatmap(ev).collect()}
     assert rows == {(1, 9): (2, 1), (2, 9): (1, 1)}
+
+
+def test_slo_burn_rate_workload_shape(spark):
+    from mapreduce_assignments_spark import workloads
+
+    rows = workloads.ALL_QUERIES["slo_burn_rate"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["err_rate_1h"] <= 1.0
+        assert 0.0 <= r["err_rate_6h"] <= 1.0
+        if r["burn_rate"] is not None:
+            assert r["burn_rate"] >= 0.0
