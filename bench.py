@@ -109,6 +109,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "revenue_rollup", "last_touch_attribution", "rfm_segments",
         "rolling_weekly_revenue", "yoy_growth", "lines_per_order_histogram",
         "customer_growth_topk", "order_size_correlation", "region_nation_share",
+        "prospective_customers",
     ),
     "graph": (
         "pagerank", "personalized_pagerank", "degree_histogram",

@@ -3151,6 +3151,39 @@ def q_slo_burn_rate(spark, sf_dir):
     )
 
 
+def q_prospective_customers(spark, sf_dir):
+    """TPC-H Q22 shape: per nation, customers with ABOVE-AVERAGE
+    positive account balance and NO ORDER SINCE 2000 (lapsed
+    prospects) — the global-average scalar subquery (one-row
+    broadcast) feeding an anti-join against the date-pruned orders
+    side, grouped at nation cardinality."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("ab")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    no_orders = rich.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("total_acctbal"),
+    )
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -6434,6 +6467,23 @@ SELECT strftime(h, '%Y-%m-%d %H:00:00') AS hour_ts, err_rate_1h, err_rate_6h,
 FROM r
 """
 
+ORACLE["prospective_customers"] = """
+WITH ab AS (
+  SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS ab
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey, count(*) AS n_cust,
+       CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,6))), 6) AS DOUBLE)
+         AS total_acctbal
+FROM customer c CROSS JOIN ab
+WHERE c.c_acctbal > ab.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -7915,6 +7965,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_collision_report": q_hash_collision_report,  # feature-width diagnostics
     "numeric_percentiles_profile": q_numeric_percentiles_profile,  # quartile sheet
     "slo_burn_rate": q_slo_burn_rate,                # fast/slow burn alerts
+    "prospective_customers": q_prospective_customers,  # TPC-H Q22 shape
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

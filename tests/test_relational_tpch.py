@@ -403,3 +403,15 @@ def test_region_nation_share_sums_to_one(spark):
         assert abs(s - 1.0) < 1e-4, (rname, s)
     region_shares = {r["r_name"]: r["region_share_of_world"] for r in rows}
     assert abs(sum(region_shares.values()) - 1.0) < 1e-4
+
+
+def test_prospective_customers_workload(spark):
+    """Q22 shape on the real testdata: every reported group holds
+    above-average-balance customers with zero orders."""
+    from mapreduce_assignments_spark import workloads
+
+    rows = workloads.ALL_QUERIES["prospective_customers"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    assert all(r["n_cust"] >= 1 and r["total_acctbal"] > 0 for r in rows)
