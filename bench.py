@@ -101,6 +101,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "event_cube", "shipping_priority", "promo_revenue", "session_paths",
         "ab_test_zscore", "order_gap_stats", "user_purge_report", "basket_lift",
         "transition_latency", "linear_attribution", "interarrival_rates",
+        "conversion_by_activity",
         "nation_trade_balance", "discount_effectiveness",
         "large_volume_orders", "part_bracket_revenue", "event_transitions",
         "user_entropy", "conversion_lag", "revenue_share",
@@ -145,6 +146,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "sentence_stats", "heldout_logprob", "filter_funnel",
         "filter_funnel_examples", "sentence_dedup_stats",
         "vocab_coverage", "idf_drift", "char_entropy", "language_id_accuracy",
+        "vocab_overlap_matrix",
     ),
     "sketches": ("kmv_distinct", "countmin_words"),
     "skew_diag": ("key_skew_report",),

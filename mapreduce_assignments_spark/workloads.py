@@ -3184,6 +3184,93 @@ def q_prospective_customers(spark, sf_dir):
     )
 
 
+def q_vocab_overlap_matrix(spark, sf_dir):
+    """Vocabulary Jaccard between every source pair — how lexically
+    distinct the corpus components are (the mix-design readout the
+    doc-level overlap matrix can't give): (source_a, source_b,
+    vocab_a, vocab_b, shared, jaccard), a < b. Distinct (source,
+    term) collapses BEFORE the term self-join."""
+    v = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(text.tokens_array("text")).alias("term"))
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count("*").alias("vocab"))
+    shared = (
+        v.alias("a")
+        .join(v.alias("b"), "term")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a")
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"), F.col("vocab").alias("vocab_b")
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "shared",
+            F.round(
+                F.col("shared")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_conversion_by_activity(spark, sf_dir):
+    """Does activity predict conversion? Users bucketed into exact
+    activity terciles (one percentile broadcast — the quantile_buckets
+    convention), conversion rate per bucket: (bucket, n_users,
+    n_converted, conv_rate)."""
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+        )
+    )
+    bounds = per_user.agg(
+        F.expr("percentile(n_events, array(0.3333333333333333, 0.6666666666666666))").alias("_b")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                F.size(F.filter(F.col("_b"), lambda s: F.col("n_events") > s)) + 1
+            ).alias("bucket"),
+            "conv",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("conv").cast("long").alias("n_converted"),
+            F.round(F.sum("conv") / F.count("*"), 6).alias("conv_rate"),
+        )
+    )
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -6484,6 +6571,41 @@ WHERE c.c_acctbal > ab.ab
 GROUP BY 1
 """
 
+ORACLE["vocab_overlap_matrix"] = f"""
+WITH v AS (
+  SELECT DISTINCT source, t AS term
+  FROM (SELECT source, unnest({_TOK}) AS t FROM documents)
+), sz AS (SELECT source, count(*) AS vocab FROM v GROUP BY 1),
+sh AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+  FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b, shared,
+       round(CAST(shared AS DOUBLE)
+             / (sa.vocab + sb.vocab - shared), 6) AS jaccard
+FROM sh
+JOIN sz sa ON sa.source = source_a
+JOIN sz sb ON sb.source = source_b
+"""
+
+ORACLE["conversion_by_activity"] = """
+WITH pu AS (
+  SELECT user_id, count(*) AS n_events,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), b AS (
+  SELECT quantile_cont(n_events, [1.0/3, 2.0/3]) AS bs FROM pu
+)
+SELECT CAST(len(list_filter(b.bs, s -> pu.n_events > s)) + 1 AS INTEGER)
+         AS bucket,
+       count(*) AS n_users,
+       CAST(sum(conv) AS BIGINT) AS n_converted,
+       round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
+FROM pu CROSS JOIN b
+GROUP BY 1
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -7966,6 +8088,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "numeric_percentiles_profile": q_numeric_percentiles_profile,  # quartile sheet
     "slo_burn_rate": q_slo_burn_rate,                # fast/slow burn alerts
     "prospective_customers": q_prospective_customers,  # TPC-H Q22 shape
+    "vocab_overlap_matrix": q_vocab_overlap_matrix,  # lexical mix design
+    "conversion_by_activity": q_conversion_by_activity,  # activity-decile funnel
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

@@ -333,3 +333,16 @@ def test_interarrival_rates_per_type_stream(spark):
     assert out["click"]["n_gaps"] == 2
     assert out["click"]["mean_gap_s"] == 90.0
     assert "view" not in out
+
+
+def test_conversion_by_activity_buckets_partition_users(spark):
+    from mapreduce_assignments_spark import workloads
+
+    rows = workloads.ALL_QUERIES["conversion_by_activity"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    assert sum(r["n_users"] for r in rows) == 15  # all users partitioned
+    for r in rows:
+        assert 0.0 <= r["conv_rate"] <= 1.0
+        assert r["n_converted"] <= r["n_users"]
