@@ -127,7 +127,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "verified_near_dupes", "eval_substring_hits", "bloom_decontamination",
         "minhash_calibration", "containment_pairs", "source_overlap",
         "ngram_novelty", "record_linkage", "cluster_canonical",
-        "prefix_jaccard",
+        "prefix_jaccard", "dedup_savings",
     ),
     "similarity": (
         "brute_force_topk", "ivf_assign", "ivf_topk_trained",

@@ -3271,6 +3271,37 @@ def q_conversion_by_activity(spark, sf_dir):
     )
 
 
+def q_dedup_savings(spark, sf_dir):
+    """The dedup budget headline: whitespace-token volume of the raw
+    corpus vs the near-dup-deduplicated corpus (dedup_apply's keeper
+    set) and the savings percentage — one row (raw_tokens,
+    dedup_tokens, savings_pct). Composes the clustering pipeline the
+    same way its oracle composes the clustering SQL."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    clusters = dedup.dedup_clusters(pairs)
+    keep = docs.join(
+        clusters.where(F.col("doc_id") != F.col("canonical_id")).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    tok = lambda df: df.agg(  # noqa: E731
+        F.sum(F.size(text.tokens_array("text"))).cast("long").alias("t")
+    )
+    raw = tok(docs).select(F.col("t").alias("raw_tokens"))
+    kept = tok(keep).select(F.col("t").alias("dedup_tokens"))
+    return raw.crossJoin(kept).select(
+        "raw_tokens",
+        "dedup_tokens",
+        F.round(
+            (F.col("raw_tokens") - F.col("dedup_tokens"))
+            / F.col("raw_tokens")
+            * 100,
+            6,
+        ).alias("savings_pct"),
+    )
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -6606,6 +6637,24 @@ FROM pu CROSS JOIN b
 GROUP BY 1
 """
 
+# reuses the dedup_apply composition verbatim for the keeper set
+ORACLE["dedup_savings"] = f"""
+WITH clusters AS (
+{ORACLE["dedup_clusters"]}
+), raw AS (
+  SELECT CAST(sum(len({_TOK})) AS BIGINT) AS raw_tokens FROM documents
+), kept AS (
+  SELECT CAST(sum(len({_TOK})) AS BIGINT) AS dedup_tokens
+  FROM documents d
+  WHERE d.doc_id NOT IN
+    (SELECT doc_id FROM clusters WHERE doc_id <> canonical_id)
+)
+SELECT raw_tokens, dedup_tokens,
+       round(CAST(raw_tokens - dedup_tokens AS DOUBLE)
+             / raw_tokens * 100, 6) AS savings_pct
+FROM raw CROSS JOIN kept
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -8090,6 +8139,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prospective_customers": q_prospective_customers,  # TPC-H Q22 shape
     "vocab_overlap_matrix": q_vocab_overlap_matrix,  # lexical mix design
     "conversion_by_activity": q_conversion_by_activity,  # activity-decile funnel
+    "dedup_savings": q_dedup_savings,                # dedup budget headline
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

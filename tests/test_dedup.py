@@ -427,3 +427,13 @@ def test_prefix_jaccard_equals_naive_at_multiple_thresholds(spark):
         )
         assert fast == naive, t
     assert naive  # the 0.9 pass still finds the exact duplicate pair
+
+
+def test_dedup_savings_bounds(spark):
+    from mapreduce_assignments_spark import workloads
+
+    [r] = workloads.ALL_QUERIES["dedup_savings"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert 0 < r["dedup_tokens"] <= r["raw_tokens"]
+    assert 0.0 <= r["savings_pct"] < 100.0
