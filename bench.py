@@ -110,7 +110,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "revenue_rollup", "last_touch_attribution", "rfm_segments",
         "rolling_weekly_revenue", "yoy_growth", "lines_per_order_histogram",
         "customer_growth_topk", "order_size_correlation", "region_nation_share",
-        "prospective_customers",
+        "prospective_customers", "pareto_report",
     ),
     "graph": (
         "pagerank", "personalized_pagerank", "degree_histogram",
@@ -146,7 +146,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "sentence_stats", "heldout_logprob", "filter_funnel",
         "filter_funnel_examples", "sentence_dedup_stats",
         "vocab_coverage", "idf_drift", "char_entropy", "language_id_accuracy",
-        "vocab_overlap_matrix",
+        "vocab_overlap_matrix", "quality_length_correlation",
     ),
     "sketches": ("kmv_distinct", "countmin_words"),
     "skew_diag": ("key_skew_report",),

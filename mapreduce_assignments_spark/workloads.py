@@ -3302,6 +3302,48 @@ def q_dedup_savings(spark, sf_dir):
     )
 
 
+def q_pareto_report(spark, sf_dir):
+    """The 80/20 readout: what share of total revenue comes from the
+    top quintile of customers by spend — (n_customers,
+    top_quintile_share). One exact p80 broadcast splits the
+    per-customer rollup; both sums come from one conditional pass."""
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    p80 = per_cust.agg(
+        F.round(F.expr("percentile(spend, 0.8)"), 6).alias("p80")
+    )
+    j = per_cust.crossJoin(F.broadcast(p80))
+    return j.agg(
+        F.count("*").alias("n_customers"),
+        F.round(
+            F.sum(F.when(F.col("spend") > F.col("p80"), F.col("spend")).otherwise(0.0))
+            / F.sum("spend"),
+            6,
+        ).alias("top_quintile_share"),
+    )
+
+
+def q_quality_length_correlation(spark, sf_dir):
+    """Does length predict quality? Pearson r between n_chars and the
+    composite quality score — one sufficient-statistics aggregate."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        F.col("n_chars").cast("double").alias("len"),
+        F.round(text_quality.quality_expr("text"), 6).alias("q"),
+    )
+    return scored.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.corr("len", "q"), 6).alias("pearson_r"),
+    )
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Probe-based harmonic centrality top-25 from the 2 lowest
     custkeys — one BFS per probe, unreached pairs contribute 0."""
@@ -6655,6 +6697,30 @@ SELECT raw_tokens, dedup_tokens,
 FROM raw CROSS JOIN kept
 """
 
+ORACLE["pareto_report"] = """
+WITH pc AS (
+  SELECT o_custkey,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DOUBLE)
+           AS spend
+  FROM orders GROUP BY 1
+), p AS (SELECT round(quantile_cont(spend, 0.8), 6) AS p80 FROM pc)
+SELECT count(*) AS n_customers,
+       round(sum(CASE WHEN pc.spend > p.p80 THEN pc.spend ELSE 0.0 END)
+             / sum(pc.spend), 6) AS top_quintile_share
+FROM pc CROSS JOIN p
+"""
+
+# correlates raw length with the SAME quality formula the quality
+# oracle computes — CTE-reused verbatim
+ORACLE["quality_length_correlation"] = f"""
+WITH q AS (
+{ORACLE["quality_score"]}
+)
+SELECT count(*) AS n_docs,
+       round(corr(CAST(d.n_chars AS DOUBLE), q.quality), 6) AS pearson_r
+FROM documents d JOIN q USING (doc_id)
+"""
+
 ORACLE["length_histogram"] = """
 SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) - 1
             ELSE -1 END AS INTEGER) AS log2_bucket,
@@ -8140,6 +8206,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_overlap_matrix": q_vocab_overlap_matrix,  # lexical mix design
     "conversion_by_activity": q_conversion_by_activity,  # activity-decile funnel
     "dedup_savings": q_dedup_savings,                # dedup budget headline
+    "pareto_report": q_pareto_report,                # 80/20 revenue share
+    "quality_length_correlation": q_quality_length_correlation,  # length-quality r
     "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join

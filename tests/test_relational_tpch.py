@@ -415,3 +415,15 @@ def test_prospective_customers_workload(spark):
     ).collect()
     assert rows
     assert all(r["n_cust"] >= 1 and r["total_acctbal"] > 0 for r in rows)
+
+
+def test_pareto_report_share_bounds(spark):
+    from mapreduce_assignments_spark import workloads
+
+    [r] = workloads.ALL_QUERIES["pareto_report"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    # top quintile by definition holds < 20% of customers but must
+    # carry at least its proportional share of revenue
+    assert 0.15 <= r["top_quintile_share"] <= 1.0
+    assert r["n_customers"] > 0
