@@ -794,10 +794,15 @@ def vocab_coverage(
     rows is bounded by construction). Ties rank (cnt DESC, term ASC)
     so the curve is engine-deterministic.
     """
+    # Materialize the vocab-sized term-count table ONCE: `total` and
+    # `top` both consume it, and without the checkpoint Catalyst
+    # re-executes the corpus tokenize+groupBy per consumer (the
+    # round-6 perf finding: len(ks)+1 full corpus scans at 100 TB).
     wc = (
         docs.select(F.explode(tokens_array(text_col)).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
     )
     from pyspark.sql import Window
 
@@ -805,13 +810,21 @@ def vocab_coverage(
     top = wc.orderBy(F.desc("cnt"), F.asc("term")).limit(max(ks))
     w = Window.orderBy(F.desc("cnt"), F.asc("term"))
     ranked = top.withColumn("rn", F.row_number().over(w))
-    rows = None
-    for k in sorted(ks):
-        r = ranked.where(F.col("rn") <= k).agg(
-            F.lit(k).alias("k"),
-            F.sum("cnt").alias("covered_tokens"),
-        )
-        rows = r if rows is None else rows.unionAll(r)
+    # One conditional-sum aggregate over the k-bounded ranked frame
+    # (single row), then stack-unpivot to (k, covered_tokens) — emits
+    # every requested k even when the vocabulary is smaller than k
+    # (the conditional sum then just covers the whole vocabulary),
+    # matching the oracle's per-k scalar-aggregate semantics.
+    kcols = [
+        F.sum(F.when(F.col("rn") <= k, F.col("cnt")))
+        .cast("long")
+        .alias(f"cov_{k}")
+        for k in sorted(ks)
+    ]
+    stack_args = ", ".join(f"{k}, cov_{k}" for k in sorted(ks))
+    rows = ranked.agg(*kcols).selectExpr(
+        f"stack({len(ks)}, {stack_args}) AS (k, covered_tokens)"
+    )
     return rows.crossJoin(F.broadcast(total)).select(
         "k",
         "covered_tokens",
