@@ -207,6 +207,7 @@ def bm25_scores(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tfs: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 ranked retrieval — the natural upgrade from the
     reference's boolean-only retrieval (BooleanRetrievalCompressed
@@ -226,12 +227,18 @@ def bm25_scores(
     only the query's postings; df and the (N, avgdl) scalars broadcast;
     doc lengths are the one corpus-wide aggregate — the same table an
     index build already materializes. Top-k is TakeOrderedAndProject.
+
+    ``tfs`` optionally supplies a precomputed ``(docid, term, tf)``
+    table (e.g. a checkpointed one shared with
+    :func:`query_likelihood_scores` in a fusion query) so multi-scorer
+    plans tokenize the corpus once instead of once per scorer.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     if k < 1:
         raise ValueError("k must be >= 1")
-    tfs = term_frequencies(docs, text_col=text_col, id_col=id_col)
+    if tfs is None:
+        tfs = term_frequencies(docs, text_col=text_col, id_col=id_col)
     dl = tfs.groupBy("docid").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
     qt = tfs.where(F.col("term").isin(*query_terms))
@@ -258,6 +265,7 @@ def query_likelihood_scores(
     lam: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tfs: DataFrame | None = None,
 ) -> DataFrame:
     """Jelinek–Mercer smoothed query-likelihood retrieval (Ponte &
     Croft's language-modeling approach; public literature): rank
@@ -278,6 +286,9 @@ def query_likelihood_scores(
     collection frequencies and the corpus token total are broadcast
     scalars; the tf annotation is a LEFT join on (docid, term).
     Top-k is TakeOrderedAndProject.
+
+    ``tfs`` optionally supplies a precomputed ``(docid, term, tf)``
+    table shared with other scorers (see :func:`bm25_scores`).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -285,7 +296,8 @@ def query_likelihood_scores(
         raise ValueError("k must be >= 1")
     if not 0.0 < lam < 1.0:
         raise ValueError("lam must be in (0, 1)")
-    tfs = term_frequencies(docs, text_col=text_col, id_col=id_col)
+    if tfs is None:
+        tfs = term_frequencies(docs, text_col=text_col, id_col=id_col)
     dl = tfs.groupBy("docid").agg(F.sum("tf").alias("dl"))
     total = dl.agg(F.sum("dl").alias("coll_total"))
     qt = tfs.where(F.col("term").isin(*query_terms))

@@ -86,6 +86,19 @@ def test_vocab_coverage_single_corpus_scan(docs_table):
     assert plan.count("HashAggregate") <= 4  # covered(1 agg) + total(1 agg), 2 phases each
 
 
+def test_rrf_fusion_shares_tf_subplan(spark):
+    """round-6 VERDICT item 3: bm25_scores and query_likelihood_scores
+    each re-derived the (docid, term, tf) table from the corpus — 15
+    exchanges, two tokenization passes. The fusion query now feeds
+    both scorers one checkpointed tf table; the fused plan must carry
+    no parquet scan and at most 8 exchanges."""
+    from mapreduce_assignments_spark import workloads
+
+    plan = _plan(workloads.q_rrf_fusion(spark, SF_DIR))
+    assert _exchanges(plan) <= 8
+    assert "Scan parquet" not in plan  # corpus read once, at checkpoint time
+
+
 def test_triangle_count_checkpoints_edge_derivation(spark):
     """round-5 VERDICT item 3: without localCheckpoint on ``edges``
     and the oriented set ``e``, the adjacency explode re-derives ~5x
