@@ -5746,7 +5746,7 @@ dupes AS (
         >= CAST(0.9 AS DOUBLE)),
 pc AS (SELECT cell, count(*) AS n_vecs FROM capped GROUP BY cell),
 dr AS (SELECT cell, count(*) AS n_dropped FROM dupes GROUP BY cell)
-SELECT pc.cell, pc.n_vecs,
+SELECT CAST(pc.cell AS INTEGER) AS cell, pc.n_vecs,
        CAST(COALESCE(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
        CAST(pc.n_vecs - COALESCE(dr.n_dropped, 0) AS BIGINT) AS n_kept
 FROM pc LEFT JOIN dr ON pc.cell = dr.cell
@@ -7248,7 +7248,7 @@ e{i} AS MATERIALIZED (
         "WITH "
         + ",\n".join(parts)
         + f"""
-SELECT id, count(*) AS core_degree
+SELECT CAST(id AS INTEGER) AS id, count(*) AS core_degree
 FROM (SELECT a AS id FROM e{rounds} UNION ALL SELECT b AS id FROM e{rounds})
 GROUP BY id HAVING count(*) >= {k}"""
     )
@@ -7302,7 +7302,7 @@ tri AS (
   FROM (SELECT u AS id FROM cw UNION ALL SELECT x FROM cw UNION ALL SELECT y FROM cw)
   GROUP BY id
 )
-SELECT d.id, d.d AS degree, coalesce(t.triangles, 0) AS triangles,
+SELECT CAST(d.id AS INTEGER) AS id, d.d AS degree, coalesce(t.triangles, 0) AS triangles,
        round(CASE WHEN d.d >= 2
                   THEN 2.0 * coalesce(t.triangles, 0) / (d.d * (d.d - 1))
                   ELSE 0.0 END, 6) AS coeff
@@ -7324,7 +7324,7 @@ cand AS (
   SELECT p.* FROM pairs p
   WHERE NOT EXISTS (SELECT 1 FROM ue WHERE ue.a = p.a AND ue.b = p.b)
 )
-SELECT c.a, c.b, c.common_neighbors,
+SELECT CAST(c.a AS INTEGER) AS a, CAST(c.b AS INTEGER) AS b, c.common_neighbors,
        round(c.common_neighbors / (da.d + db.d - c.common_neighbors), 6) AS jaccard
 FROM cand c JOIN udeg da ON da.id = c.a JOIN udeg db ON db.id = c.b
 ORDER BY jaccard DESC, c.a ASC, c.b ASC
@@ -7455,7 +7455,7 @@ sc AS (
          count(*) AS n_reached
   FROM all_d WHERE dist > 0 GROUP BY id
 )
-SELECT CAST(rn AS INTEGER) AS rank, id, harmonic, n_reached FROM (
+SELECT CAST(rn AS INTEGER) AS rank, CAST(id AS INTEGER) AS id, harmonic, n_reached FROM (
   SELECT *, row_number() OVER (ORDER BY harmonic DESC, id ASC) AS rn FROM sc)
 WHERE rn <= {k}
 """
