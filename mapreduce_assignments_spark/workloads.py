@@ -7983,89 +7983,70 @@ SELECT doc_id, n_chars FROM (
 # 51-60 in round 3) and the round-3 red events family come first, so
 # a future shrink of the check window hits long-proven entries last.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- rotated INTO the 50-entry driver window in round 5 (were
-    # EXTRA_QUERIES; every declared query should periodically earn a
-    # driver-visible green row, not just a local --all one) --
-    "dedup_clusters": q_dedup_clusters,
-    "quantize_embeddings": q_quantize_embeddings,
-    "stratified_sample": q_stratified_sample,
-    "jsonl_roundtrip": q_jsonl_roundtrip,
-    # -- fifth (final) round-5 rotation: every operator family's
-    # never-driver-checked queries enter the window; the 18
-    # displaced were driver-green in rounds 3/4 on unchanged code
-    # and stay oracle-checked in EXTRA_QUERIES via --all/pytest --
-    "graph_components": q_graph_components,
-    "source_overlap": q_source_overlap,
-    "bpe_merges": q_bpe_merges,
-    "bpe_vocab": q_bpe_vocab,
-    "rolling_active_users": q_rolling_active_users,
-    "normalize_events": q_normalize_events,
-    "co_engagement": q_co_engagement,
-    "streaming_enriched_counts": q_streaming_enriched_counts,
-    "streaming_snapshot_sink": q_streaming_snapshot_sink,
-    # round 6: scalar-output rendering replaces the ARRAY-valued
-    # hashing_tfidf (driver canonicalizer cannot hash list cells —
-    # round-5 red row); the array original keeps its oracle in EXTRA
-    "hashing_tfidf_cells": q_hashing_tfidf_cells,
-    "dedup_apply": q_dedup_apply,
-    "curated_corpus": q_curated_corpus,
-    "funnel_counts": q_funnel_counts,
-    "cohort_retention": q_cohort_retention,
-    "top_terms_per_source": q_top_terms_per_source,
-    "bm25_topk": q_bm25_topk,
-    "llr": q_llr,
-    # -- fourth round-5 rotation: batch-5 operators enter the window
-    # (never driver-checked; the five displaced were driver-green in
-    # rounds 3 AND 4 on unchanged code and keep golden/EXTRA coverage) --
-    "verified_near_dupes": q_verified_near_dupes,
-    "snapshot_diff": q_snapshot_diff,
-    "hourly_anomalies": q_hourly_anomalies,
-    # -- third round-5 rotation: batch-4 operators enter the window
-    # (never driver-checked; the seven they displace were driver-green
-    # in rounds 3 AND 4 on unchanged code and stay oracle-checked in
-    # EXTRA_QUERIES via --all and pytest) --
-    "unigram_logprob": q_unigram_logprob,
-    "bigram_logprob": q_bigram_logprob,
-    "profile_events": q_profile_events,
-    "per_key_sample": q_per_key_sample,
-    "latest_events": q_latest_events,
-    "streaming_latest_events": q_streaming_latest_events,
-    # -- round-6 rotation: §2-core parity queries return to the window
-    # so the driver re-certifies them (last driver-visible green was
-    # r4); they displace revenue_by_nation + ivf_topk_trained (driver-
-    # green 2+ rounds on unchanged code) and four r5-green extensions
-    # (value_buckets, shuffle_shards, dense_hourly_counts,
-    # top_keywords) whose operator families keep sibling coverage in
-    # the remaining window — all six stay oracle-checked in
-    # EXTRA_QUERIES via --all and pytest --
+    # -- round-7 rotation (round-6 VERDICT item 1): 40 never-driver-
+    # scored queries enter the window; the 40 displaced were driver-
+    # green in rounds 5 AND 6 on unchanged code and stay oracle-
+    # checked in EXTRA_QUERIES via --all and pytest. Every entry
+    # below was gated at sf0.001 AND sf0.01 with --pandas-canon plus
+    # a --vanilla-session run before rotating in (the extended canon
+    # screen caught 5 int32-vs-int64 oracle dtype drifts pre-driver).
+    # graph analytics --
+    "hits": q_hits,
+    "bfs_hops": q_bfs_hops,
+    "kcore": q_kcore,
+    "clustering_coefficient": q_clustering_coefficient,
+    "link_prediction": q_link_prediction,
+    "harmonic_centrality": q_harmonic_centrality,
+    "pagerank_convergence": q_pagerank_convergence,
+    "degree_assortativity": q_degree_assortativity,
+    "component_size_histogram": q_component_size_histogram,
+    # TPC-H query shapes --
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "customer_distribution": q_customer_distribution,
+    "top_supplier": q_top_supplier,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "promo_revenue": q_promo_revenue,
+    "part_bracket_revenue": q_part_bracket_revenue,
+    "prospective_customers": q_prospective_customers,
+    "top_return_customers": q_top_return_customers,
+    "forecast_revenue": q_forecast_revenue,
+    # dedup / similarity / ANN --
+    "semantic_dedup": q_semantic_dedup,
+    "prefix_jaccard": q_prefix_jaccard,
+    "record_linkage": q_record_linkage,
+    "incremental_dedup": q_incremental_dedup,
+    "split_leakage": q_split_leakage,
+    "bloom_decontamination": q_bloom_decontamination,
+    "ivf_recall_report": q_ivf_recall_report,
+    "knn_label_accuracy": q_knn_label_accuracy,
+    "quantization_error": q_quantization_error,
+    # text / language-model pipeline --
+    "vocab_coverage": q_vocab_coverage,
+    "rrf_fusion": q_rrf_fusion,
+    "query_likelihood": q_query_likelihood,
+    "heldout_logprob": q_heldout_logprob,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "char_entropy": q_char_entropy,
+    "ngram_novelty": q_ngram_novelty,
+    "zipf_fit": q_zipf_fit,
+    # temporal / relational / streaming --
+    "point_in_time_state": q_point_in_time_state,
+    "scd2_history": q_scd2_history,
+    "streaming_interval_join": q_streaming_interval_join,
+    "streaming_quality_gate": q_streaming_quality_gate,
+    # -- retained from round 6 (first driver-green in r6; they stay
+    # for a second consecutive green before becoming displaceable) --
     "pmi": q_pmi,
     "cooccurrence": q_cooccurrence,
     "boolean_retrieval_text": q_boolean_retrieval_text,
     "hourly_counts": q_hourly_counts,
     "inverted_index_stats": q_inverted_index_stats,
     "bigram_count": q_bigram_count,
-    # -- NEW in round 5 (never driver-checked: straight to the window) --
-    "audio_stats": q_audio_stats,            # REAL WAV header parse, pure JVM
-    "source_stats": q_source_stats,          # per-source curation dashboard
-    "lang_source_matrix": q_lang_source_matrix,  # pivot (explicit values)
-    "kmv_distinct": q_kmv_distinct,          # deterministic cardinality sketch
-    "weighted_sample": q_weighted_sample,    # Efraimidis–Spirakis A-ES
-    # -- never driver-checked before round 4, or red in round 3 --
-    "word_count": q_word_count,
-    "pagerank": q_pagerank,
-    "personalized_pagerank": q_personalized_pagerank,
-    # -- second round-5 rotation: the five newest extension operators
-    # take window slots from queries that were driver-green in rounds
-    # 3 AND 4 on unchanged code (those five stay oracle-checked in
-    # EXTRA_QUERIES via --all and pytest) --
-    "pack_sequences": q_pack_sequences,
-    "degree_histogram": q_degree_histogram,
-    "triangle_count": q_triangle_count,
-    "resize_images": q_resize_images,
-    # round 6: scalar rendering replaces the ARRAY-valued hashing_tf
-    # (same driver-canonicalizer fix as hashing_tfidf_cells above)
     "hashing_tf_cells": q_hashing_tf_cells,
-    "brute_force_topk": q_brute_force_topk,
+    "hashing_tfidf_cells": q_hashing_tfidf_cells,
+    "bpe_merges": q_bpe_merges,
+    "bpe_vocab": q_bpe_vocab,
 }
 
 # Strict sub-plans of registered queries (the registered downstream
@@ -8073,6 +8054,50 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # DuckDB oracle and is exercised by tools/check_correctness.py --all
 # and the pytest suite.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- rotated OUT of the driver window in round 7 (driver-green in
+    # rounds 5 AND 6 on unchanged code; displaced by the 40 never-
+    # driver-scored round-6 additions — still oracle-checked here
+    # every round via --all and pytest) --
+    "dedup_clusters": q_dedup_clusters,
+    "quantize_embeddings": q_quantize_embeddings,
+    "stratified_sample": q_stratified_sample,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "graph_components": q_graph_components,
+    "source_overlap": q_source_overlap,
+    "rolling_active_users": q_rolling_active_users,
+    "normalize_events": q_normalize_events,
+    "co_engagement": q_co_engagement,
+    "streaming_enriched_counts": q_streaming_enriched_counts,
+    "streaming_snapshot_sink": q_streaming_snapshot_sink,
+    "dedup_apply": q_dedup_apply,
+    "curated_corpus": q_curated_corpus,
+    "funnel_counts": q_funnel_counts,
+    "cohort_retention": q_cohort_retention,
+    "top_terms_per_source": q_top_terms_per_source,
+    "bm25_topk": q_bm25_topk,
+    "llr": q_llr,
+    "verified_near_dupes": q_verified_near_dupes,
+    "snapshot_diff": q_snapshot_diff,
+    "hourly_anomalies": q_hourly_anomalies,
+    "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
+    "profile_events": q_profile_events,
+    "per_key_sample": q_per_key_sample,
+    "latest_events": q_latest_events,
+    "streaming_latest_events": q_streaming_latest_events,
+    "audio_stats": q_audio_stats,
+    "source_stats": q_source_stats,
+    "lang_source_matrix": q_lang_source_matrix,
+    "kmv_distinct": q_kmv_distinct,
+    "weighted_sample": q_weighted_sample,
+    "word_count": q_word_count,
+    "pagerank": q_pagerank,
+    "personalized_pagerank": q_personalized_pagerank,
+    "pack_sequences": q_pack_sequences,
+    "degree_histogram": q_degree_histogram,
+    "triangle_count": q_triangle_count,
+    "resize_images": q_resize_images,
+    "brute_force_topk": q_brute_force_topk,
     # -- rotated OUT of the driver window in round 6 (see the window's
     # round-6 rotation comment): the ARRAY-valued hashing originals
     # (driver canon can't hash list cells; the *_cells window variants
@@ -8125,44 +8150,24 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     # -- NEW in round 6 (rotation candidates for round 7: all three
     # are scalar-output per docs/ROTATION_AUDIT.md screening) --
-    "forecast_revenue": q_forecast_revenue,      # TPC-H Q6 pushdown showcase
-    "scd2_history": q_scd2_history,              # type-2 dimension build
-    "streaming_interval_join": q_streaming_interval_join,  # stream-stream join
-    "split_leakage": q_split_leakage,            # train/test near-dup leakage
-    "ivf_recall_report": q_ivf_recall_report,    # ANN recall@k vs brute force
     "bpe_merges_local": q_bpe_merges_local,      # single-job BPE trainer
     "bpe_token_counts": q_bpe_token_counts,      # real-BPE doc token lengths
     "csv_roundtrip": q_csv_roundtrip,            # RFC-4180 CSV source contract
     "label_centroids": q_label_centroids,        # per-class embedding prototype
-    "kcore": q_kcore,                            # iterative k-core peeling
-    "top_return_customers": q_top_return_customers,  # TPC-H Q10 shape
-    "tokenizer_fertility": q_tokenizer_fertility,    # BPE/ws tokenizer fit
-    "incremental_dedup": q_incremental_dedup,        # cross-batch ingestion dedup
     "centroid_confusion": q_centroid_confusion,      # nearest-centroid eval
     # -- round-6 graph-analytics batch (all scalar-output, rotation-
     # eligible; oracles unroll the iterations / replay the wedge
     # construction in SQL) --
-    "hits": q_hits,                                  # hubs & authorities
-    "bfs_hops": q_bfs_hops,                          # multi-source BFS distances
-    "clustering_coefficient": q_clustering_coefficient,  # per-node local cc
-    "link_prediction": q_link_prediction,            # common-neighbor Jaccard
     # -- round-6 TPC-H-shape batch (scalar-output, rotation-eligible) --
     "shipping_priority": q_shipping_priority,        # Q3 in-flight orders
-    "volume_shipping": q_volume_shipping,            # Q7 two-nation flow
-    "market_share": q_market_share,                  # Q8 national share
-    "customer_distribution": q_customer_distribution,  # Q13 custdist
-    "top_supplier": q_top_supplier,                  # Q15 max-revenue view
-    "small_quantity_revenue": q_small_quantity_revenue,  # Q17 decorrelated avg
     "target_encoding": q_target_encoding,            # smoothed category feature
     "k_anonymity": q_k_anonymity,                    # release-gate privacy audit
     "temporal_split": q_temporal_split,              # time split + entity leakage
     "filter_funnel": q_filter_funnel,                # sequential quality rules
-    "semantic_dedup": q_semantic_dedup,              # SemDeDup per-cell summary
     "revenue_rollup": q_revenue_rollup,              # ROLLUP grouping sets
     "last_touch_attribution": q_last_touch_attribution,  # window attribution
     "cluster_canonical": q_cluster_canonical,        # quality-aware keeper
     "interpolate_gaps": q_interpolate_gaps,          # linear gap imputation
-    "knn_label_accuracy": q_knn_label_accuracy,      # 1-NN embedding eval
     "streaming_session_stats": q_streaming_session_stats,  # stream session_window
     "span_corruption": q_span_corruption,            # T5 masking budget
     "phrase_search": q_phrase_search,                # positional phrase AND
@@ -8173,15 +8178,12 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_malformed_report": q_csv_malformed_report,  # dead-letter accounting
     "user_purge_report": q_user_purge_report,        # GDPR purge dry run
     "prefix_search": q_prefix_search,                # wildcard term retrieval
-    "harmonic_centrality": q_harmonic_centrality,    # probe-based centrality
     "nation_trade_balance": q_nation_trade_balance,  # exports vs imports
     "discount_effectiveness": q_discount_effectiveness,  # grid-level response
     "hourly_top_movers": q_hourly_top_movers,        # hour-over-hour swings
     "basket_lift": q_basket_lift,                    # session-basket association
     "filter_funnel_examples": q_filter_funnel_examples,  # rule-kill examples
-    "quantization_error": q_quantization_error,      # int8 fidelity gate
     "sentence_dedup_stats": q_sentence_dedup_stats,  # boilerplate dashboard
-    "vocab_coverage": q_vocab_coverage,              # tokenizer-sizing curve
     "idf_drift": q_idf_drift,                        # readable lexical drift
     "activity_heatmap": q_activity_heatmap,          # dow-hour audience grid
     "rfm_segments": q_rfm_segments,                  # exact-tercile RFM rollup
@@ -8191,55 +8193,39 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_shard_balance": q_index_shard_balance,    # IVF shard skew gate
     "rolling_weekly_revenue": q_rolling_weekly_revenue,  # RANGE-frame trailing week
     "yoy_growth": q_yoy_growth,                      # shifted-month self-join
-    "char_entropy": q_char_entropy,                  # junk-entropy signal
     "language_id_accuracy": q_language_id_accuracy,  # heuristic-vs-truth eval
     "lines_per_order_histogram": q_lines_per_order_histogram,  # fan-out profile
-    "component_size_histogram": q_component_size_histogram,  # fragmentation readout
     "interarrival_rates": q_interarrival_rates,      # exponential load model
-    "streaming_quality_gate": q_streaming_quality_gate,  # additive funnel stream
     "customer_growth_topk": q_customer_growth_topk,  # YoY growth leaders
     "order_size_correlation": q_order_size_correlation,  # basket-value Pearson
-    "prefix_jaccard": q_prefix_jaccard,              # PPJoin lossless pruning
     "region_nation_share": q_region_nation_share,    # percent-of-parent levels
     "nn_similarity_histogram": q_nn_similarity_histogram,  # collapse early-warning
     "compact_small_files": q_compact_small_files,    # small-files hygiene
     "winsorize_values": q_winsorize_values,          # outlier-taming report
-    "point_in_time_state": q_point_in_time_state,    # leakage-proof feature join
     "hash_collision_report": q_hash_collision_report,  # feature-width diagnostics
     "numeric_percentiles_profile": q_numeric_percentiles_profile,  # quartile sheet
     "slo_burn_rate": q_slo_burn_rate,                # fast/slow burn alerts
-    "prospective_customers": q_prospective_customers,  # TPC-H Q22 shape
     "vocab_overlap_matrix": q_vocab_overlap_matrix,  # lexical mix design
     "conversion_by_activity": q_conversion_by_activity,  # activity-decile funnel
     "dedup_savings": q_dedup_savings,                # dedup budget headline
     "pareto_report": q_pareto_report,                # 80/20 revenue share
     "quality_length_correlation": q_quality_length_correlation,  # length-quality r
-    "promo_revenue": q_promo_revenue,                # Q14 conditional agg
     "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
-    "part_bracket_revenue": q_part_bracket_revenue,  # Q19 OR-bracket join
     "random_projection": q_random_projection,        # deterministic JL reducer
     "hard_negatives": q_hard_negatives,              # contrastive triplet mining
     "label_spread": q_label_spread,                  # embedding-norm health
     "aspect_ratio_histogram": q_aspect_ratio_histogram,  # header-only media profile
     "countmin_words": q_countmin_words,              # count-min sketch probes
-    "degree_assortativity": q_degree_assortativity,  # degree-degree Pearson
     "event_transitions": q_event_transitions,        # Markov next-event matrix
-    "ngram_novelty": q_ngram_novelty,                # duplicate-n-gram fraction
-    "query_likelihood": q_query_likelihood,          # JM-smoothed LM retrieval
-    "rrf_fusion": q_rrf_fusion,                      # BM25+QL rank fusion
     "key_skew_report": q_key_skew_report,            # Gini skew diagnosis
     "user_entropy": q_user_entropy,                  # behavioral diversity
-    "pagerank_convergence": q_pagerank_convergence,  # per-iter L1 residuals
     "streaming_countmin": q_streaming_countmin,      # mergeable CMS on stream
     "orc_roundtrip": q_orc_roundtrip,                # columnar interchange format
-    "record_linkage": q_record_linkage,              # blocked entity resolution
     "sentence_stats": q_sentence_stats,              # narrow HOF segmentation
     "balance_classes": q_balance_classes,            # minority-size downsample
     "corpus_mix": q_corpus_mix,                      # source-weighted mix build
     "schema_evolution": q_schema_evolution,          # mergeSchema generation read
     "eval_substring_hits": q_eval_substring_hits,    # exact-match leak probe
-    "bloom_decontamination": q_bloom_decontamination,  # portable Bloom triage
-    "heldout_logprob": q_heldout_logprob,            # train/eval LM gate
     "packing_efficiency": q_packing_efficiency,      # shard fill-rate report
     "revenue_lag_features": q_revenue_lag_features,  # ML lag-feature matrix
     "streaming_top_users": q_streaming_top_users,    # complete-mode stream rank
@@ -8257,7 +8243,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_trend": q_daily_trend,
     "containment_pairs": q_containment_pairs,
     "robust_outliers": q_robust_outliers,
-    "zipf_fit": q_zipf_fit,
     "length_histogram": q_length_histogram,
     "minhash_calibration": q_minhash_calibration,
     "late_orders_by_priority": q_late_orders_by_priority,
