@@ -4,6 +4,7 @@ from .stream_ops import (  # noqa: F401
     EVENTS_SCHEMA,
     maintain_snapshot,
     read_events_stream,
+    replay_sessions_to_parquet,
     run_to_memory,
     streaming_enriched_counts,
     streaming_exact_dedup,
@@ -23,6 +24,7 @@ __all__ = [
     "streaming_enriched_counts",
     "streaming_sliding_counts",
     "streaming_interval_join",
+    "replay_sessions_to_parquet",
     "EVENTS_SCHEMA",
     "run_to_memory",
     "streaming_session_stats",

@@ -39,6 +39,7 @@ __all__ = [
     "streaming_interval_join",
     "run_to_memory",
     "streaming_session_stats",
+    "replay_sessions_to_parquet",
 ]
 
 EVENTS_SCHEMA = (
@@ -313,6 +314,83 @@ def run_to_memory(stream: DataFrame, name: str, output_mode: str = "update"):
     )
     q.awaitTermination()
     return q
+
+
+def replay_sessions_to_parquet(
+    spark: SparkSession,
+    events: DataFrame,
+    root: str,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> str:
+    """Drain ``streaming_session_stats`` over a bounded event frame in
+    ONE ``availableNow`` run and return the output parquet path.
+
+    Session windows forbid update mode, and in append mode a session is
+    emitted only once the watermark passes its end — where the watermark
+    used by micro-batch N is the one computed from batch N-1. A bounded
+    replay therefore needs batches AFTER the data. The round-6 harness
+    got them by RESTARTING the stream twice over a shared checkpoint
+    (~5-8 s of stream-start latency each); this version gets the same
+    batch sequence inside a single run:
+
+    - the real events are staged as ONE parquet file (one file = one
+      micro-batch, so no event can land behind an already-advanced
+      watermark and be dropped as late),
+    - two far-future sentinel rows (user_id -1, +30 d and +60 d past
+      the real max) are staged as separate files whose mtimes are
+      forced 100 s apart with ``os.utime`` — the file source orders
+      batches by modification time, so the order is deterministic even
+      on coarse-mtime filesystems,
+    - ``maxFilesPerTrigger=1`` splits the one ``availableNow`` run into
+      exactly three micro-batches: batch 0 reads the real events
+      (watermark at epoch, nothing emitted), batch 1 reads sentinel A
+      (emitting with watermark = real max - 1 h, then advancing it to
+      A - 1 h, past every real session end), batch 2 reads sentinel B
+      (flushing the rest). One stream start instead of two.
+
+    Callers filter ``user_id != -1`` to drop the sentinels.
+    """
+    import os
+    from datetime import timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src, out, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    ev = events.select("ts", "user_id", "value")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    real = [
+        f"{src}/{f}" for f in os.listdir(src)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    t0 = max(os.path.getmtime(f) for f in real)
+    for i, days in enumerate((30, 60), start=1):
+        sentinel = pa.table({
+            "ts": pa.array([max_ts + timedelta(days=days)], pa.timestamp("us")),
+            "user_id": pa.array([-1], pa.int64()),
+            "value": pa.array([0.0], pa.float64()),
+        })
+        path = f"{src}/sentinel-{i}.parquet"
+        pq.write_table(sentinel, path)
+        os.utime(path, (t0 + 100 * i, t0 + 100 * i))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_session_stats(stream, gap_minutes, watermark)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return out
 
 
 def streaming_session_stats(

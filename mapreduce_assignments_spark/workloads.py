@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
 import struct
-from datetime import timedelta
 
 from .functions.hashing import MINHASH_A, MINHASH_B, MINHASH_PRIME, NUM_MINHASHES, h60
 from .operators import (
@@ -2427,18 +2426,17 @@ _STAGED_SESSION_STREAM: dict = {}
 
 def q_streaming_session_stats(spark, sf_dir):
     """Native session_window ON THE STREAM (append mode + watermark),
-    replayed to closure: session windows forbid update mode, and
-    append emits a session only once the watermark passes its end —
-    which needs a LATER batch to advance the watermark. So the replay
-    runs two availableNow passes over a shared checkpoint: the real
-    events WITH a far-future sentinel (so batch 1 already advances the
-    watermark past every real session end), then a second sentinel
-    file whose batch flushes them. Emitted batches append to a parquet sink; the final
-    read must equal the BATCH session_stats oracle row-for-row — the
-    batch/stream consistency contract, now for dynamic-gap windows.
-    Staged once per (process, sf_dir); sentinel rows (user -1)
-    filtered out."""
-    from .streaming import streaming_session_stats
+    replayed to closure in ONE availableNow run: the replay helper
+    stages the events as a single file plus two mtime-ordered far-future
+    sentinel files and splits the run into three micro-batches with
+    maxFilesPerTrigger=1, so the watermark advances past every real
+    session end WITHIN the run — no stream restarts (round-7 harness
+    cost fix; see streaming.replay_sessions_to_parquet for the batch
+    math). The final read must equal the BATCH session_stats oracle
+    row-for-row — the batch/stream consistency contract, now for
+    dynamic-gap windows. Staged once per (process, sf_dir); sentinel
+    rows (user -1) filtered out."""
+    from .streaming import replay_sessions_to_parquet
 
     if sf_dir not in _STAGED_SESSION_STREAM:
         import atexit
@@ -2447,41 +2445,7 @@ def q_streaming_session_stats(spark, sf_dir):
 
         root = tempfile.mkdtemp(prefix="mras-session-stream-")
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-        src, out, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
-        ev = _events(spark, sf_dir).select("ts", "user_id", "value")
-        ev.repartition(4).write.mode("overwrite").parquet(src)
-        max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
-        # the FIRST sentinel rides in the initial batch: after batch 1
-        # the watermark is already sentinel-1h (past every real session
-        # end), so ONE follow-up batch flushes everything — two
-        # streaming runs total, not three
-        spark.createDataFrame(
-            [(max_ts + timedelta(days=30), -1, 0.0)],
-            "ts timestamp, user_id bigint, value double",
-        ).coalesce(1).write.mode("append").parquet(src)
-
-        def run_once():
-            stream = spark.readStream.schema(
-                "ts timestamp, user_id bigint, value double"
-            ).parquet(src)
-            q = (
-                streaming_session_stats(stream)
-                .writeStream.outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .foreachBatch(
-                    lambda b, i: b.write.mode("append").parquet(out)
-                )
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(300)
-
-        run_once()  # real data + sentinel A: nothing emitted yet
-        spark.createDataFrame(
-            [(max_ts + timedelta(days=60), -1, 0.0)],
-            "ts timestamp, user_id bigint, value double",
-        ).coalesce(1).write.mode("append").parquet(src)
-        run_once()  # sentinel B's batch flushes every real session
+        out = replay_sessions_to_parquet(spark, _events(spark, sf_dir), root)
         _STAGED_SESSION_STREAM[sf_dir] = out
     return (
         spark.read.parquet(_STAGED_SESSION_STREAM[sf_dir])

@@ -354,13 +354,15 @@ def test_streaming_checkpoint_restart_is_exactly_once(spark, tmp_path):
 
 def test_streaming_session_stats_matches_batch(spark, tmp_path):
     """Full replay of the native session_window stream (append mode,
-    sentinel-driven watermark flush) equals the batch session_stats."""
-    from datetime import datetime, timedelta
+    sentinel-driven watermark flush) equals the batch session_stats —
+    via the production single-run replay harness (one availableNow
+    start, three mtime-ordered micro-batches)."""
+    from datetime import datetime
 
     import pyspark.sql.functions as F
 
     from mapreduce_assignments_spark.operators.relational import session_stats
-    from mapreduce_assignments_spark.streaming import streaming_session_stats
+    from mapreduce_assignments_spark.streaming import replay_sessions_to_parquet
 
     ev = spark.createDataFrame(
         [
@@ -371,31 +373,7 @@ def test_streaming_session_stats_matches_batch(spark, tmp_path):
         ],
         "user_id long, ts timestamp, value double",
     )
-    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
-    ev.select("ts", "user_id", "value").write.mode("overwrite").parquet(src)
-    max_ts = datetime(2024, 1, 1, 2, 0)
-
-    def run_once():
-        stream = spark.readStream.schema(
-            "ts timestamp, user_id bigint, value double"
-        ).parquet(src)
-        q = (
-            streaming_session_stats(stream)
-            .writeStream.outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-
-    run_once()
-    for days in (30, 60):
-        spark.createDataFrame(
-            [(max_ts + timedelta(days=days), -1, 0.0)],
-            "ts timestamp, user_id bigint, value double",
-        ).coalesce(1).write.mode("append").parquet(src)
-        run_once()
+    out = replay_sessions_to_parquet(spark, ev, str(tmp_path))
     got = sorted(
         tuple(r) for r in spark.read.parquet(out)
         .where(F.col("user_id") != -1)
