@@ -290,10 +290,10 @@ def run_headline(spark, sf_dir: str, sf, runs: int) -> int:
     return 0
 
 
-def run_full(spark, sf_dir: str, sf) -> int:
+def run_full(spark, sf_dir: str, sf, only: list[str] | None = None) -> int:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in workloads.ALL_QUERIES:
+    for name in (only or workloads.ALL_QUERIES):
         try:
             times[name] = _time_query(spark, sf_dir, name)
             print(f"# {name}: {times[name]}s", file=sys.stderr)
@@ -314,15 +314,16 @@ def run_full(spark, sf_dir: str, sf) -> int:
         "n_queries": len(times),
         "sf": sf,
     }
-    try:
-        out = REPO / "docs" / f"bench_full_sf{sf}.json"
-        out.parent.mkdir(exist_ok=True)
-        out.write_text(json.dumps(result, indent=2) + "\n")
-    except OSError as e:
-        print(f"# full-bench write skipped: {e}", file=sys.stderr)
+    if only is None:  # a partial run must not clobber the full record
+        try:
+            out = REPO / "docs" / f"bench_full_sf{sf}.json"
+            out.parent.mkdir(exist_ok=True)
+            out.write_text(json.dumps(result, indent=2) + "\n")
+        except OSError as e:
+            print(f"# full-bench write skipped: {e}", file=sys.stderr)
     _append_trend({
         "ts": time.time(),
-        "mode": "full",
+        "mode": "full" if only is None else "only",
         "sf": sf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
         "runs": 1,
@@ -336,6 +337,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="time every registered query once")
     ap.add_argument("--runs", type=int, default=3, help="repetitions per headline query")
+    ap.add_argument(
+        "--only", nargs="+", metavar="QUERY",
+        help="time just these registered queries once each (full-mode "
+        "machinery, but skips the docs/bench_full_*.json write)",
+    )
     ap.add_argument(
         "--check", action="store_true",
         help="no timing: gate on docs/bench_trend.jsonl — fail if any "
@@ -362,6 +368,12 @@ def main() -> int:
     # one warm-up action so JVM/codegen startup isn't billed to query 1
     workloads.q_word_count(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    if args.only:
+        unknown = [n for n in args.only if n not in workloads.ALL_QUERIES]
+        if unknown:
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            return 2
+        return run_full(spark, sf_dir, sf, only=args.only)
     if args.full:
         return run_full(spark, sf_dir, sf)
     return run_headline(spark, sf_dir, sf, max(1, args.runs))

@@ -1,0 +1,109 @@
+"""Build a local sf1-scale dataset by replicating sf0.1 with key offsets.
+
+The driver ships sf0.001/0.01/0.1 only; VERDICT r6 asks for an sf1
+scale-proportionality spot check.  This tool writes
+``/root/repo/.localdata/sf1/*.parquet`` (gitignored) as 10 key-shifted
+replicas of ``/root/testdata/sf0.1``:
+
+- every key domain gets its own round offset (``replica * 10^k`` with
+  ``10^k > max key``), applied consistently on both sides of each FK
+  (orders.o_custkey moves with customer.c_custkey, lineitem's three FKs
+  move with orders/part/supplier), so joins keep TPC-H-ish selectivity;
+- ``region``/``nation`` stay fixed — they are bounded dimensions and
+  customer/supplier keep referencing them;
+- ``documents.text`` gets a per-replica suffix for replicas > 0 so
+  exact/near-dup structure is preserved WITHIN a replica instead of
+  turning the corpus into 90% cross-replica duplicates;
+- timestamps are left unchanged: the time range keeps sf0.1's span at
+  10x density, which is what a bigger cluster sees per day anyway.
+
+Pure pyarrow — no Spark session, so it can run next to other jobs.
+"""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = os.environ.get("SF1_SRC", "/root/testdata/sf0.1")
+DST = os.environ.get("SF1_DST", "/root/repo/.localdata/sf1")
+REPLICAS = int(os.environ.get("SF1_REPLICAS", "10"))
+
+# key-domain offsets: one round power of ten per domain, safely above
+# the sf0.1 max key so replica ranges never collide
+OFF = {
+    "cust": 10**6,   # max c_custkey 15k
+    "ord": 10**7,    # max o_orderkey ~600k
+    "part": 10**6,   # 20k parts
+    "supp": 10**5,   # 1k suppliers
+    "event": 10**7,  # 100k events
+    "user": 10**6,
+    "doc": 10**6,
+    "vec": 10**5,
+}
+
+# table -> [(column, domain)]
+SHIFTS = {
+    "customer": [("c_custkey", "cust")],
+    "orders": [("o_orderkey", "ord"), ("o_custkey", "cust")],
+    "lineitem": [
+        ("l_orderkey", "ord"),
+        ("l_partkey", "part"),
+        ("l_suppkey", "supp"),
+    ],
+    "part": [("p_partkey", "part")],
+    "supplier": [("s_suppkey", "supp")],
+    "events": [("event_id", "event"), ("user_id", "user")],
+    "documents": [("doc_id", "doc")],
+    "embeddings": [("vec_id", "vec")],
+    "region": [],
+    "nation": [],
+}
+
+
+def replicate(name: str) -> None:
+    src = f"{SRC}/{name}.parquet"
+    dst = f"{DST}/{name}.parquet"
+    base = pq.read_table(src)
+    shifts = SHIFTS[name]
+    if not shifts:  # fixed dimension: copy once
+        pq.write_table(base, dst, compression="zstd")
+        print(f"{name}: {base.num_rows} rows (copied)")
+        return
+    out = pq.ParquetWriter(dst, base.schema, compression="zstd")
+    for i in range(REPLICAS):
+        t = base
+        for col, dom in shifts:
+            idx = t.schema.get_field_index(col)
+            shifted = pc.add(t.column(col), pa.scalar(i * OFF[dom], t.schema.field(col).type))
+            t = t.set_column(idx, t.schema.field(col), shifted)
+        if name == "documents" and i > 0:
+            idx = t.schema.get_field_index("text")
+            suffixed = pc.binary_join_element_wise(
+                t.column("text").cast(pa.string()), f" r{i}", ""
+            )
+            t = t.set_column(idx, t.schema.field("text"), suffixed)
+            nidx = t.schema.get_field_index("n_chars")
+            t = t.set_column(
+                nidx,
+                t.schema.field("n_chars"),
+                pc.add(t.column("n_chars"), pa.scalar(len(f" r{i}"), pa.int64())),
+            )
+        out.write_table(t)
+    out.close()
+    n = pq.read_metadata(dst).num_rows
+    print(f"{name}: {n} rows ({REPLICAS} replicas)")
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    for name in SHIFTS:
+        replicate(name)
+    total = shutil.disk_usage(DST)
+    print(f"done -> {DST}")
+
+
+if __name__ == "__main__":
+    main()
