@@ -1496,12 +1496,25 @@ def q_quantize_embeddings(spark, sf_dir):
     return q.select("vec_id", F.posexplode_outer("codes").alias("pos", "code"))
 
 
-def q_embedding_near_dupes(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    centroids = emb.where(F.col("vec_id") < 8).select(
+def _scaled_cell_centroids(emb):
+    """Seed centroids whose COUNT grows with the corpus — the lowest
+    ``max(8, n // 256)`` vec_ids. Within-cell pairwise work is
+    quadratic in cell occupancy, so a FIXED cell count turns a 10x
+    corpus into a 100x compare bill; targeting ~256 vectors per cell
+    keeps it linear. The floor of 8 reproduces the historical seeding
+    at every driver oracle scale (n <= 2048 -> 8 cells), so small-SF
+    outputs are byte-identical; the oracles compute the same k in SQL."""
+    k = max(8, emb.count() // 256)
+    return emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c")
     )
-    return similarity.embedding_near_dupes(emb, centroids, threshold=0.2)
+
+
+def q_embedding_near_dupes(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return similarity.embedding_near_dupes(
+        emb, _scaled_cell_centroids(emb), threshold=0.2
+    )
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -1669,18 +1682,39 @@ def q_bucketed_customer_orders(spark, sf_dir):
 
 # --- iterative / trained operators: rows-only (no single-SQL oracle) --------
 
+def _nation_bottom_keys(cust, n: int):
+    """Per-nation array of the ``n`` lowest c_custkeys — the only keys
+    any member's adjacency can reference. A windowed rank keeps the
+    per-group state O(1) during the scan and the collected array at
+    most ``n`` long, so the frame stays broadcast-sized no matter how
+    many members a nation has (the old collect_list-of-ALL-members +
+    explode carried the full member array once PER MEMBER: ~3.6 GB of
+    array copies at sf1, the dominant cost of every graph query)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    return (
+        cust.select("c_nationkey", "c_custkey")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n)
+        .groupBy("c_nationkey")
+        .agg(F.sort_array(F.collect_list("c_custkey")).alias("ms"))
+    )
+
+
 def _customer_graph(spark, sf_dir):
     """Deterministic graph over the customer table: each customer links
-    to (up to) the 10 lowest-keyed OTHER customers of its nation."""
+    to (up to) the 10 lowest-keyed OTHER customers of its nation.
+    Adjacencies only ever reference a nation's 11 lowest keys, so the
+    builder broadcast-joins that tiny per-nation array back onto the
+    members instead of exploding the full member list."""
     cust = load_table(spark, sf_dir, "customer")
-    members = cust.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_list("c_custkey")).alias("ms")
-    )
-    return members.select(
-        F.explode("ms").alias("id"), F.col("ms")
-    ).select(
-        F.col("id").cast("int").alias("id"),
-        F.expr("slice(filter(ms, m -> m != id), 1, 10)").cast("array<int>").alias("adj"),
+    bottom = _nation_bottom_keys(cust, 11)
+    return cust.join(F.broadcast(bottom), "c_nationkey").select(
+        F.col("c_custkey").cast("int").alias("id"),
+        F.expr(
+            "slice(filter(ms, m -> m != c_custkey), 1, 10)"
+        ).cast("array<int>").alias("adj"),
     )
 
 
@@ -1688,15 +1722,15 @@ def _kcore_graph(spark, sf_dir):
     """Variable-degree deterministic graph over the customer table:
     each customer links to its nation's ``id % 12`` lowest-keyed OTHER
     customers — heterogeneous degrees, so k-core peeling actually
-    cascades (the uniform _customer_graph would peel all-or-nothing)."""
+    cascades (the uniform _customer_graph would peel all-or-nothing).
+    Same broadcast-bottom-keys shape as _customer_graph (max degree 11
+    → only the 12 lowest keys per nation matter)."""
     cust = load_table(spark, sf_dir, "customer")
-    members = cust.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_list("c_custkey")).alias("ms")
-    )
-    return members.select(F.explode("ms").alias("id"), "ms").select(
-        F.col("id").cast("int").alias("id"),
+    bottom = _nation_bottom_keys(cust, 12)
+    return cust.join(F.broadcast(bottom), "c_nationkey").select(
+        F.col("c_custkey").cast("int").alias("id"),
         F.expr(
-            "slice(filter(ms, m -> m != id), 1, CAST(id % 12 AS INT))"
+            "slice(filter(ms, m -> m != c_custkey), 1, CAST(c_custkey % 12 AS INT))"
         ).cast("array<int>").alias("adj"),
     )
 
@@ -2412,13 +2446,13 @@ def q_filter_funnel(spark, sf_dir):
 
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style per-cell semantic dedup summary over the
-    embeddings table (seed centroids vec_id < 8, cosine ≥ 0.9 within
-    a cell, keep-lowest-id)."""
+    embeddings table (corpus-scaled seed centroids — see
+    _scaled_cell_centroids — cosine ≥ 0.9 within a cell,
+    keep-lowest-id)."""
     emb = _emb(spark, sf_dir)
-    centroids = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c")
+    return similarity.semantic_dedup(
+        emb, _scaled_cell_centroids(emb), threshold=0.9
     )
-    return similarity.semantic_dedup(emb, centroids, threshold=0.9)
 
 
 _STAGED_SESSION_STREAM: dict = {}
@@ -4920,7 +4954,8 @@ _PCOS = (
 )
 ORACLE["embedding_near_dupes"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cen AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < 8),
+cen AS (SELECT vec_id AS cell_id, v AS c FROM e
+        WHERE vec_id < GREATEST(8, (SELECT COUNT(*) FROM embeddings) // 256)),
 assigned AS (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, cen.cell_id AS cell,
@@ -5690,7 +5725,8 @@ ORACLE["streaming_quality_gate"] = ORACLE["filter_funnel"]
 
 ORACLE["semantic_dedup"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cen AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < 8),
+cen AS (SELECT vec_id AS cell_id, v AS c FROM e
+        WHERE vec_id < GREATEST(8, (SELECT COUNT(*) FROM embeddings) // 256)),
 assigned AS (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, cen.cell_id AS cell,

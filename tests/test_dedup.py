@@ -361,6 +361,37 @@ def test_record_linkage_blocking_and_distance(spark):
     assert got == {(1, 2): 1}
 
 
+def test_record_linkage_fastss_equals_blocked(spark):
+    """The symmetric-deletion candidate generator is EXACT: on a
+    deliberately adversarial corpus (dense near-duplicates, repeated
+    characters, length differences, 1-char and empty-ish names) the
+    fastss path returns byte-identical pairs to the quadratic block
+    join, for tau = 1 and tau = 2."""
+    from mapreduce_assignments_spark.operators.dedup import record_linkage_pairs
+
+    names = [
+        "aaaa", "aaab", "aab", "abab", "ba", "b", "x",
+        "customer#001", "customer#002", "customer#012", "custmer#001",
+        "mississippi", "misisipi", "mississippti",
+    ]
+    df = spark.createDataFrame(
+        [(i, n, chr(65 + i % 2)) for i, n in enumerate(names)],
+        "id long, name string, blk string",
+    )
+    for tau in (1, 2):
+        fast = {
+            tuple(r) for r in record_linkage_pairs(
+                df, "id", "name", ["blk"], max_distance=tau, method="fastss"
+            ).collect()
+        }
+        slow = {
+            tuple(r) for r in record_linkage_pairs(
+                df, "id", "name", ["blk"], max_distance=tau, method="blocked"
+            ).collect()
+        }
+        assert fast == slow, f"tau={tau}: {fast ^ slow}"
+
+
 def test_bloom_decontamination_no_false_negatives(spark, monkeypatch):
     """The Bloom guarantee: every true member is flagged (FN = 0);
     true_hits counts every corpus doc whose digest is in the eval

@@ -14,6 +14,12 @@ replicas of ``/root/testdata/sf0.1``:
 - ``documents.text`` gets a per-replica suffix for replicas > 0 so
   exact/near-dup structure is preserved WITHIN a replica instead of
   turning the corpus into 90% cross-replica duplicates;
+- ``embeddings.embedding`` gets its dimensions rolled by the replica
+  index (an orthogonal permutation: within-replica geometry is exactly
+  preserved, cross-replica cosines drop to noise) — otherwise every
+  vector would have 10 exact copies and cell/bucket-bounded ANN and
+  semantic-dedup plans would see an artificial quadratic pair blowup
+  a real 10x dataset does not have;
 - timestamps are left unchanged: the time range keeps sf0.1's span at
   10x density, which is what a bigger cluster sees per day anyway.
 
@@ -79,17 +85,41 @@ def replicate(name: str) -> None:
             idx = t.schema.get_field_index(col)
             shifted = pc.add(t.column(col), pa.scalar(i * OFF[dom], t.schema.field(col).type))
             t = t.set_column(idx, t.schema.field(col), shifted)
+        if name == "embeddings" and i > 0:
+            import numpy as np
+
+            idx = t.schema.get_field_index("embedding")
+            col = t.column("embedding").combine_chunks()
+            mat = np.asarray(col.to_pylist(), dtype=np.float32)
+            rolled = np.roll(mat, i % mat.shape[1], axis=1)
+            arr = pa.array(list(rolled), pa.list_(pa.float32()))
+            t = t.set_column(idx, t.schema.field("embedding"), arr)
         if name == "documents" and i > 0:
+            # per-replica TOKEN BIJECTION: prefix every word with r{i},
+            # so replica i's vocabulary is disjoint from replica j's.
+            # Within-replica token/shingle/minhash structure is
+            # preserved exactly (1:1 token map), while NO content key —
+            # rare-token PPJoin prefixes, minhash bands, simhash bands,
+            # exact digests — can bucket documents across replicas.
+            # Anything weaker leaves shared rare tokens between a doc
+            # and its 9 copies, inflating every candidate bucket 10x
+            # and pair counts 100x: quadratic harness artifact, not
+            # operator behavior (a real 10x corpus adds NEW documents,
+            # not 9 shadows of each existing one).
             idx = t.schema.get_field_index("text")
-            suffixed = pc.binary_join_element_wise(
-                t.column("text").cast(pa.string()), f" r{i}", ""
+            marked = pc.replace_substring_regex(
+                t.column("text").cast(pa.string()),
+                pattern=r"(\S+)",
+                replacement=f"r{i}\\1",
             )
-            t = t.set_column(idx, t.schema.field("text"), suffixed)
+            t = t.set_column(idx, t.schema.field("text"), marked)
             nidx = t.schema.get_field_index("n_chars")
             t = t.set_column(
                 nidx,
                 t.schema.field("n_chars"),
-                pc.add(t.column("n_chars"), pa.scalar(len(f" r{i}"), pa.int64())),
+                pc.cast(
+                    pc.utf8_length(t.column(idx).cast(pa.string())), pa.int64()
+                ),
             )
         out.write_table(t)
     out.close()
