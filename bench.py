@@ -127,7 +127,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "verified_near_dupes", "eval_substring_hits", "bloom_decontamination",
         "minhash_calibration", "containment_pairs", "source_overlap",
         "ngram_novelty", "record_linkage", "cluster_canonical",
-        "prefix_jaccard", "dedup_savings",
+        "prefix_jaccard", "dedup_savings", "semantic_decontamination",
     ),
     "similarity": (
         "brute_force_topk", "ivf_assign", "ivf_topk_trained",
@@ -136,7 +136,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "centroid_confusion", "random_projection", "hard_negatives",
         "label_spread", "semantic_dedup", "knn_label_accuracy",
         "embedding_covariance", "quantization_error", "index_shard_balance",
-        "nn_similarity_histogram",
+        "nn_similarity_histogram", "margin_bitext",
     ),
     "text_quality": (
         "token_counts", "quality_score", "language_id", "doc_fingerprint",

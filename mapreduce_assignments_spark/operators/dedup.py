@@ -649,6 +649,50 @@ def contamination_flags(
     )
 
 
+def semantic_decontamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag every corpus
+    vector whose cosine against ANY eval-set vector reaches
+    ``threshold`` — ``(vec_id, eval_id, sim)`` with the best-matching
+    eval item per flagged vector (ties to the lowest eval_id).
+
+    The semantic complement of :func:`contamination_flags`: lexical
+    n-gram overlap misses paraphrased or translated eval leakage, and
+    published pipelines increasingly screen both surfaces (embedding
+    decontamination is described in public training-data reports).
+
+    ``eval_set`` has ``(eval_id, c ARRAY<FLOAT/DOUBLE>)``. Scale
+    shape mirrors the other decontamination passes: the eval side is
+    benchmark-sized (MBs against a 100 TB corpus) so it broadcasts,
+    the corpus scans ONCE with a narrow cosine map (no shuffle before
+    the per-vector argmax window), and output is bounded by the
+    contaminated fraction. For eval sets too large to broadcast, run
+    the IVF path first and feed the probed candidate pairs here.
+    """
+    emb = corpus.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    ev = eval_set.select(
+        "eval_id", F.col("c").cast("array<double>").alias("c")
+    )
+    from .similarity import cosine_similarity
+
+    scored = emb.crossJoin(F.broadcast(ev)).select(
+        F.col(id_col),
+        "eval_id",
+        F.round(cosine_similarity(F.col("c"), F.col(vec_col)), 6).alias("sim"),
+    ).where(F.col("sim") >= threshold)
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("eval_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "eval_id", "sim")
+    )
+
+
 def split_leakage(candidates: DataFrame, splits: DataFrame) -> DataFrame:
     """Train/test leakage report: count near-duplicate pairs that
     straddle dataset splits — the check every training pipeline must

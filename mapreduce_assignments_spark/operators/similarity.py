@@ -192,6 +192,34 @@ def brute_force_topk(
     return _topk_per_query(scored, k, gate_df=emb)
 
 
+def margin_mined_pairs(
+    topk: DataFrame, margin_threshold: float = 1.2
+) -> DataFrame:
+    """Margin-based parallel-pair mining over a top-k candidate table
+    (Artetxe & Schwenk, ACL'19 — the CCMatrix/LASER mining criterion,
+    forward-margin variant): for each query, score its best neighbor
+    by ``sim / mean(top-k sims)`` and keep the pair when the margin
+    clears ``margin_threshold`` — an absolute-cosine cutoff cannot
+    separate hubs (vectors similar to everything) from true
+    translations/paraphrases, the ratio can.
+
+    Input is ANY ``(query_id, neighbor_id, rank, sim)`` candidate
+    table: :func:`brute_force_topk` as the exact baseline,
+    :func:`ivf_topk` as the 100 TB path — mining quality is the
+    candidate generator's concern, the margin is one window over its
+    (queries x k)-bounded output. Returns ``(query_id, neighbor_id,
+    sim, margin)`` for rank-1 pairs passing the bar.
+    """
+    w = Window.partitionBy("query_id")
+    return (
+        topk.withColumn(
+            "margin", F.round(F.col("sim") / F.avg("sim").over(w), 6)
+        )
+        .where((F.col("rank") == 1) & (F.col("margin") >= margin_threshold))
+        .select("query_id", "neighbor_id", "sim", "margin")
+    )
+
+
 def ivf_train(
     embeddings: DataFrame,
     k: int = 16,

@@ -3448,6 +3448,36 @@ def q_split_leakage(spark, sf_dir):
     return dedup.split_leakage(cands, splits)
 
 
+def q_semantic_decontamination(spark, sf_dir):
+    """Embedding-level eval decontamination: every train vector whose
+    cosine against the held-out eval slice (vec_id % 10 == 3, capped
+    at vec_id < 2000 — benchmarks are FIXED-size; an eval set that
+    grew with the corpus would make the scan corpus x eval quadratic
+    in SF, and no real eval suite does that) reaches 0.35, with its
+    best-matching eval item — the semantic complement of the lexical
+    n-gram/Bloom/substring passes."""
+    emb = _emb(spark, sf_dir)
+    ev = emb.where(
+        (F.col("vec_id") % 10 == 3) & (F.col("vec_id") < 2000)
+    ).select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("c"))
+    train = emb.where((F.col("vec_id") % 10 != 3) | (F.col("vec_id") >= 2000))
+    return dedup.semantic_decontamination(train, ev, threshold=0.35)
+
+
+def q_margin_bitext(spark, sf_dir):
+    """Margin-based parallel-pair mining between the label-0 and
+    label-1 embedding populations (Artetxe & Schwenk ratio margin over
+    the exact top-4 candidates, threshold 1.2) — the bitext-mining
+    shape used to build translation training corpora."""
+    emb = _emb(spark, sf_dir)
+    src = emb.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    tgt = emb.where(F.col("label") == 1)
+    topk = similarity.brute_force_topk(tgt, src, k=4)
+    return similarity.margin_mined_pairs(topk, margin_threshold=1.2)
+
+
 def q_ivf_recall_report(spark, sf_dir):
     """Recall@10 of the trained-IVF search (nprobe=2) against the
     brute-force ground truth, per query — the ANN evaluation
@@ -5013,6 +5043,50 @@ QUALIFY rank <= 10
 
 
 ORACLE["lsh_topk"] = _lsh_topk_oracle_sql()
+
+ORACLE["semantic_decontamination"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, v AS c FROM e
+      WHERE vec_id % 10 = 3 AND vec_id < 2000),
+tr AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 3 OR vec_id >= 2000),
+s AS (
+  SELECT tr.vec_id, ev.eval_id,
+         round(list_dot_product(ev.c, tr.v)
+               / (sqrt(list_dot_product(ev.c, ev.c))
+                  * sqrt(list_dot_product(tr.v, tr.v))), 6) AS sim
+  FROM tr, ev),
+best AS (
+  SELECT vec_id, eval_id, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, eval_id ASC) AS rn
+  FROM s WHERE sim >= CAST(0.35 AS DOUBLE))
+SELECT vec_id, CAST(eval_id AS BIGINT) AS eval_id, sim
+FROM best WHERE rn = 1
+"""
+
+ORACLE["margin_bitext"] = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+src AS (SELECT vec_id AS query_id, v AS q FROM e WHERE label = 0),
+tgt AS (SELECT vec_id, v FROM e WHERE label = 1),
+s AS (
+  SELECT src.query_id, tgt.vec_id AS neighbor_id,
+         round(list_dot_product(q, tgt.v)
+               / (sqrt(list_dot_product(q, q))
+                  * sqrt(list_dot_product(tgt.v, tgt.v))), 6) AS sim
+  FROM src, tgt),
+k AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s),
+top AS (SELECT * FROM k WHERE rank <= 4),
+m AS (
+  SELECT query_id, neighbor_id, sim, rank,
+         round(sim / (sum(sim) OVER (PARTITION BY query_id)
+                      / count(*) OVER (PARTITION BY query_id)), 6) AS margin
+  FROM top)
+SELECT query_id, neighbor_id, sim, margin
+FROM m WHERE rank = 1 AND margin >= CAST(1.2 AS DOUBLE)
+"""
 
 _PROMO_VALUES = ",".join(
     f"({i}, TIMESTAMP '{s}', TIMESTAMP '{e}')" for i, s, e in _PROMO_WINDOWS
@@ -8282,6 +8356,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "embedding_near_dupes": q_embedding_near_dupes,
     "lsh_topk": q_lsh_topk,
+    # -- round-7 additions (semantic pipeline extensions) --
+    "semantic_decontamination": q_semantic_decontamination,
+    "margin_bitext": q_margin_bitext,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

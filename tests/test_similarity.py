@@ -574,3 +574,48 @@ def test_quantization_error_perfect_on_two_point_grid(spark):
     [r] = quantization_error(emb).collect()
     assert r["label"] == "a" and r["n_vecs"] == 2
     assert r["mean_cos"] == 1.0 and r["min_cos"] == 1.0
+
+
+def test_margin_mined_pairs_suppresses_hubs(spark):
+    """The ratio margin keeps a query whose best neighbor stands out
+    from its other candidates and drops a 'hub' query whose top-k sims
+    are all near-equal, even when the hub's absolute best sim is
+    HIGHER — the property an absolute cutoff cannot express."""
+    from mapreduce_assignments_spark.operators.similarity import (
+        margin_mined_pairs,
+    )
+
+    topk = spark.createDataFrame(
+        # query 1: one clear translation (0.8 vs 0.4-ish tail)
+        [(1, 11, 1, 0.80), (1, 12, 2, 0.42), (1, 13, 3, 0.40), (1, 14, 4, 0.38),
+         # query 2: hub — higher absolute sim but a flat profile
+         (2, 21, 1, 0.90), (2, 22, 2, 0.89), (2, 23, 3, 0.88), (2, 24, 4, 0.87)],
+        "query_id long, neighbor_id long, rank int, sim double",
+    )
+    got = {r["query_id"]: r for r in margin_mined_pairs(topk, 1.2).collect()}
+    assert set(got) == {1}
+    assert got[1]["neighbor_id"] == 11
+    assert got[1]["margin"] == round(0.80 / ((0.80 + 0.42 + 0.40 + 0.38) / 4), 6)
+
+
+def test_semantic_decontamination_best_match_and_threshold(spark):
+    """Each flagged corpus vector reports its single best eval match
+    (ties to the lowest eval_id); sub-threshold vectors emit nothing."""
+    from mapreduce_assignments_spark.operators.dedup import (
+        semantic_decontamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        # eval 1 and 2 both match vec 10 exactly -> tie broken to 1
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.1, 1.0])],
+        "eval_id long, c array<double>",
+    )
+    rows = {r["vec_id"]: r for r in
+            semantic_decontamination(corpus, ev, threshold=0.9).collect()}
+    assert set(rows) == {10, 11}          # vec 12 is anti-parallel: no flag
+    assert rows[10]["eval_id"] == 1 and rows[10]["sim"] == 1.0
+    assert rows[11]["eval_id"] == 3      # best match, not just any >= 0.9
