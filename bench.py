@@ -164,7 +164,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "sampling": (
         "hash_split", "deterministic_sample", "stratified_sample",
         "weighted_sample", "per_key_sample", "shuffle_shards",
-        "balance_classes", "corpus_mix", "temporal_split",
+        "balance_classes", "corpus_mix", "temporal_split", "temperature_mix",
     ),
     "multimodal": (
         "image_stats", "phash_duplicates", "media_sniff", "frame_sample",

@@ -29,6 +29,7 @@ __all__ = [
     "per_key_sample",
     "shuffle_shards",
     "stratified_sample",
+    "temperature_weights",
     "temporal_split",
     "weighted_sample",
 ]
@@ -273,3 +274,47 @@ def temporal_split(
         cond = F.col(ts_col) < F.lit(upper).cast("timestamp")
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr.otherwise(F.lit(final_split)))
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    size_col: str = "n_chars",
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled source sampling weights — the exponential
+    smoothing multilingual pretraining recipes use (public: mBERT's
+    exponentially-smoothed sampling, XLM-R's p_i proportional to
+    (n_i/N)^(1/T)): a temperature of 1 reproduces natural proportions,
+    higher temperatures flatten the mix toward uniform so low-resource
+    sources are upsampled.
+
+    Returns one row per group: ``(source, n_units, nat_share, weight,
+    upsample_factor)`` where ``weight`` is the normalized temperature
+    share and ``upsample_factor = weight / nat_share`` (> 1 means the
+    source is oversampled relative to its natural volume). Feed the
+    weights to :func:`~..workloads.q_corpus_mix`'s applier or any
+    budgeted sampler.
+
+    Scale shape: ONE partial-aggregated exchange (groupBy source over
+    the corpus); everything after runs on the group-cardinality frame,
+    where the unpartitioned normalization windows are benign (tens of
+    sources, not rows-of-corpus — same argument as the calendar
+    windows in docs/SCALE.md).
+    """
+    from pyspark.sql.window import Window
+
+    g = df.groupBy(group_col).agg(
+        F.sum(size_col).cast("long").alias("n_units")
+    )
+    w = Window.partitionBy()
+    nat = F.col("n_units") / F.sum("n_units").over(w)
+    u = F.pow(nat, 1.0 / temperature)
+    weight = u / F.sum(u).over(w)
+    return g.select(
+        group_col,
+        "n_units",
+        F.round(nat, 6).alias("nat_share"),
+        F.round(weight, 6).alias("weight"),
+        F.round(weight / nat, 6).alias("upsample_factor"),
+    )

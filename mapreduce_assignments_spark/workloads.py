@@ -3448,6 +3448,16 @@ def q_split_leakage(spark, sf_dir):
     return dedup.split_leakage(cands, splits)
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled (T=2) source sampling weights over the
+    documents corpus — the exponential-smoothing weight DERIVATION
+    step (mBERT/XLM-R recipe) whose output corpus_mix applies."""
+    return sampling.temperature_weights(
+        _docs(spark, sf_dir), group_col="source",
+        size_col="n_chars", temperature=2.0,
+    )
+
+
 def q_semantic_decontamination(spark, sf_dir):
     """Embedding-level eval decontamination: every train vector whose
     cosine against the held-out eval slice (vec_id % 10 == 3, capped
@@ -5043,6 +5053,21 @@ QUALIFY rank <= 10
 
 
 ORACLE["lsh_topk"] = _lsh_topk_oracle_sql()
+
+ORACLE["temperature_mix"] = """
+WITH g AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_units
+  FROM documents GROUP BY source),
+t AS (
+  SELECT *, CAST(n_units AS DOUBLE) / SUM(n_units) OVER () AS nat,
+         pow(CAST(n_units AS DOUBLE) / SUM(n_units) OVER (), 1.0 / 2.0) AS u
+  FROM g)
+SELECT source, n_units,
+       round(nat, 6) AS nat_share,
+       round(u / SUM(u) OVER (), 6) AS weight,
+       round((u / SUM(u) OVER ()) / nat, 6) AS upsample_factor
+FROM t
+"""
 
 ORACLE["semantic_decontamination"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -8298,6 +8323,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_stats": q_sentence_stats,              # narrow HOF segmentation
     "balance_classes": q_balance_classes,            # minority-size downsample
     "corpus_mix": q_corpus_mix,                      # source-weighted mix build
+    "temperature_mix": q_temperature_mix,            # T-scaled weight derivation
     "schema_evolution": q_schema_evolution,          # mergeSchema generation read
     "eval_substring_hits": q_eval_substring_hits,    # exact-match leak probe
     "packing_efficiency": q_packing_efficiency,      # shard fill-rate report

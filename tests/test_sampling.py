@@ -300,3 +300,28 @@ def test_temporal_split_requires_cutoffs(spark):
     df = spark.range(1).withColumn("ts", F.current_timestamp())
     with pytest.raises(ValueError):
         temporal_split(df, "ts", [])
+
+
+def test_temperature_weights_flatten_toward_uniform(spark):
+    """T=1 reproduces natural shares; higher T upsamples the small
+    source (upsample_factor > 1) and downsamples the big one, with
+    weights still summing to 1."""
+    from mapreduce_assignments_spark.operators.sampling import (
+        temperature_weights,
+    )
+
+    df = spark.createDataFrame(
+        [("big", 900), ("small", 100)],
+        "source string, n_chars long",
+    )
+    t1 = {r["source"]: r for r in
+          temperature_weights(df, temperature=1.0).collect()}
+    assert t1["big"]["weight"] == t1["big"]["nat_share"] == 0.9
+    assert t1["big"]["upsample_factor"] == 1.0
+
+    t5 = {r["source"]: r for r in
+          temperature_weights(df, temperature=5.0).collect()}
+    assert abs(t5["big"]["weight"] + t5["small"]["weight"] - 1.0) < 1e-6
+    assert t5["small"]["upsample_factor"] > 1.0 > t5["big"]["upsample_factor"]
+    # T=5 sits between natural (0.9) and uniform (0.5)
+    assert 0.5 < t5["big"]["weight"] < 0.9
