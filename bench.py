@@ -151,7 +151,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "sketches": ("kmv_distinct", "countmin_words"),
     "skew_diag": ("key_skew_report",),
     "validation": ("profile_events", "robust_outliers", "length_drift_psi",
-                   "k_anonymity", "winsorize_values",
+                   "k_anonymity", "winsorize_values", "dp_event_counts",
                    "numeric_percentiles_profile"),
     "packing": ("pack_sequences", "packing_efficiency"),
     "features": (

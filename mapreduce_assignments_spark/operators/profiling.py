@@ -23,7 +23,7 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["profile_columns", "robust_outliers", "distribution_psi", "k_anonymity"]
+__all__ = ["profile_columns", "robust_outliers", "distribution_psi", "k_anonymity", "dp_noisy_counts"]
 
 
 def profile_columns(
@@ -187,4 +187,47 @@ def k_anonymity(
         df.groupBy(*[F.col(c) for c in quasi_cols])
         .agg(F.count("*").alias("class_size"))
         .withColumn("violates", F.col("class_size") < F.lit(k))
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: str = "dp-v1",
+) -> DataFrame:
+    """Differentially-private group counts via the Laplace mechanism
+    (Dwork, McSherry, Nissim & Smith, TCC'06 — public literature):
+    release ``count + Lap(1/epsilon)`` per group. Each input row
+    belongs to exactly one group, so the count query's L1 sensitivity
+    is 1 and the per-group noise scale ``1/epsilon`` yields an
+    epsilon-DP release.
+
+    The noise is a DETERMINISTIC function of ``(seed, group)``: an
+    md5-derived uniform in (0, 1) pushed through the Laplace inverse
+    CDF. That keeps the release reproducible across reruns, engines,
+    and the DuckDB oracle (an engine-RNG draw would hash-mismatch and,
+    worse, silently re-randomize on retry — re-releasing fresh noise
+    for the same query burns privacy budget). Rotating ``seed`` is the
+    explicit, budget-accounted way to draw again.
+
+    Returns ``(group_col, noisy_count)``. Scale shape: ONE
+    partial-aggregated exchange (the groupBy count); the noise is a
+    narrow map over the group-cardinality result.
+    """
+    from ..functions.hashing import h60
+
+    b = 1.0 / epsilon
+    u = (
+        h60(F.concat(F.lit(seed), F.col(group_col).cast("string"))) + 1
+    ) / F.lit(float(2**60 + 2))
+    c = u - F.lit(0.5)
+    noise = F.lit(-b) * F.signum(c) * F.log(F.lit(1.0) - 2 * F.abs(c))
+    return (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("n"))
+        .select(
+            group_col,
+            F.round(F.col("n") + noise, 6).alias("noisy_count"),
+        )
     )

@@ -3448,6 +3448,16 @@ def q_split_leakage(spark, sf_dir):
     return dedup.split_leakage(cands, splits)
 
 
+def q_dp_event_counts(spark, sf_dir):
+    """Epsilon-DP (eps=1) release of per-event-type counts via the
+    Laplace mechanism with deterministic seeded noise — the privacy
+    gate a usage-telemetry release runs; k_anonymity's complement for
+    aggregate (not row-level) releases."""
+    return profiling.dp_noisy_counts(
+        _events(spark, sf_dir), "event_type", epsilon=1.0
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-scaled (T=2) source sampling weights over the
     documents corpus — the exponential-smoothing weight DERIVATION
@@ -5053,6 +5063,20 @@ QUALIFY rank <= 10
 
 
 ORACLE["lsh_topk"] = _lsh_topk_oracle_sql()
+
+ORACLE["dp_event_counts"] = """
+WITH g AS (
+  SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+u AS (
+  SELECT event_type, n,
+         (CAST(CONCAT('0x', substring(md5(CONCAT('dp-v1', event_type)), 1, 15))
+               AS BIGINT) + 1) / 1152921504606846978.0 AS uni
+  FROM g)
+SELECT event_type,
+       round(n + (-1.0) * sign(uni - 0.5) * ln(1.0 - 2.0 * abs(uni - 0.5)), 6)
+         AS noisy_count
+FROM u
+"""
 
 ORACLE["temperature_mix"] = """
 WITH g AS (
@@ -8324,6 +8348,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "balance_classes": q_balance_classes,            # minority-size downsample
     "corpus_mix": q_corpus_mix,                      # source-weighted mix build
     "temperature_mix": q_temperature_mix,            # T-scaled weight derivation
+    "dp_event_counts": q_dp_event_counts,            # Laplace-mechanism release
     "schema_evolution": q_schema_evolution,          # mergeSchema generation read
     "eval_substring_hits": q_eval_substring_hits,    # exact-match leak probe
     "packing_efficiency": q_packing_efficiency,      # shard fill-rate report

@@ -90,3 +90,25 @@ def test_k_anonymity_flags_small_classes(spark):
     assert rows[("x", 1)] == (5, False)
     assert rows[("x", 2)] == (2, True)
     assert rows[(None, 2)] == (1, True)  # NULLs form their own class
+
+
+def test_dp_noisy_counts_deterministic_and_bounded(spark):
+    """The Laplace release is a pure function of (seed, group): two
+    runs agree exactly, a different seed draws different noise, and
+    noise magnitude behaves like Lap(1/eps) (bigger eps -> closer to
+    the true count)."""
+    from mapreduce_assignments_spark.operators.profiling import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [("a",)] * 100 + [("b",)] * 50, "k string"
+    )
+    r1 = {r["k"]: r["noisy_count"] for r in dp_noisy_counts(df, "k").collect()}
+    r2 = {r["k"]: r["noisy_count"] for r in dp_noisy_counts(df, "k").collect()}
+    assert r1 == r2                       # reproducible release
+    r3 = {r["k"]: r["noisy_count"]
+          for r in dp_noisy_counts(df, "k", seed="dp-v2").collect()}
+    assert r3 != r1                       # seed rotation redraws
+    tight = {r["k"]: r["noisy_count"]
+             for r in dp_noisy_counts(df, "k", epsilon=100.0).collect()}
+    assert abs(tight["a"] - 100) < abs(r1["a"] - 100) or abs(r1["a"] - 100) < 1e-9
+    assert abs(tight["a"] - 100) < 0.5    # eps=100 -> scale 0.01
