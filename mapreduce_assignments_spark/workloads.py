@@ -8106,14 +8106,79 @@ SELECT doc_id, n_chars FROM (
 # 51-60 in round 3) and the round-3 red events family come first, so
 # a future shrink of the check window hits long-proven entries last.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- round-7 rotation (round-6 VERDICT item 1): 40 never-driver-
-    # scored queries enter the window; the 40 displaced were driver-
-    # green in rounds 5 AND 6 on unchanged code and stay oracle-
-    # checked in EXTRA_QUERIES via --all and pytest. Every entry
-    # below was gated at sf0.001 AND sf0.01 with --pandas-canon plus
-    # a --vanilla-session run before rotating in (the extended canon
-    # screen caught 5 int32-vs-int64 oracle dtype drifts pre-driver).
-    # graph analytics --
+    # -- round-8 rotation (round-7 VERDICT item 1): all 50 slots go to
+    # never-driver-scored queries (backlog 98 -> 48). The 40 round-7
+    # first-timers (1-round-green) and the 10 two-round-stable section-2
+    # cores are displaced to EXTRA_QUERIES per the round-7 verdict and
+    # stay oracle-checked via --all and pytest. Every entry below was
+    # gated at sf0.001 AND sf0.01 with --pandas-canon plus a
+    # --vanilla-session run before rotating in.
+    # semantic-pipeline round-7 additions --
+    "semantic_decontamination": q_semantic_decontamination,
+    "margin_bitext": q_margin_bitext,
+    "temperature_mix": q_temperature_mix,
+    "dp_event_counts": q_dp_event_counts,
+    # TPC-H / relational report shapes --
+    "shipping_priority": q_shipping_priority,
+    "large_volume_orders": q_large_volume_orders,
+    "target_encoding": q_target_encoding,
+    "k_anonymity": q_k_anonymity,
+    "temporal_split": q_temporal_split,
+    "revenue_rollup": q_revenue_rollup,
+    "nation_trade_balance": q_nation_trade_balance,
+    "discount_effectiveness": q_discount_effectiveness,
+    "region_nation_share": q_region_nation_share,
+    "pareto_report": q_pareto_report,
+    "brand_nation_revenue": q_brand_nation_revenue,
+    "late_orders_by_priority": q_late_orders_by_priority,
+    "rfm_segments": q_rfm_segments,
+    "customer_growth_topk": q_customer_growth_topk,
+    "order_size_correlation": q_order_size_correlation,
+    "order_gap_stats": q_order_gap_stats,
+    "lines_per_order_histogram": q_lines_per_order_histogram,
+    "winsorize_values": q_winsorize_values,
+    "numeric_percentiles_profile": q_numeric_percentiles_profile,
+    "robust_outliers": q_robust_outliers,
+    "revenue_share": q_revenue_share,
+    "revenue_lag_features": q_revenue_lag_features,
+    "conversion_lag": q_conversion_lag,
+    "conversion_by_activity": q_conversion_by_activity,
+    # events / attribution / session analytics --
+    "last_touch_attribution": q_last_touch_attribution,
+    "linear_attribution": q_linear_attribution,
+    "transition_latency": q_transition_latency,
+    "session_paths": q_session_paths,
+    "activity_heatmap": q_activity_heatmap,
+    "event_transitions": q_event_transitions,
+    "event_cube": q_event_cube,
+    "session_stats": q_session_stats,
+    "daily_trend": q_daily_trend,
+    "interarrival_rates": q_interarrival_rates,
+    "ab_test_zscore": q_ab_test_zscore,
+    "user_entropy": q_user_entropy,
+    "filter_funnel": q_filter_funnel,
+    "basket_lift": q_basket_lift,
+    "user_purge_report": q_user_purge_report,
+    # timeseries renderers (vanilla-session gated) --
+    "seasonal_anomalies": q_seasonal_anomalies,
+    "ewma_hourly": q_ewma_hourly,
+    "slo_burn_rate": q_slo_burn_rate,
+    "hourly_top_movers": q_hourly_top_movers,
+    "yoy_growth": q_yoy_growth,
+    "rolling_weekly_revenue": q_rolling_weekly_revenue,
+    "interpolate_gaps": q_interpolate_gaps,
+}
+
+# Strict sub-plans of registered queries (the registered downstream
+# query executes a superset of each one's plan); every entry keeps its
+# DuckDB oracle and is exercised by tools/check_correctness.py --all
+# and the pytest suite.
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- rotated OUT of the driver window in round 8 (the 40 round-7
+    # first-timers, driver-green in r7, plus the 10 two-round-stable
+    # section-2 cores driver-green in r6 AND r7 — displaced so all 50
+    # slots score never-checked names; still oracle-checked here every
+    # round via --all and pytest) --
     "hits": q_hits,
     "bfs_hops": q_bfs_hops,
     "kcore": q_kcore,
@@ -8123,7 +8188,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_convergence": q_pagerank_convergence,
     "degree_assortativity": q_degree_assortativity,
     "component_size_histogram": q_component_size_histogram,
-    # TPC-H query shapes --
     "volume_shipping": q_volume_shipping,
     "market_share": q_market_share,
     "customer_distribution": q_customer_distribution,
@@ -8134,7 +8198,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prospective_customers": q_prospective_customers,
     "top_return_customers": q_top_return_customers,
     "forecast_revenue": q_forecast_revenue,
-    # dedup / similarity / ANN --
     "semantic_dedup": q_semantic_dedup,
     "prefix_jaccard": q_prefix_jaccard,
     "record_linkage": q_record_linkage,
@@ -8144,7 +8207,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_recall_report": q_ivf_recall_report,
     "knn_label_accuracy": q_knn_label_accuracy,
     "quantization_error": q_quantization_error,
-    # text / language-model pipeline --
     "vocab_coverage": q_vocab_coverage,
     "rrf_fusion": q_rrf_fusion,
     "query_likelihood": q_query_likelihood,
@@ -8153,13 +8215,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,
     "ngram_novelty": q_ngram_novelty,
     "zipf_fit": q_zipf_fit,
-    # temporal / relational / streaming --
     "point_in_time_state": q_point_in_time_state,
     "scd2_history": q_scd2_history,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_quality_gate": q_streaming_quality_gate,
-    # -- retained from round 6 (first driver-green in r6; they stay
-    # for a second consecutive green before becoming displaceable) --
     "pmi": q_pmi,
     "cooccurrence": q_cooccurrence,
     "boolean_retrieval_text": q_boolean_retrieval_text,
@@ -8170,13 +8229,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashing_tfidf_cells": q_hashing_tfidf_cells,
     "bpe_merges": q_bpe_merges,
     "bpe_vocab": q_bpe_vocab,
-}
-
-# Strict sub-plans of registered queries (the registered downstream
-# query executes a superset of each one's plan); every entry keeps its
-# DuckDB oracle and is exercised by tools/check_correctness.py --all
-# and the pytest suite.
-EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- rotated OUT of the driver window in round 7 (driver-green in
     # rounds 5 AND 6 on unchanged code; displaced by the 40 never-
     # driver-scored round-6 additions — still oracle-checked here
@@ -8282,96 +8334,48 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # eligible; oracles unroll the iterations / replay the wedge
     # construction in SQL) --
     # -- round-6 TPC-H-shape batch (scalar-output, rotation-eligible) --
-    "shipping_priority": q_shipping_priority,        # Q3 in-flight orders
-    "target_encoding": q_target_encoding,            # smoothed category feature
-    "k_anonymity": q_k_anonymity,                    # release-gate privacy audit
-    "temporal_split": q_temporal_split,              # time split + entity leakage
-    "filter_funnel": q_filter_funnel,                # sequential quality rules
-    "revenue_rollup": q_revenue_rollup,              # ROLLUP grouping sets
-    "last_touch_attribution": q_last_touch_attribution,  # window attribution
     "cluster_canonical": q_cluster_canonical,        # quality-aware keeper
-    "interpolate_gaps": q_interpolate_gaps,          # linear gap imputation
     "streaming_session_stats": q_streaming_session_stats,  # stream session_window
     "span_corruption": q_span_corruption,            # T5 masking budget
     "phrase_search": q_phrase_search,                # positional phrase AND
-    "session_paths": q_session_paths,                # session entry paths
     "embedding_covariance": q_embedding_covariance,  # d²-bounded cov matrix
-    "ab_test_zscore": q_ab_test_zscore,              # two-proportion z-test
-    "order_gap_stats": q_order_gap_stats,            # repeat-purchase cadence
     "csv_malformed_report": q_csv_malformed_report,  # dead-letter accounting
-    "user_purge_report": q_user_purge_report,        # GDPR purge dry run
     "prefix_search": q_prefix_search,                # wildcard term retrieval
-    "nation_trade_balance": q_nation_trade_balance,  # exports vs imports
-    "discount_effectiveness": q_discount_effectiveness,  # grid-level response
-    "hourly_top_movers": q_hourly_top_movers,        # hour-over-hour swings
-    "basket_lift": q_basket_lift,                    # session-basket association
     "filter_funnel_examples": q_filter_funnel_examples,  # rule-kill examples
     "sentence_dedup_stats": q_sentence_dedup_stats,  # boilerplate dashboard
     "idf_drift": q_idf_drift,                        # readable lexical drift
-    "activity_heatmap": q_activity_heatmap,          # dow-hour audience grid
-    "rfm_segments": q_rfm_segments,                  # exact-tercile RFM rollup
-    "transition_latency": q_transition_latency,      # dwell-time matrix
-    "linear_attribution": q_linear_attribution,      # equal-credit attribution
     "manifest_ingest": q_manifest_ingest,            # exactly-once file ingest
     "index_shard_balance": q_index_shard_balance,    # IVF shard skew gate
-    "rolling_weekly_revenue": q_rolling_weekly_revenue,  # RANGE-frame trailing week
-    "yoy_growth": q_yoy_growth,                      # shifted-month self-join
     "language_id_accuracy": q_language_id_accuracy,  # heuristic-vs-truth eval
-    "lines_per_order_histogram": q_lines_per_order_histogram,  # fan-out profile
-    "interarrival_rates": q_interarrival_rates,      # exponential load model
-    "customer_growth_topk": q_customer_growth_topk,  # YoY growth leaders
-    "order_size_correlation": q_order_size_correlation,  # basket-value Pearson
-    "region_nation_share": q_region_nation_share,    # percent-of-parent levels
     "nn_similarity_histogram": q_nn_similarity_histogram,  # collapse early-warning
     "compact_small_files": q_compact_small_files,    # small-files hygiene
-    "winsorize_values": q_winsorize_values,          # outlier-taming report
     "hash_collision_report": q_hash_collision_report,  # feature-width diagnostics
-    "numeric_percentiles_profile": q_numeric_percentiles_profile,  # quartile sheet
-    "slo_burn_rate": q_slo_burn_rate,                # fast/slow burn alerts
     "vocab_overlap_matrix": q_vocab_overlap_matrix,  # lexical mix design
-    "conversion_by_activity": q_conversion_by_activity,  # activity-decile funnel
     "dedup_savings": q_dedup_savings,                # dedup budget headline
-    "pareto_report": q_pareto_report,                # 80/20 revenue share
     "quality_length_correlation": q_quality_length_correlation,  # length-quality r
-    "large_volume_orders": q_large_volume_orders,    # Q18 aggregate-then-join
     "random_projection": q_random_projection,        # deterministic JL reducer
     "hard_negatives": q_hard_negatives,              # contrastive triplet mining
     "label_spread": q_label_spread,                  # embedding-norm health
     "aspect_ratio_histogram": q_aspect_ratio_histogram,  # header-only media profile
     "countmin_words": q_countmin_words,              # count-min sketch probes
-    "event_transitions": q_event_transitions,        # Markov next-event matrix
     "key_skew_report": q_key_skew_report,            # Gini skew diagnosis
-    "user_entropy": q_user_entropy,                  # behavioral diversity
     "streaming_countmin": q_streaming_countmin,      # mergeable CMS on stream
     "orc_roundtrip": q_orc_roundtrip,                # columnar interchange format
     "sentence_stats": q_sentence_stats,              # narrow HOF segmentation
     "balance_classes": q_balance_classes,            # minority-size downsample
     "corpus_mix": q_corpus_mix,                      # source-weighted mix build
-    "temperature_mix": q_temperature_mix,            # T-scaled weight derivation
-    "dp_event_counts": q_dp_event_counts,            # Laplace-mechanism release
     "schema_evolution": q_schema_evolution,          # mergeSchema generation read
     "eval_substring_hits": q_eval_substring_hits,    # exact-match leak probe
     "packing_efficiency": q_packing_efficiency,      # shard fill-rate report
-    "revenue_lag_features": q_revenue_lag_features,  # ML lag-feature matrix
     "streaming_top_users": q_streaming_top_users,    # complete-mode stream rank
     "length_drift_psi": q_length_drift_psi,          # PSI ingestion drift gate
-    "conversion_lag": q_conversion_lag,              # time-to-convert summary
-    "revenue_share": q_revenue_share,                # window-over-aggregate
     "oov_rate": q_oov_rate,                          # held-out vocab coverage
-    "ewma_hourly": q_ewma_hourly,                    # truncated EWMA trend
     "incremental_rollup": q_incremental_rollup,      # dynamic-partition MV maintenance
-    "seasonal_anomalies": q_seasonal_anomalies,      # hour-of-day LOO z-scores
     # -- round-5 extension batch 6 --
-    "session_stats": q_session_stats,
     "streaming_sliding_counts": q_streaming_sliding_counts,
-    "event_cube": q_event_cube,
-    "daily_trend": q_daily_trend,
     "containment_pairs": q_containment_pairs,
-    "robust_outliers": q_robust_outliers,
     "length_histogram": q_length_histogram,
     "minhash_calibration": q_minhash_calibration,
-    "late_orders_by_priority": q_late_orders_by_priority,
-    "brand_nation_revenue": q_brand_nation_revenue,
     # -- round-5 extension batch 5 --
     # -- round-5 extension batch 3 --
     # -- round-5 extension batch 4 --
@@ -8408,8 +8412,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dupes": q_embedding_near_dupes,
     "lsh_topk": q_lsh_topk,
     # -- round-7 additions (semantic pipeline extensions) --
-    "semantic_decontamination": q_semantic_decontamination,
-    "margin_bitext": q_margin_bitext,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -78,3 +78,50 @@ def test_check_skips_mismatched_mode_and_sf(tmp_path):
         _rec("abc1234", {"q1": [9.0]}, 3.0, mode="headline", sf=0.1),
     ])
     assert bench.check_trend(trend) == []
+
+
+# -- rotation-backlog drain lock (round-7 VERDICT item 5): every
+# driver round must score at least one first-time query until the
+# never-scored backlog hits zero, and docs/ROTATION_AUDIT.md must
+# carry the live count --
+
+def _never_scored_by_round():
+    """never-scored count after each recorded driver round, against
+    TODAY's registry (late registry adds inflate all rounds equally,
+    so the per-round decreases are preserved)."""
+    import re
+
+    from mapreduce_assignments_spark.workloads import ALL_QUERIES
+
+    rounds = sorted(
+        (int(re.search(r"r(\d+)", f.name).group(1)), f)
+        for f in REPO.glob("CORRECTNESS_r*.json")
+    )
+    assert rounds, "no CORRECTNESS_r*.json at repo root"
+    seen: set[str] = set()
+    out = []
+    for rnd, f in rounds:
+        seen |= set(json.loads(f.read_text()))
+        out.append((rnd, sum(1 for q in ALL_QUERIES if q not in seen)))
+    return out
+
+
+def test_rotation_backlog_monotonically_decreasing():
+    counts = _never_scored_by_round()
+    for (r_prev, n_prev), (r_cur, n_cur) in zip(counts, counts[1:]):
+        assert n_cur < n_prev or n_cur == 0, (
+            f"round r{r_cur} scored no first-time query "
+            f"(never-scored stuck at {n_cur} since r{r_prev}) — "
+            f"rotate never-scored names into workloads.QUERIES"
+        )
+
+
+def test_rotation_audit_records_live_backlog():
+    from mapreduce_assignments_spark.workloads import ALL_QUERIES
+
+    live = _never_scored_by_round()[-1][1]
+    doc = (REPO / "docs" / "ROTATION_AUDIT.md").read_text()
+    assert f"never-scored: {live} of {len(ALL_QUERIES)}" in doc, (
+        "docs/ROTATION_AUDIT.md backlog line is stale — rerun "
+        "tools/rotation_audit.py"
+    )
