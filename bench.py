@@ -126,7 +126,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "curated_corpus", "split_leakage", "incremental_dedup",
         "verified_near_dupes", "eval_substring_hits", "bloom_decontamination",
         "minhash_calibration", "containment_pairs", "source_overlap",
-        "ngram_novelty", "record_linkage", "cluster_canonical",
+        "ngram_novelty", "record_linkage", "record_linkage_topk",
+        "cluster_canonical",
         "prefix_jaccard", "dedup_savings", "semantic_decontamination",
     ),
     "similarity": (
@@ -240,6 +241,13 @@ def check_trend(
         if r.get("git_rev") and r.get("git_rev") == latest.get("git_rev")
         and r.get("mode") == latest.get("mode") and r.get("sf") == latest.get("sf")
     ]
+    if latest.get("mode") == "only":
+        # --only runs time arbitrary subsets: two same-rev runs over
+        # DIFFERENT subsets ran under different concurrent-load
+        # profiles, so their medians aren't comparable — gate only
+        # against priors that timed the exact same query set
+        want = set(latest.get("samples", {}))
+        prior = [r for r in prior if set(r.get("samples", {})) == want]
     if not prior:
         return []
     regressions = []

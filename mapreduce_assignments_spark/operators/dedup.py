@@ -834,6 +834,7 @@ def record_linkage_pairs(
     block_cols: list[str],
     max_distance: int = 2,
     method: str = "auto",
+    max_pairs_per_record: int | None = None,
 ) -> DataFrame:
     """Blocked entity resolution: candidate record pairs whose
     ``name_col`` values are within ``max_distance`` Levenshtein edits,
@@ -866,6 +867,17 @@ def record_linkage_pairs(
     (|len(a) - len(b)| > max_distance already exceeds the bound) skips
     the DP entirely on the blocked path. Levenshtein is integer-exact
     in every engine.
+
+    ``max_pairs_per_record`` bounds the OUTPUT, not the plan: on a
+    low-entropy name column the candidate plan stays linear but the
+    true match set itself is O(n * block-density) — an unbounded sink
+    at 100 TB. With the knob set, each record keeps only its
+    ``max_pairs_per_record`` closest matches (ties broken by partner
+    id — deterministic), and a pair survives if EITHER endpoint ranks
+    it (so every record retains its k nearest neighbours and total
+    output is <= 2*k*n rows, linear by construction). The capped
+    result is always a subset of the exact result; the default
+    (``None``) is exact and unchanged.
     """
     keyed = df.select(
         F.col(id_col).alias("rid"),
@@ -917,13 +929,39 @@ def record_linkage_pairs(
             )
             .select("id_a", "id_b", "name_a", "name_b")
         )
-    return (
+    verified = (
         cand.withColumn(
             "distance", F.levenshtein("name_a", "name_b", max_distance)
         )
         .where(F.col("distance") >= 0)
         .select("id_a", "id_b", "name_a", "name_b", "distance")
     )
+    if max_pairs_per_record is None:
+        return verified
+    if max_pairs_per_record < 1:
+        raise ValueError("max_pairs_per_record must be >= 1")
+    # rank every verified pair from BOTH endpoints' viewpoints; keep
+    # the pair if either endpoint ranks it within its k best. One
+    # window exchange partitioned on record id — linear, skew-free
+    # (each record contributes exactly its pair count twice).
+    sym = verified.select(
+        F.col("id_a").alias("rid"), F.col("id_b").alias("oid"), "distance"
+    ).unionByName(
+        verified.select(
+            F.col("id_b").alias("rid"), F.col("id_a").alias("oid"), "distance"
+        )
+    )
+    w = Window.partitionBy("rid").orderBy("distance", "oid")
+    kept = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= max_pairs_per_record)
+        .select(
+            F.least("rid", "oid").alias("id_a"),
+            F.greatest("rid", "oid").alias("id_b"),
+        )
+        .distinct()
+    )
+    return verified.join(kept, ["id_a", "id_b"], "left_semi")
 
 
 def cluster_canonical(clusters: DataFrame, scores: DataFrame) -> DataFrame:

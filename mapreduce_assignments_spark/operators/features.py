@@ -547,8 +547,14 @@ def span_corruption_stats(
     over the token array (transform / filter / aggregate); no
     explode, no shuffle until the caller aggregates. The span count
     folds left with (prev, count) state, adding 1 exactly when a
-    masked token follows an unmasked one.
+    masked token follows an unmasked one. Narrow also means the scan's
+    partitioning is inherited verbatim, so a few-file input would run
+    the whole pass on a few tasks — ``ensure_min_parallelism`` splits
+    that case (and only that case) up front.
     """
+    from ..sources.tables import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs)
     toks = tokens_array(text_col)
     flags = F.transform(
         toks,

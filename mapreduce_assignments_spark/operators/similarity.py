@@ -845,8 +845,15 @@ def random_projection(
     :func:`cosine_similarity`), zero shuffles, zero Python. At 100 TB
     this pipelines with the parquet scan; output size is
     ``out_dim/in_dim`` of the input, which is the whole point of
-    running it BEFORE an all-pairs or clustering stage.
+    running it BEFORE an all-pairs or clustering stage. Because the
+    map is narrow it also inherits the scan's partitioning, so a
+    few-file input would serialize the whole operator —
+    ``ensure_min_parallelism`` splits that case (and ONLY that case)
+    up front.
     """
+    from ..sources.tables import ensure_min_parallelism
+
+    embeddings = ensure_min_parallelism(embeddings)
     vec = F.col("embedding").cast("array<double>")
     scale = (3.0 / out_dim) ** 0.5
 

@@ -72,6 +72,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_min_parallelism(df: DataFrame, factor: float = 0.5) -> DataFrame:
+    """Guard a ZERO-SHUFFLE (narrow-map) pipeline against a
+    low-partition input layout: a narrow map inherits the scan's
+    partitioning, so a one-file table runs the whole operator on one
+    task no matter how many cores exist (measured: random_projection
+    8.6x wall for 10x data at sf1 purely because the upscaled table
+    was one file — SCALE.md). Repartition round-robin to
+    ``factor * defaultParallelism`` ONLY when the input is below it;
+    already-split inputs (every real 100 TB dataset) pass through with
+    no exchange. Row values are untouched, so set-semantics outputs
+    (and their oracles) are unaffected.
+    """
+    sc = df.sparkSession.sparkContext
+    target = max(1, int(sc.defaultParallelism * factor))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES))
 

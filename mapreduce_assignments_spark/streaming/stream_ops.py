@@ -389,7 +389,15 @@ def replay_sessions_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False on timeout WITHOUT
+    # raising — swallowing that would cache a half-written parquet and
+    # turn a hang into a silent wrong-rows failure downstream
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "session replay did not finish its availableNow run within "
+            "300s; output parquet is incomplete"
+        )
     return out
 
 

@@ -125,3 +125,20 @@ def test_rotation_audit_records_live_backlog():
         "docs/ROTATION_AUDIT.md backlog line is stale — rerun "
         "tools/rotation_audit.py"
     )
+
+
+def test_check_only_mode_requires_same_query_set(tmp_path):
+    """ADVICE r7: two same-rev --only runs over different subsets ran
+    under different load profiles — not comparable. Same subset still
+    gates."""
+    trend = _write_trend(tmp_path / "t.jsonl", [
+        _rec("abc1234", {"q1": [1.0], "q2": [1.0]}, 1.0, mode="only"),
+        _rec("abc1234", {"q1": [9.0]}, 2.0, mode="only"),
+    ])
+    assert bench.check_trend(trend) == []
+    trend = _write_trend(tmp_path / "t2.jsonl", [
+        _rec("abc1234", {"q1": [1.0]}, 1.0, mode="only"),
+        _rec("abc1234", {"q1": [9.0]}, 2.0, mode="only"),
+    ])
+    regs = bench.check_trend(trend)
+    assert len(regs) == 1 and regs[0].startswith("q1:")

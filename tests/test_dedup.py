@@ -392,6 +392,57 @@ def test_record_linkage_fastss_equals_blocked(spark):
         assert fast == slow, f"tau={tau}: {fast ^ slow}"
 
 
+def test_record_linkage_max_pairs_cap_properties(spark):
+    """The output-cardinality knob (round-7 VERDICT item 3):
+    capped result is a subset of the exact result, every record keeps
+    its k closest matches (OR-semantics: either endpoint's vote
+    retains the pair), total output <= 2*k*n, and k=None stays exact."""
+    from mapreduce_assignments_spark.operators.dedup import record_linkage_pairs
+
+    # one low-entropy block: dense sequential names -> pair blowup
+    names = [f"customer#{i:03d}" for i in range(20)] + [
+        "mississippi", "misisipi", "mississippti", "x", "zz",
+    ]
+    df = spark.createDataFrame(
+        [(i, n, "A") for i, n in enumerate(names)],
+        "id long, name string, blk string",
+    )
+    exact = {
+        tuple(r) for r in record_linkage_pairs(
+            df, "id", "name", ["blk"], max_distance=2
+        ).collect()
+    }
+    assert len(exact) > 2 * len(names), "fixture must be pair-dense"
+    for k in (1, 3):
+        capped = {
+            tuple(r) for r in record_linkage_pairs(
+                df, "id", "name", ["blk"], max_distance=2,
+                max_pairs_per_record=k,
+            ).collect()
+        }
+        assert capped <= exact
+        assert len(capped) <= 2 * k * len(names)
+        # every record that HAS matches keeps its single closest one
+        # (rank-1 by (distance, partner id) can't be evicted under OR)
+        best: dict[int, tuple] = {}
+        for (a, b, _na, _nb, d) in exact:
+            for rid, oid in ((a, b), (b, a)):
+                cur = best.get(rid)
+                if cur is None or (d, oid) < cur[:2]:
+                    best[rid] = (d, oid, (a, b))
+        for rid, (_d, _oid, pair) in best.items():
+            assert any((p[0], p[1]) == pair for p in capped), (
+                f"record {rid} lost its closest match {pair}"
+            )
+    # default stays exact
+    assert {
+        tuple(r) for r in record_linkage_pairs(
+            df, "id", "name", ["blk"], max_distance=2,
+            max_pairs_per_record=None,
+        ).collect()
+    } == exact
+
+
 def test_bloom_decontamination_no_false_negatives(spark, monkeypatch):
     """The Bloom guarantee: every true member is flagged (FN = 0);
     true_hits counts every corpus doc whose digest is in the eval

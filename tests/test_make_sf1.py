@@ -85,3 +85,32 @@ def test_embeddings_rolled_not_duplicated(upscaled):
     assert np.allclose(a[:50] @ a[:50].T, b[:50] @ b[:50].T, atol=1e-4)
     # ...but the replica is NOT a copy of the original
     assert not np.allclose(a[:50], b[:50], atol=1e-3)
+
+
+def test_replica_transform_never_identity():
+    """ADVICE r7: np.roll alone is the identity whenever the replica
+    index is a multiple of the embedding dimension — the sign-flip
+    factor must keep every replica (and every replica PAIR) distinct,
+    including i = dim and i = k + dim."""
+    sys.path.insert(0, TOOLS)
+    try:
+        import make_sf1
+        importlib.reload(make_sf1)
+    finally:
+        sys.path.remove(TOOLS)
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(40, 64)).astype(np.float32)
+    outs = {}
+    for i in (0, 1, 2, 64, 65, 128):  # 64 = dim: roll cancels
+        out = make_sf1._transform_embeddings(mat, i)
+        # orthogonal: within-replica Gram matrix exactly preserved
+        assert np.allclose(mat @ mat.T, out @ out.T, atol=1e-3)
+        for j, prev in outs.items():
+            assert not np.allclose(prev, out, atol=1e-3), (
+                f"replicas {j} and {i} are exact copies"
+            )
+        outs[i] = out
+    # sign patterns themselves are pairwise distinct and never all-+1
+    pats = [tuple(make_sf1._replica_signs(i, 64)) for i in range(1, 200)]
+    assert len(set(pats)) == len(pats)
+    assert all(any(s < 0 for s in p) for p in pats)

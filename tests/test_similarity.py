@@ -619,3 +619,39 @@ def test_semantic_decontamination_best_match_and_threshold(spark):
     assert set(rows) == {10, 11}          # vec 12 is anti-parallel: no flag
     assert rows[10]["eval_id"] == 1 and rows[10]["sim"] == 1.0
     assert rows[11]["eval_id"] == 3      # best match, not just any >= 0.9
+
+
+def test_ensure_min_parallelism_guard(spark):
+    """The narrow-map parallelism guard (round-7 VERDICT item 4):
+    a one-partition input is split to ~cores/2 partitions; an
+    already-parallel input passes through without a repartition, and
+    values are untouched either way."""
+    from mapreduce_assignments_spark.sources.tables import (
+        ensure_min_parallelism,
+    )
+
+    target = max(1, spark.sparkContext.defaultParallelism // 2)
+    base = spark.range(1000).coalesce(1)
+    guarded = ensure_min_parallelism(base)
+    assert guarded.rdd.getNumPartitions() == target
+    assert guarded.count() == 1000 and guarded.agg({"id": "sum"}).first()[0] == 499500
+
+    wide = spark.range(1000).repartition(max(target, 2))
+    passthrough = ensure_min_parallelism(wide)
+    assert passthrough is wide  # no plan change at all
+
+
+def test_random_projection_single_file_input_parallelizes(spark):
+    """random_projection applies the guard itself: its plan over a
+    coalesced single-partition input still runs on >1 task."""
+    from mapreduce_assignments_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    out = random_projection(emb, in_dim=8, out_dim=2)
+    assert out.rdd.getNumPartitions() > 1
+    assert out.count() == 100

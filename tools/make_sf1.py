@@ -11,15 +11,20 @@ replicas of ``/root/testdata/sf0.1``:
   move with orders/part/supplier), so joins keep TPC-H-ish selectivity;
 - ``region``/``nation`` stay fixed — they are bounded dimensions and
   customer/supplier keep referencing them;
-- ``documents.text`` gets a per-replica suffix for replicas > 0 so
-  exact/near-dup structure is preserved WITHIN a replica instead of
-  turning the corpus into 90% cross-replica duplicates;
+- ``documents.text`` gets a per-TOKEN ``r{i}`` prefix for replicas > 0
+  (a per-replica token bijection) so exact/near-dup structure is
+  preserved WITHIN a replica instead of turning the corpus into 90%
+  cross-replica duplicates;
 - ``embeddings.embedding`` gets its dimensions rolled by the replica
-  index (an orthogonal permutation: within-replica geometry is exactly
-  preserved, cross-replica cosines drop to noise) — otherwise every
-  vector would have 10 exact copies and cell/bucket-bounded ANN and
-  semantic-dedup plans would see an artificial quadratic pair blowup
-  a real 10x dataset does not have;
+  index AND sign-flipped by a per-replica bijective bit pattern (both
+  orthogonal: within-replica geometry is exactly preserved,
+  cross-replica cosines drop to noise) — otherwise every vector would
+  have 10 exact copies and cell/bucket-bounded ANN and semantic-dedup
+  plans would see an artificial quadratic pair blowup a real 10x
+  dataset does not have. The sign flips exist because the roll alone
+  is the IDENTITY whenever ``i % dim == 0``, so a REPLICAS >= dim+1
+  run (or a lower-dim embeddings table) would silently reintroduce
+  exact cross-replica copies;
 - timestamps are left unchanged: the time range keeps sf0.1's span at
   10x density, which is what a bigger cluster sees per day anyway.
 
@@ -27,8 +32,8 @@ Pure pyarrow — no Spark session, so it can run next to other jobs.
 """
 
 import os
-import shutil
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -69,6 +74,34 @@ SHIFTS = {
 }
 
 
+_PHI = 2654435761  # Knuth multiplicative hash; odd -> bijective mod 2^32
+
+
+def _replica_signs(i: int, dim: int) -> "np.ndarray":
+    """Per-replica deterministic ±1 diagonal. Distinct replicas get
+    distinct 32-bit patterns (the hash is bijective mod 2^32), so the
+    composite roll∘signs transform of replica i relative to replica k
+    is never the identity for i != k — even when dim divides i - k and
+    the rolls cancel."""
+    h = (i * _PHI) & 0xFFFFFFFF
+    return np.array(
+        [-1.0 if (h >> (j % 32)) & 1 else 1.0 for j in range(dim)],
+        dtype=np.float32,
+    )
+
+
+def _transform_embeddings(mat: "np.ndarray", i: int) -> "np.ndarray":
+    """Replica-i orthogonal transform: roll the dimensions by i, then
+    flip signs by the replica's bit pattern. Both factors are
+    orthogonal and diagonal-or-permutation, so within-replica inner
+    products (hence cosines, norms, and every distance) are exactly
+    preserved while cross-replica similarity drops to noise."""
+    if i == 0:
+        return mat
+    rolled = np.roll(mat, i % mat.shape[1], axis=1)
+    return rolled * _replica_signs(i, mat.shape[1])
+
+
 def replicate(name: str) -> None:
     src = f"{SRC}/{name}.parquet"
     dst = f"{DST}/{name}.parquet"
@@ -86,13 +119,10 @@ def replicate(name: str) -> None:
             shifted = pc.add(t.column(col), pa.scalar(i * OFF[dom], t.schema.field(col).type))
             t = t.set_column(idx, t.schema.field(col), shifted)
         if name == "embeddings" and i > 0:
-            import numpy as np
-
             idx = t.schema.get_field_index("embedding")
             col = t.column("embedding").combine_chunks()
             mat = np.asarray(col.to_pylist(), dtype=np.float32)
-            rolled = np.roll(mat, i % mat.shape[1], axis=1)
-            arr = pa.array(list(rolled), pa.list_(pa.float32()))
+            arr = pa.array(list(_transform_embeddings(mat, i)), pa.list_(pa.float32()))
             t = t.set_column(idx, t.schema.field("embedding"), arr)
         if name == "documents" and i > 0:
             # per-replica TOKEN BIJECTION: prefix every word with r{i},
@@ -131,7 +161,6 @@ def main() -> None:
     os.makedirs(DST, exist_ok=True)
     for name in SHIFTS:
         replicate(name)
-    total = shutil.disk_usage(DST)
     print(f"done -> {DST}")
 
 
