@@ -127,7 +127,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "verified_near_dupes", "eval_substring_hits", "bloom_decontamination",
         "minhash_calibration", "containment_pairs", "source_overlap",
         "ngram_novelty", "record_linkage", "record_linkage_topk",
-        "cluster_canonical",
+        "cluster_canonical", "dup_span_report",
         "prefix_jaccard", "dedup_savings", "semantic_decontamination",
     ),
     "similarity": (
@@ -148,6 +148,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "filter_funnel_examples", "sentence_dedup_stats",
         "vocab_coverage", "idf_drift", "char_entropy", "language_id_accuracy",
         "vocab_overlap_matrix", "quality_length_correlation",
+        "perplexity_buckets",
     ),
     "sketches": ("kmv_distinct", "countmin_words"),
     "skew_diag": ("key_skew_report",),
@@ -166,6 +167,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "hash_split", "deterministic_sample", "stratified_sample",
         "weighted_sample", "per_key_sample", "shuffle_shards",
         "balance_classes", "corpus_mix", "temporal_split", "temperature_mix",
+        "dsir_weights",
     ),
     "multimodal": (
         "image_stats", "phash_duplicates", "media_sniff", "frame_sample",

@@ -54,6 +54,7 @@ __all__ = [
     "record_linkage_pairs",
     "cluster_canonical",
     "prefix_jaccard_pairs",
+    "dup_span_report",
 ]
 
 
@@ -962,6 +963,70 @@ def record_linkage_pairs(
         .distinct()
     )
     return verified.join(kept, ["id_a", "id_b"], "left_semi")
+
+
+def dup_span_report(
+    docs: DataFrame,
+    window: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-SPAN accounting (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": exact-substring dedup
+    at fixed granularity): fingerprint every ``window``-token sliding
+    span of every document and report, per document, how much of it is
+    covered by spans that occur MORE THAN ONCE in the whole corpus
+    (including a second time inside the same document — boilerplate
+    repeats both ways). ``(doc_id, n_windows, n_dup_windows,
+    dup_fraction)``; documents shorter than ``window`` tokens emit
+    nothing (they have no span to judge).
+
+    The paper's suffix array finds duplicated substrings of ANY
+    length; at cluster scale the standard substitute is fixed-length
+    span fingerprinting (a duplicated substring of length >= window
+    always contains a duplicated window), which needs no global
+    ordered structure: one narrow pass computes the fingerprints
+    in-row (md5 of the space-joined span — reproducible in any
+    engine), one hash exchange counts them, and a broadcast-sized
+    distinct-fingerprint-per-doc join rolls them back up. No sort, no
+    driver state; window count equals token count, so the exploded
+    intermediate is the corpus token count — the same bill tokenize
+    pays.
+    """
+    toks = tokens_array(text_col)
+    w = F.lit(window)
+    # sequence(1, 0) DESCENDS — never let the upper bound go below the
+    # lower one; short docs get an empty array instead
+    fps = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - w + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # explode_outer + null filter: a plain explode would make the
+    # optimizer infer size(fps)>0 and re-evaluate the whole fingerprint
+    # expression inside a pushed-down Filter (see operators/text.py)
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode_outer(fps).alias("fp")
+    ).where(F.col("fp").isNotNull())
+    per_doc_fp = spans.groupBy("doc_id", "fp").agg(F.count("*").alias("k"))
+    fp_counts = per_doc_fp.groupBy("fp").agg(F.sum("k").alias("c"))
+    return (
+        per_doc_fp.join(fp_counts, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_windows"),
+            F.sum(F.when(F.col("c") > 1, F.col("k")).otherwise(F.lit(0))).alias(
+                "n_dup_windows"
+            ),
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("k")).otherwise(F.lit(0)))
+                / F.sum("k"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
 
 
 def cluster_canonical(clusters: DataFrame, scores: DataFrame) -> DataFrame:

@@ -25,6 +25,7 @@ from ..functions.hashing import h60
 __all__ = [
     "balance_classes",
     "deterministic_sample",
+    "dsir_weights",
     "hash_split",
     "per_key_sample",
     "shuffle_shards",
@@ -317,4 +318,69 @@ def temperature_weights(
         F.round(nat, 6).alias("nat_share"),
         F.round(weight, 6).alias("weight"),
         F.round(weight / nat, 6).alias("upsample_factor"),
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    public literature): score every corpus document by how much more
+    likely its hashed-unigram features are under a TARGET-domain
+    sample than under the corpus itself. ``(doc_id, n_tokens,
+    weight)`` where ``weight`` is the mean per-token importance
+    log-ratio ``ln p_target(b) - ln p_corpus(b)`` over the document's
+    token buckets ``b = h28(token) % n_buckets``, both distributions
+    add-one smoothed. Rank by ``weight`` and keep the top slice to
+    tilt a generic crawl toward the target domain.
+
+    Scale shape: the hashed feature space is FIXED (``n_buckets``
+    rows), which is the whole point of DSIR — the target/corpus
+    bucket tables and the (total, total) scalars are broadcast-sized
+    no matter how large either corpus grows. One partial-aggregated
+    exchange builds per-doc bucket counts; the log-ratio lookup is a
+    broadcast hash join; nothing else shuffles.
+    """
+    from ..functions.hashing import h28
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        from .text import tokens_array
+
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(tokens_array(text_col)).alias("tok"),
+        ).where(F.col("tok").isNotNull()).select(
+            "doc_id", F.pmod(h28("tok"), F.lit(n_buckets)).alias("b")
+        )
+
+    doc_b = bucketed(corpus).groupBy("doc_id", "b").agg(
+        F.count("*").alias("tf")
+    )
+    corpus_b = doc_b.groupBy("b").agg(F.sum("tf").alias("c_cnt"))
+    target_b = bucketed(target).groupBy("b").agg(
+        F.count("*").alias("t_cnt")
+    )
+    buckets = corpus_b.join(target_b, "b", "left").select(
+        "b",
+        F.col("c_cnt"),
+        F.coalesce(F.col("t_cnt"), F.lit(0)).alias("t_cnt"),
+    )
+    totals = buckets.agg(
+        F.sum("c_cnt").alias("c_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    ratio = F.log(
+        (F.col("t_cnt") + 1.0) / (F.col("t_tot") + F.lit(float(n_buckets)))
+    ) - F.log((F.col("c_cnt") + 1.0) / (F.col("c_tot") + F.lit(float(n_buckets))))
+    return (
+        doc_b.join(F.broadcast(buckets), "b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("int").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * ratio) / F.sum("tf"), 6).alias("weight"),
+        )
     )

@@ -41,6 +41,7 @@ __all__ = [
     "vocab_coverage",
     "idf_drift",
     "char_entropy",
+    "perplexity_buckets",
 ]
 
 # A BPE-ish pre-tokenization: letter runs, digit runs, single other
@@ -925,4 +926,54 @@ def char_entropy(
         F.count("*").alias("n_docs"),
         F.round(F.avg("entropy"), 6).alias("avg_entropy"),
         F.min("entropy").alias("min_entropy"),
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019, public
+    literature): within each language, rank documents by their
+    language-model score and split them into equal-count quality
+    buckets — CCNet's head/middle/tail, the standard first cut for
+    choosing which slice of a crawl to train on. Returns
+    ``(lang, bucket, n_docs, avg_logprob, min_logprob,
+    max_logprob)`` with bucket 1 = most fluent (highest mean token
+    log-probability under the corpus unigram LM — the same model
+    :func:`unigram_logprob` exposes per document).
+
+    Determinism across engines: the rank orders by the ROUNDED
+    per-doc score (which both engines agree on bit-for-bit — it is an
+    oracle-verified output) with ``doc_id`` as tiebreak, so ntile
+    boundaries cannot flip on a last-ulp difference.
+
+    Scale shape: rides unigram_logprob's partial-aggregated
+    exchanges, then ONE window exchange partitioned by language for
+    the ntile; the final rollup is group-cardinality (langs x
+    buckets). At 100 TB the per-language partitions are the corpus's
+    language mix — skew-safe because ntile is a single streaming pass
+    per partition, no buffering beyond the run boundary.
+    """
+    from pyspark.sql.window import Window
+
+    scored = unigram_logprob(docs, text_col=text_col, id_col=id_col).join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")),
+        "doc_id",
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("avg_logprob"), 6).alias("avg_logprob"),
+            F.min("avg_logprob").alias("min_logprob"),
+            F.max("avg_logprob").alias("max_logprob"),
+        )
     )

@@ -519,3 +519,60 @@ def test_dedup_savings_bounds(spark):
     ).collect()
     assert 0 < r["dedup_tokens"] <= r["raw_tokens"]
     assert 0.0 <= r["savings_pct"] < 100.0
+
+
+def test_dup_span_report_fractions(spark):
+    """Span fingerprinting (Lee et al. 2021 shape): a window-length
+    span shared by two docs marks those window positions duplicated in
+    BOTH docs; a within-doc repeat counts too; short docs emit no row."""
+    from mapreduce_assignments_spark.operators.dedup import dup_span_report
+
+    boiler = "w1 w2 w3"  # the 3-token span that repeats
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " a b"),          # windows: 3 (positions 1-3)
+            (2, "x y " + boiler),          # shares the boiler span
+            (3, "p q r s t"),              # all-unique spans
+            (4, boiler + " " + boiler),    # within-doc repeat
+            (5, "too short"),              # < window tokens: no row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dup_span_report(docs, window=3).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[3]["n_dup_windows"] == 0 and rows[3]["dup_fraction"] == 0.0
+    # doc 1: windows = [w1w2w3, w2w3a, w3ab] -> only the first is shared
+    assert rows[1]["n_windows"] == 3 and rows[1]["n_dup_windows"] == 1
+    assert rows[2]["n_dup_windows"] == 1
+    # doc 4 = "w1 w2 w3 w1 w2 w3": w1w2w3 occurs twice within the doc
+    # (plus docs 1/2); windows w2w3w1 and w3w1w2 occur once each
+    assert rows[4]["n_windows"] == 4 and rows[4]["n_dup_windows"] == 2
+    assert rows[4]["dup_fraction"] == 0.5
+
+
+def test_record_linkage_sf_growth_is_output_bound(spark):
+    """Regression pin for the SCALE.md adjudication: on the dense
+    sequential TPC-H names, record_linkage's sf growth is TRUE OUTPUT
+    cardinality (~19.6x pairs per 10x data — any digit edit at
+    position >= 2 preserves custkey % 25), while the capped variant
+    stays linear (<= 2kn) on the same input."""
+    from mapreduce_assignments_spark.operators.dedup import record_linkage_pairs
+    from mapreduce_assignments_spark.sources.tables import load_table
+
+    counts = {}
+    for sf in ("0.01", "0.1"):
+        cust = load_table(spark, f"/root/testdata/sf{sf}", "customer")
+        counts[sf] = record_linkage_pairs(
+            cust, "c_custkey", "c_name", ["c_nationkey"], max_distance=2
+        ).count()
+    ratio = counts["0.1"] / counts["0.01"]
+    assert 10 <= ratio <= 40, (counts, ratio)
+    # the knob bounds the same sf0.1 input to <= 2*k*n rows
+    cust = load_table(spark, "/root/testdata/sf0.1", "customer")
+    n = cust.count()
+    capped = record_linkage_pairs(
+        cust, "c_custkey", "c_name", ["c_nationkey"],
+        max_distance=2, max_pairs_per_record=3,
+    ).count()
+    assert capped <= 2 * 3 * n
+    assert capped < counts["0.1"]

@@ -325,3 +325,31 @@ def test_temperature_weights_flatten_toward_uniform(spark):
     assert t5["small"]["upsample_factor"] > 1.0 > t5["big"]["upsample_factor"]
     # T=5 sits between natural (0.9) and uniform (0.5)
     assert 0.5 < t5["big"]["weight"] < 0.9
+
+
+def test_dsir_weights_favors_target_like_docs(spark):
+    """DSIR (Xie et al. 2023): documents whose token distribution
+    matches the target sample score above documents that don't, and
+    a doc FROM the target slice scores highest of all."""
+    from mapreduce_assignments_spark.operators.sampling import dsir_weights
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta gamma", "tgt"),
+            (2, "alpha beta beta alpha", "web"),      # target-like
+            (3, "zzz qqq vvv kkk jjj", "web"),        # nothing shared
+        ],
+        "doc_id long, text string, source string",
+    )
+    target = corpus.where("source = 'tgt'")
+    rows = {r["doc_id"]: r for r in
+            dsir_weights(corpus, target, n_buckets=64).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_tokens"] == 5
+    # ordering is the DSIR contract: exact-target doc > target-like
+    # doc > disjoint doc (absolute sign depends on the smoothing
+    # denominators, which dominate at toy scale)
+    assert rows[1]["weight"] > rows[2]["weight"] > rows[3]["weight"]
+    # the disjoint doc's buckets have t_cnt=0, so its weight equals
+    # the pure smoothing floor — strictly below the shared-token docs
+    assert rows[3]["weight"] < rows[2]["weight"] - 0.1

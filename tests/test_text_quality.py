@@ -440,3 +440,28 @@ def test_language_id_accuracy_shape(spark):
         per_true[r["true_lang"]] += r["pct_of_true"]
     for lang, s in per_true.items():
         assert abs(s - 1.0) < 1e-4, (lang, s)
+
+
+def test_perplexity_buckets_partitions_by_lang(spark):
+    """CCNet-shaped bucketing: every language's docs split into
+    near-equal buckets, bucket 1 holds the most fluent (highest
+    unigram-LM score) docs, and bucket stats bracket each other."""
+    from mapreduce_assignments_spark.operators.text_quality import (
+        perplexity_buckets,
+    )
+
+    common = "the of and to in"
+    docs = spark.createDataFrame(
+        [(i, common if i % 2 else f"rare{i} junk{i} blob{i}", "en")
+         for i in range(10)]
+        + [(100 + i, common, "fr") for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    rows = perplexity_buckets(docs, n_buckets=2).collect()
+    by_key = {(r["lang"], r["bucket"]): r for r in rows}
+    assert set(by_key) == {("en", 1), ("en", 2), ("fr", 1), ("fr", 2)}
+    for lang, n in (("en", 10), ("fr", 4)):
+        assert by_key[(lang, 1)]["n_docs"] + by_key[(lang, 2)]["n_docs"] == n
+    # bucket 1 = most fluent: its minimum beats bucket 2's maximum
+    assert by_key[("en", 1)]["min_logprob"] >= by_key[("en", 2)]["max_logprob"]
+    assert by_key[("en", 1)]["avg_logprob"] > by_key[("en", 2)]["avg_logprob"]
