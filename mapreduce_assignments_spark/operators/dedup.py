@@ -836,6 +836,7 @@ def record_linkage_pairs(
     max_distance: int = 2,
     method: str = "auto",
     max_pairs_per_record: int | None = None,
+    dedupe_values: bool | None = None,
 ) -> DataFrame:
     """Blocked entity resolution: candidate record pairs whose
     ``name_col`` values are within ``max_distance`` Levenshtein edits,
@@ -849,12 +850,23 @@ def record_linkage_pairs(
     within-block self-join quadratically — measured 13.7 s -> 118 s
     for a 3x corpus. So for ``max_distance`` <= 2 the default is the
     symmetric-deletion scheme of FastSS (Bocek et al. 2007): every
-    record emits its <= tau-deletion variants (C(len, 2)-ish short
-    strings), candidates are the equi-join on (block, variant), and
-    only DISTINCT candidate pairs — a superset of the true pairs but a
-    subset of lev <= 2*tau — reach the verifier. Variant volume is
-    linear in the table, the join keys are near-unique, and the
-    quadratic bill disappears (118 s -> ~8 s at the same 3x corpus).
+    DISTINCT (block, name) class emits its <= tau-deletion variants
+    (C(len, 2)-ish short strings), candidates are the equi-join on
+    (block, variant), and only distinct candidate CLASS pairs — a
+    superset of the true pairs but a subset of lev <= 2*tau — reach
+    the verifier; verified class pairs then expand to record pairs
+    through one (block, name) join per side, and identical-name
+    record pairs come from a within-class self-join at distance 0
+    with no DP at all. Variant volume is linear in the DISTINCT
+    values, the join keys are near-unique, and the quadratic bill
+    disappears (118 s -> ~8 s at the same 3x corpus); on low-entropy
+    columns where each value repeats m times, candidate generation
+    and verification are m x (and the within-value quadratic m² x)
+    cheaper than instance-level FastSS — only the output-sized
+    expansion join scales with the emitted pairs. A stat gate (two
+    count jobs) picks class-level vs instance-level automatically;
+    ``dedupe_values`` forces the choice (True = class path, False =
+    instance path) for callers that already know their key entropy.
     ``method="blocked"`` keeps the plain block join: preferable when
     names are long (variant count grows with length squared at tau=2)
     or blocks are known-small. Either path feeds the same verifier, so
@@ -893,6 +905,94 @@ def record_linkage_pairs(
             "use method='blocked' for larger distances"
         )
     if method == "fastss":
+        classes = keyed.select("name", *block_cols).distinct()
+        if dedupe_values is None:
+            # stat gate (same pattern as brute_force_topk's salting
+            # gate): the class path only pays off when values repeat —
+            # on all-unique names its distinct + expansion joins are
+            # pure overhead (measured 11.5 -> 19.7 s at sf0.1), while
+            # on repeated names it is the difference between verifying
+            # m² identical-value pairs and verifying one class pair
+            # (measured 652 -> 46 s at sf1, names repeated 10x). Two
+            # cheap one-pass count job decides.
+            n_rows, n_cls = keyed.agg(
+                F.count("*"), F.count_distinct(*block_cols, "name")
+            ).first()
+            dedupe_values = n_cls > 0 and n_rows / n_cls >= 1.5
+    if method == "fastss" and dedupe_values:
+        # NAME-CLASS candidate generation: every stage up to (and
+        # including) the Levenshtein verify runs on DISTINCT
+        # (block, name) classes, not record instances. On a
+        # low-entropy name column each distinct value repeats m times,
+        # so instance-level work (variant explode, candidate join,
+        # dedup, verify DP) would be m x larger — and the m² identical-
+        # value pairs would each pay a DP call to learn distance 0.
+        # The expansion join below is the only stage still
+        # proportional to the OUTPUT.
+        cvar = classes.select(
+            "name", *block_cols,
+            F.explode(
+                F.expr(_deletion_variants_expr("name", max_distance))
+            ).alias("v"),
+        )
+        ca = cvar.select(F.col("name").alias("name_a"), *block_cols, "v")
+        cb = cvar.select(F.col("name").alias("name_b"), *block_cols, "v")
+        cls_cand = (
+            ca.join(cb, [*block_cols, "v"])
+            .where(F.col("name_a") < F.col("name_b"))
+            .select(*block_cols, "name_a", "name_b")
+            .distinct()  # a class pair can share many variants
+        )
+        cls_verified = (
+            cls_cand.withColumn(
+                "distance", F.levenshtein("name_a", "name_b", max_distance)
+            )
+            .where(F.col("distance") >= 0)
+        )
+        # expand verified CLASS pairs to record pairs: one join per
+        # side on (block, name) — each record has exactly one name, so
+        # every unordered id pair materializes exactly once
+        ids_a = keyed.select(
+            F.col("rid").alias("ia"), F.col("name").alias("name_a"),
+            *block_cols,
+        )
+        ids_b = keyed.select(
+            F.col("rid").alias("ib"), F.col("name").alias("name_b"),
+            *block_cols,
+        )
+        swap = F.col("ia") > F.col("ib")
+        cross = (
+            cls_verified.join(ids_a, [*block_cols, "name_a"])
+            .join(ids_b, [*block_cols, "name_b"])
+            .select(
+                F.when(swap, F.col("ib")).otherwise(F.col("ia")).alias("id_a"),
+                F.when(swap, F.col("ia")).otherwise(F.col("ib")).alias("id_b"),
+                F.when(swap, F.col("name_b")).otherwise(F.col("name_a")).alias("name_a"),
+                F.when(swap, F.col("name_a")).otherwise(F.col("name_b")).alias("name_b"),
+                "distance",
+            )
+        )
+        # identical-name record pairs are distance 0 by definition —
+        # no DP, just the within-class self-join (these pairs ARE the
+        # output on duplicated values; nothing smaller can emit them)
+        same = (
+            keyed.select(F.col("rid").alias("id_a"), "name", *block_cols)
+            .join(
+                keyed.select(F.col("rid").alias("id_b"), "name", *block_cols),
+                [*block_cols, "name"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                F.col("name").alias("name_a"), F.col("name").alias("name_b"),
+                F.lit(0).cast("int").alias("distance"),
+            )
+        )
+        verified = cross.unionByName(same)
+    elif method == "fastss":
+        # instance-level FastSS: on all-unique values the class path
+        # above degenerates to this plus pure overhead, so the gate
+        # routes here
         variants = keyed.select(
             "rid", "name", *block_cols,
             F.explode(
@@ -907,11 +1007,16 @@ def record_linkage_pairs(
             F.col("rid").alias("id_b"), F.col("name").alias("name_b"),
             *block_cols, "v",
         )
-        cand = (
+        verified = (
             a.join(b, [*block_cols, "v"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "name_a", "name_b")
             .distinct()  # a pair can share many variants; verify once
+            .withColumn(
+                "distance", F.levenshtein("name_a", "name_b", max_distance)
+            )
+            .where(F.col("distance") >= 0)
+            .select("id_a", "id_b", "name_a", "name_b", "distance")
         )
     else:
         l = keyed.select(
@@ -922,21 +1027,18 @@ def record_linkage_pairs(
             F.col("rid").alias("id_b"), F.col("name").alias("name_b"),
             *[F.col(c) for c in block_cols],
         )
-        cand = (
+        verified = (
             l.join(r, block_cols)
             .where(F.col("id_a") < F.col("id_b"))
             .where(
                 F.abs(F.length("name_a") - F.length("name_b")) <= max_distance
             )
-            .select("id_a", "id_b", "name_a", "name_b")
+            .withColumn(
+                "distance", F.levenshtein("name_a", "name_b", max_distance)
+            )
+            .where(F.col("distance") >= 0)
+            .select("id_a", "id_b", "name_a", "name_b", "distance")
         )
-    verified = (
-        cand.withColumn(
-            "distance", F.levenshtein("name_a", "name_b", max_distance)
-        )
-        .where(F.col("distance") >= 0)
-        .select("id_a", "id_b", "name_a", "name_b", "distance")
-    )
     if max_pairs_per_record is None:
         return verified
     if max_pairs_per_record < 1:

@@ -373,23 +373,31 @@ def test_record_linkage_fastss_equals_blocked(spark):
         "aaaa", "aaab", "aab", "abab", "ba", "b", "x",
         "customer#001", "customer#002", "customer#012", "custmer#001",
         "mississippi", "misisipi", "mississippti",
+        # exact repeats (same block as their originals): the fastss
+        # path emits these through its within-class distance-0 branch
+        "aaaa", "customer#001",
     ]
     df = spark.createDataFrame(
         [(i, n, chr(65 + i % 2)) for i, n in enumerate(names)],
         "id long, name string, blk string",
     )
     for tau in (1, 2):
-        fast = {
-            tuple(r) for r in record_linkage_pairs(
-                df, "id", "name", ["blk"], max_distance=tau, method="fastss"
-            ).collect()
-        }
         slow = {
             tuple(r) for r in record_linkage_pairs(
                 df, "id", "name", ["blk"], max_distance=tau, method="blocked"
             ).collect()
         }
-        assert fast == slow, f"tau={tau}: {fast ^ slow}"
+        # both fastss plans (instance-level and name-class) must match
+        # the quadratic join exactly, regardless of what the stat gate
+        # would pick
+        for dedupe in (False, True):
+            fast = {
+                tuple(r) for r in record_linkage_pairs(
+                    df, "id", "name", ["blk"], max_distance=tau,
+                    method="fastss", dedupe_values=dedupe,
+                ).collect()
+            }
+            assert fast == slow, f"tau={tau} dedupe={dedupe}: {fast ^ slow}"
 
 
 def test_record_linkage_max_pairs_cap_properties(spark):
