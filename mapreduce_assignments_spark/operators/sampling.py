@@ -364,13 +364,21 @@ def dsir_weights(
     target_b = bucketed(target).groupBy("b").agg(
         F.count("*").alias("t_cnt")
     )
+    # lookup table: corpus buckets only (corpus docs are the ones
+    # scored, and their buckets always exist corpus-side) — but the
+    # TARGET normalizer must count the whole target sample, including
+    # tokens hashing to buckets the corpus never hits (the normal DSIR
+    # case: curated target, generic crawl), so t_tot is aggregated
+    # from target_b directly, NOT from the joined lookup
     buckets = corpus_b.join(target_b, "b", "left").select(
         "b",
         F.col("c_cnt"),
         F.coalesce(F.col("t_cnt"), F.lit(0)).alias("t_cnt"),
     )
-    totals = buckets.agg(
-        F.sum("c_cnt").alias("c_tot"), F.sum("t_cnt").alias("t_tot")
+    totals = corpus_b.agg(F.sum("c_cnt").alias("c_tot")).crossJoin(
+        target_b.agg(
+            F.coalesce(F.sum("t_cnt"), F.lit(0)).alias("t_tot")
+        )
     )
     ratio = F.log(
         (F.col("t_cnt") + 1.0) / (F.col("t_tot") + F.lit(float(n_buckets)))

@@ -954,9 +954,16 @@ def perplexity_buckets(
     Scale shape: rides unigram_logprob's partial-aggregated
     exchanges, then ONE window exchange partitioned by language for
     the ntile; the final rollup is group-cardinality (langs x
-    buckets). At 100 TB the per-language partitions are the corpus's
-    language mix — skew-safe because ntile is a single streaming pass
-    per partition, no buffering beyond the run boundary.
+    buckets). The honest caveat: ``partitionBy(lang)`` funnels each
+    language through one task, and at web-crawl scale the dominant
+    language is ~half the corpus — the same one-task serialization
+    ``ensure_min_parallelism`` fixes for narrow maps, but here the
+    sort is semantic, not incidental. Exact equal-count ntile is kept
+    because it is cross-engine reproducible (the oracle contract); at
+    100 TB swap the assignment stage for per-language score boundaries
+    from ``percentile_approx`` (one partial-aggregated pass, then a
+    narrow bucket lookup) and accept boundary-epsilon bucket counts —
+    the rollup and downstream selection logic are unchanged.
     """
     from pyspark.sql.window import Window
 

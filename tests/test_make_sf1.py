@@ -114,3 +114,25 @@ def test_replica_transform_never_identity():
     pats = [tuple(make_sf1._replica_signs(i, 64)) for i in range(1, 200)]
     assert len(set(pats)) == len(pats)
     assert all(any(s < 0 for s in p) for p in pats)
+
+
+def test_replica_signs_low_dim_bound():
+    """Review finding: with dim < 32 the sign pattern reads only the
+    low dim hash bits, so indices agreeing mod 2^dim collide (dim=8,
+    i=256 would be a bit-exact copy of replica 0). The generator now
+    refuses instead of silently colliding; distinctness holds inside
+    the bound."""
+    sys.path.insert(0, TOOLS)
+    try:
+        import make_sf1
+        importlib.reload(make_sf1)
+    finally:
+        sys.path.remove(TOOLS)
+    pats = {tuple(make_sf1._replica_signs(i, 8)) for i in range(256)}
+    assert len(pats) == 256  # bijective inside the bound
+    with pytest.raises(ValueError):
+        make_sf1._replica_signs(256, 8)
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(10, 8)).astype(np.float32)
+    with pytest.raises(ValueError):
+        make_sf1._transform_embeddings(mat, 256)

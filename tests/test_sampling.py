@@ -353,3 +353,30 @@ def test_dsir_weights_favors_target_like_docs(spark):
     # the disjoint doc's buckets have t_cnt=0, so its weight equals
     # the pure smoothing floor — strictly below the shared-token docs
     assert rows[3]["weight"] < rows[2]["weight"] - 0.1
+
+
+def test_dsir_weights_target_normalizer_counts_full_target(spark):
+    """The target normalizer t_tot must count the WHOLE target sample,
+    including tokens hashing to buckets the corpus never hits (review
+    finding: a left join from the corpus side silently dropped
+    target-only buckets, shifting every weight by a constant)."""
+    import math
+
+    from mapreduce_assignments_spark.operators.sampling import dsir_weights
+
+    B = 64
+    corpus = spark.createDataFrame(
+        [(1, "aa aa", "web")], "doc_id long, text string, source string"
+    )
+    # 3 of the target's 4 tokens are vocabulary the corpus lacks
+    target = spark.createDataFrame(
+        [(9, "aa zz yy xx", "tgt")], "doc_id long, text string, source string"
+    )
+    row = dsir_weights(corpus, target, n_buckets=B).collect()[0]
+    # manual formula with the FULL target count (t_tot = 4, c_tot = 2;
+    # bucket of 'aa' has t_cnt = 1, c_cnt = 2) — assumes no hash
+    # collision between 'aa' and the others at 64 buckets, which the
+    # deterministic md5 bucketing makes a fixed, checkable fact
+    expect = math.log((1 + 1.0) / (4 + B)) - math.log((2 + 1.0) / (2 + B))
+    assert row["n_tokens"] == 2
+    assert abs(row["weight"] - round(expect, 6)) < 1e-9

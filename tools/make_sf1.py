@@ -78,11 +78,21 @@ _PHI = 2654435761  # Knuth multiplicative hash; odd -> bijective mod 2^32
 
 
 def _replica_signs(i: int, dim: int) -> "np.ndarray":
-    """Per-replica deterministic ±1 diagonal. Distinct replicas get
-    distinct 32-bit patterns (the hash is bijective mod 2^32), so the
-    composite roll∘signs transform of replica i relative to replica k
-    is never the identity for i != k — even when dim divides i - k and
-    the rolls cancel."""
+    """Per-replica deterministic ±1 diagonal. The pattern reads the
+    low min(dim, 32) bits of a bijective-mod-2^32 hash, so two
+    replicas share a pattern only when their indices agree mod
+    2^min(dim, 32) — the composite roll∘signs transform is therefore
+    never the identity for i != k as long as both are below that
+    bound (e.g. dim=8 supports 256 replicas; dim>=32 supports 2^32).
+    Raising beyond the bound would silently reintroduce cross-replica
+    exact copies, so it is an error instead."""
+    limit = 2 ** min(dim, 32)
+    if i >= limit:
+        raise ValueError(
+            f"replica index {i} >= 2^min(dim,32) = {limit}: sign "
+            f"patterns would repeat and replicas would collide; use a "
+            f"higher-dim embedding table or fewer replicas"
+        )
     h = (i * _PHI) & 0xFFFFFFFF
     return np.array(
         [-1.0 if (h >> (j % 32)) & 1 else 1.0 for j in range(dim)],
