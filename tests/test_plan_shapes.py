@@ -144,3 +144,49 @@ def test_record_linkage_fastss_no_quadratic_block_join(spark):
     plan = _plan(workloads.ALL_QUERIES["record_linkage"](spark, SF_DIR))
     assert plan.count("Generate explode") == 2
     assert "levenshtein" in plan  # bounded-DP verifier still in place
+
+
+def test_dup_span_report_no_cartesian_no_python(docs_table):
+    from mapreduce_assignments_spark.operators.dedup import dup_span_report
+
+    plan = _plan(dup_span_report(docs_table, window=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_dsir_bucket_lookup_is_broadcast(spark, docs_table):
+    """The whole point of DSIR's fixed feature space: the per-bucket
+    log-ratio table (<= n_buckets rows) must reach the per-doc counts
+    as a broadcast, never a shuffled join."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.operators.sampling import dsir_weights
+
+    plan = _plan(
+        dsir_weights(
+            docs_table, docs_table.where(F.col("source") == "src0"),
+            n_buckets=128,
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_record_linkage_class_path_no_cartesian(spark):
+    """Both fastss plans (forced class-level and forced instance-
+    level) stay equi-join shaped — no cartesian/BNLJ fallback."""
+    from mapreduce_assignments_spark.operators.dedup import record_linkage_pairs
+
+    cust = load_table(spark, SF_DIR, "customer")
+    for dedupe in (True, False):
+        plan = _plan(
+            record_linkage_pairs(
+                cust, "c_custkey", "c_name", ["c_nationkey"],
+                max_distance=2, dedupe_values=dedupe,
+            )
+        )
+        assert "CartesianProduct" not in plan, dedupe
+        assert "BroadcastNestedLoopJoin" not in plan, dedupe
+        assert "Python" not in plan, dedupe
