@@ -78,7 +78,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "inverted_index_stats", "tf_histogram", "tf_idf", "term_frequencies",
         "boolean_retrieval", "boolean_retrieval_text", "bm25_topk",
         "top_keywords", "query_likelihood", "rrf_fusion", "phrase_search",
-        "prefix_search",
+        "prefix_search", "mrr_eval",
     ),
     "timeseries": (
         "hourly_counts", "hourly_counts_errors", "hourly_counts_tweets",
@@ -154,7 +154,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "skew_diag": ("key_skew_report",),
     "validation": ("profile_events", "robust_outliers", "length_drift_psi",
                    "k_anonymity", "winsorize_values", "dp_event_counts",
-                   "numeric_percentiles_profile"),
+                   "numeric_percentiles_profile", "corpus_card"),
     "packing": ("pack_sequences", "packing_efficiency"),
     "features": (
         "hashing_tf", "hashing_tfidf", "hashing_tf_cells",

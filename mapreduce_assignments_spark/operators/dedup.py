@@ -1043,6 +1043,11 @@ def record_linkage_pairs(
         return verified
     if max_pairs_per_record < 1:
         raise ValueError("max_pairs_per_record must be >= 1")
+    # NOTE: the cap consumes `verified` three times, but do NOT
+    # localCheckpoint it — Spark's ReusedExchange already shares the
+    # candidate/verify stages across the consumers, and materializing
+    # the (potentially huge) pair set costs more than it saves
+    # (measured: +2s at sf0.1, +11s at sf1 with a checkpoint here).
     # rank every verified pair from BOTH endpoints' viewpoints; keep
     # the pair if either endpoint ranks it within its k best. One
     # window exchange partitioned on record id — linear, skew-free

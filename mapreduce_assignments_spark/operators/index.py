@@ -45,6 +45,7 @@ __all__ = [
     "fetch_docs",
     "phrase_search",
     "prefix_search",
+    "mrr_eval",
 ]
 
 
@@ -386,4 +387,90 @@ def prefix_search(
     return pos.groupBy("doc_id").agg(
         F.count_distinct("term").alias("n_terms"),
         F.count("*").alias("n_occurrences"),
+    )
+
+
+def mrr_eval(
+    docs: DataFrame,
+    every: int = 100,
+    q_len: int = 4,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Known-item retrieval evaluation: every ``every``-th document
+    contributes a query (the SET of its first ``q_len`` tokens), the
+    document itself is the single relevant result, all queries are
+    BM25-ranked against the corpus IN ONE BATCH, and each query
+    reports where its source document landed — ``(query_id, rel_rank,
+    rr)`` with ``rel_rank`` = position in the top-``k`` (0 = missed)
+    and ``rr`` the reciprocal rank. Mean ``rr`` is the corpus MRR@k,
+    the standard retrieval-quality scalar; the self-retrieval qrel
+    construction is the classic zero-annotation benchmark for
+    regression-testing an index or scorer change.
+
+    Scale shape: one (query_id, term) postings join against the same
+    per-(term, doc) tf table BM25 already uses — no per-query loop, no
+    driver-side iteration; the df side is bounded by the DISTINCT
+    query terms (<= q_len per sampled query — keep ``every`` high
+    enough that this broadcasts) and the rank window partitions by
+    query_id, which is uniform by construction. Per-term contributions
+    round to 6 dp BEFORE the per-document sum and ranking ties break
+    on docid — the engine-parity discipline every scorer here follows.
+    """
+    if every < 1 or q_len < 1 or k < 1:
+        raise ValueError("every, q_len, and k must all be >= 1")
+    toks = tokens_array(text_col)
+    qdocs = docs.where(F.pmod(F.col(id_col), F.lit(every)) == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.slice(toks, 1, q_len).alias("qtoks"),
+    )
+    qterms = (
+        qdocs.select("query_id", F.explode_outer("qtoks").alias("term"))
+        .where(F.col("term").isNotNull())
+        .distinct()
+    )
+    tfs = term_frequencies(docs, text_col=text_col, id_col=id_col)
+    dl = tfs.groupBy("docid").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    dfs = (
+        tfs.join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = F.round(idf * F.col("tf") * (k1 + 1) / norm, 6)
+    scored = (
+        qterms.join(tfs, "term")
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "docid")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "docid", contrib.alias("c"))
+        .groupBy("query_id", "docid")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    hit = ranked.where(F.col("docid") == F.col("query_id")).select(
+        "query_id", F.col("rank").alias("rel_rank")
+    )
+    return (
+        qterms.select("query_id").distinct()
+        .join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("rel_rank"), F.lit(0)).cast("int").alias("rel_rank"),
+            F.round(
+                F.when(F.col("rel_rank").isNotNull(), 1.0 / F.col("rel_rank"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("rr"),
+        )
     )

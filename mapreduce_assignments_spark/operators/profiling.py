@@ -23,7 +23,7 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["profile_columns", "robust_outliers", "distribution_psi", "k_anonymity", "dp_noisy_counts"]
+__all__ = ["profile_columns", "robust_outliers", "distribution_psi", "k_anonymity", "dp_noisy_counts", "corpus_card"]
 
 
 def profile_columns(
@@ -229,5 +229,57 @@ def dp_noisy_counts(
         .select(
             group_col,
             F.round(F.col("n") + noise, 6).alias("noisy_count"),
+        )
+    )
+
+
+def corpus_card(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One-row-per-source corpus datasheet (Gebru et al. 2021,
+    "Datasheets for Datasets" — the summary grid a dataset release
+    ships with): ``(source, n_docs, total_tokens, en_share,
+    uniq_ratio, avg_quality, p50_chars)``.
+
+    - ``en_share``: fraction of documents tagged English — the
+      language-mix headline;
+    - ``uniq_ratio``: distinct text digests over documents — 1.0 means
+      duplicate-free, the dedup-budget headline;
+    - ``avg_quality``: the engine's composite quality score
+      (:func:`~.text_quality.quality_expr`), so the card and the
+      quality filter can never disagree about what "quality" means;
+    - ``p50_chars``: exact interpolated median document length.
+
+    Scale shape: one partial-aggregated exchange on ``source`` —
+    every column is either an algebraic aggregate or count_distinct
+    over an in-row digest; the quality expression is the same narrow
+    JVM projection the filter pipeline uses. Group cardinality is the
+    source count (tens), so the output is driver-safe by construction.
+    """
+    from .text import tokens_array
+    from .text_quality import quality_expr
+
+    return (
+        docs.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens_array(text_col))).alias("total_tokens"),
+            F.round(
+                F.avg(F.when(F.col(lang_col) == "en", 1.0).otherwise(0.0)), 6
+            ).alias("en_share"),
+            F.round(
+                F.count_distinct(F.md5(F.col(text_col))) / F.count("*"), 6
+            ).alias("uniq_ratio"),
+            # per-doc pre-round before the mean: the same float
+            # discipline (and the same value) as source_stats' oracle
+            F.round(F.avg(F.round(quality_expr(text_col), 6)), 6).alias(
+                "avg_quality"
+            ),
+            F.round(
+                F.percentile(F.length(text_col), F.lit(0.5)), 6
+            ).alias("p50_chars"),
         )
     )

@@ -1072,6 +1072,19 @@ def q_perplexity_buckets(spark, sf_dir):
     return text_quality.perplexity_buckets(_docs(spark, sf_dir), n_buckets=3)
 
 
+def q_mrr_eval(spark, sf_dir):
+    """Known-item BM25 retrieval eval: every 100th doc queries with
+    its first-4-token set; per-query reciprocal rank of the source
+    doc in the top-10 (mean = corpus MRR@10)."""
+    return index.mrr_eval(_docs(spark, sf_dir), every=100, q_len=4, k=10)
+
+
+def q_corpus_card(spark, sf_dir):
+    """Per-source dataset datasheet: volume, language mix, dedup
+    ratio, quality, median length (Gebru et al. 2021 shape)."""
+    return profiling.corpus_card(_docs(spark, sf_dir))
+
+
 def q_record_linkage_topk(spark, sf_dir):
     """record_linkage with the output-cardinality knob engaged: each
     customer keeps only its 3 closest same-nation name matches, so a
@@ -4649,6 +4662,76 @@ FROM customer a JOIN customer b
   ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
 WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
   AND levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+ORACLE["mrr_eval"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS t
+  FROM documents
+), qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT doc_id AS query_id, unnest(t[1:4]) AS term
+    FROM toks WHERE doc_id % 100 = 0
+  )
+), tfs AS (
+  SELECT docid, term, count(*) AS tf FROM (
+    SELECT doc_id AS docid, unnest(t) AS term FROM toks
+  ) GROUP BY 1, 2
+), dl AS (SELECT docid, CAST(sum(tf) AS BIGINT) AS dl FROM tfs GROUP BY docid),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (
+  SELECT term, count(*) AS df FROM tfs
+  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY term
+), c AS (
+  SELECT q.query_id, tfs.docid,
+         round(ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+               * tfs.tf * (1.2 + 1)
+               / (tfs.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6)
+           AS c
+  FROM qterms q JOIN tfs USING (term) JOIN dfs USING (term)
+       JOIN dl USING (docid), stats
+), scored AS (
+  SELECT query_id, docid, round(sum(c), 6) AS score FROM c GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, docid,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, docid ASC) AS rank
+  FROM scored
+), hit AS (
+  SELECT query_id, rank AS rel_rank FROM ranked
+  WHERE rank <= 10 AND docid = query_id
+)
+SELECT q.query_id, CAST(coalesce(h.rel_rank, 0) AS INTEGER) AS rel_rank,
+       round(CASE WHEN h.rel_rank IS NOT NULL THEN 1.0 / h.rel_rank
+                  ELSE 0.0 END, 6) AS rr
+FROM (SELECT DISTINCT query_id FROM qterms) q LEFT JOIN hit h USING (query_id)
+"""
+
+ORACLE["corpus_card"] = r"""
+WITH t AS (
+  SELECT source, lang, text, len(text) AS n_chars,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS ts
+  FROM documents
+), m AS (
+  SELECT source, lang, text, n_chars, len(ts) AS n,
+         CASE WHEN len(ts) > 0
+              THEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) ELSE 0.0 END AS dr,
+         CASE WHEN len(ts) > 0
+              THEN CAST(len(list_filter(ts, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE) / len(ts)
+              ELSE 0.0 END AS sr
+  FROM t)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS en_share,
+       round(count(DISTINCT md5(text)) * 1.0 / count(*), 6) AS uniq_ratio,
+       round(avg(round(0.4 * least(1.0, CAST(n AS DOUBLE) / 64.0)
+                       + 0.3 * dr
+                       + 0.3 * (1.0 - least(1.0, abs(sr - 0.4) * 2.5)), 6)), 6)
+         AS avg_quality,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_chars
+FROM m GROUP BY source
 """
 
 ORACLE["dup_span_report"] = r"""
@@ -8555,6 +8638,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_report": q_dup_span_report,
     "dsir_weights": q_dsir_weights,
     "perplexity_buckets": q_perplexity_buckets,
+    "mrr_eval": q_mrr_eval,
+    "corpus_card": q_corpus_card,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

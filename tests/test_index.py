@@ -247,3 +247,30 @@ def test_prefix_search_counts(spark):
     rows = {r["doc_id"]: (r["n_terms"], r["n_occurrences"])
             for r in prefix_search(docs, "sp").collect()}
     assert rows == {1: (2, 3)}
+
+
+def test_mrr_eval_known_item(spark):
+    """Self-retrieval: a doc with distinctive vocabulary ranks itself
+    first (rr = 1); a query doc whose first tokens are corpus-wide
+    boilerplate shared with higher-scoring docs can rank lower but
+    must still be found; rel_rank = 0 only when the doc misses the
+    top-k entirely."""
+    from mapreduce_assignments_spark.operators.index import mrr_eval
+
+    docs = spark.createDataFrame(
+        [
+            # query doc (id 0): unique vocabulary -> must self-rank #1
+            (0, "zebra quark nebula fjord extra words here"),
+            # query doc (100): its 4-token prefix is boilerplate...
+            (100, "the the the the filler"),
+            # ...that doc 7 repeats MORE densely (higher tf, shorter)
+            (7, "the the the the the the"),
+            (8, "unrelated content entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["query_id"]: r for r in mrr_eval(docs, every=100, q_len=4, k=10).collect()}
+    assert set(rows) == {0, 100}
+    assert rows[0]["rel_rank"] == 1 and rows[0]["rr"] == 1.0
+    assert rows[100]["rel_rank"] >= 1  # found, possibly behind doc 7
+    assert rows[100]["rr"] == round(1.0 / rows[100]["rel_rank"], 6)

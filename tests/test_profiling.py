@@ -112,3 +112,25 @@ def test_dp_noisy_counts_deterministic_and_bounded(spark):
              for r in dp_noisy_counts(df, "k", epsilon=100.0).collect()}
     assert abs(tight["a"] - 100) < abs(r1["a"] - 100) or abs(r1["a"] - 100) < 1e-9
     assert abs(tight["a"] - 100) < 0.5    # eps=100 -> scale 0.01
+
+
+def test_corpus_card_per_source_grid(spark):
+    from mapreduce_assignments_spark.operators.profiling import corpus_card
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en", "a"),
+            (2, "the quick brown fox", "en", "a"),   # exact dup of 1
+            (3, "le chat noir", "fr", "a"),
+            (4, "x y", "en", "b"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r["source"]: r for r in corpus_card(docs).collect()}
+    a, b = rows["a"], rows["b"]
+    assert a["n_docs"] == 3 and a["total_tokens"] == 11
+    assert a["en_share"] == round(2 / 3, 6)
+    assert a["uniq_ratio"] == round(2 / 3, 6)  # one dup pair
+    assert b["n_docs"] == 1 and b["uniq_ratio"] == 1.0
+    assert a["p50_chars"] == 19.0  # median of (19, 19, 12)
+    assert 0.0 < a["avg_quality"] < 1.0
