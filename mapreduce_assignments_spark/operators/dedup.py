@@ -1203,11 +1203,18 @@ def prefix_jaccard_pairs(
     )
     prefix = ranked.where(
         F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("doc_id", "shingle")
+    ).select("doc_id", "shingle", "sz")
     cand = (
         prefix.alias("pa")
         .join(prefix.alias("pb"), "shingle")
         .where(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        # LENGTH filter (also lossless): J >= t forces
+        # t * max(|x|, |y|) <= min(|x|, |y|) — prune size-mismatched
+        # candidates BEFORE the distinct and the verification joins
+        .where(
+            F.least(F.col("pa.sz"), F.col("pb.sz"))
+            >= F.lit(threshold) * F.greatest(F.col("pa.sz"), F.col("pb.sz"))
+        )
         .select(
             F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
         )

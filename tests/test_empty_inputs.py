@@ -85,3 +85,22 @@ def test_batch6_operators_degrade_gracefully(spark, empties):
     assert features.normalize_values(ev, "value", "event_type").collect() == []
     assert funnel.co_engagement(ev).collect() == []
     assert funnel.rolling_active_users(ev).collect() == []
+
+
+def test_round8_operators_degrade_gracefully(spark, empties):
+    from mapreduce_assignments_spark.operators import dedup, index, profiling
+    from mapreduce_assignments_spark.operators import sampling as smp
+
+    d = empties["docs"]
+    assert dedup.dup_span_report(d, window=5).collect() == []
+    assert smp.dsir_weights(d, d, n_buckets=16).collect() == []
+    from mapreduce_assignments_spark.operators.text_quality import (
+        perplexity_buckets,
+    )
+    assert perplexity_buckets(d).collect() == []
+    assert index.mrr_eval(d).collect() == []
+    assert profiling.corpus_card(d).collect() == []
+    cust = spark.createDataFrame([], "id long, name string, blk string")
+    assert dedup.record_linkage_pairs(
+        cust, "id", "name", ["blk"], max_pairs_per_record=3
+    ).collect() == []
