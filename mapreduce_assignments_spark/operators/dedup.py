@@ -867,6 +867,10 @@ def record_linkage_pairs(
     count jobs) picks class-level vs instance-level automatically;
     ``dedupe_values`` forces the choice (True = class path, False =
     instance path) for callers that already know their key entropy.
+    NOTE: the auto gate is an EAGER Spark action at plan-construction
+    time (one count + count_distinct scan of the input) — plan-only
+    callers (explain runs, plan audits, speculative builds) should
+    pass ``dedupe_values`` explicitly to stay lazy.
     ``method="blocked"`` keeps the plain block join: preferable when
     names are long (variant count grows with length squared at tau=2)
     or blocks are known-small. Either path feeds the same verifier, so

@@ -399,6 +399,7 @@ def mrr_eval(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hint_broadcast: bool | None = None,
 ) -> DataFrame:
     """Known-item retrieval evaluation: every ``every``-th document
     contributes a query (the SET of its first ``q_len`` tokens), the
@@ -416,12 +417,21 @@ def mrr_eval(
     driver-side iteration; the df side is bounded by the DISTINCT
     query terms (<= q_len per sampled query — keep ``every`` high
     enough that this broadcasts) and the rank window partitions by
-    query_id, which is uniform by construction. Per-term contributions
+    query_id, which is uniform by construction. The query-term and df
+    tables scale with n/every, so the broadcast hints are only safe
+    when the sample is sparse: ``hint_broadcast`` defaults to auto
+    (hint iff ``every >= 64``); with hints off, AQE picks the join
+    strategy from the aggregates' RUNTIME sizes, which stays correct
+    (just possibly shuffled) on a dense sample over a huge corpus.
+    Per-term contributions
     round to 6 dp BEFORE the per-document sum and ranking ties break
     on docid — the engine-parity discipline every scorer here follows.
     """
     if every < 1 or q_len < 1 or k < 1:
         raise ValueError("every, q_len, and k must all be >= 1")
+    if hint_broadcast is None:
+        hint_broadcast = every >= 64
+    _bc = F.broadcast if hint_broadcast else (lambda d: d)
     toks = tokens_array(text_col)
     qdocs = docs.where(F.pmod(F.col(id_col), F.lit(every)) == 0).select(
         F.col(id_col).alias("query_id"),
@@ -436,7 +446,7 @@ def mrr_eval(
     dl = tfs.groupBy("docid").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
     dfs = (
-        tfs.join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
+        tfs.join(_bc(qterms.select("term").distinct()), "term", "left_semi")
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )
@@ -445,7 +455,7 @@ def mrr_eval(
     contrib = F.round(idf * F.col("tf") * (k1 + 1) / norm, 6)
     scored = (
         qterms.join(tfs, "term")
-        .join(F.broadcast(dfs), "term")
+        .join(_bc(dfs), "term")
         .join(dl, "docid")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "docid", contrib.alias("c"))

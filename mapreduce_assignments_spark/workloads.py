@@ -8325,67 +8325,71 @@ SELECT doc_id, n_chars FROM (
 # 51-60 in round 3) and the round-3 red events family come first, so
 # a future shrink of the check window hits long-proven entries last.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- round-8 rotation (round-7 VERDICT item 1): all 50 slots go to
-    # never-driver-scored queries (backlog 98 -> 48). The 40 round-7
-    # first-timers (1-round-green) and the 10 two-round-stable section-2
-    # cores are displaced to EXTRA_QUERIES per the round-7 verdict and
-    # stay oracle-checked via --all and pytest. Every entry below was
-    # gated at sf0.001 AND sf0.01 with --pandas-canon plus a
-    # --vanilla-session run before rotating in.
-    # semantic-pipeline round-7 additions --
-    "semantic_decontamination": q_semantic_decontamination,
-    "margin_bitext": q_margin_bitext,
-    "temperature_mix": q_temperature_mix,
-    "dp_event_counts": q_dp_event_counts,
-    # TPC-H / relational report shapes --
-    "shipping_priority": q_shipping_priority,
-    "large_volume_orders": q_large_volume_orders,
-    "target_encoding": q_target_encoding,
-    "k_anonymity": q_k_anonymity,
-    "temporal_split": q_temporal_split,
-    "revenue_rollup": q_revenue_rollup,
-    "nation_trade_balance": q_nation_trade_balance,
-    "discount_effectiveness": q_discount_effectiveness,
-    "region_nation_share": q_region_nation_share,
-    "pareto_report": q_pareto_report,
-    "brand_nation_revenue": q_brand_nation_revenue,
-    "late_orders_by_priority": q_late_orders_by_priority,
-    "rfm_segments": q_rfm_segments,
-    "customer_growth_topk": q_customer_growth_topk,
-    "order_size_correlation": q_order_size_correlation,
-    "order_gap_stats": q_order_gap_stats,
-    "lines_per_order_histogram": q_lines_per_order_histogram,
-    "winsorize_values": q_winsorize_values,
-    "numeric_percentiles_profile": q_numeric_percentiles_profile,
-    "robust_outliers": q_robust_outliers,
-    "revenue_share": q_revenue_share,
-    "revenue_lag_features": q_revenue_lag_features,
-    "conversion_lag": q_conversion_lag,
-    "conversion_by_activity": q_conversion_by_activity,
-    # events / attribution / session analytics --
-    "last_touch_attribution": q_last_touch_attribution,
-    "linear_attribution": q_linear_attribution,
-    "transition_latency": q_transition_latency,
-    "session_paths": q_session_paths,
-    "activity_heatmap": q_activity_heatmap,
-    "event_transitions": q_event_transitions,
-    "event_cube": q_event_cube,
-    "session_stats": q_session_stats,
-    "daily_trend": q_daily_trend,
-    "interarrival_rates": q_interarrival_rates,
-    "ab_test_zscore": q_ab_test_zscore,
-    "user_entropy": q_user_entropy,
-    "filter_funnel": q_filter_funnel,
-    "basket_lift": q_basket_lift,
-    "user_purge_report": q_user_purge_report,
-    # timeseries renderers (vanilla-session gated) --
-    "seasonal_anomalies": q_seasonal_anomalies,
-    "ewma_hourly": q_ewma_hourly,
-    "slo_burn_rate": q_slo_burn_rate,
-    "hourly_top_movers": q_hourly_top_movers,
-    "yoy_growth": q_yoy_growth,
-    "rolling_weekly_revenue": q_rolling_weekly_revenue,
-    "interpolate_gaps": q_interpolate_gaps,
+    # -- round-9 rotation (round-8 VERDICT item 2): the LAST full
+    # never-scored rotation — all 50 slots go to queries with no
+    # driver CORRECTNESS row yet (backlog 54 -> 4; the deferred four
+    # are the staged-side-effect quartet csv_roundtrip/orc_roundtrip/
+    # incremental_rollup/schema_evolution, rotating in round 10).
+    # The displaced round-8 window (all driver-green in r8) moves to
+    # EXTRA_QUERIES and stays oracle-checked via --all and pytest.
+    # Every entry below was gated at sf0.001 AND sf0.01 with
+    # --pandas-canon plus a --vanilla-session run before rotating in.
+    # round-8 training-data additions (r8 VERDICT item 2 leads) --
+    "record_linkage_topk": q_record_linkage_topk,
+    "dup_span_report": q_dup_span_report,
+    "dsir_weights": q_dsir_weights,
+    "perplexity_buckets": q_perplexity_buckets,
+    "mrr_eval": q_mrr_eval,
+    "corpus_card": q_corpus_card,
+    # retrieval / index / sketch / tokenizer --
+    "phrase_search": q_phrase_search,
+    "prefix_search": q_prefix_search,
+    "ivf_index_probe": q_ivf_index_probe,
+    "bpe_merges_local": q_bpe_merges_local,
+    "bpe_token_counts": q_bpe_token_counts,
+    "oov_rate": q_oov_rate,
+    "vocab_overlap_matrix": q_vocab_overlap_matrix,
+    "idf_drift": q_idf_drift,
+    "countmin_words": q_countmin_words,
+    "hash_collision_report": q_hash_collision_report,
+    "minhash_calibration": q_minhash_calibration,
+    # dedup / decontamination / embedding health --
+    "cluster_canonical": q_cluster_canonical,
+    "dedup_savings": q_dedup_savings,
+    "containment_pairs": q_containment_pairs,
+    "contamination_flags": q_contamination_flags,
+    "eval_substring_hits": q_eval_substring_hits,
+    "sentence_dedup_stats": q_sentence_dedup_stats,
+    "nn_similarity_histogram": q_nn_similarity_histogram,
+    "embedding_covariance": q_embedding_covariance,
+    "random_projection": q_random_projection,
+    "hard_negatives": q_hard_negatives,
+    "label_centroids": q_label_centroids,
+    "centroid_confusion": q_centroid_confusion,
+    "label_spread": q_label_spread,
+    "language_id_accuracy": q_language_id_accuracy,
+    # text quality / profiling --
+    "sentence_stats": q_sentence_stats,
+    "length_histogram": q_length_histogram,
+    "length_drift_psi": q_length_drift_psi,
+    "quality_length_correlation": q_quality_length_correlation,
+    "span_corruption": q_span_corruption,
+    # sampling / mix / storage hygiene --
+    "balance_classes": q_balance_classes,
+    "corpus_mix": q_corpus_mix,
+    "key_skew_report": q_key_skew_report,
+    "aspect_ratio_histogram": q_aspect_ratio_histogram,
+    "packing_efficiency": q_packing_efficiency,
+    "index_shard_balance": q_index_shard_balance,
+    "compact_small_files": q_compact_small_files,
+    "manifest_ingest": q_manifest_ingest,
+    "csv_malformed_report": q_csv_malformed_report,
+    "filter_funnel_examples": q_filter_funnel_examples,
+    # streaming (availableNow replays; vanilla-session gated) --
+    "streaming_session_stats": q_streaming_session_stats,
+    "streaming_countmin": q_streaming_countmin,
+    "streaming_sliding_counts": q_streaming_sliding_counts,
+    "streaming_top_users": q_streaming_top_users,
 }
 
 # Strict sub-plans of registered queries (the registered downstream
@@ -8516,10 +8520,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,                             # stage 1 of simhash_near_dupes
     "deterministic_sample": q_deterministic_sample,   # same hash-bin op as hash_split
     "ivf_assign": q_ivf_assign,                       # stage 2 of ivf_topk_trained
-    "contamination_flags": q_contamination_flags,     # eval-set n-gram decontam
     # round-5 extension: ANN probe of the materialized cell-partitioned
     # index — the oracle replays assignment + probed cells + top-k
-    "ivf_index_probe": q_ivf_index_probe,
     # -- rotated OUT of the driver window in round 5 (driver-green in
     # rounds 3 AND 4 on unchanged code; still oracle-checked here via
     # --all and pytest every round) --
@@ -8544,57 +8546,15 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     # -- NEW in round 6 (rotation candidates for round 7: all three
     # are scalar-output per docs/ROTATION_AUDIT.md screening) --
-    "bpe_merges_local": q_bpe_merges_local,      # single-job BPE trainer
-    "bpe_token_counts": q_bpe_token_counts,      # real-BPE doc token lengths
     "csv_roundtrip": q_csv_roundtrip,            # RFC-4180 CSV source contract
-    "label_centroids": q_label_centroids,        # per-class embedding prototype
-    "centroid_confusion": q_centroid_confusion,      # nearest-centroid eval
     # -- round-6 graph-analytics batch (all scalar-output, rotation-
     # eligible; oracles unroll the iterations / replay the wedge
     # construction in SQL) --
     # -- round-6 TPC-H-shape batch (scalar-output, rotation-eligible) --
-    "cluster_canonical": q_cluster_canonical,        # quality-aware keeper
-    "streaming_session_stats": q_streaming_session_stats,  # stream session_window
-    "span_corruption": q_span_corruption,            # T5 masking budget
-    "phrase_search": q_phrase_search,                # positional phrase AND
-    "embedding_covariance": q_embedding_covariance,  # d²-bounded cov matrix
-    "csv_malformed_report": q_csv_malformed_report,  # dead-letter accounting
-    "prefix_search": q_prefix_search,                # wildcard term retrieval
-    "filter_funnel_examples": q_filter_funnel_examples,  # rule-kill examples
-    "sentence_dedup_stats": q_sentence_dedup_stats,  # boilerplate dashboard
-    "idf_drift": q_idf_drift,                        # readable lexical drift
-    "manifest_ingest": q_manifest_ingest,            # exactly-once file ingest
-    "index_shard_balance": q_index_shard_balance,    # IVF shard skew gate
-    "language_id_accuracy": q_language_id_accuracy,  # heuristic-vs-truth eval
-    "nn_similarity_histogram": q_nn_similarity_histogram,  # collapse early-warning
-    "compact_small_files": q_compact_small_files,    # small-files hygiene
-    "hash_collision_report": q_hash_collision_report,  # feature-width diagnostics
-    "vocab_overlap_matrix": q_vocab_overlap_matrix,  # lexical mix design
-    "dedup_savings": q_dedup_savings,                # dedup budget headline
-    "quality_length_correlation": q_quality_length_correlation,  # length-quality r
-    "random_projection": q_random_projection,        # deterministic JL reducer
-    "hard_negatives": q_hard_negatives,              # contrastive triplet mining
-    "label_spread": q_label_spread,                  # embedding-norm health
-    "aspect_ratio_histogram": q_aspect_ratio_histogram,  # header-only media profile
-    "countmin_words": q_countmin_words,              # count-min sketch probes
-    "key_skew_report": q_key_skew_report,            # Gini skew diagnosis
-    "streaming_countmin": q_streaming_countmin,      # mergeable CMS on stream
     "orc_roundtrip": q_orc_roundtrip,                # columnar interchange format
-    "sentence_stats": q_sentence_stats,              # narrow HOF segmentation
-    "balance_classes": q_balance_classes,            # minority-size downsample
-    "corpus_mix": q_corpus_mix,                      # source-weighted mix build
     "schema_evolution": q_schema_evolution,          # mergeSchema generation read
-    "eval_substring_hits": q_eval_substring_hits,    # exact-match leak probe
-    "packing_efficiency": q_packing_efficiency,      # shard fill-rate report
-    "streaming_top_users": q_streaming_top_users,    # complete-mode stream rank
-    "length_drift_psi": q_length_drift_psi,          # PSI ingestion drift gate
-    "oov_rate": q_oov_rate,                          # held-out vocab coverage
     "incremental_rollup": q_incremental_rollup,      # dynamic-partition MV maintenance
     # -- round-5 extension batch 6 --
-    "streaming_sliding_counts": q_streaming_sliding_counts,
-    "containment_pairs": q_containment_pairs,
-    "length_histogram": q_length_histogram,
-    "minhash_calibration": q_minhash_calibration,
     # -- round-5 extension batch 5 --
     # -- round-5 extension batch 3 --
     # -- round-5 extension batch 4 --
@@ -8634,12 +8594,60 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # knob engaged (round-7 VERDICT item 3), plus three public-
     # literature training-data ops (Lee et al. 2021 span dedup, Xie et
     # al. 2023 DSIR, Wenzek et al. 2019 CCNet buckets) --
-    "record_linkage_topk": q_record_linkage_topk,
-    "dup_span_report": q_dup_span_report,
-    "dsir_weights": q_dsir_weights,
-    "perplexity_buckets": q_perplexity_buckets,
-    "mrr_eval": q_mrr_eval,
-    "corpus_card": q_corpus_card,
+    # -- rotated OUT of the driver window in round 9 (all 50 were
+    # driver-green first-timers in r8; displaced so the final 50
+    # never-scored names could score — still oracle-checked here
+    # every round via --all and pytest) --
+    "semantic_decontamination": q_semantic_decontamination,
+    "margin_bitext": q_margin_bitext,
+    "temperature_mix": q_temperature_mix,
+    "dp_event_counts": q_dp_event_counts,
+    "shipping_priority": q_shipping_priority,
+    "large_volume_orders": q_large_volume_orders,
+    "target_encoding": q_target_encoding,
+    "k_anonymity": q_k_anonymity,
+    "temporal_split": q_temporal_split,
+    "revenue_rollup": q_revenue_rollup,
+    "nation_trade_balance": q_nation_trade_balance,
+    "discount_effectiveness": q_discount_effectiveness,
+    "region_nation_share": q_region_nation_share,
+    "pareto_report": q_pareto_report,
+    "brand_nation_revenue": q_brand_nation_revenue,
+    "late_orders_by_priority": q_late_orders_by_priority,
+    "rfm_segments": q_rfm_segments,
+    "customer_growth_topk": q_customer_growth_topk,
+    "order_size_correlation": q_order_size_correlation,
+    "order_gap_stats": q_order_gap_stats,
+    "lines_per_order_histogram": q_lines_per_order_histogram,
+    "winsorize_values": q_winsorize_values,
+    "numeric_percentiles_profile": q_numeric_percentiles_profile,
+    "robust_outliers": q_robust_outliers,
+    "revenue_share": q_revenue_share,
+    "revenue_lag_features": q_revenue_lag_features,
+    "conversion_lag": q_conversion_lag,
+    "conversion_by_activity": q_conversion_by_activity,
+    "last_touch_attribution": q_last_touch_attribution,
+    "linear_attribution": q_linear_attribution,
+    "transition_latency": q_transition_latency,
+    "session_paths": q_session_paths,
+    "activity_heatmap": q_activity_heatmap,
+    "event_transitions": q_event_transitions,
+    "event_cube": q_event_cube,
+    "session_stats": q_session_stats,
+    "daily_trend": q_daily_trend,
+    "interarrival_rates": q_interarrival_rates,
+    "ab_test_zscore": q_ab_test_zscore,
+    "user_entropy": q_user_entropy,
+    "filter_funnel": q_filter_funnel,
+    "basket_lift": q_basket_lift,
+    "user_purge_report": q_user_purge_report,
+    "seasonal_anomalies": q_seasonal_anomalies,
+    "ewma_hourly": q_ewma_hourly,
+    "slo_burn_rate": q_slo_burn_rate,
+    "hourly_top_movers": q_hourly_top_movers,
+    "yoy_growth": q_yoy_growth,
+    "rolling_weekly_revenue": q_rolling_weekly_revenue,
+    "interpolate_gaps": q_interpolate_gaps,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -584,3 +584,71 @@ def test_record_linkage_sf_growth_is_output_bound(spark):
     ).count()
     assert capped <= 2 * 3 * n
     assert capped < counts["0.1"]
+
+
+def test_record_linkage_class_verify_bill_flat_under_replication(spark):
+    """The sf3-probe adjudication (SCALE.md round 8) as a regression
+    test: replicating every record m x with the SAME name and fresh
+    ids — the upscaler's shadow effect, and the shape of any
+    low-entropy key column — grows same-name record pairs by exactly
+    n*C(m,2) and cross-name record pairs by exactly m^2, while the
+    CLASS-level verify bill (distinct (name_a, name_b) pairs, i.e.
+    what the FastSS class path actually runs Levenshtein on) stays
+    flat: the replicated run's class-pair set is the base run's plus
+    one distance-0 (x, x) class per name."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.operators.dedup import record_linkage_pairs
+    from mapreduce_assignments_spark.sources.tables import load_table
+
+    cust = load_table(spark, "/root/testdata/sf0.01", "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = cust.count()
+    assert cust.select("c_name").distinct().count() == n  # names unique
+    m = 3
+    reps = cust
+    for i in range(1, m):
+        reps = reps.unionByName(
+            cust.select(
+                (F.col("c_custkey") + i * 10_000_000).alias("c_custkey"),
+                "c_name",
+                "c_nationkey",
+            )
+        )
+
+    def stats(df):
+        # classes = UNORDERED distinct name pairs: output orientation
+        # follows id_a < id_b, so replication emits both (x, y) and
+        # (y, x) record pairs for one verified class pair
+        return df.agg(
+            F.count("*").alias("pairs"),
+            F.sum((F.col("distance") == 0).cast("long")).alias("same"),
+            F.count_distinct(
+                F.least("name_a", "name_b"), F.greatest("name_a", "name_b")
+            ).alias("classes"),
+        ).first()
+
+    # dedupe_values=True pins the class path on both inputs (and keeps
+    # the auto gate's eager pre-scan out of the test)
+    b = stats(
+        record_linkage_pairs(
+            cust, "c_custkey", "c_name", ["c_nationkey"],
+            max_distance=2, dedupe_values=True,
+        )
+    )
+    r = stats(
+        record_linkage_pairs(
+            reps, "c_custkey", "c_name", ["c_nationkey"],
+            max_distance=2, dedupe_values=True,
+        )
+    )
+    # unique names -> no distance-0 pairs in the base run
+    assert b["same"] == 0
+    # same-name record pairs: one C(m,2) clique per original record
+    assert r["same"] == n * m * (m - 1) // 2
+    # cross-name record pairs: every verified class pair expands m*m
+    assert r["pairs"] - r["same"] == (b["pairs"] - b["same"]) * m * m
+    # the verify bill is class pairs — flat up to the n trivial (x, x)
+    # distance-0 classes that never reach the Levenshtein DP at all
+    assert r["classes"] == b["classes"] + n
