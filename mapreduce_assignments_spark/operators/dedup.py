@@ -964,35 +964,106 @@ def record_linkage_pairs(
             F.col("rid").alias("ib"), F.col("name").alias("name_b"),
             *block_cols,
         )
-        swap = F.col("ia") > F.col("ib")
-        cross = (
-            cls_verified.join(ids_a, [*block_cols, "name_a"])
-            .join(ids_b, [*block_cols, "name_b"])
-            .select(
-                F.when(swap, F.col("ib")).otherwise(F.col("ia")).alias("id_a"),
-                F.when(swap, F.col("ia")).otherwise(F.col("ib")).alias("id_b"),
-                F.when(swap, F.col("name_b")).otherwise(F.col("name_a")).alias("name_a"),
-                F.when(swap, F.col("name_a")).otherwise(F.col("name_b")).alias("name_b"),
-                "distance",
+        if max_pairs_per_record is not None:
+            # OUTPUT-IDENTICAL upstream prune for the capped query:
+            # the cap ranks every pair by (distance, partner id) from
+            # both endpoints, and all record pairs expanded from one
+            # class pair share a distance — so a record's k best
+            # partners inside any partner class are always that
+            # class's k SMALLEST record ids. Pairs whose BOTH
+            # endpoints fall outside their class's bottom-k therefore
+            # rank > k from both viewpoints and can never survive the
+            # cap; pruning them before the expansion join cuts the
+            # intermediate from m_A*m_B (C(m,2) within-class) to
+            # ~2k(m_A+m_B) per class pair — the sf10 probe measured
+            # the unpruned expansion at ~10^9 rows through the rank
+            # window for a <=2kn output. Ranks at the keep/drop
+            # boundary are preserved: every record's true top-k
+            # candidates are all kept (any pruned candidate has >= k
+            # kept candidates ahead of it inside its own class), so
+            # row_number decisions at <= k are unchanged.
+            kb = max_pairs_per_record
+            wcls = Window.partitionBy(*block_cols, "name").orderBy("rid")
+            ranked_ids = keyed.withColumn("_crk", F.row_number().over(wcls))
+            bot_a = ranked_ids.where(F.col("_crk") <= kb).select(
+                F.col("rid").alias("ia"), F.col("name").alias("name_a"),
+                *block_cols,
             )
-        )
-        # identical-name record pairs are distance 0 by definition —
-        # no DP, just the within-class self-join (these pairs ARE the
-        # output on duplicated values; nothing smaller can emit them)
-        same = (
-            keyed.select(F.col("rid").alias("id_a"), "name", *block_cols)
-            .join(
-                keyed.select(F.col("rid").alias("id_b"), "name", *block_cols),
-                [*block_cols, "name"],
+            bot_b = ranked_ids.where(F.col("_crk") <= kb).select(
+                F.col("rid").alias("ib"), F.col("name").alias("name_b"),
+                *block_cols,
             )
-            .where(F.col("id_a") < F.col("id_b"))
-            .select(
-                "id_a", "id_b",
-                F.col("name").alias("name_a"), F.col("name").alias("name_b"),
-                F.lit(0).cast("int").alias("distance"),
+            expanded = (
+                cls_verified.join(ids_a, [*block_cols, "name_a"])
+                .join(bot_b, [*block_cols, "name_b"])
+                .unionByName(
+                    cls_verified.join(bot_a, [*block_cols, "name_a"])
+                    .join(ids_b, [*block_cols, "name_b"])
+                )
+                .select("ia", "ib", "name_a", "name_b", "distance")
             )
-        )
-        verified = cross.unionByName(same)
+            # same-name candidates: each record with its class's
+            # k+1 smallest ids (k partners once itself is excluded)
+            same_src = (
+                keyed.select(F.col("rid").alias("ia"), "name", *block_cols)
+                .join(
+                    ranked_ids.where(F.col("_crk") <= kb + 1).select(
+                        F.col("rid").alias("ib"), "name", *block_cols
+                    ),
+                    [*block_cols, "name"],
+                )
+                .where(F.col("ia") != F.col("ib"))
+                .select(
+                    "ia", "ib",
+                    F.col("name").alias("name_a"),
+                    F.col("name").alias("name_b"),
+                    F.lit(0).cast("int").alias("distance"),
+                )
+            )
+            swap = F.col("ia") > F.col("ib")
+            # both union arms (and both same-name orientations) can
+            # emit the same unordered pair — canonicalize + distinct
+            verified = (
+                expanded.unionByName(same_src)
+                .select(
+                    F.when(swap, F.col("ib")).otherwise(F.col("ia")).alias("id_a"),
+                    F.when(swap, F.col("ia")).otherwise(F.col("ib")).alias("id_b"),
+                    F.when(swap, F.col("name_b")).otherwise(F.col("name_a")).alias("name_a"),
+                    F.when(swap, F.col("name_a")).otherwise(F.col("name_b")).alias("name_b"),
+                    "distance",
+                )
+                .distinct()
+            )
+        else:
+            swap = F.col("ia") > F.col("ib")
+            cross = (
+                cls_verified.join(ids_a, [*block_cols, "name_a"])
+                .join(ids_b, [*block_cols, "name_b"])
+                .select(
+                    F.when(swap, F.col("ib")).otherwise(F.col("ia")).alias("id_a"),
+                    F.when(swap, F.col("ia")).otherwise(F.col("ib")).alias("id_b"),
+                    F.when(swap, F.col("name_b")).otherwise(F.col("name_a")).alias("name_a"),
+                    F.when(swap, F.col("name_a")).otherwise(F.col("name_b")).alias("name_b"),
+                    "distance",
+                )
+            )
+            # identical-name record pairs are distance 0 by definition —
+            # no DP, just the within-class self-join (these pairs ARE the
+            # output on duplicated values; nothing smaller can emit them)
+            same = (
+                keyed.select(F.col("rid").alias("id_a"), "name", *block_cols)
+                .join(
+                    keyed.select(F.col("rid").alias("id_b"), "name", *block_cols),
+                    [*block_cols, "name"],
+                )
+                .where(F.col("id_a") < F.col("id_b"))
+                .select(
+                    "id_a", "id_b",
+                    F.col("name").alias("name_a"), F.col("name").alias("name_b"),
+                    F.lit(0).cast("int").alias("distance"),
+                )
+            )
+            verified = cross.unionByName(same)
     elif method == "fastss":
         # instance-level FastSS: on all-unique values the class path
         # above degenerates to this plus pure overhead, so the gate

@@ -10,11 +10,14 @@ pixels, only compact features. This module provides the four shapes a
 - perceptual-hash near-dup grouping  (Pandas UDF hash, JVM group),
 - video frame sampling  (``mapInPandas`` row explosion).
 
-Codec reality: this container has no PIL/cv2/librosa, so REAL codec
-decode is stubbed — the default ``decode_image`` raises
-``NotImplementedError`` unless the payload is the deterministic
-FAKEIMG/FAKEVID test format below, auto-upgrading to Pillow when an
-import succeeds. Everything around the decode (schemas, batch
+Codec reality: this container has no PIL/cv2/librosa. REAL 8-bit
+non-interlaced PNG decodes anyway through the pure-stdlib codec in
+``functions/png_codec.py`` (zlib + numpy, no third-party import) —
+so ``image_stats``/``phash_duplicates``/``resize_images`` work on
+real PNG payloads here. Other real codecs (JPEG, video) stay
+stubbed: the default ``decode_image`` raises ``NotImplementedError``
+unless the payload is PNG or the deterministic FAKEIMG/FAKEVID test
+format below, auto-upgrading to Pillow when an import succeeds. Everything around the decode (schemas, batch
 iteration, Arrow transfer, partitioning, output shapes) is real and
 tested, and the codec itself is a SEAM, not a constant: every decode
 operator accepts a ``decoder``/``demuxer`` callable (any plain
@@ -108,15 +111,27 @@ def make_fake_video(n_frames: int, frame_len: int, seed: int = 0) -> bytes:
 def decode_image(content: bytes):
     """Default image decoder → (width, height, channels, pixel bytes).
 
-    The deterministic FAKEIMG container always decodes; anything else
-    is handed to Pillow WHEN the import succeeds (it does not in this
-    container), else raises ``NotImplementedError``. Operators take
-    this as their default ``decoder=`` argument — a deployment passes
-    its own callable instead of editing this module.
+    The deterministic FAKEIMG container always decodes; 8-bit
+    non-interlaced PNG decodes through the pure-stdlib codec in
+    :mod:`..functions.png_codec` (zlib is always available — no PIL
+    needed); anything else is handed to Pillow WHEN the import
+    succeeds (it does not in this container), else raises
+    ``NotImplementedError``. Operators take this as their default
+    ``decoder=`` argument — a deployment passes its own callable
+    instead of editing this module.
     """
     if content[:7] == b"FAKEIMG":
         w, h, c = struct.unpack(">IIB", content[7:16])
         return w, h, c, content[16 : 16 + w * h * c]
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..functions.png_codec import decode_png
+
+        try:
+            return decode_png(content)
+        except ValueError:
+            # out-of-subset PNG (16-bit, interlaced, exotic color
+            # type): fall through to Pillow / the seam error
+            pass
     try:
         import io
 

@@ -1938,6 +1938,45 @@ def q_image_stats(spark, sf_dir):
     return multimodal.image_stats(_fake_image_assets(spark, sf_dir))
 
 
+def _png_assets(spark, sf_dir):
+    """REAL 8x8 grayscale PNG containers (signature, IHDR, zlib IDAT,
+    CRCs — any image tool opens them) whose pixels are the first 64
+    UTF-8 bytes of each document's text. Encoding is an Arrow-batched
+    mapInPandas over the pure-stdlib encoder — the binary column is
+    built and consumed executor-side, never collected."""
+    import pandas as pd
+
+    from mapreduce_assignments_spark.functions.png_codec import encode_png
+
+    src = (
+        _docs(spark, sf_dir)
+        .where(F.col("n_chars") >= 64)
+        .select("doc_id", F.expr("substring(encode(text, 'UTF-8'), 1, 64)").alias("px"))
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "content": [encode_png(8, 8, 1, bytes(p)) for p in pdf["px"]],
+                }
+            )
+
+    return src.mapInPandas(encode, "asset_id long, content binary")
+
+
+def q_png_decode_stats(spark, sf_dir):
+    """REAL-container round trip with zero third-party codecs: encode
+    each document's first 64 bytes as an actual PNG (zlib IDAT, CRCs),
+    then decode it back through image_stats' DEFAULT decoder seam —
+    exercising functions/png_codec.py end-to-end inside the Arrow
+    pipeline. The oracle recomputes the pixel statistics straight from
+    the document text, so any codec bug (filtering, IDAT assembly,
+    chunk CRCs, scanline layout) breaks the hash match."""
+    return multimodal.image_stats(_png_assets(spark, sf_dir))
+
+
 def q_media_sniff(spark, sf_dir):
     out = multimodal.sniff_media(_fake_image_assets(spark, sf_dir))
     return out.select("asset_id", "format", "n_bytes")
@@ -4670,9 +4709,13 @@ WITH toks AS (
          list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS t
   FROM documents
 ), qterms AS (
+  -- adaptive stride mirrors mrr_eval's max_queries=200 cap:
+  -- greatest(100, n // 200); identity at every oracle-gated scale
   SELECT DISTINCT query_id, term FROM (
     SELECT doc_id AS query_id, unnest(t[1:4]) AS term
-    FROM toks WHERE doc_id % 100 = 0
+    FROM toks
+    WHERE doc_id % (SELECT GREATEST(100, CAST(count(*) // 200 AS BIGINT))
+                    FROM documents) = 0
   )
 ), tfs AS (
   SELECT docid, term, count(*) AS tf FROM (
@@ -8062,6 +8105,12 @@ SELECT doc_id AS asset_id, 8 AS width, 8 AS height, 1 AS channels,
 FROM documents WHERE n_chars >= 64
 """
 
+# png_decode_stats round-trips the SAME pixels through a real PNG
+# container (encode_png -> decode_png inside Spark), so the oracle is
+# the identical text-derived recomputation: any codec defect breaks
+# the value hash.
+ORACLE["png_decode_stats"] = ORACLE["image_stats"]
+
 # audio_stats: the staged WAVs are REAL canonical PCM containers
 # (multimodal.make_wav); the oracle re-derives every field from the
 # hex bytes exactly as the operator does — RIFF/WAVE/fmt/data magics
@@ -8648,6 +8697,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "yoy_growth": q_yoy_growth,
     "rolling_weekly_revenue": q_rolling_weekly_revenue,
     "interpolate_gaps": q_interpolate_gaps,
+    # -- round-9 addition: real-PNG codec round trip (pure-stdlib
+    # zlib decoder closes the round-8 codec-stub gap for PNG) --
+    "png_decode_stats": q_png_decode_stats,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -142,3 +142,27 @@ def test_check_only_mode_requires_same_query_set(tmp_path):
     ])
     regs = bench.check_trend(trend)
     assert len(regs) == 1 and regs[0].startswith("q1:")
+
+
+def test_scored_rounds_sorts_rounds_numerically(tmp_path):
+    """ADVICE r8: lexicographic CORRECTNESS_r*.json ordering would
+    attribute first-scored to r10 before r9 (and r100 before r2);
+    attribution must follow the parsed round number, and last_scored
+    must track the NEWEST round."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation_audit", REPO / "tools" / "rotation_audit.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    (tmp_path / "CORRECTNESS_r10.json").write_text(_json.dumps({"q": {}}))
+    (tmp_path / "CORRECTNESS_r9.json").write_text(_json.dumps({"q": {}, "p": {}}))
+    (tmp_path / "CORRECTNESS_r100.json").write_text(_json.dumps({"q": {}}))
+    first, last, latest = mod.scored_rounds(tmp_path)
+    assert first == {"q": 9, "p": 9}
+    assert last == {"q": 100, "p": 9}
+    assert latest == 100
+    assert mod.first_scored_rounds(tmp_path) == first

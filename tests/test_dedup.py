@@ -652,3 +652,57 @@ def test_record_linkage_class_verify_bill_flat_under_replication(spark):
     # the verify bill is class pairs — flat up to the n trivial (x, x)
     # distance-0 classes that never reach the Levenshtein DP at all
     assert r["classes"] == b["classes"] + n
+
+
+def test_capped_class_expansion_prune_is_output_identical(spark):
+    """The sf10 fix: with max_pairs_per_record the class path prunes
+    the expansion join to per-class bottom-k ids BEFORE the ranking
+    window. Must be EXACTLY the same output as ranking the full
+    uncapped pair set — verified here against a reference cap computed
+    in plain Python over the uncapped output, on a replicated
+    (low-entropy) input where the prune actually bites."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.operators.dedup import record_linkage_pairs
+    from mapreduce_assignments_spark.sources.tables import load_table
+
+    cust = (
+        load_table(spark, "/root/testdata/sf0.001", "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .where(F.col("c_custkey") <= 60)
+    )
+    reps = cust
+    for i in range(1, 8):  # 8 replicas: every class has 7 same-name partners
+        reps = reps.unionByName(
+            cust.select(
+                (F.col("c_custkey") + i * 10_000).alias("c_custkey"),
+                "c_name", "c_nationkey",
+            )
+        )
+    k = 3
+    uncapped = record_linkage_pairs(
+        reps, "c_custkey", "c_name", ["c_nationkey"],
+        max_distance=2, dedupe_values=True,
+    ).collect()
+    # reference cap: rank every pair from both endpoints by
+    # (distance, partner id); keep pairs either endpoint ranks <= k
+    from collections import defaultdict
+
+    cands = defaultdict(list)
+    for r in uncapped:
+        cands[r["id_a"]].append((r["distance"], r["id_b"]))
+        cands[r["id_b"]].append((r["distance"], r["id_a"]))
+    keep = set()
+    for rid, lst in cands.items():
+        for d, oid in sorted(lst)[:k]:
+            keep.add((min(rid, oid), max(rid, oid)))
+    capped = record_linkage_pairs(
+        reps, "c_custkey", "c_name", ["c_nationkey"],
+        max_distance=2, dedupe_values=True, max_pairs_per_record=k,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert got == keep
+    # row payload sanity: distances on surviving pairs match uncapped
+    dist = {(r["id_a"], r["id_b"]): r["distance"] for r in uncapped}
+    for r in capped:
+        assert dist[(r["id_a"], r["id_b"])] == r["distance"]

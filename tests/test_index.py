@@ -274,3 +274,26 @@ def test_mrr_eval_known_item(spark):
     assert rows[0]["rel_rank"] == 1 and rows[0]["rr"] == 1.0
     assert rows[100]["rel_rank"] >= 1  # found, possibly behind doc 7
     assert rows[100]["rr"] == round(1.0 / rows[100]["rel_rank"], 6)
+
+
+def test_mrr_eval_adaptive_stride_caps_eval_set(spark):
+    """max_queries bounds the eval set as the corpus grows: with
+    every=1 on 1,000 docs and max_queries=10, the effective stride is
+    greatest(1, floor(1000/10)) = 100, so exactly ids 0,100,...,900
+    become queries; max_queries=None keeps the fixed stride."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.operators.index import mrr_eval
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), F.col("id")).alias("text"),
+    )
+    got = {r["query_id"] for r in
+           mrr_eval(docs, every=1, q_len=1, k=3, max_queries=10).collect()}
+    assert got == {i * 100 for i in range(10)}
+    # the cap is inactive when n/max_queries < every
+    few = docs.where(F.col("doc_id") < 300)
+    got_few = {r["query_id"] for r in
+               mrr_eval(few, every=100, q_len=1, k=3, max_queries=200).collect()}
+    assert got_few == {0, 100, 200}

@@ -352,3 +352,190 @@ def test_image_dimensions_header_only_parse(spark):
     }
     # the parse never touches the payload — truncated asset 4 still reads
     assert got == {1: (16, 9, 3), 2: (640, 480, 1), 4: (7, 5, 1)}
+
+
+# ---------------------------------------------------------------------------
+# PNG: REAL container decode with zero third-party codecs (stdlib zlib)
+
+def _naive_unfilter(filters, lines, prev0, bpp):
+    """Straightforward per-byte PNG unfilter (spec pseudocode) used as
+    the independent reference for the vectorized decoder."""
+    out = []
+    prev = list(prev0)
+    for f, line in zip(filters, lines):
+        cur = [0] * len(line)
+        for x in range(len(line)):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                r = line[x]
+            elif f == 1:
+                r = line[x] + a
+            elif f == 2:
+                r = line[x] + b
+            elif f == 3:
+                r = line[x] + ((a + b) >> 1)
+            else:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r = line[x] + pred
+            cur[x] = r & 0xFF
+        out.append(cur)
+        prev = cur
+    return out
+
+
+def test_png_roundtrip_all_channel_counts():
+    from mapreduce_assignments_spark.functions.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    for channels in (1, 2, 3, 4):
+        w, h = 5, 3
+        px = bytes((11 * i + channels) % 256 for i in range(w * h * channels))
+        png = encode_png(w, h, channels, px)
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert decode_png(png) == (w, h, channels, px)
+
+
+def test_png_all_filters_match_spec_reference():
+    """Hand-build IDAT scanlines using each filter type and check the
+    vectorized unfilter against the per-byte spec pseudocode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mapreduce_assignments_spark.functions.png_codec import decode_png
+
+    rng = np.random.RandomState(7)
+    w, h, bpp = 6, 5, 3  # RGB
+    stride = w * bpp
+    filters = [0, 1, 2, 3, 4]
+    lines = [list(rng.randint(0, 256, stride, dtype=np.uint8)) for _ in range(h)]
+    expected = _naive_unfilter(filters, lines, [0] * stride, bpp)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(bytes([f]) + bytes(line) for f, line in zip(filters, lines))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    assert got[:3] == (w, h, bpp)
+    assert list(got[3]) == [b for row in expected for b in row]
+
+
+def test_png_palette_expands_to_rgb():
+    import struct
+    import zlib
+
+    from mapreduce_assignments_spark.functions.png_codec import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # color type 3
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, c, px = decode_png(png)
+    assert (w, h, c) == (2, 2, 3)
+    assert px == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 0, 0])
+
+
+def test_png_rejects_out_of_subset():
+    import struct
+    import zlib
+
+    import pytest
+
+    from mapreduce_assignments_spark.functions.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"NOTAPNG0" + b"x" * 16)
+    # 16-bit depth
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(png16)
+    # interlaced
+    pngi = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(pngi)
+    with pytest.raises(ValueError, match="channels"):
+        encode_png(1, 1, 5, b"\x00" * 5)
+
+
+def test_image_stats_decodes_real_png_without_pil(spark):
+    """The codec-stub gap closes for PNG: a REAL PNG payload flows
+    end-to-end through image_stats' mapInPandas plumbing with no PIL
+    in the container — same integration shape as the PIL-gated test
+    above, no longer skipped."""
+    from mapreduce_assignments_spark.functions.png_codec import encode_png
+    from mapreduce_assignments_spark.operators.multimodal import (
+        decode_image,
+        image_stats,
+        phash64,
+    )
+
+    png = encode_png(2, 1, 3, bytes([255, 0, 0, 255, 0, 0]))
+    w, h, c, px = decode_image(png)
+    assert (w, h, c) == (2, 1, 3)
+    assert px == bytes([255, 0, 0, 255, 0, 0])
+
+    df = spark.createDataFrame(
+        [(1, png), (2, b"\x89PNG\r\n\x1a\ntruncated-garbage")],
+        "asset_id long, content binary",
+    )
+    rows = image_stats(df).collect()
+    # the malformed PNG is dropped (ValueError -> PIL absent -> seam
+    # NotImplementedError -> quarantine), the real one decodes
+    assert [(r["asset_id"], r["width"], r["height"], r["channels"], r["mean_px"])
+            for r in rows] == [(1, 2, 1, 3, 85.0)]
+    # phash rides the same decoder seam
+    assert isinstance(phash64(png), int)
