@@ -140,7 +140,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "nn_similarity_histogram", "margin_bitext",
     ),
     "text_quality": (
-        "token_counts", "quality_score", "language_id", "doc_fingerprint",
+        "token_counts", "quality_score", "nb_quality_confusion", "language_id", "doc_fingerprint",
         "repetition_stats", "pii_scrub", "chunk_documents",
         "source_stats", "lang_source_matrix", "top_terms_per_source",
         "unigram_logprob", "bigram_logprob", "oov_rate",

@@ -42,6 +42,7 @@ __all__ = [
     "idf_drift",
     "char_entropy",
     "perplexity_buckets",
+    "nb_quality_confusion",
 ]
 
 # A BPE-ish pre-tokenization: letter runs, digit runs, single other
@@ -984,3 +985,117 @@ def perplexity_buckets(
             F.max("avg_logprob").alias("max_logprob"),
         )
     )
+
+
+def nb_quality_confusion(
+    docs: DataFrame,
+    tau: float = 0.52,
+    holdout_mod: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Silver-label quality-classifier evaluation — the GPT-3 /
+    LLaMA-style learned quality filter (public literature: Brown et
+    al. 2020 train an LR filter against a reference corpus; Touvron et
+    al. 2023 a fastText one), realized as the simplest deterministic
+    member of the family: multinomial Naive Bayes with add-1
+    smoothing, trained on the engine's own composite quality heuristic
+    as silver labels. Documents with ``round(quality, 6) >= tau``
+    are the positive class; docs with ``doc_id %% holdout_mod != 0``
+    train, the rest evaluate; output is the confusion matrix
+    ``(label, pred, n_docs)`` — the drop-in regression gate for "did
+    my tokenizer/cleaning change break the quality classifier".
+
+    Everything is closed-form, so the DuckDB oracle replays it
+    exactly: per-class token counts ``c_ty`` over the train split,
+    class totals ``N_y``, train vocab size ``V``, priors from doc
+    counts, per-term log-likelihoods ``ln((c_ty + 1) / (N_y + V))``
+    rounded to 6 dp BEFORE the per-document sum (the same
+    rounded-contribution parity discipline as BM25), and
+    ``pred = 1 iff s1 + prior1 >= s0 + prior0``. Unseen terms fall
+    back to the smoothing floor via the left join's coalesce; eval
+    docs with no tokens score priors-only.
+
+    Scale shape: two partial-aggregated exchanges build the model
+    (per-(label, term) counts, then the per-term class matrix — the
+    second is vocab-sized, and AQE broadcasts it into the scoring
+    join when it fits); scoring is one exchange on (doc, term) and
+    one on doc; every scalar (totals, vocab size, priors) rides a
+    broadcast crossJoin, never a driver collect. The confusion output
+    is at most 4 rows.
+    """
+    if not 0.0 <= tau <= 1.0:
+        raise ValueError("tau must be in [0, 1]")
+    if holdout_mod < 2:
+        raise ValueError("holdout_mod must be >= 2 (need both splits)")
+    toks = tokens_array(text_col)
+    labeled = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.round(quality_expr(text_col), 6) >= F.lit(tau)).cast("int").alias("label"),
+        toks.alias("ts"),
+    )
+    train = labeled.where(F.pmod("doc_id", F.lit(holdout_mod)) != 0)
+    evals = labeled.where(F.pmod("doc_id", F.lit(holdout_mod)) == 0)
+
+    tok_train = train.select("label", F.explode("ts").alias("term"))
+    cls_tok = tok_train.groupBy("label", "term").agg(F.count("*").alias("c"))
+    mat = cls_tok.groupBy("term").agg(
+        F.sum(F.when(F.col("label") == 0, F.col("c")).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("label") == 1, F.col("c")).otherwise(0)).alias("c1"),
+    )
+    tok_scal = mat.agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1"),
+        F.count("*").alias("v"),
+    )
+    doc_scal = train.agg(
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("d0"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("d1"),
+    )
+    scal = F.broadcast(tok_scal.crossJoin(doc_scal))
+
+    eval_tf = (
+        evals.select("doc_id", F.explode("ts").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # the left join carries NULL counts for terms unseen in train —
+    # coalesce to 0 so they hit the add-1 smoothing floor
+    sums = (
+        eval_tf.join(
+            mat.select("term", F.col("c0").alias("_c0"), F.col("c1").alias("_c1")),
+            "term", "left",
+        )
+        .crossJoin(scal)
+        .select(
+            "doc_id",
+            (F.col("tf") * F.round(
+                F.log((F.coalesce(F.col("_c0"), F.lit(0)) + 1)
+                      / (F.col("n0") + F.col("v"))), 6)).alias("p0"),
+            (F.col("tf") * F.round(
+                F.log((F.coalesce(F.col("_c1"), F.lit(0)) + 1)
+                      / (F.col("n1") + F.col("v"))), 6)).alias("p1"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("p0").alias("s0"), F.sum("p1").alias("s1"))
+    )
+    lp0 = F.round(F.log(F.col("d0") / (F.col("d0") + F.col("d1"))), 6)
+    lp1 = F.round(F.log(F.col("d1") / (F.col("d0") + F.col("d1"))), 6)
+    # degenerate single-class training: P(missing class) = 0, so the
+    # present class always wins (ln(0) would NULL the comparison)
+    pred = (
+        F.when(F.col("d1") == 0, F.lit(0))
+        .when(F.col("d0") == 0, F.lit(1))
+        .otherwise(
+            (
+                F.coalesce(F.col("s1"), F.lit(0.0)) + lp1
+                >= F.coalesce(F.col("s0"), F.lit(0.0)) + lp0
+            ).cast("int")
+        )
+    )
+    scored = (
+        evals.select("doc_id", "label")
+        .join(sums, "doc_id", "left")
+        .crossJoin(scal)
+        .select("label", pred.alias("pred"))
+    )
+    return scored.groupBy("label", "pred").agg(F.count("*").alias("n_docs"))

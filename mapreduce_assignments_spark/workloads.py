@@ -1966,6 +1966,12 @@ def _png_assets(spark, sf_dir):
     return src.mapInPandas(encode, "asset_id long, content binary")
 
 
+def q_nb_quality_confusion(spark, sf_dir):
+    """Confusion matrix of the silver-label NB quality classifier —
+    the learned-quality-filter regression gate."""
+    return text_quality.nb_quality_confusion(_docs(spark, sf_dir))
+
+
 def q_png_decode_stats(spark, sf_dir):
     """REAL-container round trip with zero third-party codecs: encode
     each document's first 64 bytes as an actual PNG (zlib IDAT, CRCs),
@@ -8111,6 +8117,65 @@ FROM documents WHERE n_chars >= 64
 # the value hash.
 ORACLE["png_decode_stats"] = ORACLE["image_stats"]
 
+# nb_quality_confusion: the whole classifier is closed-form, so the
+# oracle replays it end-to-end — silver labels from the shared quality
+# formula, add-1 smoothed per-class token likelihoods over the train
+# split, 6-dp rounded per-term contributions (BM25 parity discipline),
+# priors from doc counts, argmax with >=-ties-to-1.
+ORACLE["nb_quality_confusion"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+m AS (
+  SELECT doc_id, ts, len(ts) AS n,
+         CASE WHEN len(ts) > 0
+              THEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) ELSE 0.0 END AS dr,
+         CASE WHEN len(ts) > 0
+              THEN CAST(len(list_filter(ts, w -> w IN ({_STOP_IN}))) AS DOUBLE) / len(ts)
+              ELSE 0.0 END AS sr
+  FROM t),
+labeled AS (
+  SELECT doc_id, ts,
+         CAST(round(0.4 * least(1.0, CAST(n AS DOUBLE) / 64.0)
+               + 0.3 * dr
+               + 0.3 * (1.0 - least(1.0, abs(sr - 0.4) * 2.5)), 6) >= 0.52
+              AS INTEGER) AS label
+  FROM m),
+train AS (SELECT * FROM labeled WHERE doc_id % 5 <> 0),
+evals AS (SELECT * FROM labeled WHERE doc_id % 5 = 0),
+cls_tok AS (
+  SELECT label, term, count(*) AS c
+  FROM (SELECT label, unnest(ts) AS term FROM train) GROUP BY 1, 2),
+mat AS (
+  SELECT term,
+         CAST(sum(CASE WHEN label = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN label = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+  FROM cls_tok GROUP BY term),
+scal AS (
+  SELECT (SELECT CAST(coalesce(sum(c0), 0) AS BIGINT) FROM mat) AS n0,
+         (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) FROM mat) AS n1,
+         (SELECT count(*) FROM mat) AS v,
+         (SELECT count(*) FROM train WHERE label = 0) AS d0,
+         (SELECT count(*) FROM train WHERE label = 1) AS d1),
+eval_tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM evals) GROUP BY 1, 2),
+sums AS (
+  SELECT e.doc_id,
+         sum(e.tf * round(ln((coalesce(mat.c0, 0) + 1.0) / (s.n0 + s.v)), 6)) AS s0,
+         sum(e.tf * round(ln((coalesce(mat.c1, 0) + 1.0) / (s.n1 + s.v)), 6)) AS s1
+  FROM eval_tf e LEFT JOIN mat USING (term), scal s
+  GROUP BY e.doc_id),
+scored AS (
+  SELECT ev.label,
+         CASE WHEN s.d1 = 0 THEN 0
+              WHEN s.d0 = 0 THEN 1
+              ELSE CAST(coalesce(su.s1, 0.0) + round(ln(CAST(s.d1 AS DOUBLE) / (s.d0 + s.d1)), 6)
+                        >= coalesce(su.s0, 0.0) + round(ln(CAST(s.d0 AS DOUBLE) / (s.d0 + s.d1)), 6)
+                        AS INTEGER) END AS pred
+  FROM evals ev LEFT JOIN sums su USING (doc_id), scal s)
+SELECT label, pred, count(*) AS n_docs FROM scored GROUP BY 1, 2
+"""
+
+
 # audio_stats: the staged WAVs are REAL canonical PCM containers
 # (multimodal.make_wav); the oracle re-derives every field from the
 # hex bytes exactly as the operator does — RIFF/WAVE/fmt/data magics
@@ -8700,6 +8765,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-9 addition: real-PNG codec round trip (pure-stdlib
     # zlib decoder closes the round-8 codec-stub gap for PNG) --
     "png_decode_stats": q_png_decode_stats,
+    # -- round-9 addition: silver-label NB quality classifier eval --
+    "nb_quality_confusion": q_nb_quality_confusion,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

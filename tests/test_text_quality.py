@@ -465,3 +465,84 @@ def test_perplexity_buckets_partitions_by_lang(spark):
     # bucket 1 = most fluent: its minimum beats bucket 2's maximum
     assert by_key[("en", 1)]["min_logprob"] >= by_key[("en", 2)]["max_logprob"]
     assert by_key[("en", 1)]["avg_logprob"] > by_key[("en", 2)]["avg_logprob"]
+
+
+def test_nb_quality_confusion_hand_checked(spark):
+    """Tiny corpus where the NB decision is computable by hand: the
+    positive class's vocabulary is disjoint from the negative's, so
+    every eval doc classifies to the class whose words it shares;
+    confusion counts follow exactly."""
+    import math
+
+    from mapreduce_assignments_spark.operators.text_quality import (
+        nb_quality_confusion,
+        quality_expr,
+    )
+    import pyspark.sql.functions as F
+
+    # positive-class text: >= 64 tokens, ~50% stopwords, high lexical
+    # diversity -> quality ~0.80 (>= tau); negative: 4 repeated rare
+    # tokens -> quality well below tau. Disjoint content vocabularies.
+    from mapreduce_assignments_spark.operators.text_quality import STOPWORDS
+
+    hi = " ".join(f"{STOPWORDS[i % 8]} u{i}" for i in range(40))
+    lo = "bad terrible awful junk"
+    rows = [
+        # doc_id % 5 != 0 -> train; % 5 == 0 -> eval
+        (1, hi), (2, hi),       # train, positive
+        (3, lo), (4, lo),       # train, negative
+        (0, hi),                # eval, positive vocabulary only
+        (5, lo),                # eval, negative vocabulary only
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    # silver labels with the default tau split long/high-diversity vs
+    # short docs; verify the premise before asserting the confusion
+    labels = {
+        r["doc_id"]: r["l"]
+        for r in docs.select(
+            "doc_id",
+            (F.round(quality_expr("text"), 6) >= 0.52).cast("int").alias("l"),
+        ).collect()
+    }
+    assert labels[1] == 1 and labels[3] == 0  # premise: both classes in train
+    out = {
+        (r["label"], r["pred"]): r["n_docs"]
+        for r in nb_quality_confusion(docs).collect()
+    }
+    # eval doc 0 shares only positive-class vocabulary, doc 5 only
+    # negative-class vocabulary -> both classify correctly
+    assert out == {(labels[0], labels[0]): 1, (labels[5], labels[5]): 1}
+
+    with __import__("pytest").raises(ValueError):
+        nb_quality_confusion(docs, tau=1.5)
+    with __import__("pytest").raises(ValueError):
+        nb_quality_confusion(docs, holdout_mod=1)
+
+
+def test_nb_quality_confusion_empty_and_priors_only(spark):
+    """Empty corpus -> empty confusion; an eval doc with no tokens
+    scores priors-only and predicts the train majority class."""
+    from mapreduce_assignments_spark.operators.text_quality import (
+        nb_quality_confusion,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert nb_quality_confusion(empty).collect() == []
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the and of is the and of is " * 10),  # train, high quality
+            (2, "the and of is the and of is " * 10),
+            (3, "x"),                                   # train, low quality
+            (0, ""),                                    # eval: zero tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["label"], r["pred"]): r["n_docs"]
+           for r in nb_quality_confusion(docs).collect()}
+    # the all-stopword train docs score 0.415 < tau, so training is
+    # single-class negative -> degenerate prior forces pred 0; the
+    # empty eval doc's own label is 0 as well
+    assert out == {(0, 0): 1}
