@@ -117,6 +117,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "triangle_count", "graph_components", "kcore",
         "hits", "bfs_hops", "clustering_coefficient", "link_prediction",
         "degree_assortativity", "pagerank_convergence", "harmonic_centrality",
+        "lpa_communities",
         "component_size_histogram",
     ),
     "dedup": (

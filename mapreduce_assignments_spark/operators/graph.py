@@ -61,6 +61,7 @@ __all__ = [
     "link_prediction",
     "degree_assortativity",
     "harmonic_centrality",
+    "lpa_communities",
 ]
 
 # Below this node count, AQE is temporarily disabled for the iteration
@@ -774,6 +775,54 @@ def kcore(nodes: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
         .agg(F.count("*").alias("core_degree"))
         .where(F.col("core_degree") >= k)
     )
+
+
+def lpa_communities(nodes: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, the
+    near-linear community-detection baseline; public literature) made
+    fully deterministic: labels start as node ids, and each round
+    every node adopts the SMALLEST label among the most frequent
+    labels of its neighbors — the min-tiebreak replaces the paper's
+    random choice, so the fixed ``rounds``-step result is
+    engine-reproducible (the same determinism substitution the
+    deterministic sampling family uses). Returns the community
+    rollup ``(label, n_nodes)`` over nodes with at least one edge.
+
+    Scale shape per round: one (node, label) count aggregation over
+    the symmetrized edge join and one per-node window max + min —
+    all key-partitioned on node id, no global structure; labels are
+    localCheckpoint-ed per round (the pagerank lineage discipline).
+    Synchronous LPA on a fixed round budget is the standard
+    cluster-scale formulation — asynchronous update order is
+    inherently sequential and nondeterministic.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    from pyspark.sql.window import Window
+
+    edges = _undirected_edges(nodes).localCheckpoint(eager=True)
+    sym = edges.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    labels = sym.select(F.col("v").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    w = Window.partitionBy("v")
+    for _ in range(rounds):
+        counted = (
+            sym.join(labels.withColumnRenamed("id", "u"), "u")
+            .groupBy("v", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counted.withColumn("mx", F.max("c").over(w))
+            .where(F.col("c") == F.col("mx"))
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("v").alias("id"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy("label").agg(F.count("*").alias("n_nodes"))
 
 
 def degree_assortativity(nodes: DataFrame) -> DataFrame:

@@ -1966,6 +1966,12 @@ def _png_assets(spark, sf_dir):
     return src.mapInPandas(encode, "asset_id long, content binary")
 
 
+def q_lpa_communities(spark, sf_dir):
+    """Deterministic min-tiebreak LPA over the variable-degree
+    customer graph — community rollup after 4 synchronous rounds."""
+    return graph.lpa_communities(_kcore_graph(spark, sf_dir), rounds=4)
+
+
 def q_nb_quality_confusion(spark, sf_dir):
     """Confusion matrix of the silver-label NB quality classifier —
     the learned-quality-filter regression gate."""
@@ -7647,6 +7653,57 @@ GROUP BY id HAVING count(*) >= {k}"""
 
 ORACLE["kcore"] = _kcore_oracle_sql(6, 16)
 
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous LPA oracle over the id %-12 customer
+    graph: per round, count neighbor labels, keep the max-count ties,
+    take the min label. Each round's label table is referenced by the
+    next round's join — AS MATERIALIZED per the unrolled-iteration
+    rule (kcore lesson)."""
+    parts = [
+        """vnodes AS (
+  SELECT CAST(unnest(ms) AS INTEGER) AS id, ms
+  FROM (SELECT list_sort(list(c_custkey)) AS ms FROM customer GROUP BY c_nationkey)
+),
+vg AS (
+  SELECT id,
+         list_transform(list_filter(ms, m -> m != id)[1:CAST(id % 12 AS BIGINT)],
+                        m -> CAST(m AS INTEGER)) AS adj
+  FROM vnodes
+),
+vedges AS (SELECT id AS src, unnest(adj) AS dst FROM vg),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM vedges WHERE dst IS NOT NULL AND src != dst
+),
+sym AS MATERIALIZED (
+  SELECT a AS v, b AS u FROM e0 UNION ALL SELECT b AS v, a AS u FROM e0
+),
+l0 AS MATERIALIZED (SELECT DISTINCT v AS id, v AS label FROM sym)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT s.v, l.label, count(*) AS c
+  FROM sym s JOIN l{i - 1} l ON s.u = l.id GROUP BY 1, 2
+),
+l{i} AS MATERIALIZED (
+  SELECT v AS id, min(label) AS label FROM (
+    SELECT v, label, c, max(c) OVER (PARTITION BY v) AS mx FROM c{i})
+  WHERE c = mx GROUP BY v
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(label AS INTEGER) AS label, count(*) AS n_nodes FROM l{rounds} GROUP BY 1"""
+    )
+
+
+ORACLE["lpa_communities"] = _lpa_oracle_sql(4)
+
+
 ORACLE["degree_histogram"] = f"""
 WITH {_UNDIRECTED_CTES}
 SELECT d AS degree, count(*) AS n_nodes FROM udeg GROUP BY d
@@ -8767,6 +8824,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "png_decode_stats": q_png_decode_stats,
     # -- round-9 addition: silver-label NB quality classifier eval --
     "nb_quality_confusion": q_nb_quality_confusion,
+    "lpa_communities": q_lpa_communities,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

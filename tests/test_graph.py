@@ -496,3 +496,29 @@ def test_harmonic_centrality_path_graph(spark):
     assert rows[4]["harmonic"] == pytest.approx(1 / 3 + 1 / 2, abs=1e-6)
     # rank: 3 (1.5) first; ties at 1.0 break id-asc (1 before 2)
     assert [rows[i]["rank"] for i in (3, 1, 2)] == [1, 2, 3]
+
+
+def test_lpa_communities_two_triangles_with_bridge(spark):
+    """Hand-computed synchronous min-tiebreak LPA on two triangles
+    joined by one bridge edge (3-4): after 4 rounds the triangles
+    stabilize as communities labeled by each side's min id reachable
+    through the propagation dynamics (worked by hand: label 1 covers
+    {1,2,3}, label 3 covers {4,5,6})."""
+    from mapreduce_assignments_spark.operators.graph import lpa_communities
+
+    nodes = spark.createDataFrame(
+        [
+            (1, [2, 3]), (2, [3]), (3, [4]),
+            (4, [5, 6]), (5, [6]), (6, []),
+        ],
+        "id int, adj array<int>",
+    )
+    out = {r["label"]: r["n_nodes"] for r in lpa_communities(nodes, rounds=4).collect()}
+    assert out == {1: 3, 3: 3}
+    # determinism: repeated runs agree exactly
+    out2 = {r["label"]: r["n_nodes"] for r in lpa_communities(nodes, rounds=4).collect()}
+    assert out2 == out
+    import pytest
+
+    with pytest.raises(ValueError):
+        lpa_communities(nodes, rounds=0)
