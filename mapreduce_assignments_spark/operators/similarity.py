@@ -1084,6 +1084,14 @@ def knn_label_accuracy(
     )
 
 
+# Fixed-point grid for order-independent covariance sums: every
+# summand becomes floor(x · 2^20), an exact LONG, so partial-aggregate
+# order (Spark task scheduling vs DuckDB's scan order) cannot change
+# the total by even an ulp. 2^-20 ≈ 1e-6 keeps the quantization error
+# per term below the report's own 6-dp rounding grain.
+_COV_SCALE = 1 << 20
+
+
 def embedding_covariance(embeddings: DataFrame) -> DataFrame:
     """Full covariance matrix of the embedding distribution —
     ``(i, j, cov)`` for all d² component pairs, ``cov = E[x_i·x_j] −
@@ -1091,16 +1099,27 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
     embedding-health diagnostic (collapsed dimensions show up as
     near-zero rows).
 
-    Scale: the per-row flattened outer product (d² narrow doubles)
+    Determinism (round-9 driver flake): the naive double sums are
+    scheduling-ordered, so a cell whose true value sits within an ulp
+    of a 1e-6 rounding boundary can legitimately hash-differ between
+    engines/runs. Each summand is therefore quantized to the fixed
+    2⁻²⁰ grid (``floor(x·2²⁰)`` as LONG) BEFORE aggregation — integer
+    sums are exact and order-independent, so the output is
+    hash-stable by construction under any task schedule. The DuckDB
+    oracle applies the identical per-row quantization.
+
+    Scale: the per-row flattened outer product (d² narrow longs)
     feeds ONE partial-aggregated exchange keyed on the flat position —
     map-side combine reduces every partition to d² partial sums, so
     the shuffle is d² × partitions regardless of corpus size; means
     ride the same pass as a second aggregate on the same key. No
     vec×vec self-join, no per-row state. d is model-bounded (64 here),
-    so the result is dashboard-sized.
+    so the result is dashboard-sized. LONG sums overflow only past
+    2⁶³/2²⁰ ≈ 8.8e12 rows — beyond any single covariance job.
     """
     emb = _as_double(embeddings)
     d = len(emb.select("embedding").first()["embedding"])
+    scale = float(_COV_SCALE)
     flat = emb.select(
         F.posexplode(
             F.flatten(
@@ -1113,21 +1132,24 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
         F.col("embedding"),
     ).select(
         "pos",
-        "xy",
-        F.col("embedding")[(F.col("pos") / d).cast("int")].alias("xi"),
+        F.floor(F.col("xy") * scale).alias("qxy"),
+        F.floor(
+            F.col("embedding")[(F.col("pos") / d).cast("int")] * scale
+        ).alias("qxi"),
     )
     return (
         flat.groupBy("pos")
         .agg(
             F.count("*").alias("n"),
-            F.sum("xy").alias("sxy"),
-            F.sum("xi").alias("sxi"),
+            F.sum("qxy").alias("sxy"),
+            F.sum("qxi").alias("sxi"),
         )
         .join(
             F.broadcast(
                 emb.select(F.posexplode("embedding").alias("j", "xj"))
+                .select("j", F.floor(F.col("xj") * scale).alias("qxj"))
                 .groupBy("j")
-                .agg(F.sum("xj").alias("sxj"))
+                .agg(F.sum("qxj").alias("sxj"))
             ),
             F.col("j") == F.col("pos") % d,
         )
@@ -1135,8 +1157,9 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
             (F.col("pos") / d).cast("int").alias("i"),
             F.col("j").cast("int").alias("j"),
             F.round(
-                F.col("sxy") / F.col("n")
-                - (F.col("sxi") / F.col("n")) * (F.col("sxj") / F.col("n")),
+                F.col("sxy").cast("double") / scale / F.col("n")
+                - (F.col("sxi").cast("double") / scale / F.col("n"))
+                * (F.col("sxj").cast("double") / scale / F.col("n")),
                 6,
             ).alias("cov"),
         )

@@ -6323,17 +6323,24 @@ fl AS (
   SELECT v, flatten(list_transform(v, x -> list_transform(v, y -> x * y))) AS f
   FROM e
 ), flat AS (
-  SELECT (p.k - 1) // 64 AS i, (p.k - 1) % 64 AS j, p.xy,
-         v[((p.k - 1) // 64) + 1] AS xi
+  -- summands quantized to the 2^-20 grid as exact BIGINTs, mirroring
+  -- the Spark operator: integer sums are order-independent, so the
+  -- hash cannot flip on a 1e-6 rounding boundary (round-9 flake)
+  SELECT (p.k - 1) // 64 AS i, (p.k - 1) % 64 AS j,
+         CAST(floor(p.xy * 1048576.0) AS BIGINT) AS qxy,
+         CAST(floor(v[((p.k - 1) // 64) + 1] * 1048576.0) AS BIGINT) AS qxi
   FROM (
     SELECT v, unnest(list_transform(range(1, len(f) + 1),
                      k -> {'k': k, 'xy': f[k]})) AS p
     FROM fl)
 ), agg AS (
-  SELECT i, j, count(*) AS n, sum(xy) AS sxy, sum(xi) AS sxi
+  SELECT i, j, count(*) AS n,
+         CAST(sum(qxy) AS BIGINT) AS sxy,
+         CAST(sum(qxi) AS BIGINT) AS sxi
   FROM flat GROUP BY i, j
 ), m AS (
-  SELECT (u.k - 1) AS j, sum(u.xj) AS sxj
+  SELECT (u.k - 1) AS j,
+         CAST(sum(CAST(floor(u.xj * 1048576.0) AS BIGINT)) AS BIGINT) AS sxj
   FROM (
     SELECT unnest(list_transform(range(1, len(v) + 1),
                   k -> {'k': k, 'xj': v[k]})) AS u
@@ -6341,7 +6348,9 @@ fl AS (
   GROUP BY 1
 )
 SELECT CAST(a.i AS INTEGER) AS i, CAST(a.j AS INTEGER) AS j,
-       round(a.sxy / a.n - (a.sxi / a.n) * (m.sxj / a.n), 6) AS cov
+       round(CAST(a.sxy AS DOUBLE) / 1048576.0 / a.n
+             - (CAST(a.sxi AS DOUBLE) / 1048576.0 / a.n)
+             * (CAST(m.sxj AS DOUBLE) / 1048576.0 / a.n), 6) AS cov
 FROM agg a JOIN m ON a.j = m.j
 """
 

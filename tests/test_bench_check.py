@@ -117,13 +117,30 @@ def test_rotation_backlog_monotonically_decreasing():
 
 
 def test_rotation_audit_records_live_backlog():
+    """The audit doc must match the backlog AS OF the driver round it
+    recorded (r8/r9 lesson: the driver writes CORRECTNESS_r{N}.json
+    AFTER the builder's last commit, so comparing against the newest
+    file made this lint fire every round for an expected, benign race).
+    A CORRECTNESS file newer than the audit is fine; a doc that
+    disagrees about the rounds it DID see is the real staleness."""
+    import re
+
     from mapreduce_assignments_spark.workloads import ALL_QUERIES
 
-    live = _never_scored_by_round()[-1][1]
     doc = (REPO / "docs" / "ROTATION_AUDIT.md").read_text()
-    assert f"never-scored: {live} of {len(ALL_QUERIES)}" in doc, (
-        "docs/ROTATION_AUDIT.md backlog line is stale — rerun "
-        "tools/rotation_audit.py"
+    m = re.search(r"latest driver round r(\d+)", doc)
+    assert m, "ROTATION_AUDIT.md lacks its 'latest driver round rN' stamp"
+    audit_round = int(m.group(1))
+    by_round = dict(_never_scored_by_round())
+    assert audit_round in by_round, (
+        f"audit claims driver round r{audit_round} but no such "
+        "CORRECTNESS file exists — rerun tools/rotation_audit.py"
+    )
+    as_of = by_round[audit_round]
+    assert f"never-scored: {as_of} of {len(ALL_QUERIES)}" in doc, (
+        f"docs/ROTATION_AUDIT.md backlog line disagrees with the "
+        f"CORRECTNESS files through its own recorded round r{audit_round} "
+        "— rerun tools/rotation_audit.py"
     )
 
 

@@ -562,6 +562,33 @@ def test_embedding_covariance_hand_checked(spark):
     assert rows == {(0, 0): 1.0, (0, 1): 1.0, (1, 0): 1.0, (1, 1): 1.0}
 
 
+def test_embedding_covariance_quantized_matches_exact_float(spark):
+    """Round-10 determinism pin (r9 driver flake): the fixed-point
+    2^-20 summand quantization must not MOVE the answer — every cell
+    of the quantized covariance stays within ~1e-6 of the exact
+    float covariance numpy computes from the same vectors at the
+    driver's own sf0.01."""
+    import numpy as np
+
+    from mapreduce_assignments_spark.operators.similarity import (
+        embedding_covariance,
+    )
+    from mapreduce_assignments_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    x = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    exact = (x.T @ x) / len(x) - np.outer(x.mean(axis=0), x.mean(axis=0))
+    got = embedding_covariance(emb).collect()
+    assert len(got) == x.shape[1] ** 2
+    worst = max(abs(r["cov"] - exact[r["i"], r["j"]]) for r in got)
+    # quantization (<=2^-20 per term, one-sided floor) + 6-dp output
+    # rounding: bounded by ~1.5 grid steps of 1e-6 each
+    assert worst <= 2.5e-6, f"quantized covariance drifted: {worst}"
+
+
 def test_quantization_error_perfect_on_two_point_grid(spark):
     """With exactly two distinct values per dimension the int8 grid
     hits both endpoints exactly -> cosine fidelity 1.0."""
