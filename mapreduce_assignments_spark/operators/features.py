@@ -457,22 +457,42 @@ def normalize_values(
     ``value_col`` within each ``group_col`` — the standard scaler pair,
     computed exactly.
 
-    Scale: one partial-aggregated stats pass (4 aggregates per group —
+    Scale: one partial-aggregated stats pass (5 aggregates per group —
     group-count rows total), joined back to the rows; AQE broadcasts
     the stats side. No window over raw rows, so a hot group costs a
     join probe, not a sort. Groups with zero variance emit NULL
     z-scores and 0.5 min-max (the degenerate-range convention);
     single-row groups follow the same rule.
+
+    Determinism (round-10 float-round lint): ``avg``/``stddev_samp``
+    over doubles are scheduling-order-dependent, and every OUTPUT ROW
+    rounds a value derived from them — per-event cardinality makes
+    that the largest boundary-flake surface in the registry. The
+    sufficient statistics therefore run in exact DECIMAL(18,6)
+    (Σv and Σv², order-independent by construction — the
+    :func:`target_encoding` discipline), and μ/σ are derived from
+    them with the identical IEEE expression the DuckDB oracle uses:
+    ``sd = sqrt(greatest(0, (s2 − s·s/n)/(n−1)))``.
     """
+    dec = F.col(value_col).cast("decimal(18,6)")
     stats = df.groupBy(group_col).agg(
-        F.avg(value_col).alias("_mu"),
-        F.stddev_samp(F.col(value_col).cast("double")).alias("_sd"),
+        F.count("*").alias("_n"),
+        F.sum(dec).alias("_s"),
+        F.sum(dec * dec).alias("_s2"),
         F.min(value_col).alias("_lo"),
         F.max(value_col).alias("_hi"),
     )
+    n = F.col("_n")
+    s = F.col("_s").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mu = s / n
+    sd = F.when(
+        n > 1,
+        F.sqrt(F.greatest(F.lit(0.0), (s2 - s * s / n) / (n - F.lit(1)))),
+    )
     z = F.when(
-        F.col("_sd").isNotNull() & (F.col("_sd") > 0),
-        F.round((F.col(value_col) - F.col("_mu")) / F.col("_sd"), 6),
+        sd.isNotNull() & (sd > 0),
+        F.round((F.col(value_col) - mu) / sd, 6),
     )
     rng = F.col("_hi") - F.col("_lo")
     mm = F.when(rng > 0, F.round((F.col(value_col) - F.col("_lo")) / rng, 6)).otherwise(

@@ -766,17 +766,30 @@ def label_centroids(embeddings: DataFrame, group_col: str = "label") -> DataFram
 
     Scale: posexplode multiplies rows by the dimensionality, but the
     per-(group, dim) average partially aggregates map-side, so the
-    exchange carries |groups| x dim rows — dashboard-sized. Values
-    cast to double BEFORE summation (float accumulation order would
-    otherwise differ across engines and partitionings).
+    exchange carries |groups| x dim rows — dashboard-sized.
+
+    Determinism: |groups|·dim rounded float means is the
+    embedding_covariance flake class (a cell within an ulp of a 1e-6
+    boundary can round differently under a different partial-sum
+    order), so each summand is quantized to the fixed 2⁻²⁰ grid
+    (``floor(x·2²⁰)`` as LONG) before aggregation — integer sums are
+    order-independent, and the oracle mirrors the formula per-row.
     """
     e = embeddings.select(
         group_col,
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
     )
+    scale = float(_COV_SCALE)
     return e.groupBy(
         group_col, (F.col("pos") + 1).cast("int").alias("dim")
-    ).agg(F.round(F.avg("x"), 6).alias("centroid"))
+    ).agg(
+        F.round(
+            F.sum(F.floor(F.col("x") * scale)).cast("double")
+            / scale
+            / F.count("*"),
+            6,
+        ).alias("centroid")
+    )
 
 
 def centroid_confusion(

@@ -4896,7 +4896,11 @@ WITH e AS (
   FROM embeddings
 )
 SELECT label, CAST(dim AS INTEGER) AS dim,
-       round(avg(CAST(x AS DOUBLE)), 6) AS centroid
+       -- summands on the fixed 2^-20 grid as exact BIGINTs (mirrors
+       -- the Spark operator): order-independent integer sums, so the
+       -- hash cannot flip on a 1e-6 rounding boundary
+       round(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))
+                  AS DOUBLE) / 1048576.0 / count(*), 6) AS centroid
 FROM e GROUP BY 1, 2
 """
 
@@ -5669,10 +5673,22 @@ FROM g GROUP BY user_id, sid
 ORACLE["streaming_session_stats"] = ORACLE["session_stats"]
 
 ORACLE["normalize_events"] = """
-WITH stats AS (
-  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd,
+WITH raw AS (
+  -- exact decimal sufficient statistics (mirrors the Spark operator):
+  -- order-independent sums, so the per-row rounded z-scores cannot
+  -- flip on a 1e-6 boundary under a different partial-sum order
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,6))
+                  * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2,
          min(value) AS lo, max(value) AS hi
   FROM events GROUP BY event_type
+), stats AS (
+  SELECT event_type, s / n AS mu,
+         CASE WHEN n > 1
+              THEN sqrt(greatest(0.0, (s2 - s * s / n) / (n - 1))) END AS sd,
+         lo, hi
+  FROM raw
 )
 SELECT event_id, e.event_type, round(value, 6) AS value,
        CASE WHEN sd IS NOT NULL AND sd > 0
@@ -5784,7 +5800,10 @@ x AS (
   SELECT label, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS xx
   FROM e
 ),
-cm AS (SELECT label AS cell_id, dim, round(avg(xx), 6) AS cv FROM x GROUP BY 1, 2),
+cm AS (SELECT label AS cell_id, dim,
+              round(CAST(sum(CAST(floor(xx * 1048576.0) AS BIGINT)) AS DOUBLE)
+                    / 1048576.0 / count(*), 6) AS cv
+       FROM x GROUP BY 1, 2),
 cen AS (SELECT cell_id, list(cv ORDER BY dim) AS c FROM cm GROUP BY cell_id),
 scored AS (SELECT e.vec_id, e.label, cen.cell_id, {_CCOS} AS csim FROM e, cen),
 best AS (
@@ -8505,23 +8524,88 @@ SELECT doc_id, n_chars FROM (
 # 51-60 in round 3) and the round-3 red events family come first, so
 # a future shrink of the check window hits long-proven entries last.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- round-9 rotation (round-8 VERDICT item 2): the LAST full
-    # never-scored rotation — all 50 slots go to queries with no
-    # driver CORRECTNESS row yet (backlog 54 -> 4; the deferred four
-    # are the staged-side-effect quartet csv_roundtrip/orc_roundtrip/
-    # incremental_rollup/schema_evolution, rotating in round 10).
-    # The displaced round-8 window (all driver-green in r8) moves to
-    # EXTRA_QUERIES and stays oracle-checked via --all and pytest.
-    # Every entry below was gated at sf0.001 AND sf0.01 with
-    # --pandas-canon plus a --vanilla-session run before rotating in.
-    # round-8 training-data additions (r8 VERDICT item 2 leads) --
+    # -- round-10 rotation (round-9 VERDICT items 1+3): the final
+    # 7 never-scored names enter (staged quartet + the three r9
+    # adds) -> lifetime driver coverage hits 253/253; then the
+    # age-based refresh cadence begins — embedding_covariance
+    # stays in for its post-determinism-fix driver re-score, and
+    # the other 42 slots take the OLDEST last_scored names per
+    # docs/ROTATION_AUDIT.md (all 10 age-6/r3 names + the first
+    # 32 age-5/r4 names alphabetically; the remaining 6 age-5
+    # names lead the round-11 window). Every entry below was
+    # gated at sf0.001 AND sf0.01 with --pandas-canon (plus
+    # --vanilla-session for timestamp renderers) before rotating.
+    # never-scored: staged-side-effect quartet + round-9 adds --
+    "csv_roundtrip": q_csv_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
+    "incremental_rollup": q_incremental_rollup,
+    "schema_evolution": q_schema_evolution,
+    "png_decode_stats": q_png_decode_stats,
+    "nb_quality_confusion": q_nb_quality_confusion,
+    "lpa_communities": q_lpa_communities,
+    # driver re-score after the round-10 determinism fix --
+    "embedding_covariance": q_embedding_covariance,
+    # age-6 (last scored r3) --
+    "boolean_retrieval": q_boolean_retrieval,
+    "cooccurrence_stripes": q_cooccurrence_stripes,
+    "deterministic_sample": q_deterministic_sample,
+    "hourly_counts_errors": q_hourly_counts_errors,
+    "hourly_counts_tweets": q_hourly_counts_tweets,
+    "ivf_assign": q_ivf_assign,
+    "minhash_signatures": q_minhash_signatures,
+    "shingles": q_shingles,
+    "simhash": q_simhash,
+    "term_frequencies": q_term_frequencies,
+    # age-5 (last scored r4), first 32 alphabetically --
+    "asof_join": q_asof_join,
+    "bucketed_customer_orders": q_bucketed_customer_orders,
+    "chunk_documents": q_chunk_documents,
+    "customers_without_orders": q_customers_without_orders,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_near_dupes": q_embedding_near_dupes,
+    "event_props_stats": q_event_props_stats,
+    "exact_duplicates": q_exact_duplicates,
+    "frame_sample": q_frame_sample,
+    "hash_split": q_hash_split,
+    "hourly_counts_tweets_egypt": q_hourly_counts_tweets_egypt,
+    "hypertable_rollup": q_hypertable_rollup,
+    "image_stats": q_image_stats,
+    "language_id": q_language_id,
+    "lsh_topk": q_lsh_topk,
+    "media_sniff": q_media_sniff,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "ngram_jaccard": q_ngram_jaccard,
+    "phash_duplicates": q_phash_duplicates,
+    "pii_scrub": q_pii_scrub,
+    "pricing_summary": q_pricing_summary,
+    "quality_score": q_quality_score,
+    "range_join": q_range_join,
+    "repetition_stats": q_repetition_stats,
+    "salted_order_revenue": q_salted_order_revenue,
+    "simhash_near_dupes": q_simhash_near_dupes,
+    "sliding_hourly_stats": q_sliding_hourly_stats,
+    "sql_revenue_by_nation": q_sql_revenue_by_nation,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_hourly_counts": q_streaming_hourly_counts,
+    "streaming_user_sessions": q_streaming_user_sessions,
+    "tf_histogram": q_tf_histogram,
+}
+
+# Strict sub-plans of registered queries (the registered downstream
+# query executes a superset of each one's plan); every entry keeps its
+# DuckDB oracle and is exercised by tools/check_correctness.py --all
+# and the pytest suite.
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- rotated OUT of the driver window in round 10 (all were
+    # driver-green in r9; displaced by the never-scored quartet +
+    # r9 adds and the age-based refresh — still oracle-checked
+    # every round via --all and pytest) --
     "record_linkage_topk": q_record_linkage_topk,
     "dup_span_report": q_dup_span_report,
     "dsir_weights": q_dsir_weights,
     "perplexity_buckets": q_perplexity_buckets,
     "mrr_eval": q_mrr_eval,
     "corpus_card": q_corpus_card,
-    # retrieval / index / sketch / tokenizer --
     "phrase_search": q_phrase_search,
     "prefix_search": q_prefix_search,
     "ivf_index_probe": q_ivf_index_probe,
@@ -8533,7 +8617,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "countmin_words": q_countmin_words,
     "hash_collision_report": q_hash_collision_report,
     "minhash_calibration": q_minhash_calibration,
-    # dedup / decontamination / embedding health --
     "cluster_canonical": q_cluster_canonical,
     "dedup_savings": q_dedup_savings,
     "containment_pairs": q_containment_pairs,
@@ -8541,20 +8624,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_substring_hits": q_eval_substring_hits,
     "sentence_dedup_stats": q_sentence_dedup_stats,
     "nn_similarity_histogram": q_nn_similarity_histogram,
-    "embedding_covariance": q_embedding_covariance,
     "random_projection": q_random_projection,
     "hard_negatives": q_hard_negatives,
     "label_centroids": q_label_centroids,
     "centroid_confusion": q_centroid_confusion,
     "label_spread": q_label_spread,
     "language_id_accuracy": q_language_id_accuracy,
-    # text quality / profiling --
     "sentence_stats": q_sentence_stats,
     "length_histogram": q_length_histogram,
     "length_drift_psi": q_length_drift_psi,
     "quality_length_correlation": q_quality_length_correlation,
     "span_corruption": q_span_corruption,
-    # sampling / mix / storage hygiene --
     "balance_classes": q_balance_classes,
     "corpus_mix": q_corpus_mix,
     "key_skew_report": q_key_skew_report,
@@ -8565,23 +8645,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "manifest_ingest": q_manifest_ingest,
     "csv_malformed_report": q_csv_malformed_report,
     "filter_funnel_examples": q_filter_funnel_examples,
-    # streaming (availableNow replays; vanilla-session gated) --
     "streaming_session_stats": q_streaming_session_stats,
     "streaming_countmin": q_streaming_countmin,
     "streaming_sliding_counts": q_streaming_sliding_counts,
     "streaming_top_users": q_streaming_top_users,
-}
-
-# Strict sub-plans of registered queries (the registered downstream
-# query executes a superset of each one's plan); every entry keeps its
-# DuckDB oracle and is exercised by tools/check_correctness.py --all
-# and the pytest suite.
-EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- rotated OUT of the driver window in round 8 (the 40 round-7
-    # first-timers, driver-green in r7, plus the 10 two-round-stable
-    # section-2 cores driver-green in r6 AND r7 — displaced so all 50
-    # slots score never-checked names; still oracle-checked here every
-    # round via --all and pytest) --
+    # -- older extras (each driver-green in its last_scored
+    # round; see docs/ROTATION_AUDIT.md ages) --
     "hits": q_hits,
     "bfs_hops": q_bfs_hops,
     "kcore": q_kcore,
@@ -8632,10 +8701,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashing_tfidf_cells": q_hashing_tfidf_cells,
     "bpe_merges": q_bpe_merges,
     "bpe_vocab": q_bpe_vocab,
-    # -- rotated OUT of the driver window in round 7 (driver-green in
-    # rounds 5 AND 6 on unchanged code; displaced by the 40 never-
-    # driver-scored round-6 additions — still oracle-checked here
-    # every round via --all and pytest) --
     "dedup_clusters": q_dedup_clusters,
     "quantize_embeddings": q_quantize_embeddings,
     "stratified_sample": q_stratified_sample,
@@ -8676,12 +8741,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "resize_images": q_resize_images,
     "brute_force_topk": q_brute_force_topk,
-    # -- rotated OUT of the driver window in round 6 (see the window's
-    # round-6 rotation comment): the ARRAY-valued hashing originals
-    # (driver canon can't hash list cells; the *_cells window variants
-    # render the same plans as scalar rows), two 2+-round-green
-    # queries, and four r5-green extensions with sibling family
-    # coverage — all still oracle-checked here via --all and pytest --
     "hashing_tf": q_hashing_tf,
     "hashing_tfidf": q_hashing_tfidf,
     "revenue_by_nation": q_revenue_by_nation,
@@ -8690,94 +8749,12 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_shards": q_shuffle_shards,
     "dense_hourly_counts": q_dense_hourly_counts,
     "top_keywords": q_top_keywords,
-    "cooccurrence_stripes": q_cooccurrence_stripes,   # rendering of cooccurrence
-    "term_frequencies": q_term_frequencies,           # stage 1 of tf_idf
-    "boolean_retrieval": q_boolean_retrieval,         # boolean_retrieval_text sans fetch
-    "hourly_counts_errors": q_hourly_counts_errors,   # hourly_counts + rlike filter
-    "hourly_counts_tweets": q_hourly_counts_tweets,   # tweets_egypt sans rlike
-    "shingles": q_shingles,                           # stage 1 of ngram_jaccard/minhash
-    "minhash_signatures": q_minhash_signatures,       # stage 2 of minhash_lsh_candidates
-    "simhash": q_simhash,                             # stage 1 of simhash_near_dupes
-    "deterministic_sample": q_deterministic_sample,   # same hash-bin op as hash_split
-    "ivf_assign": q_ivf_assign,                       # stage 2 of ivf_topk_trained
-    # round-5 extension: ANN probe of the materialized cell-partitioned
-    # index — the oracle replays assignment + probed cells + top-k
-    # -- rotated OUT of the driver window in round 5 (driver-green in
-    # rounds 3 AND 4 on unchanged code; still oracle-checked here via
-    # --all and pytest every round) --
-    "tf_histogram": q_tf_histogram,
-    "hash_split": q_hash_split,
     "token_counts": q_token_counts,
-    "pii_scrub": q_pii_scrub,
-    # -- rotated out mid-round-5 to make window room for the five new
-    # operators (audio_stats, source_stats, lang_source_matrix,
-    # kmv_distinct, weighted_sample) --
-    "media_sniff": q_media_sniff,
-    "language_id": q_language_id,
-    "doc_fingerprint": q_doc_fingerprint,
     "value_percentiles": q_value_percentiles,
-    "customers_without_orders": q_customers_without_orders,
-    # -- rotated out in round 5's second rotation (driver-green in
-    # rounds 3 AND 4 on unchanged code) --
     "top_orders_per_customer": q_top_orders_per_customer,
-    "salted_order_revenue": q_salted_order_revenue,
-    "bucketed_customer_orders": q_bucketed_customer_orders,
-    "exact_duplicates": q_exact_duplicates,
-    "ngram_jaccard": q_ngram_jaccard,
-    # -- NEW in round 6 (rotation candidates for round 7: all three
-    # are scalar-output per docs/ROTATION_AUDIT.md screening) --
-    "csv_roundtrip": q_csv_roundtrip,            # RFC-4180 CSV source contract
-    # -- round-6 graph-analytics batch (all scalar-output, rotation-
-    # eligible; oracles unroll the iterations / replay the wedge
-    # construction in SQL) --
-    # -- round-6 TPC-H-shape batch (scalar-output, rotation-eligible) --
-    "orc_roundtrip": q_orc_roundtrip,                # columnar interchange format
-    "schema_evolution": q_schema_evolution,          # mergeSchema generation read
-    "incremental_rollup": q_incremental_rollup,      # dynamic-partition MV maintenance
-    # -- round-5 extension batch 6 --
-    # -- round-5 extension batch 5 --
-    # -- round-5 extension batch 3 --
-    # -- round-5 extension batch 4 --
-    # -- rotated out in round 5's third rotation (driver-green in
-    # rounds 3 AND 4 on unchanged code; displaced by the batch-4
-    # operators; still oracle-checked here via --all and pytest) --
-    "sql_revenue_by_nation": q_sql_revenue_by_nation,
     "user_sessions": q_user_sessions,
-    "event_props_stats": q_event_props_stats,
-    "hourly_counts_tweets_egypt": q_hourly_counts_tweets_egypt,
     "tf_idf": q_tf_idf,
-    # -- rotated out in round 5's fourth rotation; pmi/cooccurrence/
-    # boolean_retrieval_text/hourly_counts/inverted_index_stats/
-    # bigram_count returned to the window in round 6 --
-    "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
-    # -- rotated out in round 5's fifth rotation (driver-green in
-    # rounds 3/4 on unchanged code) --
-    "streaming_hourly_counts": q_streaming_hourly_counts,
-    "streaming_user_sessions": q_streaming_user_sessions,
-    "streaming_dedup": q_streaming_dedup,
-    "asof_join": q_asof_join,
-    "range_join": q_range_join,
-    "hypertable_rollup": q_hypertable_rollup,
-    "sliding_hourly_stats": q_sliding_hourly_stats,
-    "image_stats": q_image_stats,
-    "phash_duplicates": q_phash_duplicates,
-    "frame_sample": q_frame_sample,
-    "minhash_lsh_candidates": q_minhash_lsh_candidates,
-    "simhash_near_dupes": q_simhash_near_dupes,
-    "quality_score": q_quality_score,
-    "repetition_stats": q_repetition_stats,
-    "chunk_documents": q_chunk_documents,
-    "embedding_near_dupes": q_embedding_near_dupes,
-    "lsh_topk": q_lsh_topk,
-    # -- round-8 additions: record_linkage with the output-cardinality
-    # knob engaged (round-7 VERDICT item 3), plus three public-
-    # literature training-data ops (Lee et al. 2021 span dedup, Xie et
-    # al. 2023 DSIR, Wenzek et al. 2019 CCNet buckets) --
-    # -- rotated OUT of the driver window in round 9 (all 50 were
-    # driver-green first-timers in r8; displaced so the final 50
-    # never-scored names could score — still oracle-checked here
-    # every round via --all and pytest) --
     "semantic_decontamination": q_semantic_decontamination,
     "margin_bitext": q_margin_bitext,
     "temperature_mix": q_temperature_mix,
@@ -8828,12 +8805,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "yoy_growth": q_yoy_growth,
     "rolling_weekly_revenue": q_rolling_weekly_revenue,
     "interpolate_gaps": q_interpolate_gaps,
-    # -- round-9 addition: real-PNG codec round trip (pure-stdlib
-    # zlib decoder closes the round-8 codec-stub gap for PNG) --
-    "png_decode_stats": q_png_decode_stats,
-    # -- round-9 addition: silver-label NB quality classifier eval --
-    "nb_quality_confusion": q_nb_quality_confusion,
-    "lpa_communities": q_lpa_communities,
 }
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -1,0 +1,247 @@
+#!/usr/bin/env python
+"""Hash-stability lint for ``round()`` over cross-row float aggregates
+(the round-9 ``embedding_covariance`` driver-flake class).
+
+Background: the driver's correctness gate hashes query output values.
+A column like ``round(sum(x), 6)`` over DOUBLE ``x`` is only
+*probabilistically* hash-stable — double addition is not associative,
+so Spark's task-scheduling-ordered partial sums and DuckDB's scan-
+ordered sums can differ by ~n·ulp, and when a cell's true value lands
+within that error of a 0.5e-6 rounding boundary the two engines
+legitimately round apart. The per-cell probability is tiny (~1e-6 per
+output cell at bench scales), but it multiplies by output cardinality:
+``embedding_covariance``'s 4096 cells made it the first driver-red row
+in four rounds.
+
+This lint scans every ``workloads.ORACLE`` SQL (the oracle mirrors the
+operator formula by contract — hash equality in the gates enforces
+that) and classifies each ``round(...)`` site whose argument contains
+a cross-row aggregate:
+
+- **decimal-exact** — the aggregate argument is DECIMAL-cast; decimal
+  sums are fixed-point-exact, hence order-independent. Safe.
+- **integer-exact** — the aggregate argument is integer (explicit
+  BIGINT/INTEGER cast, ``floor(...)`` fixed-point quantization, or a
+  CASE over integer literals). Safe.
+- **float-agg** — a genuine double sum/avg/corr/regr under round():
+  order-dependent. Must either be fixed (quantize summands like
+  ``embedding_covariance``/``label_centroids``) or appear in
+  ``ALLOWLIST`` below with its output-cell bound; the residual risk
+  budget is enforced as cells × 2e-5 < 0.2% per driver round.
+
+Per-row ``round()`` (no aggregate inside) is inherently deterministic
+— same input row, same IEEE ops, same value in both engines — and is
+not flagged.
+
+Exit 1 (and the pytest wrapper fails) on any float-agg site that is
+neither fixed nor allowlisted, so new queries can't silently re-add
+the flake class.
+
+Usage: python tools/float_round_lint.py [-v]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+AGG = re.compile(
+    r"\b(sum|avg|corr|covar_pop|covar_samp|stddev|stddev_pop|stddev_samp"
+    r"|var_pop|var_samp|regr_slope|regr_intercept)\s*\(",
+    re.I,
+)
+# Aggregate arguments that make the cross-row sum exact (hence
+# order-independent): decimal fixed-point, explicit integer casts,
+# floor()-quantized fixed-point, or integer-literal CASE arms.
+EXACT_ARG = re.compile(
+    r"AS\s+DECIMAL|AS\s+(BIGINT|INTEGER|HUGEINT|INT)\b|\bfloor\s*\("
+    r"|^\s*CASE\s+WHEN\b.*\bTHEN\s+\d+\s+ELSE\s+\d+\s+END\s*$",
+    re.I | re.S,
+)
+
+# Float-agg sites accepted as-is: every entry bounds its output cells
+# (the flake probability multiplier). Budget: cells × 2e-5 — the
+# conservative per-cell boundary width at bench scale — must stay
+# under 0.2% per driver round. Large-cell-grid queries are NOT
+# allowlistable; quantize their summands instead (see
+# embedding_covariance / label_centroids, round 10).
+ALLOWLIST: dict[str, str] = {
+    "bigram_logprob": "20 rows, one logprob cell each",
+    "conversion_lag": "lag_s is an integer epoch-second diff; the sum "
+    "is exact, float only at the final division",
+    "hourly_anomalies": "avg over integer hourly counts (exact sums); "
+    "float only at division",
+    "market_share": "dp is DECIMAL(18,6) in the upstream CTE; both "
+    "sums are decimal-exact (textual lint can't see CTE types)",
+    "packing_efficiency": "ws_tokens is an integer token count; "
+    "sums exact",
+    "pareto_report": "spend is a DECIMAL o_totalprice sum upstream; "
+    "<=5 output rows regardless",
+    "region_nation_share": "share = rounded-decimal revenue / <=25-"
+    "term window sum of 6dp-rounded doubles; <=25 cells",
+    "revenue_share": "same shape as region_nation_share; <=25 cells",
+    "rolling_weekly_revenue": "7-term ordered-frame window sums over "
+    "6dp-rounded day revenues; frame order is the ORDER BY in both "
+    "engines",
+    "sliding_hourly_stats": "window avg over integer event counts; "
+    "sums exact",
+    "bm25_topk": "<=50 (query,doc) score rows",
+    "char_entropy": "20 rows (top-20 langs/sources)",
+    "conversion_by_activity": "<=10 activity buckets",
+    "corpus_card": "20 datasheet rows, 2 float cells",
+    "daily_trend": "1 regression row",
+    "dsir_weights": "500 rows but weight = 2 log-sums over "
+    "vocab-bounded (512-bucket) tables -> reorder error ~1e-13 on "
+    "O(100)-term sums; risk 500*2e-7 ~ 1e-4",
+    "event_transitions": "cnt/sum(cnt): integer sums, float only at "
+    "the final division — deterministic given exact sums",
+    "harmonic_centrality": "25 rows, <=6-hop bounded sums",
+    "heldout_logprob": "1 row",
+    "index_shard_balance": "1 row (max/mean over integer sums)",
+    "interarrival_rates": "<=20 rows",
+    "knn_label_accuracy": "<=10 label rows, integer hit sums",
+    "label_spread": "10 rows",
+    "language_id_accuracy": "n/n_true are confusion-matrix counts; "
+    "integer sums, float only at the division",
+    "repetition_stats": "n_ngrams/dup/n_bi are ngram counts; integer "
+    "sums, float only at the ratios",
+    "vocab_coverage": "covered/total_tokens are token counts; integer "
+    "sums",
+    "length_drift_psi": "1 row",
+    "linear_attribution": "<=20 channel rows",
+    "lsh_topk": "per-row hyperplane dot products (cross-row only in "
+    "the <=10-row top-k), <=10 rows",
+    "margin_bitext": "<=50 pair rows, k<=4-term window means",
+    "mrr_eval": "5 rows",
+    "order_gap_stats": "1 row",
+    "order_size_correlation": "1 corr row",
+    "pagerank_convergence": "<=10 residual rows (one per iteration)",
+    "perplexity_buckets": "15 rows (per-lang ntile buckets)",
+    "point_in_time_state": "1 row",
+    "quality_length_correlation": "1 corr row",
+    "quantization_error": "<=10 label rows, per-row cosines rounded "
+    "before the group mean",
+    "query_likelihood": "<=50 score rows",
+    "rrf_fusion": "<=50 fused rows, <=2-term sums",
+    "slo_burn_rate": "integer err/n sums, float only at division",
+    "small_quantity_revenue": "1 row (decimal sum / count)",
+    "source_stats": "4 source rows, per-row scores rounded before "
+    "the group mean",
+    "temperature_mix": "4 rows, 4-term softmax denominator",
+    "tokenizer_fertility": "4 source rows, integer token sums",
+    "transition_latency": "<=25 rows",
+    "unigram_logprob": "500 rows but per-doc sums are "
+    "vocab-bounded short (<=64-term) -> risk ~1e-4",
+    "user_entropy": "<=20 rows",
+    "winsorize_values": "2 rows",
+    "zipf_fit": "1 regression row",
+}
+
+
+def _balanced(s: str, open_idx: int) -> str:
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return s[open_idx + 1 : i]
+    return s[open_idx + 1 :]
+
+
+def _float_agg_aliases(sql: str) -> set[str]:
+    """Aliases bound to non-exact float aggregates anywhere in the
+    statement (``sum(x) AS sxy`` in a CTE, rounded later by alias —
+    the exact shape of the pre-fix embedding_covariance oracle)."""
+    aliases = set()
+    for am in AGG.finditer(sql):
+        arg = _balanced(sql, am.end() - 1)
+        if am.group(1).lower() not in ("corr", "regr_slope", "regr_intercept") \
+                and EXACT_ARG.search(arg):
+            continue
+        # what follows the aggregate's closing paren: OVER (...), a
+        # cast/arithmetic tail, then an optional AS alias
+        tail = sql[am.end() - 1 + len(arg) + 2 :]
+        mt = re.match(
+            r"\s*(?:OVER\s*(?:\([^)]*\)|\w+))?[^,)\n]*?\bAS\s+(\w+)", tail
+        )
+        if mt and mt.group(1).lower() not in (
+            "double", "bigint", "integer", "int", "hugeint", "decimal",
+            "real", "float", "varchar",
+        ):
+            aliases.add(mt.group(1).lower())
+    return aliases
+
+
+def float_agg_sites(sql: str) -> list[str]:
+    """Snippets of round() sites whose argument holds a non-exact
+    cross-row aggregate — inline, or by reference to an alias a float
+    aggregate was bound to upstream in the same statement."""
+    aliases = _float_agg_aliases(sql)
+    out = []
+    for m in re.finditer(r"\bround\s*\(", sql, re.I):
+        inner = _balanced(sql, m.end() - 1)
+        flagged = False
+        for am in AGG.finditer(inner):
+            arg = _balanced(inner, am.end() - 1)
+            if am.group(1).lower() in ("corr", "regr_slope", "regr_intercept"):
+                flagged = True
+                break
+            if not EXACT_ARG.search(arg):
+                flagged = True
+                break
+        if not flagged and aliases:
+            idents = {
+                w.lower()
+                for w in re.findall(r"\b[a-zA-Z_]\w*\b", inner)
+            }
+            flagged = bool(idents & aliases)
+        if flagged:
+            out.append(re.sub(r"\s+", " ", inner).strip()[:100])
+    return out
+
+
+def run(verbose: bool = False) -> list[tuple[str, str]]:
+    """Returns [(query, snippet)] for UNGUARDED float-agg roundings
+    (not fixed, not allowlisted)."""
+    from mapreduce_assignments_spark import workloads
+
+    bad = []
+    n_float = 0
+    for name, sql in sorted(workloads.ORACLE.items()):
+        sites = float_agg_sites(sql)
+        if not sites:
+            continue
+        n_float += 1
+        if name in ALLOWLIST:
+            if verbose:
+                print(f"[allow] {name}: {ALLOWLIST[name]}")
+            continue
+        bad.append((name, sites[0]))
+    stale = sorted(set(ALLOWLIST) - set(workloads.ORACLE))
+    for name in stale:
+        bad.append((name, "ALLOWLIST entry for unknown query"))
+    if verbose:
+        print(f"{n_float} float-agg-rounding queries, "
+              f"{len(bad)} unguarded, {len(ALLOWLIST)} allowlisted")
+    return bad
+
+
+def main() -> int:
+    verbose = "-v" in sys.argv
+    bad = run(verbose=verbose)
+    for name, snippet in bad:
+        print(f"[UNGUARDED] {name}: round over float aggregate -> "
+              f"quantize summands or allowlist with a cell bound | {snippet}")
+    if not bad:
+        print("float-round lint clean")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
