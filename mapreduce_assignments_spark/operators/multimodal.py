@@ -42,6 +42,7 @@ column itself is projected away before any shuffle.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pyspark.sql.functions as F
@@ -128,9 +129,14 @@ def decode_image(content: bytes):
 
         try:
             return decode_png(content)
-        except ValueError:
-            # out-of-subset PNG (16-bit, interlaced, exotic color
-            # type): fall through to Pillow / the seam error
+        except (ValueError, zlib.error, struct.error, IndexError):
+            # ValueError = out-of-subset PNG (16-bit, interlaced,
+            # exotic color type); zlib/struct/IndexError = corrupt
+            # payload behind a valid magic (bad DEFLATE stream,
+            # short IHDR, palette index past PLTE). Either way: fall
+            # through to Pillow / the seam error so operators keep
+            # their documented drop-undecodable-rows contract instead
+            # of crashing the Arrow stage on one bad asset.
             pass
     try:
         import io
