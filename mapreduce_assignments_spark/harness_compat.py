@@ -105,7 +105,20 @@ def pandas_canon_compare(
         oc = pandas_canon(oracle_pdf)
     except TypeError as e:  # unhashable cells — the driver errs here
         return [f"driver canonicalization would fail: {e}"]
-    if not sc.equals(oc):
-        diff_cols = [c for c in sc.columns if not sc[c].equals(oc[c])]
-        issues.append(f"canonical values differ in columns {diff_cols}")
+    # Bit-exact compare via the driver's own hash primitive.
+    # Series.equals treats -0.0 == +0.0 as equal, but the driver's
+    # pd.util.hash_pandas_object hashes the raw sign bit — round 10
+    # shipped "re-gated exact" on exactly that gap (DuckDB round()
+    # emitting -0.0 where Spark emits +0.0). Hash digests see what
+    # the driver sees; nothing weaker is allowed here.
+    diff_cols = []
+    for c in sc.columns:
+        sh = pd.util.hash_pandas_object(sc[c], index=False).to_numpy()
+        oh = pd.util.hash_pandas_object(oc[c], index=False).to_numpy()
+        if sh.shape != oh.shape or not (sh == oh).all():
+            diff_cols.append(c)
+    if diff_cols:
+        issues.append(
+            f"canonical values differ (bit-exact hash) in columns {diff_cols}"
+        )
     return issues

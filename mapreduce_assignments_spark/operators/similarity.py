@@ -1169,11 +1169,20 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
         .select(
             (F.col("pos") / d).cast("int").alias("i"),
             F.col("j").cast("int").alias("j"),
-            F.round(
-                F.col("sxy").cast("double") / scale / F.col("n")
-                - (F.col("sxi").cast("double") / scale / F.col("n"))
-                * (F.col("sxj").cast("double") / scale / F.col("n")),
-                6,
+            # + 0.0 normalizes the sign of zero symmetrically with the
+            # DuckDB oracle: Spark's BigDecimal HALF_UP round already
+            # emits +0.0 for tiny-negative cells where DuckDB's
+            # multiply-based round emits -0.0, and the driver's value
+            # hash covers the sign bit (round-10 driver red). IEEE
+            # round-to-nearest guarantees -0.0 + 0.0 = +0.0.
+            (
+                F.round(
+                    F.col("sxy").cast("double") / scale / F.col("n")
+                    - (F.col("sxi").cast("double") / scale / F.col("n"))
+                    * (F.col("sxj").cast("double") / scale / F.col("n")),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )

@@ -6367,9 +6367,14 @@ fl AS (
   GROUP BY 1
 )
 SELECT CAST(a.i AS INTEGER) AS i, CAST(a.j AS INTEGER) AS j,
+       -- + 0.0 normalizes the sign of zero: DuckDB's multiply-based
+       -- round() emits -0.0 for tiny-negative covariances while
+       -- Spark's BigDecimal HALF_UP emits +0.0, and the driver's
+       -- value hash covers the sign bit (round-10 driver red).
+       -- IEEE round-to-nearest: -0.0 + 0.0 = +0.0.
        round(CAST(a.sxy AS DOUBLE) / 1048576.0 / a.n
              - (CAST(a.sxi AS DOUBLE) / 1048576.0 / a.n)
-             * (CAST(m.sxj AS DOUBLE) / 1048576.0 / a.n), 6) AS cov
+             * (CAST(m.sxj AS DOUBLE) / 1048576.0 / a.n), 6) + 0.0 AS cov
 FROM agg a JOIN m ON a.j = m.j
 """
 

@@ -72,3 +72,75 @@ def test_allowlist_entries_all_name_live_queries():
     mod = _load()
     stale = sorted(set(mod.ALLOWLIST) - set(workloads.ORACLE))
     assert not stale, f"ALLOWLIST names unknown queries: {stale}"
+
+def test_lint_catches_round10_advice_false_negatives():
+    """Round-10 advice: (a) CAST(sum(x) AS DOUBLE) AS s in a CTE,
+    rounded later by alias, evaded the alias tracker (the non-greedy
+    AS match captured DOUBLE and stopped); (b) exact-making wrappers
+    that do not sit at the argument root (sum(x * floor(y))) were
+    treated as exact."""
+    mod = _load()
+    sites = mod.float_agg_sites(
+        "WITH a AS (SELECT CAST(sum(x) AS DOUBLE) AS s, count(*) AS n "
+        "FROM t) SELECT round(s / n, 6) AS m FROM a"
+    )
+    assert sites, "double-cast float sum rounded by alias must be flagged"
+    sites = mod.float_agg_sites("SELECT round(sum(x * floor(y)), 6) FROM t")
+    assert sites, "floor() must wrap the WHOLE summand to count as exact"
+    sites = mod.float_agg_sites(
+        "SELECT round(sum(x + CAST(y AS BIGINT)), 6) FROM t"
+    )
+    assert sites, "a raw double term in the summand must be flagged"
+    # but int/decimal value-casts of exact CTE sums stay unflagged
+    # (the shipped embedding_covariance oracle shape)
+    sites = mod.float_agg_sites(
+        "WITH a AS (SELECT CAST(sum(qxy) AS BIGINT) AS sxy, count(*) AS n "
+        "FROM t) SELECT round(CAST(sxy AS DOUBLE) / 1048576.0 / n, 6) "
+        "AS cov FROM a"
+    )
+    assert not sites, "int-cast aggregate values keep the exact convention"
+    sites = mod.float_agg_sites(
+        "SELECT round(sum(CAST(p AS DECIMAL(18,6)) * (CAST(1 AS "
+        "DECIMAL(8,6)) - CAST(d AS DECIMAL(8,6)))), 6) FROM t"
+    )
+    assert not sites, "decimal arithmetic compositions are exact"
+
+
+def test_allowlist_has_no_dead_entries():
+    """Every ALLOWLIST entry must correspond to a query the lint
+    actually flags — dead entries would silently pre-approve a future
+    risky rewrite (round-10 advice)."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from mapreduce_assignments_spark import workloads
+
+    mod = _load()
+    flagged = {
+        name
+        for name, sql in workloads.ORACLE.items()
+        if mod.float_agg_sites(sql)
+    }
+    dead = sorted(set(mod.ALLOWLIST) - flagged)
+    assert not dead, f"ALLOWLIST entries never flagged by the lint: {dead}"
+
+
+def test_zero_sign_sweep_clean_at_driver_scale():
+    """Empirical sign-of-zero gate (round-10 driver red): every
+    oracle executed in DuckDB at the driver's sf0.01, every zeroed
+    float cell signbit-checked. Textual lints cannot see this class
+    (an embedding-component mean is sign-indefinite with no '-' in
+    the SQL) and the exposure is data-dependent — sf0.001 shows zero
+    hits while sf0.01 had six live -0.0 cells pre-fix."""
+    spec = importlib.util.spec_from_file_location(
+        "zero_sign_sweep", REPO / "tools" / "zero_sign_sweep.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    hits, errs = mod.sweep("/root/testdata/sf0.01")
+    assert not errs, f"oracles failed to execute in the sweep: {errs}"
+    assert not hits, (
+        f"negative-zero cells in oracle output: {hits} — append a "
+        "'+ 0.0' zero-sign normalizer to the rounded expression in "
+        "BOTH the oracle SQL and the Spark operator"
+    )

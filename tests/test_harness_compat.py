@@ -114,3 +114,44 @@ def test_every_window_query_schema_is_driver_sortable(spark, sf_dir):
         if issues:
             bad[name] = issues
     assert not bad, f"driver-unsortable window queries: {bad}"
+
+
+def test_canon_compare_is_bit_exact_on_zero_sign():
+    """Round-10 driver red: DuckDB round() emitted -0.0 where Spark
+    emitted +0.0; Series.equals passed it (-0.0 == 0.0) while the
+    driver's pd.util.hash_pandas_object hashes the sign bit. The
+    compare must now reject sign-of-zero divergence."""
+    a = pd.DataFrame({"k": [1, 2], "v": [0.0, 1.5]})
+    b = pd.DataFrame({"k": [1, 2], "v": [-0.0, 1.5]})
+    assert a["v"].equals(b["v"])  # the gap the old gate fell into
+    issues = pandas_canon_compare(a, b)
+    assert issues and "v" in issues[0] and "bit-exact" in issues[0]
+
+
+def test_embedding_covariance_oracle_zero_sign_normalized_sf001():
+    """Pin the exact round-10 failure cells: at sf0.01 the covariance
+    cells (36,15), (58,47), (61,4) and transposes round to zero, and
+    without the + 0.0 normalizer DuckDB emits -0.0 for them. The
+    shipped oracle must emit +0.0 everywhere."""
+    import numpy as np
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM"
+        " read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    )
+    sql = workloads.ORACLE["embedding_covariance"]
+    df = con.execute(sql).df()
+    cov = df["cov"].to_numpy()
+    zeros = df[cov == 0.0]
+    assert int(np.signbit(zeros["cov"].to_numpy()).sum()) == 0
+    cells = set(zip(zeros["i"].tolist(), zeros["j"].tolist()))
+    for cell in [(36, 15), (15, 36), (58, 47), (47, 58), (61, 4), (4, 61)]:
+        assert cell in cells, f"expected zero cell {cell} missing"
+
+    # the normalizer is load-bearing: stripping it reintroduces -0.0
+    prefix = sql.replace("+ 0.0 AS cov", "AS cov")
+    assert prefix != sql
+    raw = con.execute(prefix).df()
+    rc = raw["cov"].to_numpy()
+    assert int(np.signbit(rc[rc == 0.0]).sum()) > 0

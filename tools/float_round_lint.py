@@ -33,6 +33,23 @@ Per-row ``round()`` (no aggregate inside) is inherently deterministic
 — same input row, same IEEE ops, same value in both engines — and is
 not flagged.
 
+Known limitations (documented, round-10 advice):
+
+- A textual lint cannot see CTE column types, so ``CAST(sum(col) AS
+  BIGINT)`` over an upstream-quantized LONG column is accepted as
+  exact by convention (the shipped embedding_covariance shape). If
+  ``col`` were secretly DOUBLE, the value-cast would NOT make the sum
+  order-independent — keep quantization in the same statement.
+- The SIGN OF ZERO is invisible to this lint: DuckDB's multiply-based
+  ``round()`` emits ``-0.0`` for tiny-negative results where Spark's
+  BigDecimal HALF_UP emits ``+0.0``, and the driver's value hash
+  covers the sign bit (round-10 driver red on embedding_covariance).
+  Sign-indefiniteness is data-dependent (zero hits at sf0.001, live
+  at the driver's sf0.01), so it is gated EMPIRICALLY by
+  ``tools/zero_sign_sweep.py`` — every oracle run in DuckDB at the
+  driver's scale, every zeroed float cell signbit-checked — wired
+  into pytest alongside this lint.
+
 Exit 1 (and the pytest wrapper fails) on any float-agg site that is
 neither fixed nor allowlisted, so new queries can't silently re-add
 the flake class.
@@ -54,14 +71,103 @@ AGG = re.compile(
     r"|var_pop|var_samp|regr_slope|regr_intercept)\s*\(",
     re.I,
 )
-# Aggregate arguments that make the cross-row sum exact (hence
-# order-independent): decimal fixed-point, explicit integer casts,
-# floor()-quantized fixed-point, or integer-literal CASE arms.
-EXACT_ARG = re.compile(
-    r"AS\s+DECIMAL|AS\s+(BIGINT|INTEGER|HUGEINT|INT)\b|\bfloor\s*\("
-    r"|^\s*CASE\s+WHEN\b.*\bTHEN\s+\d+\s+ELSE\s+\d+\s+END\s*$",
-    re.I | re.S,
+# Exact-making wrappers must sit at the argument ROOT (round-10
+# advice: `sum(x * floor(y))` is NOT order-independent even though
+# floor( appears somewhere inside). Roots accepted as exact: a
+# CAST/TRY_CAST of the whole argument to a decimal/integer type, a
+# floor() of the whole argument, or a CASE over integer literals.
+_EXACT_CAST_TYPES = r"(?:DECIMAL|BIGINT|INTEGER|HUGEINT|INT|SMALLINT|TINYINT)"
+_INT_CASE = re.compile(
+    r"^CASE\s+WHEN\b.*\bTHEN\s+\d+\s+ELSE\s+\d+\s+END$", re.I | re.S
 )
+
+
+def _wraps_whole(arg: str, m: re.Match) -> bool:
+    """True when the paren opened at m.end()-1 closes at arg's end."""
+    depth = 0
+    for i in range(m.end() - 1, len(arg)):
+        if arg[i] == "(":
+            depth += 1
+        elif arg[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return not arg[i + 1 :].strip()
+    return False
+
+
+def _split_top(a: str, ops: str) -> list[str] | None:
+    """Split on top-level (paren-depth-0) binary operators; None when
+    no top-level operator exists."""
+    parts: list[str] = []
+    depth, last = 0, 0
+    for i, ch in enumerate(a):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in ops and a[last:i].strip():
+            parts.append(a[last:i])
+            last = i + 1
+    if not parts:
+        return None
+    parts.append(a[last:])
+    return parts
+
+
+def _arg_is_exact(arg: str) -> bool:
+    """Structural exactness: the summand is a fixed-point value —
+    an integer literal, a decimal/integer CAST, a floor(), or a
+    +/-/* composition / CASE / COALESCE of such terms. Decimal and
+    integer arithmetic is fixed-point-exact, hence order-independent;
+    division and any bare column/alias reference are NOT (the textual
+    lint cannot see CTE column types). The wrapper must sit at the
+    argument ROOT: ``sum(x * floor(y))`` is order-dependent even
+    though floor( appears inside (round-10 advice)."""
+    a = arg.strip()
+    if not a:
+        return False
+    while True:  # strip fully-wrapping paren groups
+        m = re.match(r"\(", a)
+        if m and _wraps_whole(a, m):
+            a = a[1:-1].strip()
+        else:
+            break
+    # CASE root first: branch expressions sit at paren-depth 0, so
+    # the operator split below would otherwise cut through them
+    if re.match(r"CASE\b", a, re.I) and re.search(r"\bEND\s*$", a, re.I):
+        branches = re.findall(
+            r"\b(?:THEN|ELSE)\b(.*?)(?=\bWHEN\b|\bELSE\b|\bEND\b)",
+            a,
+            re.I | re.S,
+        )
+        return bool(branches) and all(_arg_is_exact(b) for b in branches)
+    parts = _split_top(a, "/")
+    if parts is not None:
+        return False  # float division at the summand root
+    parts = _split_top(a, "+-*")
+    if parts is not None:
+        return all(_arg_is_exact(p) for p in parts)
+    if re.fullmatch(r"\d+", a):
+        return True
+    m = re.match(r"(?:TRY_)?CAST\s*\(", a, re.I)
+    if m and _wraps_whole(a, m):
+        inner = a[m.end() : len(a) - 1]
+        return bool(
+            re.search(
+                rf"\bAS\s+{_EXACT_CAST_TYPES}\s*(?:\([\d\s,]*\))?\s*$",
+                inner,
+                re.I,
+            )
+        )
+    m = re.match(r"floor\s*\(", a, re.I)
+    if m and _wraps_whole(a, m):
+        return True
+    m = re.match(r"COALESCE\s*\(", a, re.I)
+    if m and _wraps_whole(a, m):
+        inner = a[m.end() : len(a) - 1]
+        args = _split_top(inner, ",") or [inner]
+        return all(_arg_is_exact(p) for p in args)
+    return False
 
 # Float-agg sites accepted as-is: every entry bounds its output cells
 # (the flake probability multiplier). Budget: cells × 2e-5 — the
@@ -103,7 +209,6 @@ ALLOWLIST: dict[str, str] = {
     "heldout_logprob": "1 row",
     "index_shard_balance": "1 row (max/mean over integer sums)",
     "interarrival_rates": "<=20 rows",
-    "knn_label_accuracy": "<=10 label rows, integer hit sums",
     "label_spread": "10 rows",
     "language_id_accuracy": "n/n_true are confusion-matrix counts; "
     "integer sums, float only at the division",
@@ -128,7 +233,6 @@ ALLOWLIST: dict[str, str] = {
     "query_likelihood": "<=50 score rows",
     "rrf_fusion": "<=50 fused rows, <=2-term sums",
     "slo_burn_rate": "integer err/n sums, float only at division",
-    "small_quantity_revenue": "1 row (decimal sum / count)",
     "source_stats": "4 source rows, per-row scores rounded before "
     "the group mean",
     "temperature_mix": "4 rows, 4-term softmax denominator",
@@ -154,6 +258,39 @@ def _balanced(s: str, open_idx: int) -> str:
     return s[open_idx + 1 :]
 
 
+_TYPE_WORDS = frozenset(
+    "double bigint integer int hugeint decimal real float varchar"
+    " boolean date timestamp smallint tinyint text".split()
+)
+
+
+def _expr_tail(sql: str, pos: int) -> str:
+    """Text from ``pos`` to the end of the enclosing SELECT-list
+    expression: stops at a top-level comma/newline. A ``)`` at depth 0
+    closes a wrapper that opened BEFORE pos — it is consumed (and the
+    scan continues) only when the text so far ends in an ``AS <type>``
+    cast tail, so ``CAST(sum(x) AS DOUBLE) AS s`` keeps its real alias
+    ``s`` inside the segment (round-10 advice: the old non-greedy
+    match captured DOUBLE and stopped)."""
+    depth = 0
+    i = pos
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                if re.search(r"\bAS\s+\w+[^(),]*$", sql[pos:i], re.I):
+                    i += 1
+                    continue
+                break
+            depth -= 1
+        elif ch in ",\n" and depth == 0:
+            break
+        i += 1
+    return sql[pos:i]
+
+
 def _float_agg_aliases(sql: str) -> set[str]:
     """Aliases bound to non-exact float aggregates anywhere in the
     statement (``sum(x) AS sxy`` in a CTE, rounded later by alias —
@@ -162,19 +299,27 @@ def _float_agg_aliases(sql: str) -> set[str]:
     for am in AGG.finditer(sql):
         arg = _balanced(sql, am.end() - 1)
         if am.group(1).lower() not in ("corr", "regr_slope", "regr_intercept") \
-                and EXACT_ARG.search(arg):
+                and _arg_is_exact(arg):
             continue
         # what follows the aggregate's closing paren: OVER (...), a
         # cast/arithmetic tail, then an optional AS alias
-        tail = sql[am.end() - 1 + len(arg) + 2 :]
-        mt = re.match(
-            r"\s*(?:OVER\s*(?:\([^)]*\)|\w+))?[^,)\n]*?\bAS\s+(\w+)", tail
-        )
-        if mt and mt.group(1).lower() not in (
-            "double", "bigint", "integer", "int", "hugeint", "decimal",
-            "real", "float", "varchar",
+        tail = _expr_tail(sql, am.end() - 1 + len(arg) + 2)
+        # a cast of the aggregate VALUE to an integer/decimal type
+        # keeps the lint's existing exactness convention (the sum is
+        # over a CTE column the textual lint can't type) — but a cast
+        # to DOUBLE/REAL/FLOAT stays float and the downstream alias
+        # must be tracked
+        if re.search(
+            rf"\bAS\s+{_EXACT_CAST_TYPES}\w*\s*\)", tail, re.I
         ):
-            aliases.add(mt.group(1).lower())
+            continue
+        cands = [
+            w
+            for w in re.findall(r"\bAS\s+(\w+)", tail, re.I)
+            if w.lower() not in _TYPE_WORDS
+        ]
+        if cands:
+            aliases.add(cands[-1].lower())
     return aliases
 
 
@@ -192,7 +337,7 @@ def float_agg_sites(sql: str) -> list[str]:
             if am.group(1).lower() in ("corr", "regr_slope", "regr_intercept"):
                 flagged = True
                 break
-            if not EXACT_ARG.search(arg):
+            if not _arg_is_exact(arg):
                 flagged = True
                 break
         if not flagged and aliases:
@@ -213,11 +358,13 @@ def run(verbose: bool = False) -> list[tuple[str, str]]:
 
     bad = []
     n_float = 0
+    flagged_names = set()
     for name, sql in sorted(workloads.ORACLE.items()):
         sites = float_agg_sites(sql)
         if not sites:
             continue
         n_float += 1
+        flagged_names.add(name)
         if name in ALLOWLIST:
             if verbose:
                 print(f"[allow] {name}: {ALLOWLIST[name]}")
@@ -226,6 +373,10 @@ def run(verbose: bool = False) -> list[tuple[str, str]]:
     stale = sorted(set(ALLOWLIST) - set(workloads.ORACLE))
     for name in stale:
         bad.append((name, "ALLOWLIST entry for unknown query"))
+    # dead entries: allowlisted but never flagged — they would
+    # silently pre-approve a future risky rewrite (round-10 advice)
+    for name in sorted(set(ALLOWLIST) & set(workloads.ORACLE) - flagged_names):
+        bad.append((name, "ALLOWLIST entry but no float-agg site (dead)"))
     if verbose:
         print(f"{n_float} float-agg-rounding queries, "
               f"{len(bad)} unguarded, {len(ALLOWLIST)} allowlisted")
