@@ -473,10 +473,17 @@ def normalize_values(
     :func:`target_encoding` discipline), and μ/σ are derived from
     them with the identical IEEE expression the DuckDB oracle uses:
     ``sd = sqrt(greatest(0, (s2 − s·s/n)/(n−1)))``.
+
+    ``n`` counts non-NULL values (``count(value)``, not ``count(*)``)
+    so NULL rows cannot deflate μ/σ — they still pass through with
+    NULL z-score/min-max. Precondition: ``|value| < 1e12`` (the
+    DECIMAL(18,6) cast's range; Σv² needs v·v to fit DECIMAL(37,12),
+    so the cast cannot be widened without losing the exact-sum
+    property). The events table is bounded far inside that.
     """
     dec = F.col(value_col).cast("decimal(18,6)")
     stats = df.groupBy(group_col).agg(
-        F.count("*").alias("_n"),
+        F.count(value_col).alias("_n"),
         F.sum(dec).alias("_s"),
         F.sum(dec * dec).alias("_s2"),
         F.min(value_col).alias("_lo"),

@@ -5677,7 +5677,7 @@ WITH raw AS (
   -- exact decimal sufficient statistics (mirrors the Spark operator):
   -- order-independent sums, so the per-row rounded z-scores cannot
   -- flip on a 1e-6 boundary under a different partial-sum order
-  SELECT event_type, count(*) AS n,
+  SELECT event_type, count(value) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
          CAST(sum(CAST(value AS DECIMAL(18,6))
                   * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2,

@@ -156,6 +156,27 @@ def test_normalize_values_zscore_and_minmax(spark):
     assert out[4] == (None, 0.5)
 
 
+def test_normalize_values_ignores_nulls_in_stats(spark):
+    """NULL values must not deflate mu/sd (round-10 advice): n counts
+    non-NULL values, and the NULL row passes through with NULL
+    z-score/min-max."""
+    from mapreduce_assignments_spark.operators.features import normalize_values
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "a", 10.0), (3, "a", 20.0), (4, "a", None)],
+        "event_id long, event_type string, value double",
+    )
+    out = {
+        r["event_id"]: (r["zscore"], r["minmax"])
+        for r in normalize_values(df, "value", "event_type").collect()
+    }
+    # stats identical to the NULL-free 3-row group
+    assert out[1] == (-1.0, 0.0)
+    assert out[2] == (0.0, 0.5)
+    assert out[3] == (1.0, 1.0)
+    assert out[4] == (None, None)
+
+
 def test_bpe_merges_local_agrees_with_iterative(spark):
     """The single-job in-partition trainer and the iterative
     distributed trainer are two implementations of one function —
