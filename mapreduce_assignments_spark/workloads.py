@@ -8529,18 +8529,83 @@ SELECT doc_id, n_chars FROM (
 # 51-60 in round 3) and the round-3 red events family come first, so
 # a future shrink of the check window hits long-proven entries last.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- round-10 rotation (round-9 VERDICT items 1+3): the final
-    # 7 never-scored names enter (staged quartet + the three r9
-    # adds) -> lifetime driver coverage hits 253/253; then the
-    # age-based refresh cadence begins — embedding_covariance
-    # stays in for its post-determinism-fix driver re-score, and
-    # the other 42 slots take the OLDEST last_scored names per
-    # docs/ROTATION_AUDIT.md (all 10 age-6/r3 names + the first
-    # 32 age-5/r4 names alphabetically; the remaining 6 age-5
-    # names lead the round-11 window). Every entry below was
-    # gated at sf0.001 AND sf0.01 with --pandas-canon (plus
-    # --vanilla-session for timestamp renderers) before rotating.
-    # never-scored: staged-side-effect quartet + round-9 adds --
+    # -- round-11 rotation (round-10 VERDICT item 8): lifetime
+    # driver coverage is 253/253 scored, so the age-based refresh
+    # cadence continues — embedding_covariance stays in for its
+    # first-ever driver-green row (the round-11 zero-sign fix),
+    # and the other 49 slots take the OLDEST last_scored names per
+    # docs/ROTATION_AUDIT.md: all 6 age-6/r4 names, the 6 sortable
+    # age-5/r5 names (hashing_tf/hashing_tfidf are UNSORTABLE and
+    # stay out), and the first 37 age-4/r6 names alphabetically
+    # (verified_near_dupes, weighted_sample, word_count lead the
+    # round-12 window). Every entry below was gated at sf0.001 AND
+    # sf0.01 with the bit-exact --pandas-canon compare (plus
+    # --vanilla-session) before rotating.
+    # driver re-score after the round-11 sign-of-zero fix --
+    "embedding_covariance": q_embedding_covariance,
+    # age-6 (last scored r4) --
+    "tf_idf": q_tf_idf,
+    "token_counts": q_token_counts,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "top_revenue_orders": q_top_revenue_orders,
+    "user_sessions": q_user_sessions,
+    "value_percentiles": q_value_percentiles,
+    # age-5 (last scored r5), driver-sortable --
+    "dense_hourly_counts": q_dense_hourly_counts,
+    "ivf_topk_trained": q_ivf_topk_trained,
+    "revenue_by_nation": q_revenue_by_nation,
+    "shuffle_shards": q_shuffle_shards,
+    "top_keywords": q_top_keywords,
+    "value_buckets": q_value_buckets,
+    # age-4 (last scored r6), first 37 alphabetically --
+    "audio_stats": q_audio_stats,
+    "bigram_logprob": q_bigram_logprob,
+    "bm25_topk": q_bm25_topk,
+    "brute_force_topk": q_brute_force_topk,
+    "co_engagement": q_co_engagement,
+    "cohort_retention": q_cohort_retention,
+    "curated_corpus": q_curated_corpus,
+    "dedup_apply": q_dedup_apply,
+    "dedup_clusters": q_dedup_clusters,
+    "degree_histogram": q_degree_histogram,
+    "funnel_counts": q_funnel_counts,
+    "graph_components": q_graph_components,
+    "hourly_anomalies": q_hourly_anomalies,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "kmv_distinct": q_kmv_distinct,
+    "lang_source_matrix": q_lang_source_matrix,
+    "latest_events": q_latest_events,
+    "llr": q_llr,
+    "normalize_events": q_normalize_events,
+    "pack_sequences": q_pack_sequences,
+    "pagerank": q_pagerank,
+    "per_key_sample": q_per_key_sample,
+    "personalized_pagerank": q_personalized_pagerank,
+    "profile_events": q_profile_events,
+    "quantize_embeddings": q_quantize_embeddings,
+    "resize_images": q_resize_images,
+    "rolling_active_users": q_rolling_active_users,
+    "snapshot_diff": q_snapshot_diff,
+    "source_overlap": q_source_overlap,
+    "source_stats": q_source_stats,
+    "stratified_sample": q_stratified_sample,
+    "streaming_enriched_counts": q_streaming_enriched_counts,
+    "streaming_latest_events": q_streaming_latest_events,
+    "streaming_snapshot_sink": q_streaming_snapshot_sink,
+    "top_terms_per_source": q_top_terms_per_source,
+    "triangle_count": q_triangle_count,
+    "unigram_logprob": q_unigram_logprob,
+}
+
+
+# Strict sub-plans of registered queries (the registered downstream
+# query executes a superset of each one's plan); every entry keeps its
+# DuckDB oracle and is exercised by tools/check_correctness.py --all
+# and the pytest suite.
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- rotated OUT of the driver window in round 11 (all were
+    # driver-green in r10; displaced by the age-based refresh --
+    # still oracle-checked every round via --all and pytest) --
     "csv_roundtrip": q_csv_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
     "incremental_rollup": q_incremental_rollup,
@@ -8548,9 +8613,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "png_decode_stats": q_png_decode_stats,
     "nb_quality_confusion": q_nb_quality_confusion,
     "lpa_communities": q_lpa_communities,
-    # driver re-score after the round-10 determinism fix --
-    "embedding_covariance": q_embedding_covariance,
-    # age-6 (last scored r3) --
     "boolean_retrieval": q_boolean_retrieval,
     "cooccurrence_stripes": q_cooccurrence_stripes,
     "deterministic_sample": q_deterministic_sample,
@@ -8561,7 +8623,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shingles": q_shingles,
     "simhash": q_simhash,
     "term_frequencies": q_term_frequencies,
-    # age-5 (last scored r4), first 32 alphabetically --
     "asof_join": q_asof_join,
     "bucketed_customer_orders": q_bucketed_customer_orders,
     "chunk_documents": q_chunk_documents,
@@ -8594,17 +8655,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_hourly_counts": q_streaming_hourly_counts,
     "streaming_user_sessions": q_streaming_user_sessions,
     "tf_histogram": q_tf_histogram,
-}
-
-# Strict sub-plans of registered queries (the registered downstream
-# query executes a superset of each one's plan); every entry keeps its
-# DuckDB oracle and is exercised by tools/check_correctness.py --all
-# and the pytest suite.
-EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- rotated OUT of the driver window in round 10 (all were
-    # driver-green in r9; displaced by the never-scored quartet +
-    # r9 adds and the age-based refresh — still oracle-checked
-    # every round via --all and pytest) --
+    # -- earlier extras (each driver-green in a past window or
+    # covered by --all; see docs/ROTATION_AUDIT.md ages) --
     "record_linkage_topk": q_record_linkage_topk,
     "dup_span_report": q_dup_span_report,
     "dsir_weights": q_dsir_weights,
@@ -8654,8 +8706,6 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_countmin": q_streaming_countmin,
     "streaming_sliding_counts": q_streaming_sliding_counts,
     "streaming_top_users": q_streaming_top_users,
-    # -- older extras (each driver-green in its last_scored
-    # round; see docs/ROTATION_AUDIT.md ages) --
     "hits": q_hits,
     "bfs_hops": q_bfs_hops,
     "kcore": q_kcore,
@@ -8706,60 +8756,11 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashing_tfidf_cells": q_hashing_tfidf_cells,
     "bpe_merges": q_bpe_merges,
     "bpe_vocab": q_bpe_vocab,
-    "dedup_clusters": q_dedup_clusters,
-    "quantize_embeddings": q_quantize_embeddings,
-    "stratified_sample": q_stratified_sample,
-    "jsonl_roundtrip": q_jsonl_roundtrip,
-    "graph_components": q_graph_components,
-    "source_overlap": q_source_overlap,
-    "rolling_active_users": q_rolling_active_users,
-    "normalize_events": q_normalize_events,
-    "co_engagement": q_co_engagement,
-    "streaming_enriched_counts": q_streaming_enriched_counts,
-    "streaming_snapshot_sink": q_streaming_snapshot_sink,
-    "dedup_apply": q_dedup_apply,
-    "curated_corpus": q_curated_corpus,
-    "funnel_counts": q_funnel_counts,
-    "cohort_retention": q_cohort_retention,
-    "top_terms_per_source": q_top_terms_per_source,
-    "bm25_topk": q_bm25_topk,
-    "llr": q_llr,
     "verified_near_dupes": q_verified_near_dupes,
-    "snapshot_diff": q_snapshot_diff,
-    "hourly_anomalies": q_hourly_anomalies,
-    "unigram_logprob": q_unigram_logprob,
-    "bigram_logprob": q_bigram_logprob,
-    "profile_events": q_profile_events,
-    "per_key_sample": q_per_key_sample,
-    "latest_events": q_latest_events,
-    "streaming_latest_events": q_streaming_latest_events,
-    "audio_stats": q_audio_stats,
-    "source_stats": q_source_stats,
-    "lang_source_matrix": q_lang_source_matrix,
-    "kmv_distinct": q_kmv_distinct,
     "weighted_sample": q_weighted_sample,
     "word_count": q_word_count,
-    "pagerank": q_pagerank,
-    "personalized_pagerank": q_personalized_pagerank,
-    "pack_sequences": q_pack_sequences,
-    "degree_histogram": q_degree_histogram,
-    "triangle_count": q_triangle_count,
-    "resize_images": q_resize_images,
-    "brute_force_topk": q_brute_force_topk,
     "hashing_tf": q_hashing_tf,
     "hashing_tfidf": q_hashing_tfidf,
-    "revenue_by_nation": q_revenue_by_nation,
-    "ivf_topk_trained": q_ivf_topk_trained,
-    "value_buckets": q_value_buckets,
-    "shuffle_shards": q_shuffle_shards,
-    "dense_hourly_counts": q_dense_hourly_counts,
-    "top_keywords": q_top_keywords,
-    "token_counts": q_token_counts,
-    "value_percentiles": q_value_percentiles,
-    "top_orders_per_customer": q_top_orders_per_customer,
-    "user_sessions": q_user_sessions,
-    "tf_idf": q_tf_idf,
-    "top_revenue_orders": q_top_revenue_orders,
     "semantic_decontamination": q_semantic_decontamination,
     "margin_bitext": q_margin_bitext,
     "temperature_mix": q_temperature_mix,
@@ -8811,6 +8812,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_weekly_revenue": q_rolling_weekly_revenue,
     "interpolate_gaps": q_interpolate_gaps,
 }
+
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **QUERIES,

@@ -706,3 +706,18 @@ def test_capped_class_expansion_prune_is_output_identical(spark):
     dist = {(r["id_a"], r["id_b"]): r["distance"] for r in uncapped}
     for r in capped:
         assert dist[(r["id_a"], r["id_b"])] == r["distance"]
+    # the prune is gated (round-10 VERDICT item 6): both the forced-
+    # off variant and the full auto gate (stats decide class path AND
+    # prune; m=8, k=3 puts this input BELOW the 4k crossover, so auto
+    # routes to the unpruned expansion) must be output-identical
+    for kwargs in (
+        dict(dedupe_values=True, prune_expansion=False),
+        dict(),  # full auto
+    ):
+        alt = record_linkage_pairs(
+            reps, "c_custkey", "c_name", ["c_nationkey"],
+            max_distance=2, max_pairs_per_record=k, **kwargs,
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in alt} == keep, kwargs
+        for r in alt:
+            assert dist[(r["id_a"], r["id_b"])] == r["distance"]
