@@ -171,7 +171,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "dsir_weights",
     ),
     "multimodal": (
-        "image_stats", "png_decode_stats", "phash_duplicates", "media_sniff", "frame_sample",
+        "image_stats", "png_decode_stats", "jpeg_decode_stats", "phash_duplicates", "media_sniff", "frame_sample",
         "audio_stats", "resize_images", "aspect_ratio_histogram",
     ),
     "streaming": (

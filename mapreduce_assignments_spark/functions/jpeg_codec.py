@@ -1,0 +1,583 @@
+"""Pure-stdlib baseline JPEG codec (numpy only) for the multimodal
+decode seam.
+
+JPEG baseline sequential DCT (ITU-T T.81 / ISO 10918-1 — public
+knowledge) needs nothing beyond bit twiddling and an 8x8 IDCT, both
+of which numpy covers: entropy-coded Huffman segments over quantized
+DCT coefficients, per-component DC prediction, optional restart
+markers, YCbCr (JFIF / BT.601) color. Implementing it here un-stubs
+the LAST fake I/O path in the registry — ``decode_image`` previously
+fell through to ``NotImplementedError`` for real JPEG payloads.
+
+Decoder scope — the training-data-pipeline subset, deliberately:
+
+- baseline sequential (SOF0) and extended sequential (SOF1) with
+  8-bit precision; progressive (SOF2), lossless, arithmetic-coded
+  and hierarchical frames raise ``ValueError`` (the seam's
+  drop-undecodable-rows contract handles it);
+- 1- and 3-component scans (grayscale / YCbCr) with any sampling
+  factors up to 2x2 (4:4:4, 4:2:2, 4:2:0 all covered by the generic
+  replication upsampler);
+- restart intervals (DRI / RSTn), multi-segment DQT/DHT, 16-bit
+  quantization tables; APPn/COM skipped.
+
+The IDCT is the separable orthonormal DCT-III as two 8x8 matrix
+multiplies, batched with numpy over every block of a component at
+once — float64, fixed operation order, hence bit-deterministic for a
+given bitstream. Entropy decode is a per-bit Python loop; decode cost
+is per-image and rides inside the Arrow-batched ``mapInPandas``
+stage, never in a shuffle (the png_codec discipline).
+
+The encoder exists for tests, fixtures, and sinks: 4:4:4 (or
+grayscale), quality-scaled Annex-K quantization tables, the Annex-K
+"typical" Huffman tables, one interleaved scan, no restarts. Decoder
+correctness is pinned three ways in tests/test_multimodal.py: golden
+CPython-test-suite JPEGs (a real libjpeg-encoded 16x16 4:2:0 file and
+a 2x2 grayscale file), an independent numpy DCT reference, and
+encode->decode round trips with PSNR bounds.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_jpeg", "encode_jpeg"]
+
+# zigzag order: index i holds the raster position of the i-th
+# coefficient in scan order (T.81 Figure A.6)
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# T.81 Annex K.1 — luminance / chrominance quantization tables
+# (quality 50 base), in RASTER order
+_K1_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_K1_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# T.81 Annex K.3 — "typical" Huffman tables as (BITS[1..16], HUFFVAL)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8x8 DCT-II matrix: IDCT(B) = M.T @ B @ M with the
+# T.81 normalization folded in (C(0) = 1/sqrt(2))
+_DCT_M = np.zeros((8, 8), dtype=np.float64)
+for _k in range(8):
+    for _n in range(8):
+        c = np.sqrt(0.125) if _k == 0 else 0.5
+        _DCT_M[_k, _n] = c * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+del _k, _n, c
+
+
+def _build_huffman(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman table -> {(code_length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with
+    0xFF00 byte-unstuffing; stops cleanly at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError("marker inside entropy-coded segment")
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        """Drop buffered bits and step past an expected RSTn marker."""
+        self.bitbuf = 0
+        self.nbits = 0
+        d = self.data
+        # tolerate fill bits already consumed; marker must be next
+        if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+        else:
+            raise ValueError("expected restart marker")
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(content: bytes):
+    """Decode a baseline JPEG -> (width, height, channels,
+    pixel_bytes) — the ``decode_image`` seam contract. Grayscale
+    decodes to 1 channel, YCbCr to interleaved RGB."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None  # (w, h, [(cid, hs, vs, tq)])
+    restart_interval = 0
+    pos = 2
+    n = len(content)
+    while pos + 4 <= n:
+        if content[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+        seg = content[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT — possibly several tables
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[i : i + 64], dtype=np.uint8)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(
+                        seg[i : i + 128], dtype=">u2"
+                    )
+                    i += 128
+                q = np.zeros(64, dtype=np.int64)
+                q[ZIGZAG] = tbl.astype(np.int64)  # de-zigzag to raster
+                qt[tq] = q.reshape(8, 8)
+        elif marker == 0xC4:  # DHT — possibly several tables
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                huff[(tc, th)] = _build_huffman(bits, vals)
+                i += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+            if seg[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid = seg[6 + 3 * c]
+                samp = seg[7 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 15, seg[8 + 3 * c]))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG frame type SOF{marker - 0xC0} "
+                "(only baseline/extended sequential decode here)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_tables = {}
+            for c in range(ns):
+                cs = seg[1 + 2 * c]
+                td, ta = seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15
+                scan_tables[cs] = (td, ta)
+            return _decode_scan(
+                content, pos + 2 + seglen, frame, qt, huff,
+                scan_tables, restart_interval,
+            )
+        pos += 2 + seglen
+    raise ValueError("no scan data (SOS) found")
+
+
+def _decode_scan(data, pos, frame, qt, huff, scan_tables, restart_interval):
+    w, h, comps = frame
+    if len(comps) not in (1, 3):
+        raise ValueError(f"{len(comps)}-component JPEG not supported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    reader = _BitReader(data, pos)
+    # per component: coefficient store (blocks_y*8, blocks_x*8)
+    planes_coef = []
+    for cid, hs, vs, _tq in comps:
+        planes_coef.append(
+            np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+        )
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_to_marker()
+                pred = [0] * len(comps)
+            try:
+                for ci, (cid, hs, vs, tq) in enumerate(comps):
+                    dc_tab = huff[(0, scan_tables[cid][0])]
+                    ac_tab = huff[(1, scan_tables[cid][1])]
+                    q = qt[tq]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blk = _decode_block(reader, dc_tab, ac_tab)
+                            pred[ci] += blk[0]
+                            coefs = np.zeros(64, dtype=np.int64)
+                            coefs[ZIGZAG] = blk
+                            coefs[0] = pred[ci]
+                            y0 = (my * vs + by) * 8
+                            x0 = (mx * hs + bx) * 8
+                            planes_coef[ci][y0 : y0 + 8, x0 : x0 + 8] = (
+                                coefs.reshape(8, 8) * q
+                            )
+            except _RestartMarker:
+                raise ValueError("unexpected restart marker") from None
+            mcu_count += 1
+    # batched IDCT per component, then upsample + color convert
+    planes = []
+    for ci, (cid, hs, vs, _tq) in enumerate(comps):
+        coef = planes_coef[ci]
+        ch, cw = coef.shape
+        b = coef.reshape(ch // 8, 8, cw // 8, 8).transpose(0, 2, 1, 3)
+        spatial = np.einsum("ij,abjk,kl->abil", _DCT_M.T, b, _DCT_M)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(ch, cw) + 128.0
+        # replicate-upsample to full MCU-grid resolution, crop to (w,h)
+        ry, rx = vmax // vs, hmax // hs
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, out.tobytes()
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bch = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bch], axis=-1)
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w, h, 3, out.tobytes()
+
+
+def _decode_block(reader, dc_tab, ac_tab):
+    """Decode one block's 64 coefficients in ZIGZAG order; the DC
+    slot holds the DIFF (caller applies prediction)."""
+    blk = [0] * 64
+    t = reader.decode_symbol(dc_tab)
+    blk[0] = _extend(reader.bits(t), t) if t else 0
+    k = 1
+    while k < 64:
+        rs = reader.decode_symbol(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        blk[k] = _extend(reader.bits(s), s)
+        k += 1
+    return blk
+
+
+# ---------------------------------------------------------------------------
+# encoder (tests / fixtures / sinks): 4:4:4 or grayscale, one scan
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex-K tables (public formula)."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_K1_LUMA, _K1_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0].reshape(8, 8), out[1].reshape(8, 8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-fill per T.81
+
+
+def _encode_codes(bits, vals):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Signed value -> (category t, t-bit code)."""
+    t = 0
+    a = abs(v)
+    while a:
+        t += 1
+        a >>= 1
+    if t == 0:
+        return 0, 0
+    return t, v if v >= 0 else v + (1 << t) - 1
+
+
+def _dht_segment(tc: int, th: int, bits, vals) -> bytes:
+    return (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        + bytes([tc << 4 | th])
+        + bytes(bits)
+        + bytes(vals)
+    )
+
+
+def encode_jpeg(
+    pixels: bytes, width: int, height: int, channels: int,
+    quality: int = 85,
+) -> bytes:
+    """Encode raw 8-bit pixels (gray or interleaved RGB) as a
+    baseline JPEG — 4:4:4 (no subsampling), quality-scaled Annex-K
+    quantization, Annex-K typical Huffman tables, single scan.
+    Deterministic: fixed tables, fixed operation order."""
+    if channels not in (1, 3):
+        raise ValueError("encode_jpeg supports 1 or 3 channels")
+    px = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    px = px.reshape(height, width, channels)
+    if channels == 3:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    else:
+        planes = [px[..., 0]]
+    qy, qc = _quality_tables(quality)
+    # header segments
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    )
+    for tq, q in ((0, qy),) + (((1, qc),) if channels == 3 else ()):
+        zz = q.reshape(-1)[ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz.tobytes()
+    out += b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * channels, 8, height, width, channels
+    )
+    for c in range(channels):
+        out += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += _dht_segment(0, 0, *_DC_LUMA)
+    out += _dht_segment(1, 0, *_AC_LUMA)
+    if channels == 3:
+        out += _dht_segment(0, 1, *_DC_CHROMA)
+        out += _dht_segment(1, 1, *_AC_CHROMA)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * channels, channels)
+    for c in range(channels):
+        out += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    out += bytes([0, 63, 0])
+    # entropy-coded scan
+    dc_codes = [_encode_codes(*_DC_LUMA)] + (
+        [_encode_codes(*_DC_CHROMA)] * 2 if channels == 3 else []
+    )
+    ac_codes = [_encode_codes(*_AC_LUMA)] + (
+        [_encode_codes(*_AC_CHROMA)] * 2 if channels == 3 else []
+    )
+    qts = [qy] + ([qc] * 2 if channels == 3 else [])
+    bw = _BitWriter()
+    bh = -(-height // 8)
+    bwid = -(-width // 8)
+    pred = [0] * channels
+    # pad planes by edge replication to full blocks
+    padded = []
+    for p in planes:
+        padded.append(
+            np.pad(p, ((0, bh * 8 - height), (0, bwid * 8 - width)),
+                   mode="edge")
+        )
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(channels):
+                blk = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                f = _DCT_M @ (blk - 128.0) @ _DCT_M.T
+                qcoef = np.round(f / qts[ci]).astype(np.int64)
+                zz = qcoef.reshape(-1)[ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                t, code = _magnitude(diff)
+                hc, hl = dc_codes[ci][t]
+                bw.write(hc, hl)
+                if t:
+                    bw.write(code, t)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        hc, hl = ac_codes[ci][0xF0]  # ZRL
+                        bw.write(hc, hl)
+                        run -= 16
+                    t, code = _magnitude(v)
+                    hc, hl = ac_codes[ci][(run << 4) | t]
+                    bw.write(hc, hl)
+                    bw.write(code, t)
+                    run = 0
+                if run:
+                    hc, hl = ac_codes[ci][0x00]  # EOB
+                    bw.write(hc, hl)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -943,16 +943,16 @@ def record_linkage_pairs(
                 # Prune crossover (round-10 VERDICT item 6): the
                 # bottom-k expansion prune replaces a class pair's
                 # m_A*m_B (and a class's C(m,2) same-name) record
-                # pairs with ~2k(m_A+m_B) — a win only when classes
-                # are big enough, and it costs a rank window + a
-                # second expansion arm when they are not (measured
-                # +20% at sf1 where m=10, k=3; mandatory at sf10
-                # where m=100 and the unpruned expansion never
-                # finished). m²/2 overtakes 2k·m at m = 4k; gate on
-                # the MAX class size (not the mean — one hot class
-                # in a unique-name corpus is exactly the skew case
-                # the prune exists for).
-                prune_expansion = (m_max or 0) > 4 * max_pairs_per_record
+                # pairs with ~2k(m_A+m_B), at the cost of a rank
+                # window + a second expansion arm. Same-box fresh-JVM
+                # A/B (docs/SCALE.md round 11): m=1 prune +20%,
+                # m=3 +25%, m=10 -41% (39 s vs 66 s), m=100 the
+                # unpruned expansion never finishes — crossover
+                # between m=3 and m=10, matching the ~2k-3k row-count
+                # estimate. Gate on the MAX class size (not the
+                # mean — one hot class in a unique-name corpus is
+                # exactly the skew case the prune exists for).
+                prune_expansion = (m_max or 0) > 2 * max_pairs_per_record
         if prune_expansion is None:
             # dedupe_values was forced, so no stats were collected:
             # default the prune ON — a caller forcing the class path

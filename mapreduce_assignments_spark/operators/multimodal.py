@@ -12,12 +12,17 @@ pixels, only compact features. This module provides the four shapes a
 
 Codec reality: this container has no PIL/cv2/librosa. REAL 8-bit
 non-interlaced PNG decodes anyway through the pure-stdlib codec in
-``functions/png_codec.py`` (zlib + numpy, no third-party import) —
-so ``image_stats``/``phash_duplicates``/``resize_images`` work on
-real PNG payloads here. Other real codecs (JPEG, video) stay
-stubbed: the default ``decode_image`` raises ``NotImplementedError``
-unless the payload is PNG or the deterministic FAKEIMG/FAKEVID test
-format below, auto-upgrading to Pillow when an import succeeds. Everything around the decode (schemas, batch
+``functions/png_codec.py`` (zlib + numpy, no third-party import),
+and REAL baseline JPEG (SOF0/SOF1, 1- or 3-component, any sampling
+up to 2x2 incl. 4:2:0, restart markers) decodes through
+``functions/jpeg_codec.py`` (numpy Huffman+IDCT, golden-tested
+against libjpeg-encoded files) — so ``image_stats``/
+``phash_duplicates``/``resize_images`` work on real PNG and JPEG
+payloads here. Video demux stays stubbed: the default
+``demux_video`` raises ``NotImplementedError`` unless the payload is
+the deterministic FAKEVID test format below; ``decode_image``
+auto-upgrades to Pillow when an import succeeds (progressive JPEG,
+exotic PNG). Everything around the decode (schemas, batch
 iteration, Arrow transfer, partitioning, output shapes) is real and
 tested, and the codec itself is a SEAM, not a constant: every decode
 operator accepts a ``decoder``/``demuxer`` callable (any plain
@@ -115,11 +120,13 @@ def decode_image(content: bytes):
     The deterministic FAKEIMG container always decodes; 8-bit
     non-interlaced PNG decodes through the pure-stdlib codec in
     :mod:`..functions.png_codec` (zlib is always available — no PIL
-    needed); anything else is handed to Pillow WHEN the import
-    succeeds (it does not in this container), else raises
-    ``NotImplementedError``. Operators take this as their default
-    ``decoder=`` argument — a deployment passes its own callable
-    instead of editing this module.
+    needed); baseline JPEG decodes through
+    :mod:`..functions.jpeg_codec` (numpy Huffman + batched IDCT);
+    anything else is handed to Pillow WHEN the import succeeds (it
+    does not in this container), else raises ``NotImplementedError``.
+    Operators take this as their default ``decoder=`` argument — a
+    deployment passes its own callable instead of editing this
+    module.
     """
     if content[:7] == b"FAKEIMG":
         w, h, c = struct.unpack(">IIB", content[7:16])
@@ -137,6 +144,16 @@ def decode_image(content: bytes):
             # through to Pillow / the seam error so operators keep
             # their documented drop-undecodable-rows contract instead
             # of crashing the Arrow stage on one bad asset.
+            pass
+    if content[:3] == b"\xff\xd8\xff":
+        from ..functions.jpeg_codec import decode_jpeg
+
+        try:
+            return decode_jpeg(content)
+        except (ValueError, struct.error, IndexError):
+            # ValueError = out-of-subset JPEG (progressive, arithmetic,
+            # 12-bit, CMYK); struct/IndexError = corrupt payload behind
+            # a valid magic. Same fall-through contract as PNG above.
             pass
     try:
         import io

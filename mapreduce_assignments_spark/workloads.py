@@ -1966,6 +1966,62 @@ def _png_assets(spark, sf_dir):
     return src.mapInPandas(encode, "asset_id long, content binary")
 
 
+def _jpeg_assets(spark, sf_dir):
+    """REAL baseline JPEG containers (SOI, JFIF APP0, DQT, SOF0, DHT,
+    entropy-coded scan — any image tool opens them) whose grayscale
+    pixels are the document text's leading UTF-8 bytes, with per-doc
+    dimensions w in {8,12,16} x h in {8..16} so the header parse is
+    exercised across block-grid shapes (including partial edge
+    blocks). Encoding is an Arrow-batched mapInPandas over the
+    pure-stdlib encoder — the binary column is built and consumed
+    executor-side, never collected."""
+    import pandas as pd
+
+    from mapreduce_assignments_spark.functions.jpeg_codec import encode_jpeg
+
+    src = (
+        _docs(spark, sf_dir)
+        .where(F.col("n_chars") >= 256)
+        .select(
+            "doc_id",
+            F.expr("substring(encode(text, 'UTF-8'), 1, 256)").alias("px"),
+        )
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["px"]):
+                w = 8 + (doc_id % 3) * 4
+                h = 8 + (doc_id % 5) * 2
+                blobs.append(
+                    encode_jpeg(bytes(p[: w * h]), int(w), int(h), 1)
+                )
+                ids.append(doc_id)
+            yield pd.DataFrame({"asset_id": ids, "content": blobs})
+
+    return src.mapInPandas(encode, "asset_id long, content binary")
+
+
+def q_jpeg_decode_stats(spark, sf_dir):
+    """REAL-container JPEG round trip with zero third-party codecs:
+    encode each document's leading bytes as an actual baseline JPEG,
+    then decode it back through image_stats' DEFAULT decoder seam —
+    exercising functions/jpeg_codec.py (Huffman entropy decode, DC
+    prediction, dequant, batched IDCT) end-to-end inside the Arrow
+    pipeline. JPEG is LOSSY, so unlike png_decode_stats the oracle
+    cannot recompute pixel statistics from the text; the driver-gated
+    output is the lossless-exact header facts (dimensions, channels)
+    plus row PRESENCE — a row only exists when the full decode
+    succeeds, since image_stats drops undecodable assets. Pixel-level
+    decoder correctness is pinned in pytest against golden
+    libjpeg-encoded files from CPython's public test suite plus an
+    independent-DCT reference and PSNR-bounded round trips."""
+    return multimodal.image_stats(_jpeg_assets(spark, sf_dir)).select(
+        "asset_id", "width", "height", "channels"
+    )
+
+
 def q_lpa_communities(spark, sf_dir):
     """Deterministic min-tiebreak LPA over the variable-degree
     customer graph — community rollup after 4 synchronous rounds."""
@@ -8207,6 +8263,18 @@ FROM documents WHERE n_chars >= 64
 # the value hash.
 ORACLE["png_decode_stats"] = ORACLE["image_stats"]
 
+# jpeg_decode_stats: JPEG is lossy, so the oracle checks the
+# lossless-exact facts — per-doc dimensions/channels and row
+# PRESENCE (a row exists only when the seam's decode succeeded);
+# pixel math is golden-pinned in pytest (see q_jpeg_decode_stats).
+ORACLE["jpeg_decode_stats"] = """
+SELECT doc_id AS asset_id,
+       CAST(8 + (doc_id % 3) * 4 AS INTEGER) AS width,
+       CAST(8 + (doc_id % 5) * 2 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels
+FROM documents WHERE n_chars >= 256
+"""
+
 # nb_quality_confusion: the whole classifier is closed-form, so the
 # oracle replays it end-to-end — silver labels from the shared quality
 # formula, add-1 smoothed per-class token likelihoods over the train
@@ -8611,6 +8679,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_rollup": q_incremental_rollup,
     "schema_evolution": q_schema_evolution,
     "png_decode_stats": q_png_decode_stats,
+    # round-11 add: real baseline-JPEG round trip (the last image
+    # codec seam un-stubbed)
+    "jpeg_decode_stats": q_jpeg_decode_stats,
     "nb_quality_confusion": q_nb_quality_confusion,
     "lpa_communities": q_lpa_communities,
     "boolean_retrieval": q_boolean_retrieval,

@@ -707,9 +707,9 @@ def test_capped_class_expansion_prune_is_output_identical(spark):
     for r in capped:
         assert dist[(r["id_a"], r["id_b"])] == r["distance"]
     # the prune is gated (round-10 VERDICT item 6): both the forced-
-    # off variant and the full auto gate (stats decide class path AND
-    # prune; m=8, k=3 puts this input BELOW the 4k crossover, so auto
-    # routes to the unpruned expansion) must be output-identical
+    # off variant (the unpruned expansion) and the full auto gate
+    # (stats decide class path AND prune; m=8 > 2k=6 engages the
+    # prune here) must be output-identical
     for kwargs in (
         dict(dedupe_values=True, prune_expansion=False),
         dict(),  # full auto

@@ -32,7 +32,7 @@ from mapreduce_assignments_spark.session import get_spark  # noqa: E402
 # the sanctioned Arrow-batched pipelines — most touch pixels, which is
 # exactly what the Pandas-UDF path is for
 PYTHON_OK = {
-    "image_stats", "png_decode_stats", "phash_duplicates", "frame_sample", "resize_images",
+    "image_stats", "png_decode_stats", "jpeg_decode_stats", "phash_duplicates", "frame_sample", "resize_images",
     # in-partition BPE trainer: the whole point is ONE mapInPandas
     # over the (memory-sized) word-count vocabulary instead of
     # O(n_merges) sequential Spark jobs
