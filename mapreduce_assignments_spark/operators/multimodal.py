@@ -18,11 +18,16 @@ up to 2x2 incl. 4:2:0, restart markers) decodes through
 ``functions/jpeg_codec.py`` (numpy Huffman+IDCT, golden-tested
 against libjpeg-encoded files) — so ``image_stats``/
 ``phash_duplicates``/``resize_images`` work on real PNG and JPEG
-payloads here. Video demux stays stubbed: the default
-``demux_video`` raises ``NotImplementedError`` unless the payload is
-the deterministic FAKEVID test format below; ``decode_image``
-auto-upgrades to Pillow when an import succeeds (progressive JPEG,
-exotic PNG). Everything around the decode (schemas, batch
+payloads here. Video is REAL too: the default ``demux_video``
+demuxes AVI (RIFF ``LIST movi`` walk) and progressive MP4
+(``stsz``/``stsc``/``stco`` sample tables) through the pure-stdlib
+codecs in ``functions/container_demux.py`` — with MJPEG streams the
+demuxed frames are baseline JPEGs the JPEG codec decodes, so
+``video_frame_stats`` runs demux → per-frame decode → features on
+genuine on-disk containers. Fragmented MP4 / OpenDML AVI stay
+outside the subset (the seam raises, rows drop); the deterministic
+FAKEVID test format still decodes; ``decode_image`` auto-upgrades to
+Pillow when an import succeeds (progressive JPEG, exotic PNG). Everything around the decode (schemas, batch
 iteration, Arrow transfer, partitioning, output shapes) is real and
 tested, and the codec itself is a SEAM, not a constant: every decode
 operator accepts a ``decoder``/``demuxer`` callable (any plain
@@ -63,6 +68,7 @@ __all__ = [
     "phash_duplicates",
     "resize_images",
     "sample_frames",
+    "video_frame_stats",
     "audio_stats",
     "make_wav",
     "make_fake_image",
@@ -171,18 +177,41 @@ def decode_image(content: bytes):
 
 def demux_video(content: bytes) -> list[bytes]:
     """Default video demuxer → ordered list of raw frame payloads.
-    Decodes FAKEVID; raises ``NotImplementedError`` for real
-    containers (no cv2/ffmpeg here). Same seam contract as
-    :func:`decode_image`."""
-    if content[:7] != b"FAKEVID":
-        raise NotImplementedError(
-            "real video demuxers are not available in this container; "
-            "only the FAKEVID test format decodes. Pass "
-            "demuxer=<your callable> to the operator to plug one in."
-        )
-    n, flen = struct.unpack(">II", content[7:15])
-    body = content[15:]
-    return [body[i * flen : (i + 1) * flen] for i in range(n)]
+
+    REAL containers demux through the pure-stdlib codecs in
+    :mod:`..functions.container_demux`: AVI (RIFF ``LIST movi``
+    walk) and progressive MP4 (``stsz``/``stsc``/``stco`` sample
+    tables) — with MJPEG streams the payloads are baseline JPEGs
+    :func:`decode_image` then decodes, so the whole video path runs
+    on genuine on-disk formats. The deterministic FAKEVID test
+    format still decodes; anything else (or a corrupt payload
+    behind a valid magic) raises ``NotImplementedError`` so
+    operators keep their documented drop-undecodable-rows
+    contract. Same seam contract as :func:`decode_image`."""
+    if content[:7] == b"FAKEVID":
+        n, flen = struct.unpack(">II", content[7:15])
+        body = content[15:]
+        return [body[i * flen : (i + 1) * flen] for i in range(n)]
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        from ..functions.container_demux import demux_avi
+
+        try:
+            return demux_avi(content)
+        except (ValueError, struct.error, IndexError):
+            pass  # corrupt AVI behind a valid magic -> seam error below
+    if content[4:8] == b"ftyp":
+        from ..functions.container_demux import demux_mp4
+
+        try:
+            return demux_mp4(content)
+        except (ValueError, struct.error, IndexError):
+            pass  # fragmented/corrupt MP4 -> seam error below
+    raise NotImplementedError(
+        "container not demuxable here (AVI, progressive MP4 and the "
+        "FAKEVID test format decode via pure-stdlib codecs; other "
+        "formats need a real demuxer). Pass demuxer=<your callable> "
+        "to the operator to plug one in."
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -227,6 +256,63 @@ def image_stats(
             )
 
     return assets.select(id_col, content_col).mapInPandas(batches, _STATS_SCHEMA)
+
+
+def video_frame_stats(
+    assets: DataFrame,
+    every_k: int = 1,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+    demuxer=None,
+    decoder=None,
+) -> DataFrame:
+    """Demux each video and decode every k-th frame →
+    ``(asset_id, frame_idx, width, height, channels, mean_px)`` —
+    the demux→decode→feature composition a training-data pipeline
+    runs over a video corpus, in ONE Arrow stage (frames never
+    shuffle as pixels; only the narrow feature rows leave the
+    stage). With the default seams this is real end-to-end I/O:
+    AVI/MP4 demux via :mod:`..functions.container_demux`, MJPEG
+    frame decode via :mod:`..functions.jpeg_codec`. Undemuxable
+    rows and undecodable frames are dropped (quarantine-sink
+    contract, same as :func:`image_stats`)."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    import numpy as np
+    import pandas as pd
+
+    demuxer = demuxer or demux_video
+    decoder = decoder or decode_image
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    frames = demuxer(bytes(content))
+                except NotImplementedError:
+                    continue
+                for idx in range(0, len(frames), every_k):
+                    try:
+                        w, h, c, px = decoder(bytes(frames[idx]))
+                    except NotImplementedError:
+                        continue
+                    arr = np.frombuffer(px, dtype=np.uint8)
+                    rows.append(
+                        (aid, idx, w, h, c,
+                         round(float(arr.mean()), 6) if arr.size else 0.0)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "frame_idx", "width", "height",
+                         "channels", "mean_px"],
+            )
+
+    return assets.select(id_col, content_col).mapInPandas(
+        batches,
+        "asset_id long, frame_idx int, width int, height int, "
+        "channels int, mean_px double",
+    )
 
 
 def phash64(content: bytes, decoder=None) -> int:

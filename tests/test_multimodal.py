@@ -669,3 +669,127 @@ def test_jpeg_deterministic_and_seam_routed():
     prog[prog.index(b"\xff\xc0")+1:prog.index(b"\xff\xc0")+2] = b"\xc2"
     with pytest.raises(ValueError):
         decode_jpeg(bytes(prog))
+
+
+# ---------------------------------------------------------------------------
+# real video containers: AVI (RIFF) + progressive MP4 demux
+
+
+def test_avi_mux_demux_roundtrip():
+    from mapreduce_assignments_spark.functions.container_demux import (
+        demux_avi,
+        mux_avi_mjpeg,
+    )
+
+    frames = [bytes((i * 7 + j) % 256 for j in range(40 + i * 3)) for i in range(5)]
+    avi = mux_avi_mjpeg(frames, 8, 8)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    assert demux_avi(avi) == frames
+    # odd-length frames force the RIFF even-padding path
+    odd = [b"x" * 3, b"y" * 7]
+    assert demux_avi(mux_avi_mjpeg(odd, 2, 2)) == odd
+    assert demux_avi(mux_avi_mjpeg([], 2, 2)) == []
+
+
+def test_mp4_mux_demux_roundtrip_all_chunkings():
+    from mapreduce_assignments_spark.functions.container_demux import (
+        demux_mp4,
+        mux_mp4,
+    )
+
+    frames = [bytes((i * 5 + j) % 256 for j in range(16 + i)) for i in range(7)]
+    for spc in (1, 2, 3, 5, 7, 9):  # incl. tail chunks and 1 big chunk
+        mp4 = mux_mp4(frames, 8, 8, samples_per_chunk=spc)
+        assert mp4[4:8] == b"ftyp"
+        assert demux_mp4(mp4) == frames, f"samples_per_chunk={spc}"
+    assert demux_mp4(mux_mp4([], 8, 8)) == []
+
+
+def test_mp4_demux_corrupt_and_out_of_subset():
+    import pytest
+
+    from mapreduce_assignments_spark.functions.container_demux import (
+        demux_avi,
+        demux_mp4,
+        mux_mp4,
+    )
+
+    mp4 = mux_mp4([b"abc", b"defg"], 4, 4)
+    with pytest.raises(ValueError):
+        demux_mp4(mp4[:40])  # truncated: sample walk overruns
+    with pytest.raises(ValueError):
+        demux_mp4(b"\x00" * 32)  # no ftyp
+    # moov stripped -> no video track facts
+    moov_at = mp4.index(b"moov") - 4
+    with pytest.raises(ValueError):
+        demux_mp4(mp4[:moov_at])
+    with pytest.raises(ValueError):
+        demux_avi(b"RIFF\x04\x00\x00\x00WAVE")  # RIFF but not AVI
+
+
+def test_demux_video_seam_dispatch():
+    """The DEFAULT seam now demuxes real AVI and MP4; FAKEVID still
+    decodes; corrupt payloads behind a valid magic fall through to
+    the NotImplementedError drop contract (never a raw crash)."""
+    import pytest
+
+    from mapreduce_assignments_spark.functions.container_demux import (
+        mux_avi_mjpeg,
+        mux_mp4,
+    )
+    from mapreduce_assignments_spark.operators.multimodal import (
+        demux_video,
+        make_fake_video,
+    )
+
+    frames = [b"0123456789abcdef", b"ANOTHER-FRAME!!!"]
+    assert demux_video(mux_avi_mjpeg(frames, 4, 4)) == frames
+    assert demux_video(mux_mp4(frames, 4, 4)) == frames
+    assert demux_video(make_fake_video(2, 4, seed=9)) == [
+        make_fake_video(2, 4, seed=9)[15:19],
+        make_fake_video(2, 4, seed=9)[19:23],
+    ]
+    for bad in (
+        b"RIFF\xff\xff\xff\xffAVI " + b"\x99" * 16,  # chunk overrun
+        b"\x00\x00\x00\x14ftypisom" + b"\x00" * 12,  # no moov
+        b"not-a-video-at-all",
+    ):
+        with pytest.raises(NotImplementedError):
+            demux_video(bad)
+
+
+def test_video_frame_stats_real_mjpeg_avi(spark):
+    """Full video path on REAL containers: mux JPEG frames into an
+    AVI, run the operator with DEFAULT seams, check dimensions
+    exactly and pixel means within JPEG loss tolerance; corrupt rows
+    drop silently."""
+    import numpy as np
+
+    from mapreduce_assignments_spark.functions.container_demux import mux_avi_mjpeg
+    from mapreduce_assignments_spark.functions.jpeg_codec import encode_jpeg
+    from mapreduce_assignments_spark.operators.multimodal import video_frame_stats
+
+    rng_px = [bytes((f * 37 + j) % 256 for j in range(64)) for f in range(4)]
+    frames = [encode_jpeg(p, 8, 8, 1) for p in rng_px]
+    avi = mux_avi_mjpeg(frames, 8, 8)
+    df = spark.createDataFrame(
+        [(1, avi), (2, b"RIFF\xff\xff\xff\xffAVI " + b"\x99" * 16)],
+        "asset_id long, content binary",
+    )
+    rows = video_frame_stats(df, every_k=2).orderBy("frame_idx").collect()
+    assert [(r.asset_id, r.frame_idx, r.width, r.height, r.channels) for r in rows] == [
+        (1, 0, 8, 8, 1),
+        (1, 2, 8, 8, 1),
+    ]
+    for r, f in zip(rows, (0, 2)):
+        true_mean = float(np.frombuffer(rng_px[f], dtype=np.uint8).mean())
+        assert abs(r.mean_px - true_mean) < 3.0  # JPEG loss bound
+
+
+def test_video_frame_stats_validates():
+    import pytest
+
+    from mapreduce_assignments_spark.operators.multimodal import video_frame_stats
+
+    with pytest.raises(ValueError):
+        video_frame_stats(None, every_k=0)

@@ -33,6 +33,7 @@ from mapreduce_assignments_spark.session import get_spark  # noqa: E402
 # exactly what the Pandas-UDF path is for
 PYTHON_OK = {
     "image_stats", "png_decode_stats", "jpeg_decode_stats", "phash_duplicates", "frame_sample", "resize_images",
+    "mjpeg_frame_stats", "mp4_frame_text",
     # in-partition BPE trainer: the whole point is ONE mapInPandas
     # over the (memory-sized) word-count vocabulary instead of
     # O(n_merges) sequential Spark jobs
