@@ -793,3 +793,73 @@ def test_video_frame_stats_validates():
 
     with pytest.raises(ValueError):
         video_frame_stats(None, every_k=0)
+
+
+def test_mp4_demux_handcrafted_co64_stz2_fixed_stsz():
+    """Demux paths our own muxer never emits, hand-authored box by
+    box so a symmetric mux/demux bug cannot hide: 64-bit co64 chunk
+    offsets, fixed-size stsz (sample_size != 0), and 8-bit stz2
+    sample sizes."""
+    import struct
+
+    from mapreduce_assignments_spark.functions.container_demux import demux_mp4
+
+    def box(fourcc, body):
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    def full(fourcc, body, version=0, flags=0):
+        return box(fourcc, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+    samples = [b"AAAA", b"BBBB", b"CCCC"]  # fixed 4-byte samples
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    mdat = box(b"mdat", b"".join(samples))
+    base = len(ftyp) + 8
+
+    def stbl_with(stsz_box, stco_box):
+        stsd = full(b"stsd", struct.pack(">I", 1) + box(b"mp4v", b"\x00" * 78))
+        stts = full(b"stts", struct.pack(">III", 1, 3, 100))
+        # 2 samples in chunk 1, 1 sample in chunk 2
+        stsc = full(
+            b"stsc",
+            struct.pack(">I", 2)
+            + struct.pack(">III", 1, 2, 1)
+            + struct.pack(">III", 2, 1, 1),
+        )
+        return box(b"stbl", stsd + stts + stsc + stsz_box + stco_box)
+
+    def mp4_with(stbl):
+        hdlr = full(b"hdlr", struct.pack(">I4s", 0, b"vide") + b"\x00" * 12 + b"h\x00")
+        minf = box(b"minf", box(b"dinf", b"") + stbl)
+        mdia = box(b"mdia", hdlr + minf)
+        moov = box(b"moov", box(b"trak", mdia))
+        return ftyp + mdat + moov
+
+    # fixed-size stsz + 64-bit co64 offsets
+    stsz_fixed = full(b"stsz", struct.pack(">II", 4, 3))
+    co64 = full(b"co64", struct.pack(">IQQ", 2, base, base + 8))
+    assert demux_mp4(mp4_with(stbl_with(stsz_fixed, co64))) == samples
+
+    # 8-bit stz2 sizes + 32-bit stco
+    stz2 = full(b"stz2", struct.pack(">I", 8) + struct.pack(">I", 3) + bytes([4, 4, 4]))
+    stco = full(b"stco", struct.pack(">III", 2, base, base + 8))
+    assert demux_mp4(mp4_with(stbl_with(stz2, stco))) == samples
+
+
+def test_avi_demux_handcrafted_rec_groups_and_second_stream():
+    """Hand-authored AVI movi payload with 'LIST rec ' interleave
+    groups (our muxer writes flat chunks only) plus an audio '01wb'
+    chunk that must NOT be returned, and a '01dc' second video
+    stream that must."""
+    import struct
+
+    from mapreduce_assignments_spark.functions.container_demux import demux_avi
+
+    def ck(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    rec = ck(b"LIST", b"rec " + ck(b"00dc", b"frame1") + ck(b"01wb", b"audio"))
+    movi = ck(b"LIST", b"movi" + rec + ck(b"00db", b"fr2") + ck(b"01dc", b"s2f"))
+    body = b"AVI " + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert demux_avi(avi) == [b"frame1", b"fr2", b"s2f"]
