@@ -53,6 +53,9 @@ __all__ = [
     "knn_label_accuracy",
     "embedding_covariance",
     "quantization_error",
+    "pq_train",
+    "pq_codes",
+    "pq_adc_topk",
 ]
 
 
@@ -1238,5 +1241,254 @@ def quantization_error(
             F.count("*").alias("n_vecs"),
             F.round(F.avg("cos"), 6).alias("mean_cos"),
             F.min("cos").alias("min_cos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): m-subspace codebooks, codes, ADC search
+
+
+def _pq_subvectors(emb: DataFrame, m: int, sd: int) -> DataFrame:
+    """Explode each vector into its m subvectors JVM-side:
+    ``(vec_id, subspace, sv ARRAY<DOUBLE>, __n2)`` with the
+    subvector's self-dot precomputed once (all k candidate distances
+    share it)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                F.slice("embedding", j * sd + 1, sd).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return (
+        emb.select("vec_id", F.explode(pairs).alias("s"))
+        .select("vec_id", F.col("s.subspace").alias("subspace"), F.col("s.sv").alias("sv"))
+        .withColumn("__n2", _dot(F.col("sv"), F.col("sv")))
+    )
+
+
+def _seq_dot(a: list, b: list) -> float:
+    # left-to-right accumulation — bit-identical to the F.aggregate
+    # fold and DuckDB's list_dot_product (the ivf_assign precedent)
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _pq_code_expr(cb: dict) -> Column:
+    """Nearest-code expression over the exploded subvector frame:
+    per subspace, argmin of round(||c||² − 2·c·sv + ||sv||², 6) with
+    ties to the lowest code — a lazy when()-branch per subspace so
+    each row evaluates only its own subspace's k distances, and the
+    argmin is array_min over (d, code) structs (the ivf_assign
+    single-evaluation discipline)."""
+    expr = None
+    for j in sorted(cb):
+        cands = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        F.lit(_seq_dot(c, c))
+                        - 2 * _dot(F.array(*[F.lit(x) for x in c]), F.col("sv"))
+                        + F.col("__n2"),
+                        6,
+                    ).alias("d"),
+                    F.lit(code).alias("code"),
+                )
+                for code, c in cb[j]
+            ]
+        )
+        branch = F.array_min(cands)["code"]
+        cond = F.col("subspace") == j
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    return expr.cast("int")
+
+
+def _collect_codebook(codebooks: DataFrame) -> dict:
+    cb: dict = {}
+    for r in codebooks.select("subspace", "code", "c").collect():
+        cb.setdefault(int(r["subspace"]), []).append(
+            (int(r["code"]), [float(x) for x in r["c"]])
+        )
+    for j in cb:
+        cb[j].sort()
+    return cb
+
+
+def pq_train(
+    embeddings: DataFrame, m: int = 4, k: int = 8, n_iter: int = 2
+) -> DataFrame:
+    """Train product-quantization codebooks — ``(subspace, code,
+    c ARRAY<DOUBLE>)``: split the d-dim space into m contiguous
+    subspaces of d/m dims and run k-means in each (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+    public method). The compressed index stores m small codes per
+    vector instead of d floats: at d=64 doubles → 4 bytes/vector,
+    a 128× shrink, which is what makes a 100 TB embedding corpus
+    searchable from RAM.
+
+    Deterministic throughout: initialization seeds subspace j's k
+    codewords with the subvectors of the k LOWEST vec_ids (code =
+    vec_id rank); assignment is min squared-L2 rounded at 6 dp with
+    ties to the lowest code; the update is the element-wise mean.
+
+    Scale shape: ALL m codebooks train in the SAME Spark jobs — the
+    subvector explode is a narrow map (rows × m, never shuffled
+    wide), each Lloyd's iteration is one literal-fold assignment
+    scan plus ONE (subspace, code, pos) partial-aggregated exchange,
+    and only the m×k×(d/m) codebook floats ever reach the driver
+    (the ivf_train small-side contract). A codeword that loses every
+    member drops out, identically in both engines."""
+    if m < 1 or k < 1:
+        raise ValueError("m and k must be >= 1")
+    emb = _as_double(embeddings)
+    spark = embeddings.sparkSession
+    schema = "subspace int, code int, c array<double>"
+    first = emb.orderBy("vec_id").limit(k).collect()  # bounded: k rows
+    if not first:
+        return spark.createDataFrame([], schema)
+    dim = len(first[0]["embedding"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    cb: dict = {
+        j: [
+            (rank, [float(x) for x in row["embedding"]][j * sd : (j + 1) * sd])
+            for rank, row in enumerate(first)
+        ]
+        for j in range(m)
+    }
+    sub = _pq_subvectors(emb, m, sd)
+    for _ in range(n_iter):
+        assigned = sub.withColumn("code", _pq_code_expr(cb))
+        rows = (
+            assigned.select("subspace", "code", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("subspace", "code", "pos")
+            .agg(F.avg("v").alias("v"))
+            .groupBy("subspace", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        cb = {}
+        for r in rows:
+            cb.setdefault(int(r["subspace"]), []).append(
+                (int(r["code"]), [float(x) for x in r["c"]])
+            )
+        for j in cb:
+            cb[j].sort()
+    return spark.createDataFrame(
+        [(j, code, c) for j in sorted(cb) for code, c in cb[j]], schema
+    )
+
+
+def pq_codes(embeddings: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Encode each vector under trained PQ codebooks —
+    ``(vec_id, subspace, code)``, the compressed index itself (m
+    small ints per vector). ZERO-shuffle: the codebooks are collected
+    (m×k×(d/m) doubles — the ivf_assign small-side contract) and
+    inlined as literal arrays, so encoding is a narrow per-row
+    argmin fold; the corpus is scanned once and never exchanged."""
+    cb = _collect_codebook(codebooks)
+    emb = _as_double(embeddings)
+    spark = embeddings.sparkSession
+    if not cb:
+        return spark.createDataFrame([], "vec_id long, subspace int, code int")
+    m = len(cb)
+    sd = len(next(iter(cb.values()))[0][1])
+    sub = _pq_subvectors(emb, m, sd)
+    return sub.select(
+        "vec_id", "subspace", _pq_code_expr(cb).alias("code")
+    )
+
+
+# fixed-point scale for ADC contributions: quantizing each lookup-table
+# entry to floor(d2 · 2^20) LONG makes the per-pair sum over subspaces
+# order-independent (the embedding_covariance discipline), so ranking
+# ties and hashes are engine-exact.
+_PQ_ADC_SCALE = 1 << 20
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    n_queries: int = 5,
+    topk: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over the PQ-compressed index —
+    ``(query_id, neighbor_id, rank, adc_dist)``: each query builds a
+    lookup table of its exact squared-L2 to every codeword (m×k
+    entries), and a database vector's distance is the SUM of its m
+    code lookups — the vectors themselves are never touched at query
+    time (Jégou'11 ADC). This is the 100 TB query path: the scan
+    reads only the (vec_id, subspace, code) index (m ints/vector),
+    the LUT is a broadcast of n_queries × m × k rows, and the
+    per-(query, vector) sum is one partial-aggregated exchange of
+    integer summands. Contributions are fixed-point quantized
+    (floor(d2·2²⁰) LONG) so the sum is order-independent; ranking
+    orders by the exact integer sum with ties to the lowest
+    neighbor_id."""
+    emb = _as_double(embeddings)
+    cb = _collect_codebook(codebooks)
+    spark = embeddings.sparkSession
+    out_schema = (
+        "query_id long, neighbor_id long, rank int, adc_dist double"
+    )
+    if not cb:
+        return spark.createDataFrame([], out_schema)
+    m = len(cb)
+    sd = len(next(iter(cb.values()))[0][1])
+    codes = pq_codes(emb, codebooks)
+    qsub = _pq_subvectors(
+        emb.where(F.col("vec_id") < n_queries), m, sd
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "subspace",
+        F.col("sv").alias("qv"),
+        F.col("__n2").alias("qn2"),
+    )
+    lut = (
+        qsub.join(F.broadcast(codebooks), "subspace")
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            F.floor(
+                (
+                    _dot(F.col("c"), F.col("c"))
+                    - 2 * _dot(F.col("c"), F.col("qv"))
+                    + F.col("qn2")
+                )
+                * F.lit(float(_PQ_ADC_SCALE))
+            )
+            .cast("long")
+            .alias("dq"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dq").alias("s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("s"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round(
+                F.greatest(F.col("s"), F.lit(0)) / F.lit(float(_PQ_ADC_SCALE)), 6
+            ).alias("adc_dist"),
         )
     )

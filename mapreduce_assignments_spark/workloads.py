@@ -2237,6 +2237,28 @@ def q_ivf_topk_trained(spark, sf_dir):
     return similarity.ivf_topk(emb, centroids, queries, k=10, nprobe=2)
 
 
+def q_pq_codes(spark, sf_dir):
+    """PQ-compressed index: m=4 subspace k-means codebooks (k=8,
+    2 Lloyd's rounds, first-k-ids init) trained in-plan, then every
+    vector encoded by a zero-shuffle literal-fold argmin — the
+    (vec_id, subspace, code) table IS the 128×-smaller index. The
+    oracle replays the whole trainer (init, both rounds, final
+    assignment) in SQL CTEs, the ivf_topk_trained discipline."""
+    emb = _emb(spark, sf_dir)
+    codebooks = similarity.pq_train(emb, m=4, k=8, n_iter=2)
+    return similarity.pq_codes(emb, codebooks)
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-10 for the 5 eval queries over the PQ
+    index — query-time reads codes only (never the vectors), per-pair
+    distance = sum of m fixed-point LUT lookups (order-independent
+    LONG summands), ranking by the exact integer sum."""
+    emb = _emb(spark, sf_dir)
+    codebooks = similarity.pq_train(emb, m=4, k=8, n_iter=2)
+    return similarity.pq_adc_topk(emb, codebooks, n_queries=5, topk=10)
+
+
 _STAGED_IVF_INDEX: dict[str, str] = {}
 
 
@@ -8227,6 +8249,97 @@ QUALIFY rank <= {topk}
 
 ORACLE["ivf_topk_trained"] = _ivf_topk_trained_oracle_sql()
 
+
+def _pq_cte(m: int = 4, k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """Shared CTE chain replaying pq_train + pq_codes in DuckDB SQL:
+    subvector explode, first-k-ids codebook init, n_iter rounds of
+    (rounded-L2 argmin assign, element-wise mean update), final
+    ``codes`` table. Distances decompose into list_dot_product terms
+    (the cosine-oracle fold, bit-identical to the Spark F.aggregate)."""
+    sd = dim // m
+    subspace_vals = ", ".join(f"({j})" for j in range(m))
+
+    def d2(c: str, sv: str) -> str:
+        return (
+            f"round(list_dot_product({c}, {c}) - 2 * list_dot_product({c}, {sv})"
+            f" + list_dot_product({sv}, {sv}), 6)"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""sub AS (
+  SELECT vec_id, CAST(j.j AS INTEGER) AS subspace,
+         v[(j.j * {sd} + 1):((j.j + 1) * {sd})] AS sv
+  FROM e, (VALUES {subspace_vals}) j(j))""",
+        f"""init AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k}))""",
+        """cb0 AS (
+  SELECT s.subspace, i.code, s.sv AS c
+  FROM sub s JOIN init i ON i.vec_id = s.vec_id)""",
+    ]
+    cb = "cb0"
+    for t in range(n_iter):
+        parts.append(f"""asg{t} AS (
+  SELECT vec_id, subspace, sv, code FROM (
+    SELECT s.vec_id, s.subspace, s.sv, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                              ORDER BY {d2("c.c", "s.sv")} ASC, c.code ASC) AS rn
+    FROM sub s JOIN {cb} c ON c.subspace = s.subspace) WHERE rn = 1)""")
+        parts.append(f"""cb{t + 1} AS (
+  SELECT subspace, code, list(m ORDER BY pos) AS c
+  FROM (
+    SELECT subspace, code, g.i AS pos, avg(sv[g.i]) AS m
+    FROM asg{t}, generate_series(1, {sd}) g(i)
+    GROUP BY subspace, code, g.i)
+  GROUP BY subspace, code)""")
+        cb = f"cb{t + 1}"
+    parts.append(f"""codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT s.vec_id, s.subspace, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                              ORDER BY {d2("c.c", "s.sv")} ASC, c.code ASC) AS rn
+    FROM sub s JOIN {cb} c ON c.subspace = s.subspace) WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
+ORACLE["pq_codes"] = f"""
+WITH {_pq_cte()}
+SELECT vec_id, subspace, code FROM codes
+"""
+
+# ADC: LUT entries fixed-point quantized to floor(d2 * 2^20) BIGINT —
+# identical input bits in both engines (list_dot_product == the Spark
+# fold), so floor matches exactly and the per-pair sum over subspaces
+# is an order-independent LONG sum. greatest(s, 0) clamps the few
+# quantized self-distance sums that land at -1 ulp below zero.
+ORACLE["pq_adc_topk"] = f"""
+WITH {_pq_cte()},
+qsub AS (
+  SELECT vec_id AS query_id, subspace, sv AS qv,
+         list_dot_product(sv, sv) AS qn2
+  FROM sub WHERE vec_id < 5),
+lut AS (
+  SELECT q.query_id, c.subspace, c.code,
+         CAST(floor((list_dot_product(c.c, c.c)
+                     - 2 * list_dot_product(c.c, q.qv)
+                     + q.qn2) * 1048576.0) AS BIGINT) AS dq
+  FROM qsub q JOIN cb2 c ON c.subspace = q.subspace),
+scored AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         CAST(sum(l.dq) AS BIGINT) AS s
+  FROM codes cd JOIN lut l ON l.subspace = cd.subspace AND l.code = cd.code
+  WHERE cd.vec_id != l.query_id
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY s ASC, neighbor_id ASC) AS INTEGER)
+         AS rank,
+       round(CAST(greatest(s, 0) AS DOUBLE) / 1048576.0, 6) AS adc_dist
+FROM scored
+QUALIFY rank <= 10
+"""
+
 # composed oracles: reuse the standalone queries' oracle SQL verbatim
 # as derived tables — the composition is the check (defined here,
 # after every referenced entry exists)
@@ -8828,6 +8941,10 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob": q_bigram_logprob,
     "bm25_topk": q_bm25_topk,
     "nb_quality_confusion": q_nb_quality_confusion,
+    # round-11 adds: product-quantization compressed index + ADC
+    # search (Jégou'11), oracle replays the trainer in SQL --
+    "pq_codes": q_pq_codes,
+    "pq_adc_topk": q_pq_adc_topk,
     "lpa_communities": q_lpa_communities,
     "boolean_retrieval": q_boolean_retrieval,
     "cooccurrence_stripes": q_cooccurrence_stripes,

@@ -682,3 +682,125 @@ def test_random_projection_single_file_input_parallelizes(spark):
     out = random_projection(emb, in_dim=8, out_dim=2)
     assert out.rdd.getNumPartitions() > 1
     assert out.count() == 100
+
+
+# ---------------------------------------------------------------------------
+# product quantization (pq_train / pq_codes / pq_adc_topk)
+
+
+def test_pq_train_shapes_and_determinism(emb):
+    from mapreduce_assignments_spark.operators.similarity import pq_train
+
+    df, _ = emb
+    cb1 = pq_train(df, m=2, k=4, n_iter=2).collect()
+    cb2 = pq_train(df, m=2, k=4, n_iter=2).collect()
+    assert sorted((r.subspace, r.code, tuple(r.c)) for r in cb1) == sorted(
+        (r.subspace, r.code, tuple(r.c)) for r in cb2
+    )
+    subs = {r.subspace for r in cb1}
+    assert subs == {0, 1}
+    for r in cb1:
+        assert len(r.c) == 4  # dim 8 / m 2
+        assert 0 <= r.code < 4
+
+
+def test_pq_train_validates_and_empty(spark, emb):
+    import pytest as _pytest
+
+    from mapreduce_assignments_spark.operators.similarity import pq_train
+
+    df, _ = emb
+    with _pytest.raises(ValueError):
+        pq_train(df, m=0)
+    with _pytest.raises(ValueError):
+        pq_train(df, m=3)  # dim 8 not divisible
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert pq_train(empty, m=2, k=4).count() == 0
+
+
+def test_pq_codes_match_numpy_assignment(emb):
+    """Every vector's code per subspace = argmin rounded squared-L2
+    to the trained codewords (ties to lowest code), replicated in
+    NumPy from the returned codebooks."""
+    from mapreduce_assignments_spark.operators.similarity import pq_codes, pq_train
+
+    df, vecs = emb
+    cbdf = pq_train(df, m=2, k=4, n_iter=2)
+    cb = {}
+    for r in cbdf.collect():
+        cb.setdefault(r.subspace, {})[r.code] = np.array(r.c)
+    got = {
+        (r.vec_id, r.subspace): r.code for r in pq_codes(df, cbdf).collect()
+    }
+    assert len(got) == 40 * 2
+    for i in range(40):
+        v = vecs[i].astype("float64")
+        for j in (0, 1):
+            sv = v[j * 4 : (j + 1) * 4]
+            best = min(
+                (round(float(((c - sv) ** 2).sum()), 6), code)
+                for code, c in sorted(cb[j].items())
+            )[1]
+            # decomposition order differs from numpy's; allow exact or
+            # distance-tied codes only
+            chosen = got[(i, j)]
+            d_chosen = round(float(((cb[j][chosen] - sv) ** 2).sum()), 6)
+            d_best = round(float(((cb[j][best] - sv) ** 2).sum()), 6)
+            assert d_chosen == d_best
+
+
+def test_pq_adc_topk_orders_by_true_quantized_distance(emb):
+    """ADC rank order must equal the NumPy replay of the quantized
+    LUT sums: dist(q, x) = sum_j floor(l2(q_j, c[code_j]) * 2^20)."""
+    from mapreduce_assignments_spark.operators.similarity import (
+        _PQ_ADC_SCALE,
+        pq_adc_topk,
+        pq_codes,
+        pq_train,
+    )
+
+    df, vecs = emb
+    cbdf = pq_train(df, m=2, k=4, n_iter=2)
+    cb = {}
+    for r in cbdf.collect():
+        cb.setdefault(r.subspace, {})[r.code] = np.array(r.c)
+    codes = {(r.vec_id, r.subspace): r.code for r in pq_codes(df, cbdf).collect()}
+    out = pq_adc_topk(df, cbdf, n_queries=2, topk=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for qid, rows in by_q.items():
+        q = vecs[qid].astype("float64")
+        expect = []
+        for i in range(40):
+            if i == qid:
+                continue
+            s = 0
+            for j in (0, 1):
+                qj = q[j * 4 : (j + 1) * 4]
+                c = cb[j][codes[(i, j)]]
+                d2 = float(c @ c) - 2 * float(c @ qj) + float(qj @ qj)
+                s += int(np.floor(d2 * _PQ_ADC_SCALE))
+            expect.append((s, i))
+        expect.sort()
+        got = [(r.rank, r.neighbor_id) for r in sorted(rows, key=lambda r: r.rank)]
+        want = [(rk + 1, i) for rk, (_, i) in enumerate(expect[:5])]
+        assert got == want
+        for r in rows:
+            assert r.adc_dist >= 0.0
+
+
+def test_pq_adc_near_dup_is_top1(emb):
+    """The planted near-duplicate of vector 0 must be ADC rank 1 for
+    query 0 — compression cannot hide an almost-identical vector."""
+    from mapreduce_assignments_spark.operators.similarity import pq_adc_topk, pq_train
+
+    df, _ = emb
+    cbdf = pq_train(df, m=2, k=8, n_iter=2)
+    top = (
+        pq_adc_topk(df, cbdf, n_queries=1, topk=3)
+        .where("query_id = 0 AND rank = 1")
+        .collect()
+    )
+    assert top and top[0].neighbor_id == 25
