@@ -2238,14 +2238,15 @@ def q_ivf_topk_trained(spark, sf_dir):
 
 
 def q_pq_codes(spark, sf_dir):
-    """PQ-compressed index: m=4 subspace k-means codebooks (k=8,
+    """PQ-compressed index: m=8 subspace k-means codebooks (k=8,
     2 Lloyd's rounds, first-k-ids init) trained in-plan, then every
     vector encoded by a zero-shuffle literal-fold argmin — the
-    (vec_id, subspace, code) table IS the 128×-smaller index. The
+    (vec_id, subspace, code) table IS the 64×-smaller index
+    (8 one-byte codes vs 64 doubles). The
     oracle replays the whole trainer (init, both rounds, final
     assignment) in SQL CTEs, the ivf_topk_trained discipline."""
     emb = _emb(spark, sf_dir)
-    codebooks = similarity.pq_train(emb, m=4, k=8, n_iter=2)
+    codebooks = similarity.pq_train(emb, m=8, k=8, n_iter=2)
     return similarity.pq_codes(emb, codebooks)
 
 
@@ -2255,7 +2256,7 @@ def q_pq_adc_topk(spark, sf_dir):
     distance = sum of m fixed-point LUT lookups (order-independent
     LONG summands), ranking by the exact integer sum."""
     emb = _emb(spark, sf_dir)
-    codebooks = similarity.pq_train(emb, m=4, k=8, n_iter=2)
+    codebooks = similarity.pq_train(emb, m=8, k=8, n_iter=2)
     return similarity.pq_adc_topk(emb, codebooks, n_queries=5, topk=10)
 
 
@@ -3795,6 +3796,38 @@ def q_ivf_recall_report(spark, sf_dir):
     centroids = similarity.ivf_train(emb, k=8, n_iter=2)
     approx = similarity.ivf_topk(emb, centroids, queries, k=10, nprobe=2)
     exact = similarity.brute_force_topk(emb, qv, k=10)
+    return similarity.ann_recall(exact, approx)
+
+
+def q_pq_recall_report(spark, sf_dir):
+    """Recall@10 of PQ asymmetric-distance search against the EXACT
+    squared-L2 top-10 (ADC is an L2 method — a cosine ground truth
+    would grade it on the wrong metric), per query: the compression-
+    loss evaluation every PQ deployment runs before trading floats
+    for codes. The exact side is a 5-row broadcast against the
+    corpus; the ADC side reads codes only."""
+    from .operators.similarity import _dot
+
+    emb = _emb(spark, sf_dir)
+    cb = similarity.pq_train(emb, m=8, k=8, n_iter=2)
+    approx = similarity.pq_adc_topk(emb, cb, n_queries=5, topk=10)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.round(
+        _dot(F.col("v"), F.col("v"))
+        - 2 * _dot(F.col("v"), F.col("qv"))
+        + _dot(F.col("qv"), F.col("qv")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(d2.asc(), F.col("vec_id").asc())
+    exact = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
     return similarity.ann_recall(exact, approx)
 
 
@@ -8250,7 +8283,7 @@ QUALIFY rank <= {topk}
 ORACLE["ivf_topk_trained"] = _ivf_topk_trained_oracle_sql()
 
 
-def _pq_cte(m: int = 4, k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+def _pq_cte(m: int = 8, k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
     """Shared CTE chain replaying pq_train + pq_codes in DuckDB SQL:
     subvector explode, first-k-ids codebook init, n_iter rounds of
     (rounded-L2 argmin assign, element-wise mean update), final
@@ -8365,6 +8398,49 @@ SELECT bf.query_id AS query_id,
 FROM bf LEFT JOIN ivf
   ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
 GROUP BY bf.query_id
+"""
+
+# pq_recall_report: composes the pq_adc_topk oracle with an exact
+# squared-L2 top-10 ground truth (same d2 decomposition, full
+# vectors) — the ann_recall left-join/count shape of
+# ivf_recall_report.
+ORACLE["pq_recall_report"] = f"""
+WITH {_pq_cte()},
+qsub AS (
+  SELECT vec_id AS query_id, subspace, sv AS qv,
+         list_dot_product(sv, sv) AS qn2
+  FROM sub WHERE vec_id < 5),
+lut AS (
+  SELECT q.query_id, c.subspace, c.code,
+         CAST(floor((list_dot_product(c.c, c.c)
+                     - 2 * list_dot_product(c.c, q.qv)
+                     + q.qn2) * 1048576.0) AS BIGINT) AS dq
+  FROM qsub q JOIN cb2 c ON c.subspace = q.subspace),
+adc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT l.query_id, cd.vec_id AS neighbor_id,
+           CAST(sum(l.dq) AS BIGINT) AS s
+    FROM codes cd JOIN lut l ON l.subspace = cd.subspace AND l.code = cd.code
+    WHERE cd.vec_id != l.query_id
+    GROUP BY 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY s ASC, neighbor_id ASC) <= 10),
+exact AS (
+  SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id
+  FROM (SELECT vec_id, v FROM e WHERE vec_id < 5) q
+  JOIN e e2 ON e2.vec_id != q.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY round(list_dot_product(e2.v, e2.v)
+                   - 2 * list_dot_product(e2.v, q.v)
+                   + list_dot_product(q.v, q.v), 6) ASC,
+             e2.vec_id ASC) <= 10)
+SELECT exact.query_id AS query_id,
+       round(CAST(count(adc.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_at_k
+FROM exact LEFT JOIN adc
+  ON adc.query_id = exact.query_id AND adc.neighbor_id = exact.neighbor_id
+GROUP BY exact.query_id
 """
 
 ORACLE["event_props_stats"] = """
@@ -8849,13 +8925,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver coverage is 253/253 scored, so the age-based refresh
     # cadence continues — embedding_covariance stays in for its
     # first-ever driver-green row (the round-11 zero-sign fix),
-    # the 3 never-scored media adds take the next slots, and the
-    # other 46 take the OLDEST last_scored names per
+    # the 6 never-scored round-11 adds (media + PQ) take the next
+    # slots, and the other 43 take the OLDEST last_scored names per
     # docs/ROTATION_AUDIT.md: all 6 age-6/r4 names, the 6 sortable
     # age-5/r5 names (hashing_tf/hashing_tfidf are UNSORTABLE and
-    # stay out), and 34 age-4/r6 names alphabetically after the
-    # displaced first three (audio_stats, bigram_logprob, bm25_topk
-    # plus verified_near_dupes, weighted_sample, word_count lead the
+    # stay out), and 31 age-4/r6 names alphabetically after the
+    # displaced first six (audio_stats .. cohort_retention plus
+    # verified_near_dupes, weighted_sample, word_count lead the
     # round-12 window). Every entry below was gated at sf0.001 AND
     # sf0.01 with the bit-exact --pandas-canon compare (plus
     # --vanilla-session) before rotating.
@@ -8868,6 +8944,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jpeg_decode_stats": q_jpeg_decode_stats,
     "mjpeg_frame_stats": q_mjpeg_frame_stats,
     "mp4_frame_text": q_mp4_frame_text,
+    # never-scored round-11 adds, second wave: the PQ family
+    # (displacing brute_force_topk, co_engagement, cohort_retention —
+    # the next 3 alphabetical age-4 names — to the extras pool) --
+    "pq_codes": q_pq_codes,
+    "pq_adc_topk": q_pq_adc_topk,
+    "pq_recall_report": q_pq_recall_report,
     # age-6 (last scored r4) --
     "tf_idf": q_tf_idf,
     "token_counts": q_token_counts,
@@ -8882,11 +8964,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_shards": q_shuffle_shards,
     "top_keywords": q_top_keywords,
     "value_buckets": q_value_buckets,
-    # age-4 (last scored r6), the next 34 alphabetically after the
-    # never-scored media adds displaced the first three --
-    "brute_force_topk": q_brute_force_topk,
-    "co_engagement": q_co_engagement,
-    "cohort_retention": q_cohort_retention,
+    # age-4 (last scored r6), the next 31 alphabetically after the
+    # never-scored media + PQ adds displaced the first six --
     "curated_corpus": q_curated_corpus,
     "dedup_apply": q_dedup_apply,
     "dedup_clusters": q_dedup_clusters,
@@ -8941,10 +9020,11 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob": q_bigram_logprob,
     "bm25_topk": q_bm25_topk,
     "nb_quality_confusion": q_nb_quality_confusion,
-    # round-11 adds: product-quantization compressed index + ADC
-    # search (Jégou'11), oracle replays the trainer in SQL --
-    "pq_codes": q_pq_codes,
-    "pq_adc_topk": q_pq_adc_topk,
+    # displaced from the r11 window by the never-scored PQ adds
+    # (all driver-green in r6; still oracle-checked every round) --
+    "brute_force_topk": q_brute_force_topk,
+    "co_engagement": q_co_engagement,
+    "cohort_retention": q_cohort_retention,
     "lpa_communities": q_lpa_communities,
     "boolean_retrieval": q_boolean_retrieval,
     "cooccurrence_stripes": q_cooccurrence_stripes,
