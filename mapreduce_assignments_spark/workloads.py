@@ -2237,6 +2237,19 @@ def q_ivf_topk_trained(spark, sf_dir):
     return similarity.ivf_topk(emb, centroids, queries, k=10, nprobe=2)
 
 
+def q_ivf_silhouette(spark, sf_dir):
+    """Cluster-quality diagnostics for the fixed-centroid IVF
+    assignment (same vec_id < 8 centroids as ivf_assign, so the
+    oracle replays assignment without the trainer): per-cell
+    simplified silhouette — the partition-health report that says
+    whether an ANN index's cells are real structure or arbitrary."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c")
+    )
+    return similarity.ivf_silhouette(emb, centroids)
+
+
 def q_pq_codes(spark, sf_dir):
     """PQ-compressed index: m=8 subspace k-means codebooks (k=8,
     2 Lloyd's rounds, first-k-ids init) trained in-plan, then every
@@ -5432,6 +5445,36 @@ SELECT vec_id, cell_id AS cell FROM (
                             ORDER BY csim DESC, cell_id ASC) AS rn
   FROM scored)
 WHERE rn = 1
+"""
+
+# ivf_silhouette: replays the ivf_assign cosine ranking, takes own
+# (rn=1) and nearest-other (rn=2) centroid distances, quantizes the
+# per-vector silhouette to floor(s * 2^20) BIGINT (order-independent
+# mean), and normalizes the sign of zero at the final round (+ 0.0 —
+# silhouettes are sign-indefinite, the exposed -0.0 class).
+ORACLE["ivf_silhouette"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cen AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, cen.cell_id, {_CCOS} AS csim FROM e, cen),
+ranked AS (
+  SELECT vec_id, cell_id, csim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cell_id ASC) AS rn
+  FROM scored),
+per_vec AS (
+  SELECT o.vec_id, o.cell_id AS cell,
+         CAST(floor((CASE
+             WHEN greatest(1.0 - o.csim, 1.0 - s.csim) = 0 THEN 0.0
+             ELSE ((1.0 - s.csim) - (1.0 - o.csim))
+                  / greatest(1.0 - o.csim, 1.0 - s.csim)
+           END) * 1048576.0) AS BIGINT) AS sq
+  FROM (SELECT * FROM ranked WHERE rn = 1) o
+  JOIN (SELECT * FROM ranked WHERE rn = 2) s ON s.vec_id = o.vec_id)
+SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n_vecs,
+       round(CAST(sum(sq) AS BIGINT) / 1048576.0 / count(*), 6) + 0.0
+         AS mean_silhouette
+FROM per_vec GROUP BY cell
 """
 
 # Replays the WHOLE at-rest probe path: nearest-cell assignment (the
@@ -9020,6 +9063,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob": q_bigram_logprob,
     "bm25_topk": q_bm25_topk,
     "nb_quality_confusion": q_nb_quality_confusion,
+    # round-11 add: IVF partition-health diagnostics (enters the
+    # r12 window via the never-scored-first rotation) --
+    "ivf_silhouette": q_ivf_silhouette,
     # displaced from the r11 window by the never-scored PQ adds
     # (all driver-green in r6; still oracle-checked every round) --
     "brute_force_topk": q_brute_force_topk,

@@ -804,3 +804,51 @@ def test_pq_adc_near_dup_is_top1(emb):
         .collect()
     )
     assert top and top[0].neighbor_id == 25
+
+
+def test_ivf_silhouette_separated_vs_arbitrary(spark):
+    """Two tight, well-separated clusters with their true centroids →
+    mean silhouette near 1 in both cells; the same points under two
+    nearly-identical centroids → silhouette collapses toward 0.
+    Cell membership must agree with ivf_assign."""
+    from mapreduce_assignments_spark.operators.similarity import (
+        ivf_assign,
+        ivf_silhouette,
+    )
+
+    base_a = np.array([10.0, 0.0, 0.0, 0.0])
+    base_b = np.array([0.0, 10.0, 0.0, 0.0])
+    rows = []
+    for i in range(6):
+        jitter = np.array([0.01 * i, 0.0, 0.01, 0.0])
+        rows.append((i, [float(x) for x in base_a + jitter]))
+        rows.append((100 + i, [float(x) for x in base_b + jitter]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cen = spark.createDataFrame(
+        [(0, [float(x) for x in base_a]), (1, [float(x) for x in base_b])],
+        "cell_id int, c array<double>",
+    )
+    out = {r.cell: r for r in ivf_silhouette(df, cen).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_vecs == 6 and out[1].n_vecs == 6
+    assert out[0].mean_silhouette > 0.9 and out[1].mean_silhouette > 0.9
+    # membership parity with ivf_assign
+    asg = {r.vec_id: r.cell for r in ivf_assign(df, cen).collect()}
+    assert all(asg[i] == 0 for i in range(6))
+    assert all(asg[100 + i] == 1 for i in range(6))
+    # two near-identical centroids -> the partition is arbitrary
+    cen2 = spark.createDataFrame(
+        [(0, [1.0, 1.0, 0.0, 0.0]), (1, [1.0, 1.0001, 0.0, 0.0])],
+        "cell_id int, c array<double>",
+    )
+    out2 = ivf_silhouette(df, cen2).collect()
+    for r in out2:
+        assert abs(r.mean_silhouette) < 0.2
+
+
+def test_ivf_silhouette_needs_two_centroids(spark, emb):
+    from mapreduce_assignments_spark.operators.similarity import ivf_silhouette
+
+    df, _ = emb
+    one = spark.createDataFrame([(0, [1.0] * 8)], "cell_id int, c array<double>")
+    assert ivf_silhouette(df, one).count() == 0

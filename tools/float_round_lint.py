@@ -177,6 +177,9 @@ def _arg_is_exact(arg: str) -> bool:
 # embedding_covariance / label_centroids, round 10).
 ALLOWLIST: dict[str, str] = {
     "bigram_logprob": "20 rows, one logprob cell each",
+    "ivf_silhouette": "sq is floor(s * 2^20) BIGINT in the upstream "
+    "CTE — the sum is an exact integer (order-independent), float "
+    "only at the final division; <=8 cells, zero-sign normalized",
     "conversion_lag": "lag_s is an integer epoch-second diff; the sum "
     "is exact, float only at the final division",
     "hourly_anomalies": "avg over integer hourly counts (exact sums); "
