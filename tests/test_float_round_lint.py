@@ -144,3 +144,35 @@ def test_zero_sign_sweep_clean_at_driver_scale():
         "'+ 0.0' zero-sign normalizer to the rounded expression in "
         "BOTH the oracle SQL and the Spark operator"
     )
+
+
+def test_taint_propagates_through_list_alias():
+    """round-11: avg(..) AS m -> list(m ..) AS c -> round(f(c.c)..)
+    must flag — the trainer-centroid chain the lint was blind to
+    through round 10."""
+    from tools.float_round_lint import float_agg_sites
+
+    sql = """
+    WITH cen AS (
+      SELECT cell, list(m ORDER BY pos) AS c
+      FROM (SELECT cell, pos, avg(v) AS m FROM t GROUP BY cell, pos)
+      GROUP BY cell)
+    SELECT round(list_dot_product(c.c, e.v), 6) AS d FROM cen c, e
+    """
+    assert float_agg_sites(sql), "list-alias taint chain not flagged"
+    # min/max SELECT one input value — no new reorder error, but a
+    # ulp-divergent avg stays divergent through them, so the chain
+    # below must also flag
+    sql_minmax = """
+    WITH w AS (SELECT k, max(m) AS c
+               FROM (SELECT k, avg(v) AS m FROM t GROUP BY k) GROUP BY k)
+    SELECT round(c + 1.5, 6) FROM w
+    """
+    assert float_agg_sites(sql_minmax)
+    # an untainted chain through the same shapes stays clean
+    sql_clean = """
+    WITH w AS (SELECT k, max(q) AS c
+               FROM (SELECT k, CAST(v AS BIGINT) AS q FROM t) GROUP BY k)
+    SELECT round(c / 64.0, 6) FROM w
+    """
+    assert not float_agg_sites(sql_clean)

@@ -33,6 +33,15 @@ Per-row ``round()`` (no aggregate inside) is inherently deterministic
 — same input row, same IEEE ops, same value in both engines — and is
 not flagged.
 
+Alias taint propagates through value-passthrough functions
+(``list``/``array_agg``/``first``/``min``/``max`` — selections add
+no reorder error but a ulp-divergent input stays divergent through
+them) to a fixpoint — round 11 closed
+the ``avg(..) AS m`` → ``list(m ..) AS c`` → ``round(f(c)..)`` blind
+spot, which surfaced the trainer-centroid class (IVF/PQ oracles
+whose Lloyd's-mean codebooks feed rounded distance argmins); those
+carry reasoned ALLOWLIST entries instead of hiding.
+
 Known limitations (documented, round-10 advice):
 
 - A textual lint cannot see CTE column types, so ``CAST(sum(col) AS
@@ -40,6 +49,10 @@ Known limitations (documented, round-10 advice):
   exact by convention (the shipped embedding_covariance shape). If
   ``col`` were secretly DOUBLE, the value-cast would NOT make the sum
   order-independent — keep quantization in the same statement.
+- Taint is statement-wide, not scope-aware: a tainted alias name
+  taints every same-named identifier in the statement (e.g. a table
+  alias ``s`` vs a column ``s``) — coarse, but it only ever
+  over-flags, never under-flags.
 - The SIGN OF ZERO is invisible to this lint: DuckDB's multiply-based
   ``round()`` emits ``-0.0`` for tiny-negative results where Spark's
   BigDecimal HALF_UP emits ``+0.0``, and the driver's value hash
@@ -177,6 +190,23 @@ def _arg_is_exact(arg: str) -> bool:
 # embedding_covariance / label_centroids, round 10).
 ALLOWLIST: dict[str, str] = {
     "bigram_logprob": "20 rows, one logprob cell each",
+    "ivf_recall_report": "trainer-centroid class (see "
+    "ivf_topk_trained); recall output is <=5 rows of integer-count "
+    "ratios",
+    "ivf_topk_trained": "trainer-centroid class: Lloyd's-mean "
+    "centroids (cross-row avg) feed 6dp-rounded distance argmins — a "
+    "reorder-ulp flip needs a knife-edge tie at 1e-6 resolution in "
+    "one of k=8 cells; empirically green since r5 across driver "
+    "rotations and both local gates; exposure surfaced (not hidden) "
+    "by the round-11 taint propagation",
+    "pq_adc_topk": "trainer-centroid class (codebook means feed "
+    "rounded assignment); the ADC sums themselves are fixed-point "
+    "LONG — exposure is the same knife-edge argmin as "
+    "ivf_topk_trained, gated by the same empirical rotation",
+    "pq_codes": "trainer-centroid class; output is (vec_id, "
+    "subspace, code) ints — a flip needs a 1e-6 distance tie",
+    "pq_recall_report": "trainer-centroid class via the shared PQ "
+    "CTEs; output is 5 rows of integer-count ratios",
     "ivf_silhouette": "sq is floor(s * 2^20) BIGINT in the upstream "
     "CTE — the sum is an exact integer (order-independent), float "
     "only at the final division; <=8 cells, zero-sign normalized",
@@ -294,10 +324,46 @@ def _expr_tail(sql: str, pos: int) -> str:
     return sql[pos:i]
 
 
+# Value-passthrough functions: their output carries whatever error
+# their tainted inputs carry — list/array_agg re-package element
+# values, first/min/max select ONE input value, but a selected value
+# that diverged upstream by a ulp is still divergent (selection adds
+# no reorder error yet propagates existing value divergence).
+_PASSTHRU = re.compile(r"\b(list|array_agg|first|min|max)\s*\(", re.I)
+
+
+def _propagate_taint(sql: str, aliases: set[str]) -> set[str]:
+    """One-hop-per-pass fixpoint: an alias bound to a passthrough
+    call over tainted identifiers is itself tainted — closes the
+    ``avg(..) AS m`` → ``list(m ..) AS c`` → ``round(f(c.c)..)``
+    chain the IVF/PQ trainer oracles use (pre-round-11 the lint was
+    blind past the first alias)."""
+    changed = True
+    while changed:
+        changed = False
+        for pm in _PASSTHRU.finditer(sql):
+            arg = _balanced(sql, pm.end() - 1)
+            idents = {w.lower() for w in re.findall(r"\b[a-zA-Z_]\w*\b", arg)}
+            if not (idents & aliases):
+                continue
+            tail = _expr_tail(sql, pm.end() - 1 + len(arg) + 2)
+            cands = [
+                w
+                for w in re.findall(r"\bAS\s+(\w+)", tail, re.I)
+                if w.lower() not in _TYPE_WORDS
+            ]
+            if cands and cands[-1].lower() not in aliases:
+                aliases.add(cands[-1].lower())
+                changed = True
+    return aliases
+
+
 def _float_agg_aliases(sql: str) -> set[str]:
     """Aliases bound to non-exact float aggregates anywhere in the
     statement (``sum(x) AS sxy`` in a CTE, rounded later by alias —
-    the exact shape of the pre-fix embedding_covariance oracle)."""
+    the exact shape of the pre-fix embedding_covariance oracle).
+    Taint then propagates through value-passthrough aliases
+    (:func:`_propagate_taint`)."""
     aliases = set()
     for am in AGG.finditer(sql):
         arg = _balanced(sql, am.end() - 1)
@@ -323,7 +389,7 @@ def _float_agg_aliases(sql: str) -> set[str]:
         ]
         if cands:
             aliases.add(cands[-1].lower())
-    return aliases
+    return _propagate_taint(sql, aliases)
 
 
 def float_agg_sites(sql: str) -> list[str]:
