@@ -8968,12 +8968,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver coverage is 253/253 scored, so the age-based refresh
     # cadence continues — embedding_covariance stays in for its
     # first-ever driver-green row (the round-11 zero-sign fix),
-    # the 6 never-scored round-11 adds (media + PQ) take the next
-    # slots, and the other 43 take the OLDEST last_scored names per
+    # the 7 never-scored round-11 adds (media + PQ + silhouette)
+    # take the next slots — backlog ZERO inside the round the
+    # queries were written — and the other 42 take the OLDEST
+    # last_scored names per
     # docs/ROTATION_AUDIT.md: all 6 age-6/r4 names, the 6 sortable
     # age-5/r5 names (hashing_tf/hashing_tfidf are UNSORTABLE and
-    # stay out), and 31 age-4/r6 names alphabetically after the
-    # displaced first six (audio_stats .. cohort_retention plus
+    # stay out), and 30 age-4/r6 names alphabetically after the
+    # displaced first seven (audio_stats .. curated_corpus plus
     # verified_near_dupes, weighted_sample, word_count lead the
     # round-12 window). Every entry below was gated at sf0.001 AND
     # sf0.01 with the bit-exact --pandas-canon compare (plus
@@ -8993,6 +8995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "pq_recall_report": q_pq_recall_report,
+    "ivf_silhouette": q_ivf_silhouette,
     # age-6 (last scored r4) --
     "tf_idf": q_tf_idf,
     "token_counts": q_token_counts,
@@ -9007,9 +9010,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_shards": q_shuffle_shards,
     "top_keywords": q_top_keywords,
     "value_buckets": q_value_buckets,
-    # age-4 (last scored r6), the next 31 alphabetically after the
-    # never-scored media + PQ adds displaced the first six --
-    "curated_corpus": q_curated_corpus,
+    # age-4 (last scored r6), the next 30 alphabetically after the
+    # never-scored media + PQ + silhouette adds displaced the first
+    # seven --
     "dedup_apply": q_dedup_apply,
     "dedup_clusters": q_dedup_clusters,
     "degree_histogram": q_degree_histogram,
@@ -9063,9 +9066,9 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob": q_bigram_logprob,
     "bm25_topk": q_bm25_topk,
     "nb_quality_confusion": q_nb_quality_confusion,
-    # round-11 add: IVF partition-health diagnostics (enters the
-    # r12 window via the never-scored-first rotation) --
-    "ivf_silhouette": q_ivf_silhouette,
+    # displaced from the r11 window by the never-scored silhouette
+    # add (driver-green r6; still oracle-checked every round) --
+    "curated_corpus": q_curated_corpus,
     # displaced from the r11 window by the never-scored PQ adds
     # (all driver-green in r6; still oracle-checked every round) --
     "brute_force_topk": q_brute_force_topk,
