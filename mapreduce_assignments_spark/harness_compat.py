@@ -41,6 +41,24 @@ __all__ = ["lint_spark_schema", "pandas_canon", "pandas_canon_compare"]
 _UNSORTABLE_PREFIXES = ("array", "map", "struct")
 
 
+def _kind_group(dtype) -> str:
+    """Collapse a numpy dtype kind into the groups that matter for the
+    driver's value hash. Empirically (pandas 2.2, this container):
+
+    - equal NON-NEGATIVE ints hash identically across i/u/b widths
+      (int32 vs int64, uint32 vs int64, bool vs int64 all agree), so
+      {i, u, b} form one group;
+    - int-vs-float ALWAYS differs (5968 vs 5968.0 hash apart), and
+      float widths differ even for exactly-representable values, so
+      'f' is its own group;
+    - negative ints hash width-SENSITIVELY (int8 -3 != int64 -3), so
+      same-group drift is still only provisionally safe — the
+      bit-exact hash compare downstream is the real arbiter.
+    """
+    k = getattr(dtype, "kind", "O")
+    return "i" if k in "iub" else k
+
+
 def lint_spark_schema(df: DataFrame) -> list[str]:
     """Return one issue per output column whose Spark type would crash
     or destabilize the driver's pandas canonicalizer."""
@@ -86,13 +104,26 @@ def pandas_canon_compare(
             # .df() = us): equal instants hash equal after pandas'
             # own comparison coercion — normalized below before canon
             continue
-        if sd != od:
+        sk, ok = _kind_group(spark_pdf[c].dtype), _kind_group(oracle_pdf[c].dtype)
+        if sk != ok:
+            # Cross-KIND drift (int vs float vs object) always breaks
+            # the driver's value hash even for equal values — flag it
+            # early with the actionable fix.
             issues.append(
                 f"column '{c}' dtype drift: spark {sd} vs oracle {od} "
                 "(the driver hashes raw pandas values, so float64 vs "
                 "int64 breaks the value hash even when equal — CAST "
                 "the oracle expression)"
             )
+        # Same-kind width drift (int32 vs int64, float32 vs float64) is
+        # NOT flagged here: pd.util.hash_pandas_object hashes equal
+        # non-negative ints identically across widths, so the driver
+        # accepts most such drift (ivf_assign/language_id were green in
+        # r2/r3/r4/r10 with int32-vs-int64 drift). It is NOT universally
+        # harmless — negative ints and non-representable float32 values
+        # hash width-sensitively — so the bit-exact hash compare below
+        # (the driver's own primitive) is the arbiter, exactly as the
+        # driver would decide.
     if issues:
         return issues
     spark_pdf, oracle_pdf = spark_pdf.copy(), oracle_pdf.copy()
@@ -118,7 +149,17 @@ def pandas_canon_compare(
         if sh.shape != oh.shape or not (sh == oh).all():
             diff_cols.append(c)
     if diff_cols:
+        drifted = [
+            c for c in diff_cols
+            if str(sc[c].dtype) != str(oc[c].dtype)
+        ]
+        hint = (
+            f" (note: width drift in {drifted} — negative ints / "
+            "inexact float32 hash width-sensitively; CAST the oracle)"
+            if drifted else ""
+        )
         issues.append(
-            f"canonical values differ (bit-exact hash) in columns {diff_cols}"
+            f"canonical values differ (bit-exact hash) in columns "
+            f"{diff_cols}{hint}"
         )
     return issues

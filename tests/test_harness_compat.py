@@ -128,6 +128,42 @@ def test_canon_compare_is_bit_exact_on_zero_sign():
     assert issues and "v" in issues[0] and "bit-exact" in issues[0]
 
 
+def test_canon_compare_accepts_int_width_drift():
+    """Round-11 VERDICT item 1: the old name-based dtype rule flagged
+    ivf_assign (int32 cell) / language_id against int64 oracles even
+    though the driver provably accepts them (green r2/r3/r4/r10 —
+    pd.util.hash_pandas_object hashes equal non-negative ints
+    identically across widths). Same-kind width drift must pass when
+    the values hash-match."""
+    a = pd.DataFrame({"k": pd.Series([1, 2], dtype="int32"),
+                      "v": pd.Series([0, 5968], dtype="int32")})
+    b = pd.DataFrame({"k": pd.Series([1, 2], dtype="int64"),
+                      "v": pd.Series([0, 5968], dtype="int64")})
+    assert pandas_canon_compare(a, b) == []
+
+
+def test_canon_compare_still_rejects_int_vs_float():
+    """Cross-kind drift (the REAL round-5 failure class) must still be
+    flagged with the CAST remedy even when values are equal."""
+    a = pd.DataFrame({"v": pd.Series([11, 7], dtype="int64")})
+    b = pd.DataFrame({"v": pd.Series([11.0, 7.0], dtype="float64")})
+    issues = pandas_canon_compare(a, b)
+    assert len(issues) == 1 and "dtype drift" in issues[0]
+    assert "CAST" in issues[0]
+
+
+def test_canon_compare_rejects_negative_int_width_drift():
+    """The kind-group rule is NOT a blanket amnesty: negative ints
+    hash WIDTH-SENSITIVELY (int32 -3 != int64 -3 under
+    hash_pandas_object), so the driver would reject this drift — and
+    the bit-exact hash arbiter must too, naming the width-drift hint."""
+    a = pd.DataFrame({"v": pd.Series([-3, 7], dtype="int32")})
+    b = pd.DataFrame({"v": pd.Series([-3, 7], dtype="int64")})
+    issues = pandas_canon_compare(a, b)
+    assert issues and "bit-exact" in issues[0]
+    assert "width drift" in issues[0]
+
+
 def test_embedding_covariance_oracle_zero_sign_normalized_sf001():
     """Pin the exact round-10 failure cells: at sf0.01 the covariance
     cells (36,15), (58,47), (61,4) and transposes round to zero, and
