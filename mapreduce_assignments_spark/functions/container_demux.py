@@ -34,6 +34,7 @@ import struct
 
 __all__ = [
     "mux_avi_mjpeg",
+    "mux_avi_raw",
     "demux_avi",
     "mux_mp4",
     "demux_mp4",
@@ -60,6 +61,32 @@ def mux_avi_mjpeg(
     stream is MJPG: each frame payload becomes one ``00dc`` chunk.
     Valid header set (``avih``/``strh``/``strf``), ``idx1`` index.
     Deterministic bytes for fixed input."""
+    return _mux_avi(frames, width, height, fps, b"MJPG", b"MJPG", 24)
+
+
+def mux_avi_raw(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Build a minimal standards-shaped AVI whose single ``vids``
+    stream is UNCOMPRESSED 8-bit (``DIB `` handler, BI_RGB strf):
+    each raw frame payload becomes one ``00dc`` chunk, recoverable
+    byte-for-byte by :func:`demux_avi` — the AVI analogue of
+    ``mux_mp4``'s raw text samples, so demux correctness is
+    value-checkable against the source bytes (MJPEG frames are
+    lossy-JPEG and only presence/dims-checkable). Deterministic
+    bytes for fixed input."""
+    return _mux_avi(frames, width, height, fps, b"DIB ", b"\x00\x00\x00\x00", 8)
+
+
+def _mux_avi(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int,
+    handler: bytes,
+    compression: bytes,
+    bit_count: int,
+) -> bytes:
     usec = 1_000_000 // fps
     n = len(frames)
     avih = struct.pack(
@@ -73,7 +100,7 @@ def mux_avi_mjpeg(
         0, 0, 0, 0,      # dwReserved
     )
     strh = (
-        b"vidsMJPG"
+        b"vids" + handler
         + struct.pack(
             "<IHHIIIIIIII",
             0, 0, 0,     # dwFlags, wPriority, wLanguage
@@ -88,8 +115,8 @@ def mux_avi_mjpeg(
     )
     strf = struct.pack(
         "<IiiHH4sIiiII",
-        40, width, height, 1, 24, b"MJPG",
-        width * height * 3, 0, 0, 0, 0,
+        40, width, height, 1, bit_count, compression,
+        width * height * (bit_count // 8), 0, 0, 0, 0,
     )
     hdrl = _riff_list(
         b"hdrl",
@@ -359,6 +386,14 @@ def _read_samples(content: bytes, start: int, stop: int) -> list[bytes]:
     if sizes is None or offsets is None or stsc_runs is None:
         raise ValueError("MP4 stbl missing stsz/stco/stsc")
     # expand stsc runs -> per-chunk sample counts
+    if stsc_runs and stsc_runs[0][0] != 1:
+        # ISO 14496-12 8.7.4: the first run MUST start at chunk 1.
+        # Without this check a corrupt table whose first run starts
+        # later silently shifts sample counts onto the wrong chunks,
+        # and when the shifted counts still total len(sizes) the
+        # final si==len(sizes) guard passes and WRONG sample bytes
+        # come back instead of the documented drop contract.
+        raise ValueError("MP4 stsc first run does not start at chunk 1")
     per_chunk: list[int] = []
     for i, (first, spc) in enumerate(stsc_runs):
         last = stsc_runs[i + 1][0] if i + 1 < len(stsc_runs) else len(offsets) + 1

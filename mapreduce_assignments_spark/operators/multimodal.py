@@ -92,15 +92,26 @@ MAGIC_SIGNATURES: dict[str, str] = {
 def sniff_media(assets: DataFrame, content_col: str = "content") -> DataFrame:
     """Add ``(format STRING, n_bytes INT)`` from the binary column —
     pure JVM expressions (hex prefix match), no Python, no decode.
-    Unknown containers get format='unknown'."""
-    hex16 = F.upper(F.hex(F.substring(F.col(content_col), 1, 8)))
+    RIFF wrappers are refined by their form-type field (bytes 9-12:
+    ``WAVE`` -> 'wav', ``AVI `` -> 'avi', anything else stays the
+    generic 'riff'), the same second-level dispatch every real
+    sniffer performs. Unknown containers get format='unknown'."""
+    hex24 = F.upper(F.hex(F.substring(F.col(content_col), 1, 12)))
     expr = F.lit("unknown")
     # longest prefix wins: check 7-byte fake magics before 3-byte jpeg
     for magic, label in sorted(MAGIC_SIGNATURES.items(), key=lambda kv: len(kv[0])):
         if label == "mp4":
-            expr = F.when(F.substring(hex16, 9, 8) == magic, F.lit(label)).otherwise(expr)
+            expr = F.when(F.substring(hex24, 9, 8) == magic, F.lit(label)).otherwise(expr)
+        elif label == "riff":
+            form = F.substring(hex24, 17, 8)
+            sub = (
+                F.when(form == F.lit("57415645"), F.lit("wav"))   # 'WAVE'
+                .when(form == F.lit("41564920"), F.lit("avi"))    # 'AVI '
+                .otherwise(F.lit("riff"))
+            )
+            expr = F.when(hex24.startswith(magic), sub).otherwise(expr)
         else:
-            expr = F.when(hex16.startswith(magic), F.lit(label)).otherwise(expr)
+            expr = F.when(hex24.startswith(magic), F.lit(label)).otherwise(expr)
     return assets.withColumn("format", expr).withColumn(
         "n_bytes", F.length(F.col(content_col))
     )
@@ -602,12 +613,15 @@ def sample_frames(
 
 def image_dimensions(assets: DataFrame, content_col: str = "content") -> DataFrame:
     """Header-only image metadata: ``(asset_id, width, height,
-    channels)`` parsed from the FAKEIMG header's big-endian fields
-    with JVM hex arithmetic (the audio_stats technique) — rows whose
-    magic doesn't match are dropped.
+    channels)`` parsed with JVM hex arithmetic (the audio_stats
+    technique) from REAL PNG IHDR headers (width/height u32be at
+    fixed offsets 17/21, channels mapped from the color-type byte
+    at offset 26 — the IHDR chunk is mandated first, so the offsets
+    are fixed for every standard PNG) or from the FAKEIMG test
+    header; rows whose magic matches neither are dropped.
 
     The scale point is what this DOESN'T do: no decode, no Python,
-    and only the first 16 bytes of each binary are touched — the
+    and only the first 26 bytes of each binary are touched — the
     metadata-without-decode pass that lets a 100 TB media table be
     profiled (aspect ratios, resolution histograms, channel mix) at
     parquet-scan speed before any expensive decode stage is planned.
@@ -617,11 +631,20 @@ def image_dimensions(assets: DataFrame, content_col: str = "content") -> DataFra
             F.hex(F.expr(f"substring({content_col}, {pos}, {nbytes})")), 16, 10
         ).cast("int")
 
-    return assets.where(
-        F.expr(f"substring({content_col}, 1, 7)") == F.lit(b"FAKEIMG")
-    ).select(
+    is_fake = F.expr(f"substring({content_col}, 1, 7)") == F.lit(b"FAKEIMG")
+    is_png = F.expr(f"substring({content_col}, 1, 8)") == F.lit(
+        b"\x89PNG\r\n\x1a\n"
+    )
+    # PNG color type -> sample count: 0 gray=1, 2 rgb=3, 3 palette=1,
+    # 4 gray+alpha=2, 6 rgba=4 (PNG spec 11.2.2)
+    ct = be(26, 1)
+    png_channels = (
+        F.when(ct == 0, 1).when(ct == 2, 3).when(ct == 3, 1)
+        .when(ct == 4, 2).when(ct == 6, 4)
+    )
+    return assets.where(is_fake | is_png).select(
         "asset_id",
-        be(8, 4).alias("width"),
-        be(12, 4).alias("height"),
-        be(16, 1).alias("channels"),
+        F.when(is_fake, be(8, 4)).otherwise(be(17, 4)).alias("width"),
+        F.when(is_fake, be(12, 4)).otherwise(be(21, 4)).alias("height"),
+        F.when(is_fake, be(16, 1)).otherwise(png_channels).alias("channels"),
     )

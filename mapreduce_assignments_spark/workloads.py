@@ -1882,47 +1882,41 @@ def q_personalized_pagerank(spark, sf_dir):
     return graph.top_k_per_source(rounded, k=10)
 
 
-def _fake_image_assets(spark, sf_dir):
-    """Deterministic binary media column: an 8×8 grayscale FAKEIMG per
-    document whose pixels are the first 64 UTF-8 bytes of its text —
-    header attached JVM-side (binary concat/substring), no Python."""
-    header = b"FAKEIMG" + struct.pack(">IIB", 8, 8, 1)
-    return (
-        _docs(spark, sf_dir)
-        .where(F.col("n_chars") >= 64)
-        .select(
-            F.col("doc_id").alias("asset_id"),
-            F.concat(
-                F.lit(header), F.expr("substring(encode(text, 'UTF-8'), 1, 64)")
-            ).alias("content"),
-        )
+def _variable_png_assets(spark, sf_dir):
+    """Variable-dimension REAL grayscale PNGs per document — width
+    4 + doc_id%12, height 8 — pixels = the first width*8 UTF-8 text
+    bytes, zero-padded for short documents so EVERY document yields
+    an asset (the dims histogram covers the whole corpus). Encoded
+    executor-side in one Arrow batch; never collected."""
+    import pandas as pd
+
+    from mapreduce_assignments_spark.functions.png_codec import encode_png
+
+    src = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("substring(encode(text, 'UTF-8'), 1, 128)").alias("px")
     )
 
+    def encode(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["px"]):
+                w = int(4 + doc_id % 12)
+                need = w * 8
+                buf = bytes(p[:need]).ljust(need, b"\x00")
+                blobs.append(encode_png(w, 8, 1, buf))
+                ids.append(doc_id)
+            yield pd.DataFrame({"asset_id": ids, "content": blobs})
 
-def _variable_image_assets(spark, sf_dir):
-    """Variable-dimension FAKEIMG per document — width 4 + doc_id%12,
-    height 8 — with the ENTIRE header (magic + big-endian u32 dims)
-    assembled JVM-side (unhex of zero-padded hex is the u32be
-    encoder), payload = the first width*8 text bytes."""
-    w = (F.lit(4) + F.col("doc_id") % 12).cast("int")
-    u32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))
-    return _docs(spark, sf_dir).select(
-        F.col("doc_id").alias("asset_id"),
-        F.concat(
-            F.lit(b"FAKEIMG"),
-            u32(w),
-            u32(F.lit(8)),
-            F.unhex(F.lit("01")),
-            F.expr("substring(encode(text, 'UTF-8'), 1, 96)"),
-        ).alias("content"),
-    )
+    return src.mapInPandas(encode, "asset_id long, content binary")
 
 
 def q_aspect_ratio_histogram(spark, sf_dir):
-    """Media-profiling without decode: dims parsed from the 16-byte
-    header only, rolled into a (width, height) histogram with aspect
-    ratios — the resolution-mix dashboard for a 100 TB media table."""
-    dims = multimodal.image_dimensions(_variable_image_assets(spark, sf_dir))
+    """Media-profiling without decode: dims parsed from the REAL PNG
+    IHDR header only (fixed-offset u32be fields, JVM hex arithmetic —
+    no Python, no decode), rolled into a (width, height) histogram
+    with aspect ratios — the resolution-mix dashboard for a 100 TB
+    media table."""
+    dims = multimodal.image_dimensions(_variable_png_assets(spark, sf_dir))
     return dims.groupBy("width", "height").agg(
         F.count("*").alias("n_assets"),
         F.round(F.max("width") / F.max("height"), 6).alias("aspect_ratio"),
@@ -1935,7 +1929,11 @@ def q_label_spread(spark, sf_dir):
 
 
 def q_image_stats(spark, sf_dir):
-    return multimodal.image_stats(_fake_image_assets(spark, sf_dir))
+    """Decode + feature rows over REAL PNG containers (the pure-stdlib
+    codec round trip png_decode_stats also exercises — here as the
+    plain image_stats registry entry, so no registry query stages a
+    synthetic FAKE* container)."""
+    return multimodal.image_stats(_png_assets(spark, sf_dir))
 
 
 def _png_assets(spark, sf_dir):
@@ -2150,34 +2148,115 @@ def q_png_decode_stats(spark, sf_dir):
     return multimodal.image_stats(_png_assets(spark, sf_dir))
 
 
-def q_media_sniff(spark, sf_dir):
-    out = multimodal.sniff_media(_fake_image_assets(spark, sf_dir))
-    return out.select("asset_id", "format", "n_bytes")
+def _mixed_media_assets(spark, sf_dir):
+    """A REAL-container format mix per document — doc_id%3 picks
+    WAV (canonical PCM), raw-DIB AVI (4 × 16-byte frames), or
+    progressive MP4 (5 varying-size samples) — so the sniffer's
+    magic table AND its RIFF form-type refinement (WAVE vs 'AVI ')
+    are both exercised on genuine on-disk bytes. Every container
+    length is deterministic (fixed frame-count/size layout), so the
+    oracle re-derives n_bytes from the muxers at import time."""
+    import pandas as pd
 
+    from mapreduce_assignments_spark.functions.container_demux import (
+        mux_avi_raw,
+        mux_mp4,
+    )
 
-def _fake_video_assets(spark, sf_dir):
-    """FAKEVID per document: 4 frames × 16 bytes from the text."""
-    header = b"FAKEVID" + struct.pack(">II", 4, 16)
-    return (
+    src = (
         _docs(spark, sf_dir)
-        .where(F.col("n_chars") >= 64)
+        .where(F.col("n_chars") >= 96)
         .select(
-            F.col("doc_id").alias("asset_id"),
-            F.concat(
-                F.lit(header), F.expr("substring(encode(text, 'UTF-8'), 1, 64)")
-            ).alias("content"),
+            "doc_id",
+            F.expr("substring(encode(text, 'UTF-8'), 1, 96)").alias("b"),
         )
     )
 
+    def encode(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["b"]):
+                b = bytes(b)
+                k = doc_id % 3
+                if k == 0:
+                    blobs.append(multimodal.make_wav(b[:64], 1, 16000))
+                elif k == 1:
+                    frames = [b[16 * f : 16 * f + 16] for f in range(4)]
+                    blobs.append(mux_avi_raw(frames, 8, 8))
+                else:
+                    off, frames = 0, []
+                    for i in range(5):
+                        ln = 16 + i
+                        frames.append(b[off : off + ln])
+                        off += ln
+                    blobs.append(mux_mp4(frames, 8, 8, samples_per_chunk=2))
+                ids.append(doc_id)
+            yield pd.DataFrame({"asset_id": ids, "content": blobs})
+
+    return src.mapInPandas(encode, "asset_id long, content binary")
+
+
+def q_media_sniff(spark, sf_dir):
+    """JVM-side magic sniff over a REAL WAV/AVI/MP4 mix — format and
+    byte-length per asset, no decode, no Python in the sniff stage."""
+    out = multimodal.sniff_media(_mixed_media_assets(spark, sf_dir))
+    return out.select("asset_id", "format", "n_bytes")
+
+
+def _raw_avi_assets(spark, sf_dir):
+    """REAL uncompressed AVI containers (RIFF ``hdrl``/``movi``/
+    ``idx1``, ``DIB `` handler) whose 4 × 16-byte ``00dc`` frames are
+    raw slices of the document text — no lossy codec in the way, so
+    the demuxed bytes are value-checkable against the source text
+    (the AVI analogue of _mp4_text_assets). Built executor-side in
+    one Arrow batch; never collected."""
+    import pandas as pd
+
+    from mapreduce_assignments_spark.functions.container_demux import mux_avi_raw
+
+    src = (
+        _docs(spark, sf_dir)
+        .where(F.col("n_chars") >= 64)
+        .select(
+            "doc_id",
+            F.expr("substring(encode(text, 'UTF-8'), 1, 64)").alias("b"),
+        )
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["b"]):
+                b = bytes(b)
+                frames = [b[16 * f : 16 * f + 16] for f in range(4)]
+                blobs.append(mux_avi_raw(frames, 8, 8))
+                ids.append(doc_id)
+            yield pd.DataFrame({"asset_id": ids, "content": blobs})
+
+    return src.mapInPandas(encode, "asset_id long, content binary")
+
 
 def q_frame_sample(spark, sf_dir):
-    return multimodal.sample_frames(_fake_video_assets(spark, sf_dir), every_k=2).select(
-        "asset_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    """Every-2nd-frame sampling out of REAL uncompressed AVIs through
+    sample_frames' DEFAULT demuxer seam — the frames are raw text
+    slices, so the oracle verifies the demuxed CONTENT byte-for-byte
+    (any error in the RIFF movi walk or chunk padding arithmetic
+    changes the bytes and breaks the hash), plus the sampled index
+    arithmetic and frame sizes."""
+    out = multimodal.sample_frames(_raw_avi_assets(spark, sf_dir), every_k=2)
+    return out.select(
+        "asset_id",
+        "frame_idx",
+        F.length("frame").alias("frame_bytes"),
+        F.col("frame").cast("string").alias("frame_text"),
     )
 
 
 def q_phash_duplicates(spark, sf_dir):
-    return multimodal.phash_duplicates(_fake_image_assets(spark, sf_dir))
+    """64-bit average-hash duplicate groups over REAL PNG containers —
+    the decode seam runs the pure-stdlib PNG codec, so the hash is
+    computed from genuinely decoded pixels."""
+    return multimodal.phash_duplicates(_png_assets(spark, sf_dir))
 
 
 def _fake_wav_assets(spark, sf_dir):
@@ -2212,7 +2291,7 @@ def q_resize_images(spark, sf_dir):
     summarized JVM-side (hex fold) so the oracle can re-derive the
     exact resize arithmetic from the source text bytes."""
     out = multimodal.resize_images(
-        _fake_image_assets(spark, sf_dir), out_w=4, out_h=4
+        _png_assets(spark, sf_dir), out_w=4, out_h=4
     )
     hx = F.upper(F.hex("resized"))
     px = F.transform(
@@ -8513,57 +8592,64 @@ JOIN documents d ON d.doc_id = q.docid
 """
 
 # Media oracles rebuild the SAME binary container the Spark query
-# builds (header hex || first 64 payload bytes of the UTF-8 text,
-# represented as a hex string since this DuckDB cannot slice BLOBs:
-# byte i of the container = hex chars 2i-1..2i) and then RE-DERIVE
-# format / sizes / frame offsets from those bytes — they recompute the
-# operator's parse, not the fixture's constants.
+# builds (every registry media query now stages REAL containers —
+# PNG/JPEG/WAV/AVI/MP4 — built by the repo's own pure-stdlib codecs)
+# and RE-DERIVE the checked facts from the SOURCE text bytes: byte
+# slices via the to_hex/from_hex round-trip (this DuckDB cannot slice
+# BLOBs: byte i of a blob = hex chars 2i-1..2i), deterministic
+# container lengths by running the muxers at oracle-build time — the
+# oracles recompute the operator's parse, not a fixture's constants.
 
-# b"FAKEIMG" + u32be w=8 + u32be h=8 + u8 channels=1  (16 bytes)
-_FAKEIMG_HEADER_HEX = "46414B45494D47" + "00000008" + "00000008" + "01"
-# b"FAKEVID" + u32be n_frames=4 + u32be frame_len=16  (15 bytes)
-_FAKEVID_HEADER_HEX = "46414B45564944" + "00000004" + "00000010"
+# media_sniff: every container in the mix has a DETERMINISTIC byte
+# length (fixed frame-count/size layout), so n_bytes is re-derived by
+# RUNNING the muxers at oracle-build time on equal-shaped dummy input
+# — the oracle tracks the muxer, not a hardcoded constant.
+def _sniff_len_constants() -> tuple[int, int, int]:
+    from mapreduce_assignments_spark.functions.container_demux import (
+        mux_avi_raw,
+        mux_mp4,
+    )
+    from mapreduce_assignments_spark.operators.multimodal import make_wav
+
+    wav_len = len(make_wav(bytes(64), 1, 16000))
+    avi_len = len(mux_avi_raw([bytes(16)] * 4, 8, 8))
+    mp4_len = len(mux_mp4([bytes(16 + i) for i in range(5)], 8, 8,
+                          samples_per_chunk=2))
+    return wav_len, avi_len, mp4_len
+
+
+_WAV_LEN, _AVI_LEN, _MP4_LEN = _sniff_len_constants()
 
 ORACLE["media_sniff"] = f"""
-WITH assets AS (
-  SELECT doc_id AS asset_id,
-         '{_FAKEIMG_HEADER_HEX}'
-           || substring(to_hex(encode(text)), 1, 128) AS hex
-  FROM documents WHERE n_chars >= 64
-)
-SELECT asset_id,
-       CASE WHEN substring(hex, 1, 14) = '46414B45494D47' THEN 'fakeimg'
-            WHEN substring(hex, 1, 14) = '46414B45564944' THEN 'fakevid'
-            ELSE 'unknown' END AS format,
-       CAST(length(hex) / 2 AS INTEGER) AS n_bytes
-FROM assets
+SELECT doc_id AS asset_id,
+       CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'avi'
+            ELSE 'mp4' END AS format,
+       CAST(CASE doc_id % 3 WHEN 0 THEN {_WAV_LEN} WHEN 1 THEN {_AVI_LEN}
+            ELSE {_MP4_LEN} END AS INTEGER) AS n_bytes
+FROM documents WHERE n_chars >= 96
 """
 
-ORACLE["frame_sample"] = f"""
-WITH assets AS (
-  SELECT doc_id AS asset_id,
-         '{_FAKEVID_HEADER_HEX}'
-           || substring(to_hex(encode(text)), 1, 128) AS hex
-  FROM documents WHERE n_chars >= 64
-),
-parsed AS (
-  SELECT asset_id,
-         CAST(CONCAT('0x', substring(hex, 15, 8)) AS INTEGER) AS n_frames,
-         CAST(CONCAT('0x', substring(hex, 23, 8)) AS INTEGER) AS frame_len,
-         substring(hex, 31) AS body_hex
-  FROM assets
-)
-SELECT asset_id, CAST(i AS INTEGER) AS frame_idx,
-       CAST(length(substring(body_hex, CAST(i AS INTEGER) * frame_len * 2 + 1,
-                             frame_len * 2)) / 2 AS INTEGER) AS frame_bytes
-FROM (SELECT asset_id, frame_len, body_hex,
-             unnest(range(0, CAST(n_frames AS BIGINT), 2)) AS i
-      FROM parsed)
+# frame_sample: the raw-DIB AVI frames are BYTE slices of the text
+# (frame f = bytes 16f..16f+15), so the oracle re-derives the exact
+# demuxed payload byte-based — to_hex/from_hex round-trip, since this
+# DuckDB cannot slice BLOBs directly — making the equivalence
+# structural rather than dependent on ASCII text (byte slicing on
+# both sides; a multi-byte codepoint split at a boundary would
+# surface identically in Spark's cast(binary as string)).
+ORACLE["frame_sample"] = """
+SELECT doc_id AS asset_id,
+       CAST(f.i AS INTEGER) AS frame_idx,
+       CAST(16 AS INTEGER) AS frame_bytes,
+       decode(from_hex(substring(to_hex(encode(text)),
+                                 CAST(32 * f.i + 1 AS INTEGER), 32))) AS frame_text
+FROM documents, (VALUES (0), (2)) f(i)
+WHERE n_chars >= 64
 """
 
-# 8x8 average-hash over the FAKEIMG payload: pixel i is the i-th byte
-# of the (ASCII) text, bit i is pixel > mean, packed big-endian with
-# the MSB folded to keep the value in signed int64 (Spark LongType).
+# 8x8 average-hash over the PNG-decoded pixels: the grayscale PNG is
+# lossless, so decoded pixel i is byte i of the (ASCII) text; bit i is
+# pixel > mean, packed big-endian with the MSB folded to keep the
+# value in signed int64 (Spark LongType).
 ORACLE["phash_duplicates"] = """
 WITH px AS (
   SELECT doc_id, g.i AS i, unicode(substring(text, CAST(g.i AS INTEGER), 1)) AS px
@@ -8585,8 +8671,9 @@ h AS (
 SELECT min(doc_id) AS keeper, count(*) AS n_dups, phash FROM h GROUP BY phash
 """
 
-# the fake image's pixels are the first 64 UTF-8 bytes of the (ASCII)
-# document text, so the decoded mean pixel equals the mean codepoint.
+# the grayscale PNG's pixels are the first 64 UTF-8 bytes of the
+# (ASCII) document text and PNG is lossless, so the decoded mean
+# pixel equals the mean codepoint.
 ORACLE["image_stats"] = """
 SELECT doc_id AS asset_id, 8 AS width, 8 AS height, 1 AS channels,
        round(list_aggregate(list_transform(range(1, 65),
@@ -8631,13 +8718,19 @@ WHERE n_chars >= 288
 
 # mp4_frame_text: the MP4 samples are RAW text slices (no lossy
 # codec in the way), so the oracle re-derives the exact demuxed
-# bytes: sample i starts at offset 16*i + i*(i-1)/2 and is 16+i
-# bytes long; sample_frames keeps every 2nd sample.
+# bytes: sample i starts at BYTE offset 16*i + i*(i-1)/2 and is 16+i
+# bytes long; sample_frames keeps every 2nd sample. The slice is
+# BYTE-based (to_hex/from_hex round-trip — this DuckDB cannot slice
+# BLOBs directly) to mirror Spark's substring-over-encode exactly,
+# so the equivalence is structural, not dependent on the testdata
+# being ASCII.
 ORACLE["mp4_frame_text"] = """
 SELECT doc_id AS asset_id,
        CAST(f.i AS INTEGER) AS frame_idx,
-       substring(text, CAST(16 * f.i + f.i * (f.i - 1) / 2 + 1 AS INTEGER),
-                 CAST(16 + f.i AS INTEGER)) AS frame_text
+       decode(from_hex(substring(to_hex(encode(text)),
+                                 CAST(2 * (16 * f.i + f.i * (f.i - 1) / 2) + 1
+                                      AS INTEGER),
+                                 CAST(2 * (16 + f.i) AS INTEGER)))) AS frame_text
 FROM documents, (VALUES (0), (2), (4)) f(i)
 WHERE n_chars >= 96
 """

@@ -727,6 +727,91 @@ def test_mp4_demux_corrupt_and_out_of_subset():
         demux_avi(b"RIFF\x04\x00\x00\x00WAVE")  # RIFF but not AVI
 
 
+def test_avi_raw_mux_demux_roundtrip():
+    """mux_avi_raw builds a REAL uncompressed AVI ('DIB ' handler,
+    BI_RGB strf) whose raw frame payloads round-trip byte-for-byte —
+    the value-exact AVI analogue of the MP4 raw-sample path."""
+    from mapreduce_assignments_spark.functions.container_demux import (
+        demux_avi,
+        mux_avi_raw,
+    )
+
+    frames = [bytes((i * 11 + j) % 256 for j in range(16)) for i in range(4)]
+    avi = mux_avi_raw(frames, 8, 8)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    assert b"vidsDIB " in avi          # stream handler
+    assert b"MJPG" not in avi          # genuinely uncompressed
+    assert demux_avi(avi) == frames
+    # deterministic bytes for fixed input (the media_sniff oracle
+    # derives n_bytes by re-running the muxer)
+    assert mux_avi_raw(frames, 8, 8) == avi
+
+
+def test_mp4_stsc_first_run_must_start_at_chunk_one():
+    """A corrupt stsc whose first run starts at chunk 2 shifts sample
+    counts onto the wrong chunks; when the shifted counts still total
+    the declared sample count the old walk returned WRONG bytes
+    instead of erroring. Must now raise (drop contract)."""
+    import pytest
+
+    from mapreduce_assignments_spark.functions.container_demux import (
+        demux_mp4,
+        mux_mp4,
+    )
+
+    frames = [bytes([i]) * 16 for i in range(4)]
+    mp4 = mux_mp4(frames, 8, 8, samples_per_chunk=2)
+    stsc_at = mp4.index(b"stsc")
+    first_chunk_at = stsc_at + 4 + 4 + 4  # fourcc, version/flags, count
+    assert mp4[first_chunk_at : first_chunk_at + 4] == b"\x00\x00\x00\x01"
+    corrupt = (
+        mp4[:first_chunk_at] + b"\x00\x00\x00\x02" + mp4[first_chunk_at + 4 :]
+    )
+    with pytest.raises(ValueError, match="chunk 1"):
+        demux_mp4(corrupt)
+
+
+def test_sniff_media_riff_subtypes(spark):
+    """RIFF wrappers are refined by form type: WAVE -> 'wav',
+    'AVI ' -> 'avi', other RIFF stays generic 'riff'."""
+    from mapreduce_assignments_spark.functions.container_demux import mux_avi_raw
+    from mapreduce_assignments_spark.operators.multimodal import make_wav
+
+    rows = [
+        (1, make_wav(bytes(64), 1, 16000)),
+        (2, mux_avi_raw([bytes(16)] * 2, 4, 4)),
+        (3, b"RIFF\x04\x00\x00\x00WEBP"),
+        (4, b"\x89PNG\r\n\x1a\n" + bytes(16)),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, content binary")
+    got = {r["asset_id"]: r["format"] for r in sniff_media(df).collect()}
+    assert got == {1: "wav", 2: "avi", 3: "riff", 4: "png"}
+    plan = sniff_media(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_image_dimensions_parses_real_png_ihdr(spark):
+    """Header-only dims from REAL PNG IHDR fields (fixed offsets, JVM
+    hex arithmetic): width/height u32be, channels from color type."""
+    from mapreduce_assignments_spark.functions.png_codec import encode_png
+    from mapreduce_assignments_spark.operators.multimodal import image_dimensions
+
+    rows = [
+        (1, encode_png(5, 3, 1, bytes(range(15)))),          # gray -> 1
+        (2, encode_png(4, 2, 3, bytes(range(24)))),          # rgb  -> 3
+        (3, make_fake_image(16, 9, 3)),                      # FAKEIMG kept
+        (4, b"NOTMEDIA garbage"),                            # dropped
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, content binary")
+    got = {
+        r["asset_id"]: (r["width"], r["height"], r["channels"])
+        for r in image_dimensions(df).collect()
+    }
+    assert got == {1: (5, 3, 1), 2: (4, 2, 3), 3: (16, 9, 3)}
+    plan = image_dimensions(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # the parse never leaves the JVM
+
+
 def test_demux_video_seam_dispatch():
     """The DEFAULT seam now demuxes real AVI and MP4; FAKEVID still
     decodes; corrupt payloads behind a valid magic fall through to

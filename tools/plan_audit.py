@@ -34,6 +34,9 @@ from mapreduce_assignments_spark.session import get_spark  # noqa: E402
 PYTHON_OK = {
     "image_stats", "png_decode_stats", "jpeg_decode_stats", "phash_duplicates", "frame_sample", "resize_images",
     "mjpeg_frame_stats", "mp4_frame_text",
+    # real-container STAGING is an Arrow encode stage (the sniff /
+    # header-parse itself stays JVM-side)
+    "media_sniff", "aspect_ratio_histogram",
     # in-partition BPE trainer: the whole point is ONE mapInPandas
     # over the (memory-sized) word-count vocabulary instead of
     # O(n_merges) sequential Spark jobs
@@ -61,7 +64,7 @@ def main() -> int:
     args = ap.parse_args()
     sf_dir = f"/root/testdata/sf{args.sf}"
     spark = get_spark("plan-audit")
-    names = [args.only] if args.only else list(workloads.ALL_QUERIES)
+    names = args.only.split(",") if args.only else list(workloads.ALL_QUERIES)
     bad = []
     for name in names:
         try:
