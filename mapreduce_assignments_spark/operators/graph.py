@@ -902,13 +902,21 @@ def harmonic_centrality(
             F.count("*").alias("n_reached"),
         )
     )
+    # limit(k) BEFORE the rank window (the top_k_nodes idiom):
+    # orderBy().limit() plans TakeOrderedAndProject — per-partition
+    # heap + single k-row merge — so the single-partition row_number
+    # sort only ever sees k rows. Ranking the full node set first
+    # and filtering rank <= k after was the one data-sized global
+    # window in the graph family (round-11 VERDICT item 6's audit
+    # now fails on that shape).
     w = Window.orderBy(F.desc("harmonic"), F.asc("id"))
     return (
-        scored.select(
+        scored.orderBy(F.desc("harmonic"), F.asc("id"))
+        .limit(k)
+        .select(
             F.row_number().over(w).cast("int").alias("rank"),
             "id",
             "harmonic",
             "n_reached",
         )
-        .where(F.col("rank") <= k)
     )

@@ -1388,10 +1388,11 @@ def q_countmin_words(spark, sf_dir):
     )
     counters = sketches.count_min_counters(words, "word", width=256, depth=4)
     true_counts = words.groupBy("word").agg(F.count("*").alias("true_cnt"))
-    w = Window.orderBy(F.desc("true_cnt"), F.asc("word"))
+    # limit-first (top_k_nodes idiom): TakeOrderedAndProject bounds
+    # the top-20 probe set — never a full-vocabulary rank window
     probes = (
-        true_counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
+        true_counts.orderBy(F.desc("true_cnt"), F.asc("word"))
+        .limit(20)
         .select("word", "true_cnt")
     )
     est = sketches.count_min_estimate(
@@ -1831,10 +1832,16 @@ def q_hits(spark, sf_dir):
     rounded = scores.select(
         "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
     )
+    # limit-first (top_k_nodes idiom): TakeOrderedAndProject bounds
+    # the rank window's input to 25 rows — never a full-node sort
     w = Window.orderBy(F.desc("auth"), F.asc("id"))
-    return rounded.select(
-        F.row_number().over(w).cast("int").alias("rank"), "id", "auth", "hub"
-    ).where(F.col("rank") <= 25)
+    return (
+        rounded.orderBy(F.desc("auth"), F.asc("id"))
+        .limit(25)
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"), "id", "auth", "hub"
+        )
+    )
 
 
 def q_bfs_hops(spark, sf_dir):
@@ -9057,55 +9064,101 @@ SELECT doc_id, n_chars FROM (
 # 51-60 in round 3) and the round-3 red events family come first, so
 # a future shrink of the check window hits long-proven entries last.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- round-11 rotation (round-10 VERDICT item 8): lifetime
-    # driver coverage is 253/253 scored, so the age-based refresh
-    # cadence continues — embedding_covariance stays in for its
-    # first-ever driver-green row (the round-11 zero-sign fix),
-    # the 7 never-scored round-11 adds (media + PQ + silhouette)
-    # take the next slots — backlog ZERO inside the round the
-    # queries were written — and the other 42 take the OLDEST
-    # last_scored names per
-    # docs/ROTATION_AUDIT.md: all 6 age-6/r4 names, the 6 sortable
-    # age-5/r5 names (hashing_tf/hashing_tfidf are UNSORTABLE and
-    # stay out), and 30 age-4/r6 names alphabetically after the
-    # displaced first seven (audio_stats .. curated_corpus plus
-    # verified_near_dupes, weighted_sample, word_count lead the
-    # round-12 window). Every entry below was gated at sf0.001 AND
-    # sf0.01 with the bit-exact --pandas-canon compare (plus
-    # --vanilla-session) before rotating.
-    # driver re-score after the round-11 sign-of-zero fix --
+    # -- round-12 rotation (round-11 VERDICT item 2): lifetime
+    # driver coverage is 260/260 and the never-scored backlog is
+    # ZERO, so this is a pure age-based refresh — the 50 OLDEST
+    # last_scored names per docs/ROTATION_AUDIT.md: all 10 sortable
+    # age-5/r6 names (hashing_tf/hashing_tfidf, the only older
+    # entries, are UNSORTABLE and permanently window-ineligible —
+    # their scalar _cells renderings rotate instead) plus the 40
+    # alphabetically-first age-4/r7 names (the remaining 10 r7 names
+    # small_quantity_revenue .. zipf_fit lead the round-13 window).
+    # Every entry below was gated at sf0.001 AND sf0.01 with the
+    # bit-exact --pandas-canon compare (plus --vanilla-session)
+    # before rotating.
+    # age-5 (last scored r6) --
+    "audio_stats": q_audio_stats,
+    "bigram_logprob": q_bigram_logprob,
+    "bm25_topk": q_bm25_topk,
+    "brute_force_topk": q_brute_force_topk,
+    "co_engagement": q_co_engagement,
+    "cohort_retention": q_cohort_retention,
+    "curated_corpus": q_curated_corpus,
+    "verified_near_dupes": q_verified_near_dupes,
+    "weighted_sample": q_weighted_sample,
+    "word_count": q_word_count,
+    # age-4 (last scored r7), alphabetically first 40 --
+    "bfs_hops": q_bfs_hops,
+    "bigram_count": q_bigram_count,
+    "bloom_decontamination": q_bloom_decontamination,
+    "boolean_retrieval_text": q_boolean_retrieval_text,
+    "bpe_merges": q_bpe_merges,
+    "bpe_vocab": q_bpe_vocab,
+    "char_entropy": q_char_entropy,
+    "clustering_coefficient": q_clustering_coefficient,
+    "component_size_histogram": q_component_size_histogram,
+    "cooccurrence": q_cooccurrence,
+    "customer_distribution": q_customer_distribution,
+    "degree_assortativity": q_degree_assortativity,
+    "forecast_revenue": q_forecast_revenue,
+    "harmonic_centrality": q_harmonic_centrality,
+    "hashing_tf_cells": q_hashing_tf_cells,
+    "hashing_tfidf_cells": q_hashing_tfidf_cells,
+    "heldout_logprob": q_heldout_logprob,
+    "hits": q_hits,
+    "hourly_counts": q_hourly_counts,
+    "incremental_dedup": q_incremental_dedup,
+    "inverted_index_stats": q_inverted_index_stats,
+    "ivf_recall_report": q_ivf_recall_report,
+    "kcore": q_kcore,
+    "knn_label_accuracy": q_knn_label_accuracy,
+    "link_prediction": q_link_prediction,
+    "market_share": q_market_share,
+    "ngram_novelty": q_ngram_novelty,
+    "pagerank_convergence": q_pagerank_convergence,
+    "part_bracket_revenue": q_part_bracket_revenue,
+    "pmi": q_pmi,
+    "point_in_time_state": q_point_in_time_state,
+    "prefix_jaccard": q_prefix_jaccard,
+    "promo_revenue": q_promo_revenue,
+    "prospective_customers": q_prospective_customers,
+    "quantization_error": q_quantization_error,
+    "query_likelihood": q_query_likelihood,
+    "record_linkage": q_record_linkage,
+    "rrf_fusion": q_rrf_fusion,
+    "scd2_history": q_scd2_history,
+    "semantic_dedup": q_semantic_dedup,
+}
+
+
+# Strict sub-plans of registered queries (the registered downstream
+# query executes a superset of each one's plan); every entry keeps its
+# DuckDB oracle and is exercised by tools/check_correctness.py --all
+# and the pytest suite.
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- rotated OUT of the driver window in round 12 (all 50 were
+    # driver-green in r11; displaced by the age-based refresh —
+    # still oracle-checked every round via --all and pytest) --
     "embedding_covariance": q_embedding_covariance,
-    # never-scored round-11 adds (rotation policy: never-scored
-    # first) — the un-stubbed real media codec paths; they displace
-    # the 3 alphabetically-first age-4 names (audio_stats,
-    # bigram_logprob, bm25_topk moved back to the extras pool) --
     "jpeg_decode_stats": q_jpeg_decode_stats,
     "mjpeg_frame_stats": q_mjpeg_frame_stats,
     "mp4_frame_text": q_mp4_frame_text,
-    # never-scored round-11 adds, second wave: the PQ family
-    # (displacing brute_force_topk, co_engagement, cohort_retention —
-    # the next 3 alphabetical age-4 names — to the extras pool) --
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "pq_recall_report": q_pq_recall_report,
     "ivf_silhouette": q_ivf_silhouette,
-    # age-6 (last scored r4) --
     "tf_idf": q_tf_idf,
     "token_counts": q_token_counts,
     "top_orders_per_customer": q_top_orders_per_customer,
     "top_revenue_orders": q_top_revenue_orders,
     "user_sessions": q_user_sessions,
     "value_percentiles": q_value_percentiles,
-    # age-5 (last scored r5), driver-sortable --
     "dense_hourly_counts": q_dense_hourly_counts,
     "ivf_topk_trained": q_ivf_topk_trained,
     "revenue_by_nation": q_revenue_by_nation,
     "shuffle_shards": q_shuffle_shards,
     "top_keywords": q_top_keywords,
     "value_buckets": q_value_buckets,
-    # age-4 (last scored r6), the next 30 alphabetically after the
-    # never-scored media + PQ + silhouette adds displaced the first
-    # seven --
     "dedup_apply": q_dedup_apply,
     "dedup_clusters": q_dedup_clusters,
     "degree_histogram": q_degree_histogram,
@@ -9136,37 +9189,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms_per_source": q_top_terms_per_source,
     "triangle_count": q_triangle_count,
     "unigram_logprob": q_unigram_logprob,
-}
-
-
-# Strict sub-plans of registered queries (the registered downstream
-# query executes a superset of each one's plan); every entry keeps its
-# DuckDB oracle and is exercised by tools/check_correctness.py --all
-# and the pytest suite.
-EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- rotated OUT of the driver window in round 11 (all were
-    # driver-green in r10; displaced by the age-based refresh --
-    # still oracle-checked every round via --all and pytest) --
+    # -- rotated out in earlier rounds (each driver-green in its own
+    # window; still oracle-checked every round via --all and pytest) --
     "csv_roundtrip": q_csv_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
     "incremental_rollup": q_incremental_rollup,
     "schema_evolution": q_schema_evolution,
     "png_decode_stats": q_png_decode_stats,
-    # displaced from the r11 window by the never-scored media adds
-    # (all three driver-green in r6; still oracle-checked every
-    # round via --all and pytest) --
-    "audio_stats": q_audio_stats,
-    "bigram_logprob": q_bigram_logprob,
-    "bm25_topk": q_bm25_topk,
     "nb_quality_confusion": q_nb_quality_confusion,
-    # displaced from the r11 window by the never-scored silhouette
-    # add (driver-green r6; still oracle-checked every round) --
-    "curated_corpus": q_curated_corpus,
-    # displaced from the r11 window by the never-scored PQ adds
-    # (all driver-green in r6; still oracle-checked every round) --
-    "brute_force_topk": q_brute_force_topk,
-    "co_engagement": q_co_engagement,
-    "cohort_retention": q_cohort_retention,
     "lpa_communities": q_lpa_communities,
     "boolean_retrieval": q_boolean_retrieval,
     "cooccurrence_stripes": q_cooccurrence_stripes,
@@ -9261,59 +9291,16 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_countmin": q_streaming_countmin,
     "streaming_sliding_counts": q_streaming_sliding_counts,
     "streaming_top_users": q_streaming_top_users,
-    "hits": q_hits,
-    "bfs_hops": q_bfs_hops,
-    "kcore": q_kcore,
-    "clustering_coefficient": q_clustering_coefficient,
-    "link_prediction": q_link_prediction,
-    "harmonic_centrality": q_harmonic_centrality,
-    "pagerank_convergence": q_pagerank_convergence,
-    "degree_assortativity": q_degree_assortativity,
-    "component_size_histogram": q_component_size_histogram,
     "volume_shipping": q_volume_shipping,
-    "market_share": q_market_share,
-    "customer_distribution": q_customer_distribution,
     "top_supplier": q_top_supplier,
     "small_quantity_revenue": q_small_quantity_revenue,
-    "promo_revenue": q_promo_revenue,
-    "part_bracket_revenue": q_part_bracket_revenue,
-    "prospective_customers": q_prospective_customers,
     "top_return_customers": q_top_return_customers,
-    "forecast_revenue": q_forecast_revenue,
-    "semantic_dedup": q_semantic_dedup,
-    "prefix_jaccard": q_prefix_jaccard,
-    "record_linkage": q_record_linkage,
-    "incremental_dedup": q_incremental_dedup,
     "split_leakage": q_split_leakage,
-    "bloom_decontamination": q_bloom_decontamination,
-    "ivf_recall_report": q_ivf_recall_report,
-    "knn_label_accuracy": q_knn_label_accuracy,
-    "quantization_error": q_quantization_error,
     "vocab_coverage": q_vocab_coverage,
-    "rrf_fusion": q_rrf_fusion,
-    "query_likelihood": q_query_likelihood,
-    "heldout_logprob": q_heldout_logprob,
     "tokenizer_fertility": q_tokenizer_fertility,
-    "char_entropy": q_char_entropy,
-    "ngram_novelty": q_ngram_novelty,
     "zipf_fit": q_zipf_fit,
-    "point_in_time_state": q_point_in_time_state,
-    "scd2_history": q_scd2_history,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_quality_gate": q_streaming_quality_gate,
-    "pmi": q_pmi,
-    "cooccurrence": q_cooccurrence,
-    "boolean_retrieval_text": q_boolean_retrieval_text,
-    "hourly_counts": q_hourly_counts,
-    "inverted_index_stats": q_inverted_index_stats,
-    "bigram_count": q_bigram_count,
-    "hashing_tf_cells": q_hashing_tf_cells,
-    "hashing_tfidf_cells": q_hashing_tfidf_cells,
-    "bpe_merges": q_bpe_merges,
-    "bpe_vocab": q_bpe_vocab,
-    "verified_near_dupes": q_verified_near_dupes,
-    "weighted_sample": q_weighted_sample,
-    "word_count": q_word_count,
     "hashing_tf": q_hashing_tf,
     "hashing_tfidf": q_hashing_tfidf,
     "semantic_decontamination": q_semantic_decontamination,

@@ -9,7 +9,11 @@ plan's scale-relevant facts:
 - whether parquet filters were pushed down (when the query filters),
 - whether any Python evaluation appears in the plan (hot-path UDF
   smell — only the two sanctioned Pandas stages may show it),
-- WholeStageCodegen span count.
+- WholeStageCodegen span count,
+- UNPARTITIONED Window nodes (single-partition sort of the whole
+  input — a scale-killer unless the frame is provably bounded;
+  every occurrence must be justified in GLOBAL_WINDOW_OK or the
+  audit fails).
 
 Usage: python tools/plan_audit.py [--sf 0.001] [--only name]
 """
@@ -44,6 +48,80 @@ PYTHON_OK = {
 }
 
 
+# Queries whose plans legitimately contain an UNPARTITIONED Window
+# node — each one a frame whose input is bounded by construction, so
+# the single-partition sort never sees data-sized input at any scale.
+# Keyed by query name; the value is the auditable justification
+# (round-11 VERDICT item 6: this table replaces the hand audit).
+# A new unpartitioned window in any query NOT listed here fails the
+# audit (exit 1) — bound the input or partition the window.
+GLOBAL_WINDOW_OK: dict[str, str] = {
+    # limit-prefixed rank windows: orderBy().limit(k) plans
+    # TakeOrderedAndProject, so the single-partition window sees <= k
+    # rows by construction (graph.py top_k_nodes idiom)
+    "pagerank": "row_number over a limit(25)-bounded frame",
+    "hits": "row_number over a limit(25)-bounded frame",
+    "harmonic_centrality": "row_number over a limit(k)-bounded frame",
+    "vocab_coverage": "cumulative sums over a limit(max_k)-bounded frame",
+    "rrf_fusion": "rank windows over the scorers' k=20-limited outputs",
+    # dimension-cardinality frames: the window input is an aggregate
+    # whose row count is a dimension, not the data
+    "key_skew_report": "cumulative Gini over the count-of-counts "
+    "histogram (rows = distinct multiplicities)",
+    "temperature_mix": "share-of-total over per-source rollup "
+    "(rows = #sources)",
+    "region_nation_share": "share-of-total over region x nation rollup "
+    "(rows <= 25 nations)",
+    "revenue_share": "share-of-total over the nation rollup (25 rows)",
+    # calendar-cardinality frames: the window input is a time-bucket
+    # rollup (days/hours), bounded by the calendar not the data
+    "revenue_lag_features": "lag features over the daily rollup",
+    "ewma_hourly": "EWMA recursion over the hourly rollup",
+    "slo_burn_rate": "sliding error rate over the hourly rollup",
+    "rolling_weekly_revenue": "7-day range frame over the daily rollup",
+    # statistic-inherent global rank over an aggregated (vocab-sized,
+    # not corpus-sized) input; the operator docstring records the
+    # range-partitioned prefix-offset fallback for extreme vocabularies
+    "zipf_fit": "regression over the full ranked vocabulary is the "
+    "Zipf statistic itself; input is the post-aggregation counts table",
+}
+
+
+def count_global_windows(plan: str) -> int:
+    """Window nodes with an EMPTY partition spec.
+
+    A physical ``Window`` line prints its top-level bracket groups as
+    ``[funcs], [partitionSpec], [orderSpec]``; the partition group is
+    omitted when empty, leaving ``[funcs], [orderSpec]`` (or just
+    ``[funcs]`` for an unordered global frame). A 2-group line whose
+    second group holds sort directions (ASC/DESC) is therefore a
+    global window; a 2-group line without them is partition-only.
+    ``WindowGroupLimit`` (top-k pushdown) is not a Window node.
+    """
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"(?:^|\s)Window (\[.*)$", line)
+        if not m:
+            continue
+        rest, groups, depth, start = m.group(1), [], 0, None
+        for i, ch in enumerate(rest):
+            if ch == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(rest[start + 1 : i])
+        if len(groups) <= 1:
+            n += 1
+        elif len(groups) == 2 and re.search(
+            r"\b(ASC|DESC) NULLS", groups[1]
+        ):
+            n += 1
+    return n
+
+
 def audit(name: str, plan: str) -> dict:
     return {
         "bhj": len(re.findall(r"BroadcastHashJoin", plan)),
@@ -54,6 +132,7 @@ def audit(name: str, plan: str) -> dict:
         "python": bool(re.search(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)),
         # codegen'd operators carry a "*(n)" stage prefix in toString()
         "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "global_windows": count_global_windows(plan),
     }
 
 
@@ -79,11 +158,20 @@ def main() -> int:
         if a["python"] and name not in PYTHON_OK:
             flags.append("UNSANCTIONED-PYTHON")
             bad.append(name)
+        if a["global_windows"] and name not in GLOBAL_WINDOW_OK:
+            flags.append("UNBOUNDED-GLOBAL-WINDOW")
+            bad.append(name)
         print(
             f"{name}: bhj={a['bhj']} smj={a['smj']} shj={a['shj']} "
             f"exchanges={a['exchange']} pushed_filters={a['pushed']} "
             f"codegen_spans={a['codegen']}"
             + (" python-stage" if a["python"] else "")
+            + (
+                f" global_windows={a['global_windows']}(ok: "
+                f"{GLOBAL_WINDOW_OK[name]})"
+                if a["global_windows"] and name in GLOBAL_WINDOW_OK
+                else ""
+            )
             + (" " + ",".join(flags) if flags else "")
         )
     print(f"\n{len(names) - len(bad)}/{len(names)} clean")
