@@ -176,3 +176,33 @@ def test_taint_propagates_through_list_alias():
     SELECT round(c / 64.0, 6) FROM w
     """
     assert not float_agg_sites(sql_clean)
+
+
+def test_window_minmax_does_not_spread_taint():
+    """round-11 ADVICE item 4: _PASSTHRU matched any min(/max( call
+    textually, so a running min/max WINDOW frame over an untainted
+    column could acquire statement-wide taint from an unrelated
+    avg() elsewhere, forcing spurious ALLOWLIST entries. A windowed
+    min(x) OVER (...) must no longer act as a passthrough."""
+    from tools.float_round_lint import float_agg_sites
+
+    # the taint map is statement-wide by name, so a window min over a
+    # DIFFERENT table's column that happens to share the tainted
+    # alias's name ('m') used to taint its own output alias ('mn')
+    # through the passthrough rule and flag the round() downstream —
+    # the exact spurious-ALLOWLIST class. (round() DIRECTLY around a
+    # same-named identifier still over-flags; that is the documented
+    # statement-wide coarseness, out of scope here.)
+    sql = """
+    WITH a AS (SELECT k, avg(v) AS m FROM t GROUP BY k),
+         b AS (SELECT k, min(m) OVER (PARTITION BY k) AS mn FROM u_table)
+    SELECT round(mn + 0.5, 6) FROM b
+    """
+    assert not float_agg_sites(sql), "window min acquired unrelated taint"
+    # a plain (non-window) min over a tainted alias still propagates
+    sql_plain = """
+    WITH a AS (SELECT k, avg(v) AS m FROM t GROUP BY k),
+         b AS (SELECT min(m) AS c FROM a)
+    SELECT round(c + 0.5, 6) FROM b
+    """
+    assert float_agg_sites(sql_plain)

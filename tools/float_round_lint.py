@@ -201,8 +201,13 @@ ALLOWLIST: dict[str, str] = {
     "by the round-11 taint propagation",
     "pq_adc_topk": "trainer-centroid class (codebook means feed "
     "rounded assignment); the ADC sums themselves are fixed-point "
-    "LONG — exposure is the same knife-edge argmin as "
-    "ivf_topk_trained, gated by the same empirical rotation",
+    "LONG — exposure is (a) the knife-edge argmin of "
+    "ivf_topk_trained AND (b) the LUT quantization itself: entries "
+    "are floor((cc - 2*c.q + qn2) * 2^20) over avg-derived "
+    "codewords, so a cross-engine ulp in any codeword flips floor() "
+    "whenever d2*2^20 sits within a ulp of an integer — a surface "
+    "on every (query, codeword) cell, broader than argmin ties "
+    "alone (round-11 ADVICE); gated by the same empirical rotation",
     "pq_codes": "trainer-centroid class; output is (vec_id, "
     "subspace, code) ints — a flip needs a 1e-6 distance tie",
     "pq_recall_report": "trainer-centroid class via the shared PQ "
@@ -329,7 +334,15 @@ def _expr_tail(sql: str, pos: int) -> str:
 # values, first/min/max select ONE input value, but a selected value
 # that diverged upstream by a ulp is still divergent (selection adds
 # no reorder error yet propagates existing value divergence).
-_PASSTHRU = re.compile(r"\b(list|array_agg|first|min|max)\s*\(", re.I)
+# ``(?!\s*\()`` after the name keeps ``min (`` matching; the negative
+# lookahead below for ``OVER`` excludes WINDOW min/max — a windowed
+# selection is still a selection, but the dominant false-positive
+# class was running-min/max frames over untainted columns acquiring
+# statement-wide taint (round-11 ADVICE: over-flag-only, but each
+# spurious flag costs an ALLOWLIST entry as the oracle corpus grows).
+_PASSTHRU = re.compile(
+    r"\b(list|array_agg|first|min|max)\s*\((?![^()]*\)\s*OVER\s*\()", re.I
+)
 
 
 def _propagate_taint(sql: str, aliases: set[str]) -> set[str]:
