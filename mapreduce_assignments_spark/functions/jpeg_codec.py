@@ -24,9 +24,14 @@ Decoder scope — the training-data-pipeline subset, deliberately:
 The IDCT is the separable orthonormal DCT-III as two 8x8 matrix
 multiplies, batched with numpy over every block of a component at
 once — float64, fixed operation order, hence bit-deterministic for a
-given bitstream. Entropy decode is a per-bit Python loop; decode cost
-is per-image and rides inside the Arrow-batched ``mapInPandas``
-stage, never in a shuffle (the png_codec discipline).
+given bitstream. Entropy decode is table-driven: the scan is split
+and 0xFF00-unstuffed in one vectorized pass, each segment becomes a
+32-bit sliding-window list, and every Huffman symbol is ONE 16-bit
+peek into a cached lookup table (libjpeg's HUFF_LOOKAHEAD technique
+at full code length) — the round-11 per-bit Python loop, formerly
+the registry's most expensive per-row path, is gone. Decode cost is
+per-image and rides inside the Arrow-batched ``mapInPandas`` stage,
+never in a shuffle (the png_codec discipline).
 
 The encoder exists for tests, fixtures, and sinks: 4:4:4 (or
 grayscale), quality-scaled Annex-K quantization tables, the Annex-K
@@ -40,6 +45,7 @@ encode->decode round trips with PSNR bounds.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -153,82 +159,119 @@ for _k in range(8):
 del _k, _n, c
 
 
-def _build_huffman(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """Canonical Huffman table -> {(code_length, code): symbol}."""
-    table = {}
+@lru_cache(maxsize=64)
+def _huffman_lut(bits: bytes, vals: bytes) -> list[int]:
+    """Canonical Huffman table -> 16-bit-peek lookup list: entry at
+    index ``peek16`` is ``(code_length << 8) | symbol`` (0 = invalid
+    prefix). The libjpeg HUFF_LOOKAHEAD technique extended to the
+    full 16-bit max code length, so decoding a symbol is ONE table
+    index instead of a per-bit tree walk. Cached: an MJPEG corpus
+    re-sends the identical Annex-K tables with every frame."""
+    lut = np.zeros(1 << 16, dtype=np.uint32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            lut[lo : lo + (1 << (16 - length))] = (length << 8) | vals[k]
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut.tolist()
 
 
 class _BitReader:
-    """MSB-first bit reader over the entropy-coded segment with
-    0xFF00 byte-unstuffing; stops cleanly at any non-RST marker."""
+    """MSB-first reader over ONE unstuffed entropy segment.
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.bitbuf = 0
-        self.nbits = 0
+    The per-bit ``_fill``/``bit()`` loop this replaces was the
+    registry's most expensive per-row path (round-11 verdict:
+    mjpeg_frame_stats sf10 = 55.8 s, dominated by Python bit calls).
+    Here the segment is turned into a 32-bit sliding-window list ONCE
+    (numpy, vectorized): ``w[i]`` holds the 4 bytes starting at byte
+    ``i``, so any ≤17-bit read at bit position ``bp`` is one list
+    index + shift + mask. Bit-exact with the former reader — same
+    symbols, same receive bits (golden-pinned in tests) — marker
+    detection and 0xFF00 unstuffing happen upfront in
+    ``_entropy_segments``."""
 
-    def _fill(self) -> None:
-        d = self.data
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(nxt)
-            else:
-                raise ValueError("marker inside entropy-coded segment")
-        else:
-            self.pos += 1
-        self.bitbuf = (self.bitbuf << 8) | b
-        self.nbits += 8
+    __slots__ = ("w", "bp", "nbits")
 
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
+    def __init__(self, seg: np.ndarray):
+        u = np.concatenate([seg, np.zeros(4, np.uint8)]).astype(np.uint64)
+        self.w = (
+            (u[:-3] << 24) | (u[1:-2] << 16) | (u[2:-1] << 8) | u[3:]
+        ).tolist()
+        self.bp = 0
+        self.nbits = int(len(seg)) * 8
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n > 16:
+            # 8-bit baseline receive fields are <= 11 bits (T.81
+            # Table F.1); anything larger is a corrupt table
+            raise ValueError("coefficient category out of range")
+        bp = self.bp
+        v = (self.w[bp >> 3] >> (32 - n - (bp & 7))) & ((1 << n) - 1)
+        bp += n
+        if bp > self.nbits:
+            raise ValueError("truncated entropy-coded segment")
+        self.bp = bp
         return v
 
-    def align_to_marker(self) -> None:
-        """Drop buffered bits and step past an expected RSTn marker."""
-        self.bitbuf = 0
-        self.nbits = 0
-        d = self.data
-        # tolerate fill bits already consumed; marker must be next
-        if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-            self.pos += 2
-        else:
+    def decode_symbol(self, lut: list[int]) -> int:
+        bp = self.bp
+        v = lut[(self.w[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF]
+        if not v:
+            raise ValueError("invalid Huffman code")
+        bp += v >> 8
+        if bp > self.nbits:
+            raise ValueError("truncated entropy-coded segment")
+        self.bp = bp
+        return v & 0xFF
+
+    def expect_only_fill_bits(self) -> None:
+        """At a restart boundary only sub-byte fill bits may remain."""
+        if self.nbits - self.bp >= 8:
             raise ValueError("expected restart marker")
 
-    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
 
+def _entropy_segments(data: bytes, pos: int) -> list[np.ndarray]:
+    """Split the entropy-coded data starting at ``pos`` into one
+    unstuffed uint8 array per restart interval: 0xFF00 stuffing is
+    removed (the 0xFF is data), RSTn markers delimit segments, and
+    the first other marker (EOI, next SOS, ...) ends the scan. One
+    vectorized 0xFF scan replaces the per-byte marker checks the old
+    reader made inside every ``_fill``."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr)
+    segs: list[np.ndarray] = []
+    start = pos
+    drop: list[int] = []
 
-class _RestartMarker(Exception):
-    def __init__(self, marker: int):
-        self.marker = marker
+    def flush(end: int) -> np.ndarray:
+        seg = arr[start:end]
+        if drop:
+            seg = np.delete(seg, [d - start for d in drop])
+        return seg
+
+    i_prev = pos - 1
+    for i in np.flatnonzero(arr[pos:] == 0xFF) + pos:
+        if i <= i_prev:  # the 0xFF of an already-consumed marker pair
+            continue
+        if i + 1 >= n:  # lone trailing 0xFF: scan data ends here
+            segs.append(flush(i))
+            return segs
+        nxt = arr[i + 1]
+        if nxt == 0x00:  # byte stuffing: keep FF, drop the 00
+            drop.append(i + 1)
+            i_prev = i + 1
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+            segs.append(flush(i))
+            drop, start, i_prev = [], i + 2, i + 1
+        else:  # any other marker terminates the scan
+            segs.append(flush(i))
+            return segs
+    segs.append(flush(n))
+    return segs
 
 
 def _extend(v: int, t: int) -> int:
@@ -278,10 +321,10 @@ def decode_jpeg(content: bytes):
             i = 0
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 15
-                bits = list(seg[i + 1 : i + 17])
+                bits = bytes(seg[i + 1 : i + 17])
                 nv = sum(bits)
-                vals = list(seg[i + 17 : i + 17 + nv])
-                huff[(tc, th)] = _build_huffman(bits, vals)
+                vals = bytes(seg[i + 17 : i + 17 + nv])
+                huff[(tc, th)] = _huffman_lut(bits, vals)
                 i += 17 + nv
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
             if seg[0] != 8:
@@ -327,7 +370,9 @@ def _decode_scan(data, pos, frame, qt, huff, scan_tables, restart_interval):
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    reader = _BitReader(data, pos)
+    segs = _entropy_segments(data, pos)
+    seg_i = 0
+    reader = _BitReader(segs[0])
     # per component: coefficient store (blocks_y*8, blocks_x*8)
     planes_coef = []
     for cid, hs, vs, _tq in comps:
@@ -339,28 +384,33 @@ def _decode_scan(data, pos, frame, qt, huff, scan_tables, restart_interval):
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align_to_marker()
+                reader.expect_only_fill_bits()
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("expected restart marker")
+                reader = _BitReader(segs[seg_i])
                 pred = [0] * len(comps)
-            try:
-                for ci, (cid, hs, vs, tq) in enumerate(comps):
-                    dc_tab = huff[(0, scan_tables[cid][0])]
-                    ac_tab = huff[(1, scan_tables[cid][1])]
-                    q = qt[tq]
-                    for by in range(vs):
-                        for bx in range(hs):
-                            blk = _decode_block(reader, dc_tab, ac_tab)
-                            pred[ci] += blk[0]
-                            coefs = np.zeros(64, dtype=np.int64)
-                            coefs[ZIGZAG] = blk
-                            coefs[0] = pred[ci]
-                            y0 = (my * vs + by) * 8
-                            x0 = (mx * hs + bx) * 8
-                            planes_coef[ci][y0 : y0 + 8, x0 : x0 + 8] = (
-                                coefs.reshape(8, 8) * q
-                            )
-            except _RestartMarker:
-                raise ValueError("unexpected restart marker") from None
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                dc_tab = huff[(0, scan_tables[cid][0])]
+                ac_tab = huff[(1, scan_tables[cid][1])]
+                q = qt[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = _decode_block(reader, dc_tab, ac_tab)
+                        pred[ci] += blk[0]
+                        coefs = np.zeros(64, dtype=np.int64)
+                        coefs[ZIGZAG] = blk
+                        coefs[0] = pred[ci]
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes_coef[ci][y0 : y0 + 8, x0 : x0 + 8] = (
+                            coefs.reshape(8, 8) * q
+                        )
             mcu_count += 1
+    if seg_i != len(segs) - 1:
+        # a RSTn appeared where no restart interval expected one —
+        # the old reader's "unexpected restart marker" contract
+        raise ValueError("unexpected restart marker")
     # batched IDCT per component, then upsample + color convert
     planes = []
     for ci, (cid, hs, vs, _tq) in enumerate(comps):

@@ -671,6 +671,54 @@ def test_jpeg_deterministic_and_seam_routed():
         decode_jpeg(bytes(prog))
 
 
+def test_jpeg_restart_intervals_decode_and_validate():
+    """DRI/RSTn handling of the table-driven entropy decoder (round-12
+    rewrite): a hand-assembled two-MCU scan with restart_interval=1
+    must decode pixel-identical to the same image encoded as one
+    segment (DC prediction resets at the marker, so per-MCU segments
+    equal independently-encoded single-block images); a missing RST
+    and an unexpected RST must both hit the ValueError drop
+    contract."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mapreduce_assignments_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    pxA = bytes([(7 * i) % 256 for i in range(64)])
+    pxB = bytes([(11 * i + 3) % 256 for i in range(64)])
+    full = np.hstack(
+        [
+            np.frombuffer(pxA, np.uint8).reshape(8, 8),
+            np.frombuffer(pxB, np.uint8).reshape(8, 8),
+        ]
+    ).tobytes()
+    base = encode_jpeg(full, 16, 8, 1, quality=90)
+
+    def split(b):  # (pre-SOS headers, SOS segment, entropy bytes)
+        i = b.index(b"\xff\xda")
+        (ln,) = struct.unpack(">H", b[i + 2 : i + 4])
+        return b[:i], b[i : i + 2 + ln], b[i + 2 + ln : -2]
+
+    head, sos, _ = split(base)
+    eA = split(encode_jpeg(pxA, 8, 8, 1, quality=90))[2]
+    eB = split(encode_jpeg(pxB, 8, 8, 1, quality=90))[2]
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)
+    rst = head + dri + sos + eA + b"\xff\xd0" + eB + b"\xff\xd9"
+    assert decode_jpeg(rst) == decode_jpeg(base)
+    # DRI promises a restart after every MCU; omitting the marker and
+    # the second segment must error, not return half an image
+    with pytest.raises(ValueError):
+        decode_jpeg(head + dri + sos + eA + b"\xff\xd9")
+    # an RSTn with NO declared restart interval is corrupt
+    with pytest.raises(ValueError):
+        decode_jpeg(head + sos + eA + b"\xff\xd0" + eB + b"\xff\xd9")
+
+
 # ---------------------------------------------------------------------------
 # real video containers: AVI (RIFF) + progressive MP4 demux
 
