@@ -138,7 +138,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "centroid_confusion", "random_projection", "hard_negatives",
         "label_spread", "semantic_dedup", "knn_label_accuracy",
         "embedding_covariance", "quantization_error", "index_shard_balance",
-        "nn_similarity_histogram", "margin_bitext",
+        "nn_similarity_histogram", "margin_bitext", "matryoshka_recall",
+        "embedding_pca",
     ),
     "text_quality": (
         "token_counts", "quality_score", "nb_quality_confusion", "language_id", "doc_fingerprint",
@@ -149,7 +150,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "filter_funnel_examples", "sentence_dedup_stats",
         "vocab_coverage", "idf_drift", "char_entropy", "language_id_accuracy",
         "vocab_overlap_matrix", "quality_length_correlation",
-        "perplexity_buckets",
+        "perplexity_buckets", "gopher_quality_gate",
     ),
     "sketches": ("kmv_distinct", "countmin_words"),
     "skew_diag": ("key_skew_report",),

@@ -57,6 +57,8 @@ __all__ = [
     "pq_codes",
     "pq_adc_topk",
     "ivf_silhouette",
+    "matryoshka_recall",
+    "embedding_pca",
 ]
 
 
@@ -1572,4 +1574,171 @@ def ivf_silhouette(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
             F.round(F.sum("sq") / F.lit(1048576.0) / F.count("*"), 6)
             + F.lit(0.0)
         ).alias("mean_silhouette"),
+    )
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dims: tuple = (8, 16, 32),
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka / prefix-dimension retrieval evaluation (Kusupati
+    et al., NeurIPS'22 — MRL; public literature): recall@k of
+    brute-force cosine retrieval over the first ``d`` embedding
+    coordinates against the full-dimension ground truth, one row per
+    ``d`` — ``(dim, n_queries, hits, recall)``. The curve answers the
+    index-sizing question MRL poses: how many prefix dims does the
+    ANN tier need before full-dim rescoring?
+
+    Scale shape: ONE corpus scan computes the full-dim similarity AND
+    every prefix similarity per (query, vector) pair — prefix dots
+    are plain slices of the same row, so evaluating |dims| prefixes
+    costs |dims| extra fused expressions, not |dims| extra scans.
+    The stacked (dim, query) rankings ride :func:`_topk_per_query`'s
+    cost-gated one-/two-phase top-k via a struct-valued query key
+    (dim 0 = the full-dim ground truth), and the final recall join is
+    over k-bounded survivor sets. Sims are rounded to 6 dp BEFORE
+    ranking with an id tiebreak — the brute_force_topk parity
+    discipline.
+    """
+    emb = _as_double(embeddings)
+    q = queries.select(
+        F.col("query_id"), F.col("q").cast("array<double>").alias("q")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    variants = [
+        F.struct(
+            F.lit(0).alias("dim"),
+            F.round(
+                cosine_similarity(F.col("q"), F.col("embedding")), 6
+            ).alias("sim"),
+        )
+    ] + [
+        F.struct(
+            F.lit(int(d)).alias("dim"),
+            F.round(
+                cosine_similarity(
+                    F.slice(F.col("q"), 1, int(d)),
+                    F.slice(F.col("embedding"), 1, int(d)),
+                ),
+                6,
+            ).alias("sim"),
+        )
+        for d in dims
+    ]
+    stacked = pairs.select(
+        F.col("query_id").alias("__q"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(F.array(*variants)).alias("v"),
+    ).select(
+        F.struct(F.col("v.dim").alias("dim"), F.col("__q").alias("q")).alias(
+            "query_id"
+        ),
+        "neighbor_id",
+        F.col("v.sim").alias("sim"),
+    )
+    topk = _topk_per_query(stacked, k, gate_df=emb).select(
+        F.col("query_id.dim").alias("dim"),
+        F.col("query_id.q").alias("query_id"),
+        "neighbor_id",
+    )
+    truth = topk.where(F.col("dim") == 0).select("query_id", "neighbor_id")
+    n_q = truth.select("query_id").distinct().count()  # bounded: |queries|
+    return (
+        topk.where(F.col("dim") != 0)
+        # truth is |queries| x k rows — bounded by construction, so
+        # the recall join broadcasts instead of shuffling the
+        # (|dims| x |queries| x k)-bounded survivor side
+        .join(F.broadcast(truth), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("dim")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            "dim",
+            F.lit(n_q).cast("int").alias("n_queries"),
+            F.col("hits").cast("long").alias("hits"),
+            F.round(F.col("hits") / F.lit(n_q * k), 6).alias("recall"),
+        )
+    )
+
+
+def _round6_away(x: float) -> float:
+    """HALF-AWAY-FROM-ZERO 6-dp rounding with the sign of zero
+    normalized to +0.0 — bit-identical to DuckDB ``round(x, 6)`` and
+    Spark ``F.round(x, 6)`` (verified over randomized doubles plus
+    the .5-boundary cases), unlike Python's banker's ``round``."""
+    import math
+
+    v = math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+    return v + 0.0 if v == 0.0 else v
+
+
+def embedding_pca(embeddings: DataFrame, n_iter: int = 8) -> DataFrame:
+    """First principal component of the embedding cloud by power
+    iteration over the (already engine-exact) covariance —
+    ``(i, loading, eigenvalue, explained_ratio)``, one row per
+    dimension. The encoder-health diagnostic one step past
+    :func:`embedding_covariance`: a dominant eigenvalue carrying
+    most of the trace means the embedding space collapsed onto a
+    line (anisotropy — Ethayarajh'19's finding for contextual
+    encoders; public literature).
+
+    Scale shape: the DATA-sized work is the covariance itself —
+    one distributed pass with fixed-point LONG summands (see
+    :func:`embedding_covariance`); the power iteration then runs
+    driver-local on the collected d x d matrix (d² doubles — the
+    bounded-small-side pattern of ivf_train's centroids, NOT a
+    driver loop over the corpus). Cross-engine exactness is by
+    construction: the covariance entries hash-match DuckDB already;
+    every iteration quantizes the normalized vector to 6 dp with
+    half-away-from-zero rounding (the engines' shared rule), so
+    both engines iterate on IDENTICAL inputs; the dot-product folds
+    are left-to-right in both (list_dot_product parity, verified
+    bit-exact); sqrt/divide are correctly-rounded IEEE ops. No
+    drift can accumulate across rounds.
+    """
+    cov_df = embedding_covariance(embeddings)
+    rows = cov_df.collect()  # bounded: d^2 rows, never the corpus
+    d = max(r["i"] for r in rows) + 1
+    C = [[0.0] * d for _ in range(d)]
+    for r in rows:
+        C[r["i"]][r["j"]] = r["cov"]
+    import math
+
+    v = [1.0] * d
+    for _ in range(n_iter):
+        w = []
+        for i in range(d):
+            acc, Ci = 0.0, C[i]
+            for j in range(d):
+                acc = acc + Ci[j] * v[j]
+            w.append(acc)
+        acc = 0.0
+        for x in w:
+            acc = acc + x * x
+        nrm = math.sqrt(acc)
+        v = [_round6_away(x / nrm) for x in w]
+    cv = []
+    for i in range(d):
+        acc, Ci = 0.0, C[i]
+        for j in range(d):
+            acc = acc + Ci[j] * v[j]
+        cv.append(acc)
+    num = 0.0
+    for i in range(d):
+        num = num + v[i] * cv[i]
+    den = 0.0
+    for x in v:
+        den = den + x * x
+    eig = _round6_away(num / den)
+    trace = 0.0
+    for i in range(d):
+        trace = trace + C[i][i]
+    evr = _round6_away(eig / trace)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i, v[i], eig, evr) for i in range(d)],
+        "i int, loading double, eigenvalue double, explained_ratio double",
     )

@@ -43,6 +43,7 @@ __all__ = [
     "char_entropy",
     "perplexity_buckets",
     "nb_quality_confusion",
+    "gopher_quality_gate",
 ]
 
 # A BPE-ish pre-tokenization: letter runs, digit runs, single other
@@ -1099,3 +1100,77 @@ def nb_quality_confusion(
         .select("label", pred.alias("pred"))
     )
     return scored.groupBy("label", "pred").agg(F.count("*").alias("n_docs"))
+
+
+def gopher_quality_gate(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stop_hits: int = 2,
+    max_dup_word_frac: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style rule filtering (Rae et al. 2021 §A1.1, public
+    literature; the C4/FineWeb family's document-level gates): per
+    document, the rule METRICS — word count, mean word length,
+    stopword hits, duplicate-word fraction — plus one boolean per
+    rule and the conjunction, ``(doc_id, n_words, mean_word_len,
+    stop_hits, dup_word_frac, len_ok, word_len_ok, stop_ok, dup_ok,
+    passes)``. Thresholds are the published Gopher defaults; a
+    deployment tunes them per corpus.
+
+    Scale shape: every metric is a JVM expression over the per-row
+    token array (tokenize once, reuse four ways) — zero shuffles,
+    zero Python, fully column-pruned (only ``text`` + the id leave
+    the scan). Fractions round to 6 dp (the cross-engine parity
+    discipline); rules compare the ROUNDED values so the flags are
+    engine-exact too."""
+    toks = tokens_array(text_col)
+    n = F.size(toks)
+    mean_wl = F.round(
+        F.when(
+            n > 0,
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+            )
+            / n,
+        ).otherwise(0.0),
+        6,
+    )
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    dup_frac = F.round(
+        F.when(n > 0, (n - F.size(F.array_distinct(toks))) / n).otherwise(
+            0.0
+        ),
+        6,
+    )
+    out = docs.select(
+        id_col,
+        n.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        dup_frac.alias("dup_word_frac"),
+    ).select(
+        "*",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
+            "len_ok"
+        ),
+        (
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+        ).alias("word_len_ok"),
+        (F.col("stop_hits") >= min_stop_hits).alias("stop_ok"),
+        (F.col("dup_word_frac") <= max_dup_word_frac).alias("dup_ok"),
+    )
+    return out.select(
+        "*",
+        (
+            F.col("len_ok")
+            & F.col("word_len_ok")
+            & F.col("stop_ok")
+            & F.col("dup_ok")
+        ).alias("passes"),
+    )

@@ -5516,6 +5516,123 @@ FROM scored
 QUALIFY rank <= 10
 """
 
+# embedding_pca: the covariance CTE is the (already hash-exact)
+# embedding_covariance oracle; the 8 power-iteration rounds unroll as
+# matvec (list_dot_product over j-ordered row lists — the same
+# left-to-right fold the driver-local Python loop uses, verified
+# bit-exact) + L2 normalize + round(,6)+0.0 quantization per round,
+# so both engines iterate on IDENTICAL vectors. Built after
+# ORACLE["embedding_covariance"] exists (see _build_pca_oracle call
+# site below that definition).
+def _build_pca_oracle(n_iter: int = 8) -> str:
+    # every CTE is MATERIALIZED: the rounds chain back through
+    # rows_c/cov, and DuckDB's default CTE inlining re-evaluates the
+    # whole upstream chain per reference — exponential blowup across
+    # 8 rounds (observed as a hung oracle before this; same fix as
+    # the unrolled pagerank oracles).
+    parts = [
+        f"WITH cov AS MATERIALIZED ({ORACLE['embedding_covariance']}),",
+        "rows_c AS MATERIALIZED (SELECT i, list(cov ORDER BY j) AS ci FROM cov GROUP BY i),",
+        "v0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS x"
+        " FROM (SELECT DISTINCT i FROM cov)),",
+    ]
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        parts += [
+            f"w{t} AS MATERIALIZED (SELECT r.i, list_dot_product(r.ci,"
+            f" (SELECT list(x ORDER BY i) FROM v{p})) AS w FROM rows_c r),",
+            f"n{t} AS MATERIALIZED (SELECT sqrt(list_dot_product(l, l)) AS nrm FROM"
+            f" (SELECT list(w ORDER BY i) AS l FROM w{t})),",
+            f"v{t} AS MATERIALIZED (SELECT i, round(w / (SELECT nrm FROM n{t}), 6) + 0.0"
+            f" AS x FROM w{t}),",
+        ]
+    f = n_iter
+    parts += [
+        f"cv AS MATERIALIZED (SELECT r.i, list_dot_product(r.ci,"
+        f" (SELECT list(x ORDER BY i) FROM v{f})) AS w FROM rows_c r),",
+        f"num AS MATERIALIZED (SELECT list_dot_product((SELECT list(x ORDER BY i) FROM v{f}),"
+        " (SELECT list(w ORDER BY i) FROM cv)) AS s),",
+        f"den AS MATERIALIZED (SELECT list_dot_product(l, l) AS s FROM"
+        f" (SELECT list(x ORDER BY i) AS l FROM v{f})),",
+        "eig AS MATERIALIZED (SELECT round((SELECT s FROM num) / (SELECT s FROM den), 6)"
+        " + 0.0 AS e),",
+        # trace as a left-to-right dot with ones — same fold order as
+        # the Python accumulation (x * 1.0 is exact)
+        "tr AS MATERIALIZED (SELECT list_dot_product(dl, list_transform(dl, _ -> 1.0))"
+        " AS t FROM (SELECT list(cov ORDER BY i) AS dl FROM cov WHERE i = j)),",
+        "evr AS MATERIALIZED (SELECT round((SELECT e FROM eig) / (SELECT t FROM tr), 6)"
+        " + 0.0 AS r)",
+        f"SELECT v{f}.i AS i, v{f}.x AS loading,",
+        "       (SELECT e FROM eig) AS eigenvalue,",
+        "       (SELECT r FROM evr) AS explained_ratio",
+        f"FROM v{f}",
+    ]
+    return "\n".join(parts)
+
+
+# matryoshka_recall: replays all four rankings (full + each prefix
+# dim) with list slicing — the CASE keeps dim=0 on the un-sliced
+# arrays so the ground truth is bit-identical to brute_force_topk's.
+ORACLE["matryoshka_recall"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+dd AS (SELECT * FROM (VALUES (0), (8), (16), (32)) d(dim)),
+scored AS (
+  SELECT dd.dim, q.query_id, e.vec_id AS neighbor_id,
+         CASE WHEN dd.dim = 0 THEN {_COS}
+              ELSE round(list_dot_product(qv[1:dd.dim], v[1:dd.dim]) /
+                   (sqrt(list_dot_product(qv[1:dd.dim], qv[1:dd.dim])) *
+                    sqrt(list_dot_product(v[1:dd.dim], v[1:dd.dim]))), 6)
+         END AS sim
+  FROM dd, q, e WHERE e.vec_id != q.query_id),
+topk AS (
+  SELECT dim, query_id, neighbor_id FROM (
+    SELECT dim, query_id, neighbor_id,
+           row_number() OVER (PARTITION BY dim, query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM scored) WHERE rn <= 10),
+truth AS (SELECT query_id, neighbor_id FROM topk WHERE dim = 0),
+nq AS (SELECT count(DISTINCT query_id) AS n FROM truth),
+hits AS (
+  SELECT t.dim, count(*) AS h
+  FROM topk t JOIN truth u USING (query_id, neighbor_id)
+  WHERE t.dim != 0 GROUP BY t.dim)
+SELECT CAST(dim AS INTEGER) AS dim,
+       CAST(nq.n AS INTEGER) AS n_queries,
+       CAST(h AS BIGINT) AS hits,
+       round(h / (nq.n * 10.0), 6) AS recall
+FROM hits, nq
+"""
+
+# gopher_quality_gate: every metric re-derived from the shared _TOK
+# tokenization; rules compare the ROUNDED metrics, matching Spark.
+ORACLE["gopher_quality_gate"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(ts) AS INTEGER) AS n_words,
+         round(CASE WHEN len(ts) > 0 THEN
+             CAST(list_aggregate(list_transform(ts, w -> len(w)), 'sum')
+                  AS BIGINT) / len(ts)
+             ELSE 0.0 END, 6) AS mean_word_len,
+         CAST(len(list_filter(ts, w -> w IN ({_STOP_IN}))) AS INTEGER)
+             AS stop_hits,
+         round(CASE WHEN len(ts) > 0 THEN
+             (len(ts) - len(list_distinct(ts))) / len(ts)
+             ELSE 0.0 END, 6) AS dup_word_frac
+  FROM t)
+SELECT doc_id, n_words, mean_word_len, stop_hits, dup_word_frac,
+       (n_words >= 50 AND n_words <= 100000) AS len_ok,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS word_len_ok,
+       (stop_hits >= 2) AS stop_ok,
+       (dup_word_frac <= 0.6) AS dup_ok,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (stop_hits >= 2)
+        AND (dup_word_frac <= 0.6)) AS passes
+FROM m
+"""
+
 _CCOS = (
     "round(list_dot_product(c, v) / "
     "(sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(v, v))), 6)"
@@ -6722,6 +6839,8 @@ SELECT CAST(a.i AS INTEGER) AS i, CAST(a.j AS INTEGER) AS j,
              * (CAST(m.sxj AS DOUBLE) / 1048576.0 / a.n), 6) + 0.0 AS cov
 FROM agg a JOIN m ON a.j = m.j
 """
+
+ORACLE["embedding_pca"] = _build_pca_oracle(n_iter=8)
 
 ORACLE["ab_test_zscore"] = """
 WITH pu AS (
@@ -9063,6 +9182,37 @@ SELECT doc_id, n_chars FROM (
 # driver signal (iterative/trained/multimodal, registry positions
 # 51-60 in round 3) and the round-3 red events family come first, so
 # a future shrink of the check window hits long-proven entries last.
+def q_matryoshka_recall(spark, sf_dir):
+    """Matryoshka prefix-dim retrieval curve: recall@10 of cosine
+    top-k over the first 8/16/32 embedding coordinates vs the
+    full-dimension ground truth, for the same 5-query eval set
+    brute_force_topk uses. One corpus scan evaluates every prefix
+    (the sims are slices of the same row); the oracle replays all
+    four rankings in SQL with list slicing."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    return similarity.matryoshka_recall(emb, queries, dims=(8, 16, 32), k=10)
+
+
+def q_gopher_quality_gate(spark, sf_dir):
+    """Gopher-rule document gate (Rae'21 A1.1 defaults): per-doc rule
+    metrics + per-rule flags + the conjunction — the rule-filter
+    stage every C4/FineWeb-style curation pipeline starts with."""
+    return text_quality.gopher_quality_gate(_docs(spark, sf_dir))
+
+
+def q_embedding_pca(spark, sf_dir):
+    """First principal component + explained-variance ratio of the
+    embedding cloud (anisotropy diagnostic) — distributed exact
+    covariance, then 8 driver-local power-iteration rounds on the
+    collected d x d matrix with per-round 6-dp quantization so both
+    engines iterate on identical inputs. The oracle unrolls all 8
+    matvec/normalize rounds in SQL over the same covariance CTE."""
+    return similarity.embedding_pca(_emb(spark, sf_dir), n_iter=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-12 rotation (round-11 VERDICT item 2): lifetime
     # driver coverage is 260/260 and the never-scored backlog is
@@ -9076,6 +9226,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Every entry below was gated at sf0.001 AND sf0.01 with the
     # bit-exact --pandas-canon compare (plus --vanilla-session)
     # before rotating.
+    # never-scored round-12 adds (rotation policy: never-scored
+    # first) — the MRL retrieval curve, the Gopher rule gate, and
+    # the PCA anisotropy diagnostic; they displace the 3
+    # alphabetically-LAST age-4 names (rrf_fusion, scd2_history,
+    # semantic_dedup back to the extras pool; all three lead the
+    # r13 window with the other r7 leftovers) --
+    "matryoshka_recall": q_matryoshka_recall,
+    "gopher_quality_gate": q_gopher_quality_gate,
+    "embedding_pca": q_embedding_pca,
     # age-5 (last scored r6) --
     "audio_stats": q_audio_stats,
     "bigram_logprob": q_bigram_logprob,
@@ -9125,9 +9284,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantization_error": q_quantization_error,
     "query_likelihood": q_query_likelihood,
     "record_linkage": q_record_linkage,
-    "rrf_fusion": q_rrf_fusion,
-    "scd2_history": q_scd2_history,
-    "semantic_dedup": q_semantic_dedup,
 }
 
 
@@ -9136,6 +9292,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # DuckDB oracle and is exercised by tools/check_correctness.py --all
 # and the pytest suite.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # displaced from the r12 window by the never-scored round-12 adds
+    # (all driver-green in r7; still oracle-checked every round) --
+    "rrf_fusion": q_rrf_fusion,
+    "scd2_history": q_scd2_history,
+    "semantic_dedup": q_semantic_dedup,
     # -- rotated OUT of the driver window in round 12 (all 50 were
     # driver-green in r11; displaced by the age-based refresh —
     # still oracle-checked every round via --all and pytest) --

@@ -852,3 +852,98 @@ def test_ivf_silhouette_needs_two_centroids(spark, emb):
     df, _ = emb
     one = spark.createDataFrame([(0, [1.0] * 8)], "cell_id int, c array<double>")
     assert ivf_silhouette(df, one).count() == 0
+
+
+def test_matryoshka_recall_hand_checked(spark):
+    """Prefix-dim retrieval where the 2-dim prefix ranking provably
+    disagrees with the full 4-dim ranking: the query's true nearest
+    neighbor hides its similarity in the TAIL dims, so recall@2 at
+    dim 2 is 1/2 while dim 4 (trivially) would be 1."""
+    from mapreduce_assignments_spark.operators.similarity import matryoshka_recall
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # the query
+        (1, [1.0, 0.0, 0.0, 0.0]),          # identical -> full rank 1
+        (2, [0.9, 0.1, 2.0, 0.0]),          # prefix-close, tail-far
+        (3, [0.8, 0.2, 3.0, 3.0]),          # prefix-ok, tail-far
+        (4, [0.0, 1.0, 0.0, 0.0]),          # orthogonal everywhere
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id = 0").selectExpr("vec_id AS query_id", "embedding AS q")
+    out = {
+        r["dim"]: r
+        for r in matryoshka_recall(emb, q, dims=(2,), k=2).collect()
+    }
+    # full-dim top-2 = {1, 2-vs-3-vs-4 by cosine}: 1 (1.0), then 2
+    # (cos = .9/|v|). prefix-2 top-2 = {1 (1.0), 2 (cos=0.993)} —
+    # both prefix picks survive? compute: full sims: v2 full cos =
+    # 0.9/sqrt(.81+.01+4)=0.41; v3 = .8/sqrt(.64+.04+18)=0.185; v4=0.
+    # full top2 = {1, 2}. prefix2 sims: v2=.9/sqrt(.82)=0.994,
+    # v3=.8/sqrt(.68)=0.970, v4=0 -> prefix top2={1,2}. hits=2.
+    assert out[2]["n_queries"] == 1
+    assert out[2]["hits"] == 2 and out[2]["recall"] == 1.0
+    # now a prefix that is actively misleading: dims=(1,) ranks by
+    # the first coordinate alone — v1 (1.0), v2 (1.0 after cosine
+    # normalization: 1-dim cosine is sign(x)) ties everything with
+    # x>0; ties break by id -> {1, 2}; still the full set. Use a
+    # query whose tail dominates instead:
+    rows2 = [
+        (0, [0.1, 1.0, 0.0]),
+        (1, [0.1, 1.0, 0.0]),    # true NN
+        (2, [0.1, -1.0, 0.0]),   # prefix-identical, full-opposite
+        (3, [-0.1, 0.9, 0.0]),   # prefix-opposite, full-close
+        (4, [0.1, -0.9, 0.1]),   # prefix-identical, full-opposite
+    ]
+    emb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    q2 = emb2.where("vec_id = 0").selectExpr("vec_id AS query_id", "embedding AS q")
+    [r] = matryoshka_recall(emb2, q2, dims=(1,), k=2).collect()
+    # 1-dim cosine = sign agreement: vecs 1,2,4 tie at 1.0 (id-break
+    # keeps 1,2), vec 3 at -1. full top-2 = {1, 3}. overlap = {1}.
+    assert r["hits"] == 1 and r["recall"] == 0.5
+
+
+def test_embedding_pca_recovers_dominant_direction(spark):
+    """Rank-1 data (every vector a multiple of one direction u plus a
+    constant mean shift): the first PC must align with u and explain
+    ~all the variance."""
+    import math
+
+    from mapreduce_assignments_spark.operators.similarity import embedding_pca
+
+    u = [3.0, 4.0, 0.0, 0.0]  # |u| = 5
+    rows = [
+        (i, [c * x + 1.0 for x in u])
+        for i, c in enumerate([-2.0, -1.0, 0.0, 1.0, 2.0, 3.0])
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["i"]: r for r in embedding_pca(emb, n_iter=8).collect()}
+    assert len(got) == 4
+    # loadings proportional to u/|u| = (0.6, 0.8, 0, 0), sign either way
+    s = 1.0 if got[0]["loading"] > 0 else -1.0
+    assert abs(s * got[0]["loading"] - 0.6) < 1e-4
+    assert abs(s * got[1]["loading"] - 0.8) < 1e-4
+    assert abs(got[2]["loading"]) < 1e-4 and abs(got[3]["loading"]) < 1e-4
+    # unit length (6-dp quantized) and rank-1 => explained ratio ~ 1
+    nrm = math.sqrt(sum(r["loading"] ** 2 for r in got.values()))
+    assert abs(nrm - 1.0) < 1e-4
+    assert got[0]["explained_ratio"] > 0.999
+    assert got[0]["eigenvalue"] > 0
+
+
+def test_round6_away_matches_engine_rounding():
+    """The driver-local quantizer must be the engines' rule —
+    half-AWAY-from-zero (Spark F.round / DuckDB round), not Python's
+    banker's rounding — and must normalize -0.0."""
+    import duckdb
+
+    from mapreduce_assignments_spark.operators.similarity import _round6_away
+
+    cases = [0.0000005, -0.0000005, 1.9999995e-6, 0.1234565, -0.1234565, 1e-9, -1e-9]
+    con = duckdb.connect()
+    for x in cases:
+        d = con.execute("SELECT round(?::DOUBLE, 6) + 0.0", [x]).fetchone()[0]
+        p = _round6_away(x)
+        assert p == d, (x, p, d)
+    import math
+
+    assert not math.copysign(1, _round6_away(-1e-9)) < 0  # +0.0, not -0.0

@@ -546,3 +546,30 @@ def test_nb_quality_confusion_empty_and_priors_only(spark):
     # single-class negative -> degenerate prior forces pred 0; the
     # empty eval doc's own label is 0 as well
     assert out == {(0, 0): 1}
+
+
+def test_gopher_quality_gate_hand_checked(spark):
+    """Each Gopher rule trips on exactly the doc built to trip it."""
+    from mapreduce_assignments_spark.operators.text_quality import (
+        gopher_quality_gate,
+    )
+
+    good = "the a " + " ".join(f"word{i:02d}" for i in range(60))  # 62 words
+    short = "the quick brown fox a it"                            # 6 words
+    nostop = " ".join(f"zz{i:03d}" for i in range(60))            # no stopwords
+    dup = "the a " + " ".join(["spam"] * 80)                      # 82 words, dup-heavy
+    onestop = "the " + " ".join(f"w{i:03d}" for i in range(60))   # 1 stopword
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, nostop), (4, dup), (5, onestop)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_gate(docs).collect()}
+    assert got[1]["passes"] is True
+    assert got[1]["n_words"] == 62 and got[1]["stop_hits"] == 2  # 'the', 'a'
+    assert got[1]["mean_word_len"] == round((3 + 1 + 60 * 6) / 62, 6)
+    assert got[2]["len_ok"] is False and got[2]["passes"] is False
+    assert got[3]["stop_hits"] == 0 and got[3]["stop_ok"] is False
+    assert got[4]["dup_word_frac"] > 0.6 and got[4]["dup_ok"] is False
+    assert got[4]["passes"] is False
+    # exactly one stopword sits under the >=2 bar — the boundary case
+    assert got[5]["stop_hits"] == 1 and got[5]["stop_ok"] is False
