@@ -139,7 +139,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "label_spread", "semantic_dedup", "knn_label_accuracy",
         "embedding_covariance", "quantization_error", "index_shard_balance",
         "nn_similarity_histogram", "margin_bitext", "matryoshka_recall",
-        "embedding_pca",
+        "embedding_pca", "mutual_knn_pairs",
     ),
     "text_quality": (
         "token_counts", "quality_score", "nb_quality_confusion", "language_id", "doc_fingerprint",

@@ -59,6 +59,7 @@ __all__ = [
     "ivf_silhouette",
     "matryoshka_recall",
     "embedding_pca",
+    "mutual_knn_pairs",
 ]
 
 
@@ -1741,4 +1742,70 @@ def embedding_pca(embeddings: DataFrame, n_iter: int = 8) -> DataFrame:
     return spark.createDataFrame(
         [(i, v[i], eig, evr) for i in range(d)],
         "i int, loading double, eigenvalue double, explained_ratio double",
+    )
+
+
+def mutual_knn_pairs(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    max_cell_size: int | None = 4096,
+) -> DataFrame:
+    """Reciprocal-nearest-neighbor pairs within centroid cells —
+    ``(id_a, id_b, sim)`` with ``id_a < id_b`` where EACH vector is
+    in the other's within-cell cosine top-``k``. Mutuality is the
+    classic precision filter over one-directional kNN (RNN matching,
+    e.g. Qin'11's reciprocal re-ranking; SemDeDup-adjacent): a hub
+    vector that merely appears in everyone's list pairs with nobody
+    unless the relation is symmetric, so the output is a
+    high-precision duplicate/paraphrase candidate set.
+
+    Scale shape: the :func:`semantic_dedup` candidate bounding —
+    cells from a broadcast-centroid argmax (zero exchanges),
+    ``max_cell_size`` caps the quadratic within-cell bill, the
+    per-vector ranking window partitions on ``id_a`` (cell-bounded
+    input per partition), and mutuality is a self-semi-join of the
+    k-bounded neighbor lists. Sims round to 6 dp BEFORE ranking with
+    an id tiebreak (the brute_force_topk parity discipline).
+    """
+    assigned = ivf_assign(embeddings, centroids)
+    if max_cell_size is not None:
+        cell_n = Window.partitionBy("cell")
+        assigned = (
+            assigned.withColumn("__cell_n", F.count("*").over(cell_n))
+            .where(F.col("__cell_n") <= max_cell_size)
+            .drop("__cell_n")
+        )
+    emb = _as_double(embeddings)
+    members = (
+        assigned.select("cell", "vec_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .localCheckpoint()  # feeds both pair sides — scan once
+    )
+    a = members.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = members.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
+    nn = (
+        a.join(b, "cell")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("sim"),
+        )
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+    rev = nn.select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    )
+    return (
+        nn.join(rev, ["id_a", "id_b"], "left_semi")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim")
     )

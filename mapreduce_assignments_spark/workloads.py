@@ -6630,6 +6630,45 @@ SELECT CAST(pc.cell AS INTEGER) AS cell, pc.n_vecs,
 FROM pc LEFT JOIN dr ON pc.cell = dr.cell
 """
 
+# mutual_knn_pairs: same cell CTEs as semantic_dedup, then each
+# vector's within-cell cosine top-3 (rounded 6 dp before rank, id
+# tiebreak) self-joined for mutuality, emitted id_a < id_b.
+ORACLE["mutual_knn_pairs"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cen AS (SELECT vec_id AS cell_id, v AS c FROM e
+        WHERE vec_id < GREATEST(8, (SELECT COUNT(*) FROM embeddings) // 256)),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cen.cell_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {{_CCOS}} DESC, cen.cell_id ASC) AS rn
+    FROM e, cen)
+  WHERE rn = 1),
+capped AS (
+  SELECT * FROM assigned
+  QUALIFY count(*) OVER (PARTITION BY cell) <= 4096),
+nn AS (
+  SELECT id_a, id_b, sim FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS sim,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+                              b.vec_id ASC) AS rn
+    FROM capped a JOIN capped b
+      ON a.cell = b.cell AND a.vec_id != b.vec_id)
+  WHERE rn <= 3)
+SELECT n1.id_a, n1.id_b, n1.sim
+FROM nn n1 JOIN nn n2 ON n1.id_a = n2.id_b AND n1.id_b = n2.id_a
+WHERE n1.id_a < n1.id_b
+"""
+ORACLE["mutual_knn_pairs"] = ORACLE["mutual_knn_pairs"].replace(
+    "{_CCOS}", _CCOS
+)
+
 ORACLE["revenue_rollup"] = """
 SELECT COALESCE(n_name, '(all)') AS n_name,
        CAST(COALESCE(year(o.o_orderdate), -1) AS INTEGER) AS o_year,
@@ -9203,6 +9242,18 @@ def q_gopher_quality_gate(spark, sf_dir):
     return text_quality.gopher_quality_gate(_docs(spark, sf_dir))
 
 
+def q_mutual_knn_pairs(spark, sf_dir):
+    """Reciprocal-NN duplicate candidates within SemDeDup-style
+    adaptive cells (same corpus-scaled seed centroids as
+    semantic_dedup): pairs where each vector is in the other's
+    within-cell cosine top-3 — the high-precision complement of the
+    threshold-based semantic_dedup flagging."""
+    emb = _emb(spark, sf_dir)
+    return similarity.mutual_knn_pairs(
+        emb, _scaled_cell_centroids(emb), k=3
+    )
+
+
 def q_embedding_pca(spark, sf_dir):
     """First principal component + explained-variance ratio of the
     embedding cloud (anisotropy diagnostic) — distributed exact
@@ -9228,13 +9279,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # before rotating.
     # never-scored round-12 adds (rotation policy: never-scored
     # first) — the MRL retrieval curve, the Gopher rule gate, and
-    # the PCA anisotropy diagnostic; they displace the 3
-    # alphabetically-LAST age-4 names (rrf_fusion, scd2_history,
-    # semantic_dedup back to the extras pool; all three lead the
-    # r13 window with the other r7 leftovers) --
+    # the PCA anisotropy diagnostic, and the reciprocal-NN pair
+    # miner; they displace the 4 alphabetically-LAST age-4 names
+    # (record_linkage, rrf_fusion, scd2_history, semantic_dedup
+    # back to the extras pool; all four lead the r13 window with
+    # the other r7 leftovers) --
     "matryoshka_recall": q_matryoshka_recall,
     "gopher_quality_gate": q_gopher_quality_gate,
     "embedding_pca": q_embedding_pca,
+    "mutual_knn_pairs": q_mutual_knn_pairs,
     # age-5 (last scored r6) --
     "audio_stats": q_audio_stats,
     "bigram_logprob": q_bigram_logprob,
@@ -9283,7 +9336,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prospective_customers": q_prospective_customers,
     "quantization_error": q_quantization_error,
     "query_likelihood": q_query_likelihood,
-    "record_linkage": q_record_linkage,
 }
 
 
@@ -9294,6 +9346,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced from the r12 window by the never-scored round-12 adds
     # (all driver-green in r7; still oracle-checked every round) --
+    "record_linkage": q_record_linkage,
     "rrf_fusion": q_rrf_fusion,
     "scd2_history": q_scd2_history,
     "semantic_dedup": q_semantic_dedup,

@@ -947,3 +947,33 @@ def test_round6_away_matches_engine_rounding():
     import math
 
     assert not math.copysign(1, _round6_away(-1e-9)) < 0  # +0.0, not -0.0
+
+
+def test_mutual_knn_pairs_excludes_one_directional_hubs(spark):
+    """k=1 with three clustered vectors and one hub-ish outlier: the
+    tight pair is mutual; the outlier's one-directional nearest
+    neighbor never reciprocates, so it pairs with nobody."""
+    from mapreduce_assignments_spark.operators.similarity import mutual_knn_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0]),   # 0 and 1: each other's NN -> mutual
+        (2, [0.7, 0.7, 0.1]),     # nearest to 1, but 1's NN is 0
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cen = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "cell_id long, c array<double>"
+    )  # one cell: all vectors compete
+    got = [
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in mutual_knn_pairs(emb, cen, k=1).collect()
+    ]
+    assert [(a, b) for a, b, _ in got] == [(0, 1)]
+    assert got[0][2] > 0.98
+    # k=2 widens the lists enough for 1<->2 to become mutual as well
+    got2 = sorted(
+        (r["id_a"], r["id_b"])
+        for r in mutual_knn_pairs(emb, cen, k=2).collect()
+    )
+    assert (0, 1) in got2 and (1, 2) in got2 and (0, 3) not in got2
