@@ -1138,7 +1138,12 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
     2⁶³/2²⁰ ≈ 8.8e12 rows — beyond any single covariance job.
     """
     emb = _as_double(embeddings)
-    d = len(emb.select("embedding").first()["embedding"])
+    first = emb.select("embedding").first()
+    if first is None:  # empty corpus: no covariance (graceful degrade)
+        return embeddings.sparkSession.createDataFrame(
+            [], "i int, j int, cov double"
+        )
+    d = len(first["embedding"])
     scale = float(_COV_SCALE)
     flat = emb.select(
         F.posexplode(
@@ -1700,8 +1705,11 @@ def embedding_pca(embeddings: DataFrame, n_iter: int = 8) -> DataFrame:
     bit-exact); sqrt/divide are correctly-rounded IEEE ops. No
     drift can accumulate across rounds.
     """
+    schema = "i int, loading double, eigenvalue double, explained_ratio double"
     cov_df = embedding_covariance(embeddings)
     rows = cov_df.collect()  # bounded: d^2 rows, never the corpus
+    if not rows:  # empty corpus: no covariance, no component
+        return embeddings.sparkSession.createDataFrame([], schema)
     d = max(r["i"] for r in rows) + 1
     C = [[0.0] * d for _ in range(d)]
     for r in rows:
@@ -1740,8 +1748,7 @@ def embedding_pca(embeddings: DataFrame, n_iter: int = 8) -> DataFrame:
     evr = _round6_away(eig / trace)
     spark = embeddings.sparkSession
     return spark.createDataFrame(
-        [(i, v[i], eig, evr) for i in range(d)],
-        "i int, loading double, eigenvalue double, explained_ratio double",
+        [(i, v[i], eig, evr) for i in range(d)], schema
     )
 
 

@@ -104,3 +104,18 @@ def test_round8_operators_degrade_gracefully(spark, empties):
     assert dedup.record_linkage_pairs(
         cust, "id", "name", ["blk"], max_pairs_per_record=3
     ).collect() == []
+
+
+def test_round12_operators_degrade_gracefully(spark, empties):
+    from mapreduce_assignments_spark.operators import similarity
+
+    d = empties["docs"]
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label int"
+    )
+    cen = spark.createDataFrame([], "cell_id long, c array<double>")
+    q = spark.createDataFrame([], "query_id long, q array<double>")
+    assert text_quality.gopher_quality_gate(d).collect() == []
+    assert similarity.matryoshka_recall(emb, q, dims=(2,), k=3).collect() == []
+    assert similarity.mutual_knn_pairs(emb, cen, k=3).collect() == []
+    assert similarity.embedding_pca(emb).collect() == []
