@@ -588,45 +588,63 @@ def encode_jpeg(
     bh = -(-height // 8)
     bwid = -(-width // 8)
     pred = [0] * channels
-    # pad planes by edge replication to full blocks
-    padded = []
-    for p in planes:
-        padded.append(
-            np.pad(p, ((0, bh * 8 - height), (0, bwid * 8 - width)),
-                   mode="edge")
+    # BATCHED forward DCT + quantize + zigzag per channel (the
+    # decoder's einsum discipline, in reverse): one einsum over every
+    # block of the plane replaces per-block 8x8 matmuls, and the
+    # per-block last-nonzero index (vectorized) lets the symbol loop
+    # stop at the final AC coefficient instead of scanning all 63 —
+    # the emitted bitstream is byte-identical (same symbols: trailing
+    # zeros always collapse to one EOB).
+    zzs, lastnz = [], []
+    for ci, p in enumerate(planes):
+        padded = np.pad(
+            p, ((0, bh * 8 - height), (0, bwid * 8 - width)), mode="edge"
         )
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci in range(channels):
-                blk = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                f = _DCT_M @ (blk - 128.0) @ _DCT_M.T
-                qcoef = np.round(f / qts[ci]).astype(np.int64)
-                zz = qcoef.reshape(-1)[ZIGZAG]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                t, code = _magnitude(diff)
-                hc, hl = dc_codes[ci][t]
+        b = (
+            padded.reshape(bh, 8, bwid, 8).transpose(0, 2, 1, 3) - 128.0
+        ).reshape(bh * bwid, 8, 8)
+        # broadcast matmul = the SAME per-block GEMM pair as the old
+        # per-block `_DCT_M @ blk @ _DCT_M.T` (einsum picks a
+        # different contraction order whose ulp drift flips np.round
+        # on .5 boundaries — byte-identity matters: same input must
+        # keep producing the same JPEG)
+        f = _DCT_M @ b @ _DCT_M.T
+        qcoef = np.round(f / qts[ci]).astype(np.int64)
+        flat = qcoef.reshape(bh * bwid, 64)
+        zz = flat[:, ZIGZAG]  # zigzag-order coefficients
+        nz = zz[:, 1:] != 0
+        last = np.where(nz.any(axis=1), 63 - np.argmax(nz[:, ::-1], axis=1), 0)
+        zzs.append(zz.tolist())
+        lastnz.append(last.tolist())
+    for bi in range(bh * bwid):
+        for ci in range(channels):
+            zz = zzs[ci][bi]
+            diff = zz[0] - pred[ci]
+            pred[ci] = zz[0]
+            t, code = _magnitude(diff)
+            hc, hl = dc_codes[ci][t]
+            bw.write(hc, hl)
+            if t:
+                bw.write(code, t)
+            run = 0
+            last = lastnz[ci][bi]
+            for k in range(1, last + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    hc, hl = ac_codes[ci][0xF0]  # ZRL
+                    bw.write(hc, hl)
+                    run -= 16
+                t, code = _magnitude(v)
+                hc, hl = ac_codes[ci][(run << 4) | t]
                 bw.write(hc, hl)
-                if t:
-                    bw.write(code, t)
+                bw.write(code, t)
                 run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        hc, hl = ac_codes[ci][0xF0]  # ZRL
-                        bw.write(hc, hl)
-                        run -= 16
-                    t, code = _magnitude(v)
-                    hc, hl = ac_codes[ci][(run << 4) | t]
-                    bw.write(hc, hl)
-                    bw.write(code, t)
-                    run = 0
-                if run:
-                    hc, hl = ac_codes[ci][0x00]  # EOB
-                    bw.write(hc, hl)
+            if last < 63:
+                hc, hl = ac_codes[ci][0x00]  # EOB
+                bw.write(hc, hl)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
