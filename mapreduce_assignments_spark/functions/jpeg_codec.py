@@ -614,11 +614,14 @@ def encode_jpeg(
         zz = flat[:, ZIGZAG]  # zigzag-order coefficients
         nz = zz[:, 1:] != 0
         last = np.where(nz.any(axis=1), 63 - np.argmax(nz[:, ::-1], axis=1), 0)
-        zzs.append(zz.tolist())
+        # keep the ndarray; rows convert one block at a time below —
+        # a full .tolist() held blocks x 64 Python ints per channel
+        # simultaneously (~GB on a 4K frame inside a Python worker)
+        zzs.append(zz)
         lastnz.append(last.tolist())
     for bi in range(bh * bwid):
         for ci in range(channels):
-            zz = zzs[ci][bi]
+            zz = zzs[ci][bi].tolist()
             diff = zz[0] - pred[ci]
             pred[ci] = zz[0]
             t, code = _magnitude(diff)

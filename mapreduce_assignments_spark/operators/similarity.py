@@ -1646,10 +1646,18 @@ def matryoshka_recall(
         "neighbor_id",
         F.col("v.sim").alias("sim"),
     )
-    topk = _topk_per_query(stacked, k, gate_df=emb).select(
-        F.col("query_id.dim").alias("dim"),
-        F.col("query_id.q").alias("query_id"),
-        "neighbor_id",
+    topk = (
+        _topk_per_query(stacked, k, gate_df=emb)
+        .select(
+            F.col("query_id.dim").alias("dim"),
+            F.col("query_id.q").alias("query_id"),
+            "neighbor_id",
+        )
+        # k-bounded survivors feed THREE consumers (n_queries count,
+        # truth side, per-dim side) — checkpoint so the corpus-sized
+        # scored lineage runs once, not three times (the
+        # mutual_knn_pairs discipline)
+        .localCheckpoint()
     )
     truth = topk.where(F.col("dim") == 0).select("query_id", "neighbor_id")
     n_q = truth.select("query_id").distinct().count()  # bounded: |queries|
@@ -1716,6 +1724,12 @@ def embedding_pca(embeddings: DataFrame, n_iter: int = 8) -> DataFrame:
         C[r["i"]][r["j"]] = r["cov"]
     import math
 
+    if not any(x for row in C for x in row):
+        # all-zero covariance (e.g. every component below the 2^-20
+        # quantization grid): power iteration would divide by a zero
+        # norm — no signal means no component, same graceful-degrade
+        # contract as the empty corpus
+        return embeddings.sparkSession.createDataFrame([], schema)
     v = [1.0] * d
     for _ in range(n_iter):
         w = []
@@ -1728,6 +1742,10 @@ def embedding_pca(embeddings: DataFrame, n_iter: int = 8) -> DataFrame:
         for x in w:
             acc = acc + x * x
         nrm = math.sqrt(acc)
+        if nrm == 0.0:
+            # v fell into C's null space (possible on degenerate
+            # integer-quantized matrices): no dominant direction
+            return embeddings.sparkSession.createDataFrame([], schema)
         v = [_round6_away(x / nrm) for x in w]
     cv = []
     for i in range(d):
@@ -1745,6 +1763,8 @@ def embedding_pca(embeddings: DataFrame, n_iter: int = 8) -> DataFrame:
     trace = 0.0
     for i in range(d):
         trace = trace + C[i][i]
+    if trace == 0.0:  # quantized-degenerate: no variance to explain
+        return embeddings.sparkSession.createDataFrame([], schema)
     evr = _round6_away(eig / trace)
     spark = embeddings.sparkSession
     return spark.createDataFrame(

@@ -8797,10 +8797,14 @@ FROM documents WHERE n_chars >= 96
 # frame_sample: the raw-DIB AVI frames are BYTE slices of the text
 # (frame f = bytes 16f..16f+15), so the oracle re-derives the exact
 # demuxed payload byte-based — to_hex/from_hex round-trip, since this
-# DuckDB cannot slice BLOBs directly — making the equivalence
-# structural rather than dependent on ASCII text (byte slicing on
-# both sides; a multi-byte codepoint split at a boundary would
-# surface identically in Spark's cast(binary as string)).
+# DuckDB cannot slice BLOBs directly. Byte slicing on BOTH sides
+# makes the offsets structural rather than ASCII-dependent; the one
+# residual divergence is the final render of a slice that SPLITS a
+# multi-byte codepoint: DuckDB decode() hard-errors on invalid UTF-8
+# while Spark cast(binary as string) substitutes replacement chars —
+# latent while the testdata is ASCII (asserted nowhere cheaper, so
+# flagged here; a non-ASCII corpus would need byte-hex output
+# columns instead of text).
 ORACLE["frame_sample"] = """
 SELECT doc_id AS asset_id,
        CAST(f.i AS INTEGER) AS frame_idx,
@@ -8886,9 +8890,10 @@ WHERE n_chars >= 288
 # bytes: sample i starts at BYTE offset 16*i + i*(i-1)/2 and is 16+i
 # bytes long; sample_frames keeps every 2nd sample. The slice is
 # BYTE-based (to_hex/from_hex round-trip — this DuckDB cannot slice
-# BLOBs directly) to mirror Spark's substring-over-encode exactly,
-# so the equivalence is structural, not dependent on the testdata
-# being ASCII.
+# BLOBs directly) to mirror Spark's substring-over-encode exactly;
+# same split-codepoint render caveat as the frame_sample oracle
+# above (decode() errors vs cast-to-string replacement — latent
+# while the testdata is ASCII).
 ORACLE["mp4_frame_text"] = """
 SELECT doc_id AS asset_id,
        CAST(f.i AS INTEGER) AS frame_idx,

@@ -199,6 +199,16 @@ def test_window_minmax_does_not_spread_taint():
     SELECT round(mn + 0.5, 6) FROM b
     """
     assert not float_agg_sites(sql), "window min acquired unrelated taint"
+    # same but with PARENTHESES inside the window min's argument — a
+    # regex lookahead cannot skip nested parens, so the OVER check
+    # must run after the BALANCED closing paren (round-12 review)
+    sql_nested = """
+    WITH a AS (SELECT k, avg(v) AS m FROM t GROUP BY k),
+         b AS (SELECT k, min(coalesce(m, 0.0))
+                   OVER (PARTITION BY k) AS mn FROM u_table)
+    SELECT round(mn + 0.5, 6) FROM b
+    """
+    assert not float_agg_sites(sql_nested), "nested-paren window min tainted"
     # a plain (non-window) min over a tainted alias still propagates
     sql_plain = """
     WITH a AS (SELECT k, avg(v) AS m FROM t GROUP BY k),

@@ -334,15 +334,16 @@ def _expr_tail(sql: str, pos: int) -> str:
 # values, first/min/max select ONE input value, but a selected value
 # that diverged upstream by a ulp is still divergent (selection adds
 # no reorder error yet propagates existing value divergence).
-# ``(?!\s*\()`` after the name keeps ``min (`` matching; the negative
-# lookahead below for ``OVER`` excludes WINDOW min/max — a windowed
-# selection is still a selection, but the dominant false-positive
-# class was running-min/max frames over untainted columns acquiring
-# statement-wide taint (round-11 ADVICE: over-flag-only, but each
-# spurious flag costs an ALLOWLIST entry as the oracle corpus grows).
-_PASSTHRU = re.compile(
-    r"\b(list|array_agg|first|min|max)\s*\((?![^()]*\)\s*OVER\s*\()", re.I
-)
+# WINDOW min/max (``min(..) OVER (..)``) is excluded in
+# _propagate_taint by checking the text after the BALANCED closing
+# paren (a regex lookahead cannot skip nested parens in the
+# argument) — a windowed selection is still a selection, but the
+# dominant false-positive class was running-min/max frames over
+# untainted same-named columns acquiring statement-wide taint
+# (round-11 ADVICE: over-flag-only, but each spurious flag costs an
+# ALLOWLIST entry as the oracle corpus grows).
+_PASSTHRU = re.compile(r"\b(list|array_agg|first|min|max)\s*\(", re.I)
+_OVER_AFTER = re.compile(r"\s*OVER\s*\(", re.I)
 
 
 def _propagate_taint(sql: str, aliases: set[str]) -> set[str]:
@@ -356,6 +357,8 @@ def _propagate_taint(sql: str, aliases: set[str]) -> set[str]:
         changed = False
         for pm in _PASSTHRU.finditer(sql):
             arg = _balanced(sql, pm.end() - 1)
+            if _OVER_AFTER.match(sql, pm.end() + len(arg) + 1):
+                continue  # windowed min/max: not a passthrough here
             idents = {w.lower() for w in re.findall(r"\b[a-zA-Z_]\w*\b", arg)}
             if not (idents & aliases):
                 continue

@@ -157,9 +157,9 @@ def main() -> int:
         flags = []
         if a["python"] and name not in PYTHON_OK:
             flags.append("UNSANCTIONED-PYTHON")
-            bad.append(name)
         if a["global_windows"] and name not in GLOBAL_WINDOW_OK:
             flags.append("UNBOUNDED-GLOBAL-WINDOW")
+        if flags:  # once per query, however many checks it fails
             bad.append(name)
         print(
             f"{name}: bhj={a['bhj']} smj={a['smj']} shj={a['shj']} "
