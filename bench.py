@@ -18,9 +18,10 @@ number is the MEDIAN, with the min and every raw sample preserved:
   tested against the distribution, not a point.
 
 ``--full`` times EVERY registered query (ALL_QUERIES — the 50-entry
-driver window plus EXTRA_QUERIES) once each with per-family subtotals
-and writes ``docs/bench_full_sf{sf}.json`` — perf visibility for the
-45 queries the headline never timed (round-4 VERDICT item 4).
+driver window plus EXTRA_QUERIES) ``--full-runs`` times each (default
+2, reported number = per-query MIN — round-12 VERDICT item 2) with
+per-family subtotals and writes ``docs/bench_full_sf{sf}.json`` —
+perf visibility for the queries the headline never timed.
 
 Each query is materialized through the noop sink so the whole plan
 (including final projections) executes — a bare ``count()`` would let
@@ -224,13 +225,16 @@ def check_trend(
     trend_path: Path, threshold: float = 2.0, abs_floor: float = 0.3
 ) -> list[str]:
     """CI-style regression gate over ``docs/bench_trend.jsonl``: for
-    each query in the LATEST record, fail if its median exceeds the
-    best median of any EARLIER record **with the same git revision**
+    each query in the LATEST record, fail if its per-query MIN exceeds
+    the best min of any EARLIER record **with the same git revision**
     (i.e. on unchanged code — a slowdown across a code change may be a
     deliberate trade; one on the same commit is environment or a
     Spark-conf regression) by more than ``threshold``x AND by more
     than ``abs_floor`` seconds (sub-second queries double on scheduler
-    noise alone). Returns one message per regression; empty = pass."""
+    noise alone). Mins, not medians (round-12 VERDICT item 2): the
+    r12 same-day full-bench runs swung ±40% per query on identical
+    code, and the min of N back-to-back runs is the stable noise-floor
+    estimator. Returns one message per regression; empty = pass."""
     records = []
     with trend_path.open() as f:
         for line in f:
@@ -256,10 +260,10 @@ def check_trend(
         return []
     regressions = []
     for name, samples in latest.get("samples", {}).items():
-        cur = statistics.median(samples)
+        cur = min(samples)
         best = min(
             (
-                statistics.median(r["samples"][name])
+                min(r["samples"][name])
                 for r in prior
                 if name in r.get("samples", {})
             ),
@@ -269,7 +273,7 @@ def check_trend(
             continue
         if cur > threshold * best and cur - best > abs_floor:
             regressions.append(
-                f"{name}: median {cur:.3f}s vs best {best:.3f}s on "
+                f"{name}: min {cur:.3f}s vs best {best:.3f}s on "
                 f"rev {latest.get('git_rev')} (> {threshold}x)"
             )
     return regressions
@@ -302,16 +306,31 @@ def run_headline(spark, sf_dir: str, sf, runs: int) -> int:
     return 0
 
 
-def run_full(spark, sf_dir: str, sf, only: list[str] | None = None) -> int:
-    times: dict[str, float] = {}
+def run_full(
+    spark, sf_dir: str, sf, only: list[str] | None = None, runs: int = 2
+) -> int:
+    """Time every query ``runs`` times; report the per-query MIN.
+
+    Round-12 VERDICT item 2: the two same-day r12 full-bench runs
+    moved 4.3% total with ±40% per-query swings on identical code —
+    a single sample per query cannot distinguish a real 1.5x
+    regression from box churn. The min of N back-to-back runs is the
+    standard noise floor estimator (same rationale as the headline
+    bench's min-of-3); the raw sample matrix still lands in
+    ``docs/bench_trend.jsonl`` for distribution-level comparisons.
+    """
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in (only or workloads.ALL_QUERIES):
         try:
-            times[name] = _time_query(spark, sf_dir, name)
-            print(f"# {name}: {times[name]}s", file=sys.stderr)
+            samples[name] = [
+                _time_query(spark, sf_dir, name) for _ in range(runs)
+            ]
+            print(f"# {name}: {samples[name]}", file=sys.stderr)
         except Exception as e:  # keep timing the rest; surface at the end
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+    times = {n: min(s) for n, s in samples.items()}
     fam_totals: dict[str, float] = {}
     for name, t in times.items():
         fam = _FAMILY_OF.get(name, "other")
@@ -324,6 +343,7 @@ def run_full(spark, sf_dir: str, sf, only: list[str] | None = None) -> int:
         "families": fam_totals,
         "errors": errors,
         "n_queries": len(times),
+        "runs": runs,
         "sf": sf,
     }
     if only is None:  # a partial run must not clobber the full record
@@ -338,8 +358,8 @@ def run_full(spark, sf_dir: str, sf, only: list[str] | None = None) -> int:
         "mode": "full" if only is None else "only",
         "sf": sf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
-        "runs": 1,
-        "samples": {n: [t] for n, t in times.items()},
+        "runs": runs,
+        "samples": samples,
     })
     print(json.dumps(result))
     return 1 if errors else 0
@@ -349,6 +369,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="time every registered query once")
     ap.add_argument("--runs", type=int, default=3, help="repetitions per headline query")
+    ap.add_argument(
+        "--full-runs", type=int, default=2,
+        help="repetitions per query in --full/--only mode (reported "
+        "number is the min — single samples swing ±40% on box churn)",
+    )
     ap.add_argument(
         "--only", nargs="+", metavar="QUERY",
         help="time just these registered queries once each (full-mode "
@@ -385,9 +410,11 @@ def main() -> int:
         if unknown:
             print(f"unknown queries: {unknown}", file=sys.stderr)
             return 2
-        return run_full(spark, sf_dir, sf, only=args.only)
+        return run_full(
+            spark, sf_dir, sf, only=args.only, runs=max(1, args.full_runs)
+        )
     if args.full:
-        return run_full(spark, sf_dir, sf)
+        return run_full(spark, sf_dir, sf, runs=max(1, args.full_runs))
     return run_headline(spark, sf_dir, sf, max(1, args.runs))
 
 

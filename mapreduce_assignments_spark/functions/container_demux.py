@@ -74,7 +74,18 @@ def mux_avi_raw(
     ``mux_mp4``'s raw text samples, so demux correctness is
     value-checkable against the source bytes (MJPEG frames are
     lossy-JPEG and only presence/dims-checkable). Deterministic
-    bytes for fixed input."""
+    bytes for fixed input.
+
+    The strh/strf dims (and the derived ``biSizeImage`` /
+    ``dwSuggestedBufferSize``) are NOMINAL: callers may pass frame
+    payloads whose length differs from ``width*height`` (registry
+    stagings feed 16-byte payloads under 8x8 declared dims).
+    :func:`demux_avi` recovers frames purely from the ``00dc``
+    chunk sizes and never trusts the declared geometry, so the
+    round-trip is exact regardless — but a strict external AVI
+    parser that validates chunk size against biSizeImage may
+    reject such a file. Declare payload-sized dims if the output
+    must survive strict parsers."""
     return _mux_avi(frames, width, height, fps, b"DIB ", b"\x00\x00\x00\x00", 8)
 
 

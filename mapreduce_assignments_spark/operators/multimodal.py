@@ -641,10 +641,19 @@ def image_dimensions(assets: DataFrame, content_col: str = "content") -> DataFra
     png_channels = (
         F.when(ct == 0, 1).when(ct == 2, 3).when(ct == 3, 1)
         .when(ct == 4, 2).when(ct == 6, 4)
+        # unrecognized color-type byte (corrupt/exotic PNG): NULL here,
+        # dropped by the channels filter below — the "magic matches
+        # neither" drop contract extends to invalid-IHDR PNGs, so no
+        # NULL-channel row can reach downstream aggregates
+        .otherwise(F.lit(None))
     )
-    return assets.where(is_fake | is_png).select(
-        "asset_id",
-        F.when(is_fake, be(8, 4)).otherwise(be(17, 4)).alias("width"),
-        F.when(is_fake, be(12, 4)).otherwise(be(21, 4)).alias("height"),
-        F.when(is_fake, be(16, 1)).otherwise(png_channels).alias("channels"),
+    return (
+        assets.where(is_fake | is_png)
+        .select(
+            "asset_id",
+            F.when(is_fake, be(8, 4)).otherwise(be(17, 4)).alias("width"),
+            F.when(is_fake, be(12, 4)).otherwise(be(21, 4)).alias("height"),
+            F.when(is_fake, be(16, 1)).otherwise(png_channels).alias("channels"),
+        )
+        .where(F.col("channels").isNotNull())
     )

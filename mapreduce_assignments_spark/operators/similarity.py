@@ -1661,7 +1661,7 @@ def matryoshka_recall(
     )
     truth = topk.where(F.col("dim") == 0).select("query_id", "neighbor_id")
     n_q = truth.select("query_id").distinct().count()  # bounded: |queries|
-    return (
+    hits = (
         topk.where(F.col("dim") != 0)
         # truth is |queries| x k rows — bounded by construction, so
         # the recall join broadcasts instead of shuffling the
@@ -1669,11 +1669,27 @@ def matryoshka_recall(
         .join(F.broadcast(truth), ["query_id", "neighbor_id"], "left_semi")
         .groupBy("dim")
         .agg(F.count("*").alias("hits"))
+    )
+    # Literal dims scaffold: a prefix dim whose top-k shares ZERO
+    # neighbors with the full-dim truth must still report recall=0.0
+    # instead of silently vanishing from the curve (the inner groupBy
+    # above only emits dims with >= 1 hit).
+    scaffold = embeddings.sparkSession.range(0, 1).select(
+        F.explode(F.array(*[F.lit(int(d)) for d in dims])).alias("dim")
+    )
+    return (
+        scaffold.join(hits, "dim", "left")
+        # empty eval set: no queries means no curve at all (the empty
+        # in -> empty out contract), not a dims-sized block of
+        # 0/0 rows
+        .where(F.lit(n_q > 0))
         .select(
             "dim",
             F.lit(n_q).cast("int").alias("n_queries"),
-            F.col("hits").cast("long").alias("hits"),
-            F.round(F.col("hits") / F.lit(n_q * k), 6).alias("recall"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.lit(n_q * k), 6
+            ).alias("recall"),
         )
     )
 
@@ -1827,6 +1843,11 @@ def mutual_knn_pairs(
         .withColumn("__rank", F.row_number().over(w))
         .where(F.col("__rank") <= k)
         .drop("__rank")
+        # k·n-bounded; feeds BOTH sides of the mutuality semi-join below,
+        # so materialize once instead of re-running the cell-quadratic
+        # scoring subtree per side (matryoshka_recall's survivor lesson:
+        # the same checkpoint there measured 23.9 -> 11.6 s at sf10).
+        .localCheckpoint()
     )
     rev = nn.select(
         F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")

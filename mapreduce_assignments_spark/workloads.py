@@ -5566,6 +5566,14 @@ def _build_pca_oracle(n_iter: int = 8) -> str:
         "       (SELECT e FROM eig) AS eigenvalue,",
         "       (SELECT r FROM evr) AS explained_ratio",
         f"FROM v{f}",
+        # degenerate-input mirror of similarity.embedding_pca's guards:
+        # a zero norm at ANY round makes w/0 NaN, which cascades through
+        # every later CTE, so finiteness of the final loading/eig/evr
+        # plus trace > 0 reproduces the Spark side's empty-result
+        # contract (all-zero covariance, null-space collapse, zero
+        # trace) instead of emitting inf/NaN rows.
+        f"WHERE isfinite(v{f}.x) AND isfinite((SELECT e FROM eig))",
+        "  AND isfinite((SELECT r FROM evr)) AND (SELECT t FROM tr) > 0",
     ]
     return "\n".join(parts)
 
@@ -5597,11 +5605,16 @@ hits AS (
   SELECT t.dim, count(*) AS h
   FROM topk t JOIN truth u USING (query_id, neighbor_id)
   WHERE t.dim != 0 GROUP BY t.dim)
-SELECT CAST(dim AS INTEGER) AS dim,
+-- dims scaffold left join: a prefix dim with ZERO truth hits still
+-- reports recall=0.0 instead of vanishing from the curve (mirrors
+-- the Spark-side scaffold in similarity.matryoshka_recall)
+SELECT CAST(s.dim AS INTEGER) AS dim,
        CAST(nq.n AS INTEGER) AS n_queries,
-       CAST(h AS BIGINT) AS hits,
-       round(h / (nq.n * 10.0), 6) AS recall
-FROM hits, nq
+       CAST(COALESCE(h, 0) AS BIGINT) AS hits,
+       round(COALESCE(h, 0) / (nq.n * 10.0), 6) AS recall
+FROM (SELECT dim FROM dd WHERE dim != 0) s
+LEFT JOIN hits ON hits.dim = s.dim, nq
+WHERE nq.n > 0
 """
 
 # gopher_quality_gate: every metric re-derived from the shared _TOK
@@ -9269,7 +9282,11 @@ def q_embedding_pca(spark, sf_dir):
     return similarity.embedding_pca(_emb(spark, sf_dir), n_iter=8)
 
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+# Historical r12 window grouping — kept as one half of the full
+# catalog; the LIVE window is derived from _R13_WINDOW below (the
+# round-13 change that made rotation a name-list edit instead of a
+# two-dict shuffle). Comments inside describe the r12 rotation.
+_CATALOG_R12_WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-12 rotation (round-11 VERDICT item 2): lifetime
     # driver coverage is 260/260 and the never-scored backlog is
     # ZERO, so this is a pure age-based refresh — the 50 OLDEST
@@ -9344,11 +9361,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
-# Strict sub-plans of registered queries (the registered downstream
-# query executes a superset of each one's plan); every entry keeps its
-# DuckDB oracle and is exercised by tools/check_correctness.py --all
-# and the pytest suite.
-EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+# Historical r12 extras grouping — the other half of the catalog
+# (see _CATALOG_R12_WINDOW above). Strict sub-plans of registered
+# queries and rotated-out entries; every entry keeps its DuckDB
+# oracle and is exercised by tools/check_correctness.py --all and
+# the pytest suite regardless of window membership.
+_CATALOG_R12_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced from the r12 window by the never-scored round-12 adds
     # (all driver-green in r7; still oracle-checked every round) --
     "record_linkage": q_record_linkage,
@@ -9575,9 +9593,96 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Round-13 driver window (round-12 VERDICT item 1): the never-scored
+# backlog is ZERO, so this is the age-based refresh — the 50 oldest
+# last_scored names per docs/ROTATION_AUDIT.md — EXCEPT that the five
+# re-staged media queries jump the queue: their real-container staging
+# (commit 27c7c72) has never been driver-scored (latest rows r9/r10
+# predate the swap), so they lead the window. Then the 14 r7-era
+# (age-5) names, then the 31 alphabetically-first r8-era (age-4)
+# names. hashing_tf/hashing_tfidf (age-7) stay permanently
+# window-ineligible (UNSORTABLE — driver pandas canonicalizer);
+# their scalar _cells renderings already rotate. Every entry below
+# was gated at sf0.001 AND sf0.01 with the bit-exact --pandas-canon
+# compare (plus --vanilla-session for the TIMESTAMP-rendering
+# large_volume_orders) before rotating in.
+_R13_WINDOW: tuple[str, ...] = (
+    # re-staged real-container media queries, never driver-scored in
+    # their current form — front of the window --
+    "frame_sample",
+    "phash_duplicates",
+    "image_stats",
+    "media_sniff",
+    "aspect_ratio_histogram",
+    # age-5 (last scored r7) --
+    "record_linkage",
+    "rrf_fusion",
+    "scd2_history",
+    "semantic_dedup",
+    "small_quantity_revenue",
+    "split_leakage",
+    "streaming_interval_join",
+    "streaming_quality_gate",
+    "tokenizer_fertility",
+    "top_return_customers",
+    "top_supplier",
+    "vocab_coverage",
+    "volume_shipping",
+    "zipf_fit",
+    # age-4 (last scored r8), alphabetically first 31 --
+    "ab_test_zscore",
+    "activity_heatmap",
+    "basket_lift",
+    "brand_nation_revenue",
+    "conversion_by_activity",
+    "conversion_lag",
+    "customer_growth_topk",
+    "daily_trend",
+    "discount_effectiveness",
+    "dp_event_counts",
+    "event_cube",
+    "event_transitions",
+    "ewma_hourly",
+    "filter_funnel",
+    "hourly_top_movers",
+    "interarrival_rates",
+    "interpolate_gaps",
+    "k_anonymity",
+    "large_volume_orders",
+    "last_touch_attribution",
+    "late_orders_by_priority",
+    "linear_attribution",
+    "lines_per_order_histogram",
+    "margin_bitext",
+    "nation_trade_balance",
+    "numeric_percentiles_profile",
+    "order_gap_stats",
+    "order_size_correlation",
+    "pareto_report",
+    "region_nation_share",
+    "revenue_lag_features",
+)
+
+_CATALOG: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **_CATALOG_R12_WINDOW,
+    **_CATALOG_R12_EXTRA,
+}
+
+# The LIVE driver check window (exactly 50 entries) and the extras
+# pool, derived from the catalog so a rotation is a name-list edit.
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: _CATALOG[name] for name in _R13_WINDOW
+}
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    k: v for k, v in _CATALOG.items() if k not in QUERIES
+}
+
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **QUERIES,
     **EXTRA_QUERIES,
 }
 
 assert len(QUERIES) == 50, f"driver check window is 50, got {len(QUERIES)}"
+assert len(_R13_WINDOW) == len(set(_R13_WINDOW)), "duplicate window name"
+assert len(ALL_QUERIES) == len(_CATALOG), "window lost a catalog entry"

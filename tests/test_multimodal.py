@@ -996,3 +996,32 @@ def test_avi_demux_handcrafted_rec_groups_and_second_stream():
     body = b"AVI " + movi
     avi = b"RIFF" + struct.pack("<I", len(body)) + body
     assert demux_avi(avi) == [b"frame1", b"fr2", b"s2f"]
+
+
+def test_image_dimensions_drops_invalid_png_color_type(spark):
+    """A PNG whose IHDR color-type byte is outside the spec's
+    {0,2,3,4,6} is dropped like a non-matching magic (round-12
+    ADVICE item 4) — no NULL-channel row may reach downstream
+    aggregates."""
+    import struct
+
+    from mapreduce_assignments_spark.operators.multimodal import image_dimensions
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def png_hdr(w: int, h: int, color_type: int) -> bytes:
+        return (
+            sig
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", w, h)
+            + bytes([8, color_type])
+        )
+
+    rows = [(1, png_hdr(4, 3, 2)), (2, png_hdr(4, 3, 5))]  # 5 = invalid
+    df = spark.createDataFrame(rows, "asset_id long, content binary")
+    got = {
+        r["asset_id"]: (r["width"], r["height"], r["channels"])
+        for r in image_dimensions(df).collect()
+    }
+    assert got == {1: (4, 3, 3)}

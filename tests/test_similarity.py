@@ -977,3 +977,22 @@ def test_mutual_knn_pairs_excludes_one_directional_hubs(spark):
         for r in mutual_knn_pairs(emb, cen, k=2).collect()
     )
     assert (0, 1) in got2 and (1, 2) in got2 and (0, 3) not in got2
+
+
+def test_matryoshka_recall_zero_hit_dim_reports_zero(spark):
+    """A prefix dim whose top-k shares NOTHING with the full-dim truth
+    must still emit a row with recall=0.0 (the dims scaffold), not
+    silently vanish from the curve (round-12 ADVICE item 1)."""
+    from mapreduce_assignments_spark.operators.similarity import matryoshka_recall
+
+    rows = [
+        (0, [0.1, 1.0]),
+        (1, [-0.1, 1.0]),   # full-dim NN, prefix-opposite sign
+        (2, [0.1, -1.0]),   # prefix NN, full-dim-opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id = 0").selectExpr("vec_id AS query_id", "embedding AS q")
+    # dims=(1,) k=1: prefix top-1 = {2} (sign +1 beats -1), full
+    # top-1 = {1} (cos .98 vs -.98) -> zero overlap
+    [r] = matryoshka_recall(emb, q, dims=(1,), k=1).collect()
+    assert (r["dim"], r["n_queries"], r["hits"], r["recall"]) == (1, 1, 0, 0.0)

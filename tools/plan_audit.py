@@ -133,6 +133,14 @@ def audit(name: str, plan: str) -> dict:
         # codegen'd operators carry a "*(n)" stage prefix in toString()
         "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "global_windows": count_global_windows(plan),
+        # shared-subtree materialization (round-12 VERDICT item 5):
+        # a subtree feeding two consumers either shows ReusedExchange /
+        # ReusedSubquery / InMemoryTableScan here, or was cut by a
+        # localCheckpoint (Scan ExistingRDD) — otherwise it runs TWICE.
+        "reused_exchange": len(re.findall(r"ReusedExchange", plan)),
+        "reused_subquery": len(re.findall(r"ReusedSubquery", plan)),
+        "inmemory": len(re.findall(r"InMemoryTableScan", plan)),
+        "rdd_scan": len(re.findall(r"Scan ExistingRDD", plan)),
     }
 
 
@@ -161,10 +169,19 @@ def main() -> int:
             flags.append("UNBOUNDED-GLOBAL-WINDOW")
         if flags:  # once per query, however many checks it fails
             bad.append(name)
+        reuse = (
+            f" reuse=ex:{a['reused_exchange']},sub:{a['reused_subquery']},"
+            f"mem:{a['inmemory']},ckpt:{a['rdd_scan']}"
+            if (
+                a["reused_exchange"] or a["reused_subquery"]
+                or a["inmemory"] or a["rdd_scan"]
+            )
+            else ""
+        )
         print(
             f"{name}: bhj={a['bhj']} smj={a['smj']} shj={a['shj']} "
             f"exchanges={a['exchange']} pushed_filters={a['pushed']} "
-            f"codegen_spans={a['codegen']}"
+            f"codegen_spans={a['codegen']}" + reuse
             + (" python-stage" if a["python"] else "")
             + (
                 f" global_windows={a['global_windows']}(ok: "
