@@ -131,6 +131,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "ngram_novelty", "record_linkage", "record_linkage_topk",
         "cluster_canonical", "dup_span_report",
         "prefix_jaccard", "dedup_savings", "semantic_decontamination",
+        "winnowing_fingerprints", "winnowing_candidates",
     ),
     "similarity": (
         "brute_force_topk", "ivf_assign", "ivf_topk_trained",
@@ -151,7 +152,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "filter_funnel_examples", "sentence_dedup_stats",
         "vocab_coverage", "idf_drift", "char_entropy", "language_id_accuracy",
         "vocab_overlap_matrix", "quality_length_correlation",
-        "perplexity_buckets", "gopher_quality_gate",
+        "perplexity_buckets", "gopher_quality_gate", "heaps_law_fit",
     ),
     "sketches": ("kmv_distinct", "countmin_words"),
     "skew_diag": ("key_skew_report",),
@@ -170,7 +171,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "hash_split", "deterministic_sample", "stratified_sample",
         "weighted_sample", "per_key_sample", "shuffle_shards",
         "balance_classes", "corpus_mix", "temporal_split", "temperature_mix",
-        "dsir_weights",
+        "dsir_weights", "unimax_allocation",
     ),
     "multimodal": (
         "image_stats", "png_decode_stats", "jpeg_decode_stats", "phash_duplicates", "media_sniff", "frame_sample",

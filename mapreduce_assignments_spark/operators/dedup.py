@@ -55,6 +55,8 @@ __all__ = [
     "cluster_canonical",
     "prefix_jaccard_pairs",
     "dup_span_report",
+    "winnowing_fingerprints",
+    "winnowing_candidates",
 ]
 
 
@@ -1359,4 +1361,122 @@ def prefix_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _winnow_base(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """``(doc_id, n_kgrams, hs)`` — the positional word n-gram hash
+    array MATERIALIZED as a column. The winnow step's per-window
+    lambdas must reference a bound column, not the hash expression
+    itself: an expression inlines into every window's slice and
+    Spark re-evaluates ALL the md5s per window — O(n_grams²) hashes
+    per document (measured: 124.6 s -> 3.2 s at sf1 for the
+    fingerprint query when this projection boundary was added;
+    CollapseProject declines to inline a non-cheap alias referenced
+    by multiple consumers, so the boundary holds)."""
+    toks = tokens_array(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return docs.where(F.size(toks) >= n).select(
+        F.col(id_col).alias("doc_id"),
+        (F.size(toks) - n + 1).alias("n_kgrams"),
+        F.transform(grams, h28).alias("hs"),
+    )
+
+
+def _winnow_fps(w: int) -> F.Column:
+    """The winnowed fingerprint SET over a materialized ``hs``
+    column: the min hash of every length-``w`` window, deduplicated.
+    Per-doc cost O(n_grams * w) comparisons (w is small); docs with
+    fewer than ``w`` n-grams yield one whole-doc window."""
+    hs = F.col("hs")
+    nwin = F.greatest(F.lit(1), F.size(hs) - w + 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), nwin - 1),
+            lambda p: F.array_min(F.slice(hs, p + 1, w)),
+        )
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    n: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint density per document (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm; public
+    literature): hash every word ``n``-gram, slide a window of ``w``
+    consecutive hashes, keep each window's minimum — the selected
+    set is a deterministic ~``2/(w+1)`` sample of the document's
+    n-grams with the guarantee that any shared substring of length
+    ``>= n + w - 1`` tokens leaves at least one COMMON fingerprint
+    in both documents (the property ad-hoc sampling lacks).
+    ``(doc_id, n_kgrams, n_fingerprints, density)``; docs with
+    fewer than ``n`` tokens drop (no n-gram exists).
+
+    Scale shape: the entire selection is a per-row array expression
+    over the materialized hash column (see :func:`_winnow_base`) —
+    ONE corpus scan, no shuffle at all; the output is a narrow
+    per-doc projection. This is the fingerprint-extraction stage;
+    :func:`winnowing_candidates` joins the sets.
+    """
+    base = _winnow_base(docs, n, text_col, id_col).withColumn(
+        "fps", _winnow_fps(w)
+    )
+    return base.select(
+        "doc_id",
+        "n_kgrams",
+        F.size("fps").alias("n_fingerprints"),
+        F.round(F.size("fps") / F.col("n_kgrams"), 6).alias("density"),
+    )
+
+
+def winnowing_candidates(
+    docs: DataFrame,
+    n: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    fp_df_cap: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate candidate pairs from shared winnowed
+    fingerprints: ``(doc_a, doc_b, shared_fps)`` with
+    ``doc_a < doc_b`` and at least ``min_shared`` common
+    fingerprints — the MOSS matching stage over
+    :func:`winnowing_fingerprints`'s selection. Winnowing's
+    guarantee makes this a RECALL-safe candidate generator for
+    substring plagiarism/boilerplate at ~2/(w+1) of the full
+    shingle-join bill.
+
+    Scale shape: the inverted fingerprint equi-join of
+    :func:`ngram_jaccard_pairs` — quadratic only within one
+    fingerprint's posting list, with ``fp_df_cap`` dropping
+    boilerplate fingerprints that appear in more docs than the cap
+    (the shingle_df_cap discipline) so no hot key can go quadratic.
+    """
+    fp = (
+        _winnow_base(docs, n, text_col, id_col)
+        .withColumn("fps", _winnow_fps(w))
+        .select("doc_id", F.explode_outer("fps").alias("fp"))
+    )
+    if fp_df_cap:
+        hot = fp.groupBy("fp").count().where(F.col("count") > fp_df_cap)
+        fp = fp.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
     )

@@ -32,6 +32,7 @@ __all__ = [
     "stratified_sample",
     "temperature_weights",
     "temporal_split",
+    "unimax_allocation",
     "weighted_sample",
 ]
 
@@ -318,6 +319,90 @@ def temperature_weights(
         F.round(nat, 6).alias("nat_share"),
         F.round(weight, 6).alias("weight"),
         F.round(weight / nat, 6).alias("upsample_factor"),
+    )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str = "source",
+    size_col: str = "n_chars",
+    budget_frac: float = 0.5,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, public
+    literature): spread a total training budget as UNIFORMLY as
+    possible across sources subject to a per-source epoch cap —
+    the closed-form alternative to temperature sampling that never
+    over-repeats a low-resource source. Water-filling: sources
+    sorted by capacity ``c_i = n_i * max_epochs`` ascending; a
+    source is CAPPED (gets exactly ``c_i``) while its capacity fits
+    under the uniform share of the budget still unassigned; every
+    uncapped source gets the common water level.
+
+    Returns one row per group: ``(source, n_units, capacity,
+    capped, allocation, epochs)`` — ``epochs = allocation /
+    n_units`` is the repeat factor a sampler applies; uncapped
+    sources share one level, capped ones sit at ``max_epochs``.
+
+    The per-row cap test ``c_r * (N - r + 1) <= B - cumsum_prev``
+    uses RAW-capacity prefix sums, which is valid because failure
+    is monotone along the ascending order (once a capacity exceeds
+    the level, every later one does too), so the capped set is
+    exactly the maximal passing prefix — no driver-side iteration.
+
+    Scale shape: identical to :func:`temperature_weights` — ONE
+    partial-aggregated exchange over the corpus; the water-fill
+    windows run on the group-cardinality frame (tens of sources).
+    """
+    from pyspark.sql.window import Window
+
+    g = df.groupBy(group_col).agg(
+        F.sum(size_col).cast("long").alias("n_units")
+    )
+    full = Window.partitionBy()
+    order = Window.orderBy(F.asc("capacity"), F.asc(group_col))
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    budget = F.lit(budget_frac) * F.sum("n_units").over(full)
+    t = g.select(
+        group_col,
+        "n_units",
+        (F.col("n_units") * F.lit(max_epochs)).alias("capacity"),
+    ).select(
+        group_col,
+        "n_units",
+        "capacity",
+        budget.alias("b"),
+        F.count("*").over(full).alias("n_src"),
+        F.row_number().over(order).alias("r"),
+        F.coalesce(F.sum("capacity").over(prev), F.lit(0.0)).alias("cum_prev"),
+    )
+    capped = F.col("capacity") * (F.col("n_src") - F.col("r") + 1) <= (
+        F.col("b") - F.col("cum_prev")
+    )
+    t = t.withColumn("capped", capped).select(
+        group_col,
+        "n_units",
+        "capacity",
+        "b",
+        "n_src",
+        "capped",
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("capacity"))).over(full),
+            F.lit(0.0),
+        ).alias("capped_sum"),
+        F.sum(F.col("capped").cast("int")).over(full).alias("n_capped"),
+    )
+    level = (F.col("b") - F.col("capped_sum")) / (
+        F.col("n_src") - F.col("n_capped")
+    )
+    alloc = F.when(F.col("capped"), F.col("capacity")).otherwise(level)
+    return t.select(
+        group_col,
+        "n_units",
+        F.round("capacity", 6).alias("capacity"),
+        "capped",
+        F.round(alloc, 6).alias("allocation"),
+        F.round(alloc / F.col("n_units"), 6).alias("epochs"),
     )
 
 

@@ -44,6 +44,7 @@ __all__ = [
     "perplexity_buckets",
     "nb_quality_confusion",
     "gopher_quality_gate",
+    "heaps_law_fit",
 ]
 
 # A BPE-ish pre-tokenization: letter runs, digit runs, single other
@@ -1173,4 +1174,93 @@ def gopher_quality_gate(
             & F.col("stop_ok")
             & F.col("dup_ok")
         ).alias("passes"),
+    )
+
+
+def heaps_law_fit(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve and fit (Heaps 1978, public
+    literature; the dual of ``q_zipf_fit``'s rank-frequency law):
+    scanning the corpus in ``doc_id`` order, the distinct-type count
+    grows as ``V(N) ~ K * N^beta`` with ``beta`` ~ 0.4-0.6 for
+    natural text — a corpus whose curve bends early is repeating
+    itself (boilerplate/dup-heavy); one that stays near-linear is
+    noise-heavy (OCR garbage mints new "types" forever). Returns the
+    ``n_buckets``-point growth curve with the log-log least-squares
+    fit on every row: ``(bucket, cum_tokens, cum_vocab, heaps_beta,
+    heaps_logk)``.
+
+    Bucketing is by id-range (``least(n_buckets-1, id*n_buckets div
+    (max_id+1))``), not by rank, so no corpus-sized global window
+    exists anywhere: a type's first occurrence is a plain
+    ``min(doc_id)`` aggregate, per-bucket token mass and new-type
+    counts are group-bys, and the cumulative sums + regression run
+    on the ``n_buckets``-row scaffold. Two corpus-sized exchanges
+    total (token group-by, doc group-by) — the word_count cost
+    class.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens_array(text_col)
+    mx = docs.agg(F.max(id_col).alias("mx"))
+    with_b = docs.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.expr(f"({id_col} * {n_buckets}) div (mx + 1)"),
+        ).alias("bucket"),
+        F.col(id_col).alias("__id"),
+        toks.alias("__toks"),
+    )
+    per_bucket_tokens = with_b.groupBy("bucket").agg(
+        F.sum(F.size("__toks")).alias("n_tok")
+    )
+    first_occ = (
+        with_b.select("__id", F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.min("__id").alias("first_id"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.expr(f"(first_id * {n_buckets}) div (mx + 1)"),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_types"))
+    )
+    scaffold = docs.sparkSession.range(0, n_buckets).select(
+        F.col("id").alias("bucket")
+    )
+    w = Window.orderBy("bucket")
+    curve = (
+        scaffold.join(per_bucket_tokens, "bucket", "left")
+        .join(first_occ, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).over(w)
+            .cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_types"), F.lit(0))).over(w)
+            .cast("long").alias("cum_vocab"),
+        )
+    )
+    fit = curve.where(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
+    ).agg(
+        F.round(
+            F.expr("regr_slope(ln(cum_vocab), ln(cum_tokens))"), 6
+        ).alias("heaps_beta"),
+        F.round(
+            F.expr("regr_intercept(ln(cum_vocab), ln(cum_tokens))"), 6
+        ).alias("heaps_logk"),
+    )
+    return curve.crossJoin(F.broadcast(fit)).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "cum_tokens",
+        "cum_vocab",
+        "heaps_beta",
+        "heaps_logk",
     )

@@ -9593,6 +9593,158 @@ _CATALOG_R12_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+# -- round-13 new-operator oracles --
+
+# unimax_allocation: the per-row cap test over raw-capacity prefix
+# sums (valid by the monotone-failure argument in the operator
+# docstring); all arithmetic is exact-integer-in-double until the
+# final level division, so both engines agree bit-for-bit pre-round.
+ORACLE["unimax_allocation"] = """
+WITH g AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_units
+           FROM documents GROUP BY source),
+t AS (SELECT source, n_units,
+        n_units * 4.0 AS capacity,
+        0.5 * SUM(n_units) OVER () AS b,
+        COUNT(*) OVER () AS n_src,
+        ROW_NUMBER() OVER (ORDER BY n_units * 4.0 ASC, source ASC) AS r,
+        COALESCE(SUM(n_units * 4.0) OVER (
+          ORDER BY n_units * 4.0 ASC, source ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+          AS cum_prev
+      FROM g),
+c AS (SELECT *,
+        (capacity * (n_src - r + 1) <= b - cum_prev) AS capped
+      FROM t),
+s AS (SELECT *,
+        COALESCE(SUM(CASE WHEN capped THEN capacity END) OVER (), 0.0)
+          AS capped_sum,
+        SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_capped
+      FROM c)
+SELECT source, n_units, round(capacity, 6) AS capacity, capped,
+       round(CASE WHEN capped THEN capacity
+             ELSE (b - capped_sum) / (n_src - n_capped) END, 6)
+         AS allocation,
+       round(CASE WHEN capped THEN capacity
+             ELSE (b - capped_sum) / (n_src - n_capped) END / n_units, 6)
+         AS epochs
+FROM s
+"""
+
+# heaps_law_fit: id-range buckets (integer div — no global window on
+# data-sized input), first occurrence = min(doc_id) per type,
+# cumulative sums + regr fit on the 10-row scaffold.
+ORACLE["heaps_law_fit"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+mx AS (SELECT max(doc_id) AS m FROM documents),
+d AS (SELECT least(9, (doc_id * 10) // (m + 1)) AS bucket,
+             len(ts) AS n_tok
+      FROM t, mx),
+tk AS (SELECT bucket, SUM(n_tok) AS n_tok FROM d GROUP BY bucket),
+fo AS (SELECT min(doc_id) AS first_id
+       FROM (SELECT doc_id, unnest(ts) AS token FROM t)
+       GROUP BY token),
+nv AS (SELECT least(9, (first_id * 10) // (m + 1)) AS bucket,
+              count(*) AS new_types
+       FROM fo, mx GROUP BY 1),
+sc AS (SELECT r AS bucket FROM range(0, 10) t(r)),
+c AS (SELECT sc.bucket,
+        CAST(SUM(COALESCE(tk.n_tok, 0)) OVER (ORDER BY sc.bucket)
+             AS BIGINT) AS cum_tokens,
+        CAST(SUM(COALESCE(nv.new_types, 0)) OVER (ORDER BY sc.bucket)
+             AS BIGINT) AS cum_vocab
+      FROM sc LEFT JOIN tk ON tk.bucket = sc.bucket
+              LEFT JOIN nv ON nv.bucket = sc.bucket),
+fit AS (SELECT round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 6)
+          AS heaps_beta,
+        round(regr_intercept(ln(cum_vocab), ln(cum_tokens)), 6)
+          AS heaps_logk
+        FROM c WHERE cum_tokens > 0 AND cum_vocab > 0)
+SELECT CAST(c.bucket AS INTEGER) AS bucket, cum_tokens, cum_vocab,
+       heaps_beta, heaps_logk
+FROM c, fit
+"""
+
+# winnowing: positional 3-gram h28 hashes, min of every 4-hash
+# window (short docs = one whole-doc window), distinct per doc —
+# mirrored list_transform/list_min lambdas.
+_WINNOW_FPS = """
+  SELECT doc_id, len(ts) - 2 AS n_kgrams,
+         list_distinct(list_transform(
+           range(1, greatest(1, (len(ts) - 2) - 4 + 1) + 1),
+           p -> list_min(hs[p:p+3]))) AS fps
+  FROM (SELECT doc_id, ts,
+          list_transform(range(1, len(ts) - 1),
+            i -> CAST(CONCAT('0x',
+                   substring(md5(array_to_string(ts[i:i+2], ' ')), 1, 7))
+                 AS BIGINT)) AS hs
+        FROM (SELECT doc_id, {tok} AS ts FROM documents)
+        WHERE len(ts) >= 3)
+""".format(tok=_TOK)
+
+ORACLE["winnowing_fingerprints"] = f"""
+SELECT doc_id, CAST(n_kgrams AS INTEGER) AS n_kgrams,
+       CAST(len(fps) AS INTEGER) AS n_fingerprints,
+       round(len(fps) / CAST(n_kgrams AS DOUBLE), 6) AS density
+FROM ({_WINNOW_FPS})
+"""
+
+ORACLE["winnowing_candidates"] = f"""
+WITH fp0 AS (SELECT doc_id, unnest(fps) AS fp FROM ({_WINNOW_FPS})),
+hot AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) > 50),
+fp AS (SELECT * FROM fp0 WHERE fp NOT IN (SELECT fp FROM hot))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM fp a JOIN fp b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+# -- round-13 new operators (public literature; see each docstring) --
+def q_unimax_allocation(spark, sf_dir):
+    """UniMax water-filling budget allocation (Chung'23) across the
+    documents corpus's sources: budget = half the total characters,
+    epoch cap 4 — the closed-form fair-sampling complement of
+    temperature_mix's exponential smoothing."""
+    return sampling.unimax_allocation(
+        _docs(spark, sf_dir), group_col="source", size_col="n_chars",
+        budget_frac=0.5, max_epochs=4.0,
+    )
+
+
+def q_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve + log-log fit over the
+    documents corpus in doc_id order — the dual diagnostic of
+    zipf_fit (dup-heavy corpora bend early; OCR-garbage corpora
+    stay near-linear)."""
+    return text_quality.heaps_law_fit(_docs(spark, sf_dir), n_buckets=10)
+
+
+def q_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint density per document: 3-gram
+    hashes, window 4 — the guaranteed-recall deterministic sampling
+    stage for substring-level duplicate detection."""
+    return dedup.winnowing_fingerprints(_docs(spark, sf_dir), n=3, w=4)
+
+
+def q_winnowing_candidates(spark, sf_dir):
+    """MOSS matching stage: candidate pairs sharing >= 2 winnowed
+    fingerprints, document-frequency cap 50 on boilerplate
+    fingerprints."""
+    return dedup.winnowing_candidates(
+        _docs(spark, sf_dir), n=3, w=4, min_shared=2, fp_df_cap=50
+    )
+
+
+_R13_NEW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "unimax_allocation": q_unimax_allocation,
+    "heaps_law_fit": q_heaps_law_fit,
+    "winnowing_fingerprints": q_winnowing_fingerprints,
+    "winnowing_candidates": q_winnowing_candidates,
+}
+
+
 # ---------------------------------------------------------------------------
 # Round-13 driver window (round-12 VERDICT item 1): the never-scored
 # backlog is ZERO, so this is the age-based refresh — the 50 oldest
@@ -9600,8 +9752,9 @@ _CATALOG_R12_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # re-staged media queries jump the queue: their real-container staging
 # (commit 27c7c72) has never been driver-scored (latest rows r9/r10
 # predate the swap), so they lead the window. Then the 14 r7-era
-# (age-5) names, then the 31 alphabetically-first r8-era (age-4)
-# names. hashing_tf/hashing_tfidf (age-7) stay permanently
+# (age-5) names, the 4 never-scored round-13 operators, and the 27
+# alphabetically-first r8-era (age-4) names (the 4 displaced age-4
+# names lead the r14 window). hashing_tf/hashing_tfidf (age-7) stay permanently
 # window-ineligible (UNSORTABLE — driver pandas canonicalizer);
 # their scalar _cells renderings already rotate. Every entry below
 # was gated at sf0.001 AND sf0.01 with the bit-exact --pandas-canon
@@ -9630,7 +9783,16 @@ _R13_WINDOW: tuple[str, ...] = (
     "vocab_coverage",
     "volume_shipping",
     "zipf_fit",
-    # age-4 (last scored r8), alphabetically first 31 --
+    # never-scored round-13 adds (rotation policy: never-scored
+    # first) — they displace the 4 alphabetically-LAST of the age-4
+    # names that would otherwise fill the window
+    # (order_size_correlation, pareto_report, region_nation_share,
+    # revenue_lag_features — all lead the r14 window instead) --
+    "unimax_allocation",
+    "heaps_law_fit",
+    "winnowing_fingerprints",
+    "winnowing_candidates",
+    # age-4 (last scored r8), alphabetically first 27 --
     "ab_test_zscore",
     "activity_heatmap",
     "basket_lift",
@@ -9658,15 +9820,12 @@ _R13_WINDOW: tuple[str, ...] = (
     "nation_trade_balance",
     "numeric_percentiles_profile",
     "order_gap_stats",
-    "order_size_correlation",
-    "pareto_report",
-    "region_nation_share",
-    "revenue_lag_features",
 )
 
 _CATALOG: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **_CATALOG_R12_WINDOW,
     **_CATALOG_R12_EXTRA,
+    **_R13_NEW,
 }
 
 # The LIVE driver check window (exactly 50 entries) and the extras

@@ -721,3 +721,49 @@ def test_capped_class_expansion_prune_is_output_identical(spark):
         assert {(r["id_a"], r["id_b"]) for r in alt} == keep, kwargs
         for r in alt:
             assert dist[(r["id_a"], r["id_b"])] == r["distance"]
+
+
+def test_winnowing_fingerprints_window_arithmetic(spark):
+    """6 tokens -> 4 trigram hashes -> ONE window of 4 (nwin =
+    max(1, 4-4+1)): exactly one fingerprint. 9 tokens -> 7 hashes ->
+    4 windows: between 1 and 4 fingerprints, and density <= 1."""
+    from mapreduce_assignments_spark.operators.dedup import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5"), (2, "u0 u1 u2 u3 u4 u5 u6 u7 u8"),
+         (3, "too short")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in winnowing_fingerprints(docs, n=3, w=4).collect()}
+    assert set(got) == {1, 2}  # the 2-token doc has no trigram
+    assert got[1]["n_kgrams"] == 4 and got[1]["n_fingerprints"] == 1
+    assert got[1]["density"] == 0.25
+    assert got[2]["n_kgrams"] == 7
+    assert 1 <= got[2]["n_fingerprints"] <= 4
+    assert 0 < got[2]["density"] <= 1.0
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The SIGMOD'03 guarantee: any shared token run of length
+    >= n + w - 1 (= 6 here) leaves at least one common fingerprint,
+    so the candidate join MUST surface the pair; two disjoint docs
+    must not appear."""
+    from mapreduce_assignments_spark.operators.dedup import winnowing_candidates
+
+    shared = "s1 s2 s3 s4 s5 s6"
+    docs = spark.createDataFrame(
+        [
+            (1, f"p1 p2 p3 {shared} p4 p5"),
+            (2, f"q1 q2 {shared} q3 q4 q5"),
+            (3, "r1 r2 r3 r4 r5 r6 r7 r8"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnowing_candidates(
+            docs, n=3, w=4, min_shared=1, fp_df_cap=None
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)

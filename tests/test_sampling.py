@@ -380,3 +380,41 @@ def test_dsir_weights_target_normalizer_counts_full_target(spark):
     expect = math.log((1 + 1.0) / (4 + B)) - math.log((2 + 1.0) / (2 + B))
     assert row["n_tokens"] == 2
     assert abs(row["weight"] - round(expect, 6)) < 1e-9
+
+
+def test_unimax_allocation_water_fill_hand_checked(spark):
+    """3 sources, budget = half of 130 = 65, epoch cap 2: the small
+    source caps at full capacity (epochs = 2), the other two share
+    the remaining budget at one common water level."""
+    from mapreduce_assignments_spark.operators.sampling import unimax_allocation
+
+    rows = [("a", 10), ("b", 20), ("c", 100)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {
+        r["source"]: r
+        for r in unimax_allocation(
+            df, budget_frac=0.5, max_epochs=2.0
+        ).collect()
+    }
+    assert got["a"]["capped"] and got["a"]["allocation"] == 20.0
+    assert got["a"]["epochs"] == 2.0
+    # level = (65 - 20) / 2 = 22.5 for both uncapped sources
+    assert not got["b"]["capped"] and got["b"]["allocation"] == 22.5
+    assert not got["c"]["capped"] and got["c"]["allocation"] == 22.5
+    assert got["b"]["epochs"] == 1.125 and got["c"]["epochs"] == 0.225
+    # allocations exhaust the budget exactly
+    assert sum(r["allocation"] for r in got.values()) == 65.0
+
+
+def test_unimax_allocation_all_capped_when_budget_exceeds_capacity(spark):
+    """A budget above total capacity caps every source at max_epochs
+    (no uncapped source exists to take a water level)."""
+    from mapreduce_assignments_spark.operators.sampling import unimax_allocation
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 30)], "source string, n_chars long"
+    )
+    # budget = 2.0 * 40 = 80 > capacity 40 * 1.5 = 60
+    out = unimax_allocation(df, budget_frac=2.0, max_epochs=1.5).collect()
+    assert all(r["capped"] for r in out)
+    assert {r["source"]: r["epochs"] for r in out} == {"a": 1.5, "b": 1.5}

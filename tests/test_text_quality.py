@@ -573,3 +573,38 @@ def test_gopher_quality_gate_hand_checked(spark):
     assert got[4]["passes"] is False
     # exactly one stopword sits under the >=2 bar — the boundary case
     assert got[5]["stop_hits"] == 1 and got[5]["stop_ok"] is False
+
+
+def test_heaps_law_fit_hand_checked_curve(spark):
+    """10 single-bucket docs, doc i = 'a w{i}': every bucket adds 2
+    tokens; bucket 0 mints 2 types ('a', 'w0'), each later bucket
+    mints exactly 1 — the cumulative curve is fully hand-checkable
+    and the fit columns repeat on every row."""
+    from mapreduce_assignments_spark.operators.text_quality import heaps_law_fit
+
+    rows = [(i, f"a w{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket"]: r for r in heaps_law_fit(docs, n_buckets=10).collect()}
+    assert len(out) == 10
+    for b in range(10):
+        assert out[b]["cum_tokens"] == 2 * (b + 1)
+        assert out[b]["cum_vocab"] == b + 2
+    # sub-linear growth: 0 < beta < 1, and identical on every row
+    betas = {r["heaps_beta"] for r in out.values()}
+    assert len(betas) == 1
+    assert 0.0 < betas.pop() < 1.0
+
+
+def test_heaps_law_fit_empty_bucket_carries_cumulative(spark):
+    """Sparse doc_ids leave middle buckets empty; the scaffold keeps
+    the row and the cumulative totals carry through unchanged."""
+    from mapreduce_assignments_spark.operators.text_quality import heaps_law_fit
+
+    docs = spark.createDataFrame(
+        [(0, "x y z"), (9, "x q")], "doc_id long, text string"
+    )
+    out = {r["bucket"]: r for r in heaps_law_fit(docs, n_buckets=10).collect()}
+    assert out[0]["cum_tokens"] == 3 and out[0]["cum_vocab"] == 3
+    for b in range(1, 9):  # empty id-range buckets
+        assert out[b]["cum_tokens"] == 3 and out[b]["cum_vocab"] == 3
+    assert out[9]["cum_tokens"] == 5 and out[9]["cum_vocab"] == 4

@@ -281,6 +281,14 @@ ALLOWLIST: dict[str, str] = {
     "user_entropy": "<=20 rows",
     "winsorize_values": "2 rows",
     "zipf_fit": "1 regression row",
+    "heaps_law_fit": "2 fit cells over a 10-point ln curve whose "
+    "inputs are exact integer cumulative sums (BIGINT token/type "
+    "counts) — the zipf_fit class with a fixed 10-row domain",
+    "unimax_allocation": "every summand is an exact "
+    "integer-in-double (BIGINT n_units, x4.0 capacity, 0.5x budget "
+    "— all < 2^53), so the window sums are order-independent "
+    "exactly; float arithmetic only at the final water-level "
+    "division; #sources (= 20) cells",
 }
 
 

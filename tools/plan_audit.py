@@ -70,6 +70,9 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "histogram (rows = distinct multiplicities)",
     "temperature_mix": "share-of-total over per-source rollup "
     "(rows = #sources)",
+    "unimax_allocation": "water-fill rank/cumsum over the per-source "
+    "rollup (rows = #sources)",
+    "heaps_law_fit": "cumulative sums over the 10-row bucket scaffold",
     "region_nation_share": "share-of-total over region x nation rollup "
     "(rows <= 25 nations)",
     "revenue_share": "share-of-total over the nation rollup (25 rows)",
