@@ -132,6 +132,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "cluster_canonical", "dup_span_report",
         "prefix_jaccard", "dedup_savings", "semantic_decontamination",
         "winnowing_fingerprints", "winnowing_candidates",
+        "dedup_threshold_curve",
     ),
     "similarity": (
         "brute_force_topk", "ivf_assign", "ivf_topk_trained",

@@ -57,6 +57,7 @@ __all__ = [
     "dup_span_report",
     "winnowing_fingerprints",
     "winnowing_candidates",
+    "dedup_threshold_curve",
 ]
 
 
@@ -1479,4 +1480,98 @@ def winnowing_candidates(
         )
         .agg(F.count("*").cast("long").alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
+    )
+
+
+def dedup_threshold_curve(
+    docs: DataFrame,
+    thresholds: tuple = (0.1, 0.3, 0.5, 0.7, 0.9),
+    n: int = 3,
+    shingle_df_cap: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup savings-vs-threshold sweep — the calibration table a
+    pipeline owner reads to PICK the near-dup threshold before
+    running :func:`dedup_clusters`/``dedup_apply`` at one value:
+    ``(threshold, n_pairs, n_docs_flagged, tokens_flagged,
+    savings_pct)``, one row per requested threshold (zero-hit
+    thresholds still emit a zeros row — the matryoshka scaffold
+    contract, so the curve never silently truncates).
+
+    ``n_docs_flagged`` counts distinct higher-id pair members (the
+    keep-smallest-id pairwise policy — an upper bound on what the
+    transitive cluster-canonical policy removes);
+    ``savings_pct = tokens_flagged / corpus tokens``.
+
+    Scale shape: ONE exact-Jaccard candidate join at the LOOSEST
+    threshold (the same inverted shingle join as
+    :func:`ngram_jaccard_pairs`, df-cappable) feeds every curve
+    point — the per-threshold work is a broadcast scaffold join and
+    group-bys over the pair set, never a re-scan. Jaccards round to
+    6 dp BEFORE the per-threshold compare (cross-engine boundary
+    parity); the base filter stays on the unrounded value, matching
+    ngram_jaccard_pairs exactly.
+    """
+    base = min(thresholds)
+    pairs = (
+        ngram_jaccard_pairs(
+            docs, n=n, threshold=base, shingle_df_cap=shingle_df_cap,
+            text_col=text_col, id_col=id_col,
+        )
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        # the inverted-join pair set feeds BOTH curve aggregates
+        # (n_pairs, flagged-doc rollup); without this cut the plan
+        # carries the join subtree per consumer (12 exchanges vs the
+        # base query's 3) and re-executes it unless ReusedExchange
+        # happens to engage — the mutual_knn_pairs lesson applied at
+        # birth (measured sf1: 18.2 -> 10.9 s best-of-3, i.e. the
+        # base ngram_jaccard join's own 10.8 s)
+        .localCheckpoint()
+    )
+    th = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    cand = pairs.select(th, "doc_b", "jaccard").where(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    n_pairs = cand.groupBy("threshold").agg(F.count("*").alias("n_pairs"))
+    tok = docs.select(
+        F.col(id_col).alias("doc_b"),
+        F.size(tokens_array(text_col)).alias("n_tok"),
+    )
+    flagged = (
+        cand.select("threshold", "doc_b")
+        .distinct()
+        .join(tok, "doc_b")
+        .groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_docs_flagged"),
+            F.sum("n_tok").alias("tokens_flagged"),
+        )
+    )
+    total = docs.agg(
+        F.sum(F.size(tokens_array(text_col))).alias("total_tok")
+    )
+    scaffold = docs.sparkSession.range(0, 1).select(
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in thresholds])
+        ).alias("threshold")
+    )
+    return (
+        scaffold.join(n_pairs, "threshold", "left")
+        .join(flagged, "threshold", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_flagged", F.lit(0)).cast("long")
+            .alias("n_docs_flagged"),
+            F.coalesce("tokens_flagged", F.lit(0)).cast("long")
+            .alias("tokens_flagged"),
+            F.round(
+                F.coalesce("tokens_flagged", F.lit(0))
+                / F.col("total_tok"), 6
+            ).alias("savings_pct"),
+        )
     )

@@ -9737,11 +9737,67 @@ def q_winnowing_candidates(spark, sf_dir):
     )
 
 
+# dedup_threshold_curve: the pairs CTE replicates ngram_jaccard
+# exactly (base filter on the UNROUNDED jaccard at the loosest
+# threshold), then every curve compare runs on the 6dp-rounded value
+# against CAST-to-DOUBLE threshold literals — identical boundary
+# semantics in both engines.
+ORACLE["dedup_threshold_curve"] = f"""
+WITH sh AS ({_SHINGLES_3}),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.1
+),
+th AS (SELECT CAST(t AS DOUBLE) AS threshold
+       FROM (VALUES (0.1), (0.3), (0.5), (0.7), (0.9)) v(t)),
+cand AS (SELECT th.threshold, p.doc_b
+         FROM th JOIN pairs p ON p.jaccard >= th.threshold),
+np AS (SELECT threshold, count(*) AS n_pairs FROM cand GROUP BY threshold),
+fd AS (SELECT DISTINCT threshold, doc_b FROM cand),
+tc AS (SELECT doc_id, len({_TOK}) AS n_tok FROM documents),
+tot AS (SELECT SUM(n_tok) AS total FROM tc),
+fl AS (SELECT threshold, count(*) AS n_docs, SUM(tc.n_tok) AS toks
+       FROM fd JOIN tc ON tc.doc_id = fd.doc_b GROUP BY threshold)
+SELECT th.threshold,
+       CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(fl.n_docs, 0) AS BIGINT) AS n_docs_flagged,
+       CAST(COALESCE(fl.toks, 0) AS BIGINT) AS tokens_flagged,
+       round(COALESCE(fl.toks, 0) / CAST((SELECT total FROM tot) AS DOUBLE), 6)
+         AS savings_pct
+FROM th LEFT JOIN np ON np.threshold = th.threshold
+        LEFT JOIN fl ON fl.threshold = th.threshold
+"""
+
+
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Savings-vs-threshold calibration sweep over the exact n-gram
+    Jaccard pairs: ONE candidate join at the loosest threshold feeds
+    all five curve points; zero-hit thresholds emit zeros rows."""
+    return dedup.dedup_threshold_curve(
+        _docs(spark, sf_dir), thresholds=(0.1, 0.3, 0.5, 0.7, 0.9), n=3
+    )
+
+
+# Catalog additions this round: the first four enter the r13 driver
+# window (never-scored-first); dedup_threshold_curve lands in
+# EXTRA_QUERIES (the r13 window was already gated when it was added)
+# and leads the r14 rotation as its never-scored entry.
 _R13_NEW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unimax_allocation": q_unimax_allocation,
     "heaps_law_fit": q_heaps_law_fit,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "winnowing_candidates": q_winnowing_candidates,
+    "dedup_threshold_curve": q_dedup_threshold_curve,
 }
 
 

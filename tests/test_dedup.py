@@ -767,3 +767,32 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
     }
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_dedup_threshold_curve_hand_checked(spark):
+    """4 tiny docs with known Jaccards (1-2: 1.0, 1-3 and 2-3:
+    0.333333): every curve row is hand-computable, including the
+    zero-truncation-free rows at thresholds above every pair."""
+    from mapreduce_assignments_spark.operators.dedup import dedup_threshold_curve
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "a b c x"), (4, "z y w v")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["threshold"]: r
+        for r in dedup_threshold_curve(
+            docs, thresholds=(0.1, 0.3, 0.5, 0.7, 0.9), n=3
+        ).collect()
+    }
+    assert len(out) == 5  # zero-hit thresholds still emit rows
+    # t=0.1 and 0.3 see all three pairs; flagged = higher ids {2, 3}
+    for t in (0.1, 0.3):
+        r = out[t]
+        assert r["n_pairs"] == 3 and r["n_docs_flagged"] == 2
+        assert r["tokens_flagged"] == 8 and r["savings_pct"] == 0.5
+    # t >= 0.5 keeps only the exact-duplicate pair (1, 2)
+    for t in (0.5, 0.7, 0.9):
+        r = out[t]
+        assert r["n_pairs"] == 1 and r["n_docs_flagged"] == 1
+        assert r["tokens_flagged"] == 4 and r["savings_pct"] == 0.25
