@@ -281,6 +281,9 @@ ALLOWLIST: dict[str, str] = {
     "user_entropy": "<=20 rows",
     "winsorize_values": "2 rows",
     "zipf_fit": "1 regression row",
+    "dedup_threshold_curve": "toks and total are sums of integer "
+    "whitespace token counts (exact at any order); float only at the "
+    "final savings division; 5 threshold rows, 1 float cell each",
     "heaps_law_fit": "2 fit cells over a 10-point ln curve whose "
     "inputs are exact integer cumulative sums (BIGINT token/type "
     "counts) — the zipf_fit class with a fixed 10-row domain",
