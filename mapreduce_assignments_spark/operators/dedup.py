@@ -1526,8 +1526,12 @@ def dedup_threshold_curve(
         # base query's 3) and re-executes it unless ReusedExchange
         # happens to engage — the mutual_knn_pairs lesson applied at
         # birth (measured sf1: 18.2 -> 10.9 s best-of-3, i.e. the
-        # base ngram_jaccard join's own 10.8 s)
-        .localCheckpoint()
+        # base ngram_jaccard join's own 10.8 s). eager=False
+        # (round-13 ADVICE): constructing the DataFrame (run_query
+        # --explain, tools/plan_audit) must not execute the full
+        # exact-Jaccard join; lineage is still cut and the subtree
+        # still runs exactly once on first materialization.
+        .localCheckpoint(eager=False)
     )
     th = F.explode(
         F.array(*[F.lit(float(t)) for t in thresholds])

@@ -435,7 +435,9 @@ def basket_lift(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .select("user_id", "sid", "event_type")
         .distinct()
-        .localCheckpoint()
+        # eager=False: plan-only consumers fire no jobs; still runs
+        # exactly once on first action across all four consumers
+        .localCheckpoint(eager=False)
     )
     total = baskets.select("user_id", "sid").distinct().agg(
         F.count("*").alias("n_sessions")

@@ -402,7 +402,13 @@ def unimax_allocation(
         F.round("capacity", 6).alias("capacity"),
         "capped",
         F.round(alloc, 6).alias("allocation"),
-        F.round(alloc / F.col("n_units"), 6).alias("epochs"),
+        # Guard the 0/0 of a degenerate source whose size_col sums to
+        # 0 (capacity 0 => capped with allocation 0): emit NULL in
+        # BOTH engines instead of Spark-NULL-vs-DuckDB-NaN (the
+        # oracle carries the same CASE WHEN n_units > 0 guard).
+        F.when(
+            F.col("n_units") > 0, F.round(alloc / F.col("n_units"), 6)
+        ).alias("epochs"),
     )
 
 

@@ -1024,7 +1024,9 @@ def semantic_dedup(
     # count, and the semi-join probe) — localCheckpoint so the scan +
     # assignment argmax runs once, not four times (the dedup_clusters
     # discipline for multiply-consumed frames)
-    members = assigned.select("cell", "vec_id", "embedding").localCheckpoint()
+    members = assigned.select("cell", "vec_id", "embedding").localCheckpoint(
+        eager=False  # plan-only consumers stay job-free; runs once on 1st action
+    )
     a = members.select(
         "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
     )
@@ -1653,14 +1655,20 @@ def matryoshka_recall(
             F.col("query_id.q").alias("query_id"),
             "neighbor_id",
         )
-        # k-bounded survivors feed THREE consumers (n_queries count,
+        # k-bounded survivors feed THREE consumers (n_queries agg,
         # truth side, per-dim side) — checkpoint so the corpus-sized
         # scored lineage runs once, not three times (the
-        # mutual_knn_pairs discipline)
-        .localCheckpoint()
+        # mutual_knn_pairs discipline). eager=False: plan-only
+        # consumers (run_query --explain, tools/plan_audit) must not
+        # execute the join just to print the plan; lineage is still
+        # cut and the subtree still runs exactly once on first action.
+        .localCheckpoint(eager=False)
     )
     truth = topk.where(F.col("dim") == 0).select("query_id", "neighbor_id")
-    n_q = truth.select("query_id").distinct().count()  # bounded: |queries|
+    # |queries| as an IN-PLAN broadcast scalar (1 row), not a
+    # plan-build-time .count() — constructing this query fires no
+    # Spark jobs (round-13 VERDICT item 5).
+    nq = truth.agg(F.countDistinct("query_id").alias("__n_q"))
     hits = (
         topk.where(F.col("dim") != 0)
         # truth is |queries| x k rows — bounded by construction, so
@@ -1679,16 +1687,18 @@ def matryoshka_recall(
     )
     return (
         scaffold.join(hits, "dim", "left")
+        .crossJoin(F.broadcast(nq))
         # empty eval set: no queries means no curve at all (the empty
         # in -> empty out contract), not a dims-sized block of
         # 0/0 rows
-        .where(F.lit(n_q > 0))
+        .where(F.col("__n_q") > 0)
         .select(
             "dim",
-            F.lit(n_q).cast("int").alias("n_queries"),
+            F.col("__n_q").cast("int").alias("n_queries"),
             F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
             F.round(
-                F.coalesce(F.col("hits"), F.lit(0)) / F.lit(n_q * k), 6
+                F.coalesce(F.col("hits"), F.lit(0))
+                / (F.col("__n_q") * F.lit(k)), 6
             ).alias("recall"),
         )
     )
@@ -1823,7 +1833,9 @@ def mutual_knn_pairs(
     members = (
         assigned.select("cell", "vec_id")
         .join(emb.select("vec_id", "embedding"), "vec_id")
-        .localCheckpoint()  # feeds both pair sides — scan once
+        # feeds both pair sides — scan once; eager=False so plan-only
+        # consumers (explain/plan_audit) fire no jobs
+        .localCheckpoint(eager=False)
     )
     a = members.select(
         "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
@@ -1847,7 +1859,10 @@ def mutual_knn_pairs(
         # so materialize once instead of re-running the cell-quadratic
         # scoring subtree per side (matryoshka_recall's survivor lesson:
         # the same checkpoint there measured 23.9 -> 11.6 s at sf10).
-        .localCheckpoint()
+        # eager=False (round-13 ADVICE): lineage still cut, subtree
+        # still runs once on first materialization, but merely
+        # BUILDING the DataFrame (explain, plan_audit) stays free.
+        .localCheckpoint(eager=False)
     )
     rev = nn.select(
         F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")

@@ -806,7 +806,9 @@ def vocab_coverage(
         docs.select(F.explode(tokens_array(text_col)).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint()
+        # eager=False: building the plan (explain/plan_audit) fires no
+        # jobs; the tokenize+groupBy still materializes exactly once
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window
 
@@ -1219,7 +1221,13 @@ def heaps_law_fit(
         F.sum(F.size("__toks")).alias("n_tok")
     )
     first_occ = (
-        with_b.select("__id", F.explode("__toks").alias("token"))
+        # explode_outer + NULL-drop, not plain explode (package-wide
+        # *_outer discipline, operators/text.py NOTE):
+        # InferFiltersFromGenerate + pushdown can inline the computed
+        # __toks expression into a scan filter and re-run the
+        # tokenization per row; empty docs still drop via the filter.
+        with_b.select("__id", F.explode_outer("__toks").alias("token"))
+        .where(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.min("__id").alias("first_id"))
         .crossJoin(F.broadcast(mx))

@@ -9624,9 +9624,10 @@ SELECT source, n_units, round(capacity, 6) AS capacity, capped,
        round(CASE WHEN capped THEN capacity
              ELSE (b - capped_sum) / (n_src - n_capped) END, 6)
          AS allocation,
-       round(CASE WHEN capped THEN capacity
-             ELSE (b - capped_sum) / (n_src - n_capped) END / n_units, 6)
-         AS epochs
+       CASE WHEN n_units > 0 THEN
+         round(CASE WHEN capped THEN capacity
+               ELSE (b - capped_sum) / (n_src - n_capped) END / n_units, 6)
+       END AS epochs
 FROM s
 """
 
