@@ -9283,7 +9283,7 @@ def q_embedding_pca(spark, sf_dir):
 
 
 # Historical r12 window grouping — kept as one half of the full
-# catalog; the LIVE window is derived from _R13_WINDOW below (the
+# catalog; the LIVE window is derived from _R14_WINDOW below (the
 # round-13 change that made rotation a name-list edit instead of a
 # two-dict shuffle). Comments inside describe the r12 rotation.
 _CATALOG_R12_WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -9803,80 +9803,74 @@ _R13_NEW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # ---------------------------------------------------------------------------
-# Round-13 driver window (round-12 VERDICT item 1): the never-scored
-# backlog is ZERO, so this is the age-based refresh — the 50 oldest
-# last_scored names per docs/ROTATION_AUDIT.md — EXCEPT that the five
-# re-staged media queries jump the queue: their real-container staging
-# (commit 27c7c72) has never been driver-scored (latest rows r9/r10
-# predate the swap), so they lead the window. Then the 14 r7-era
-# (age-5) names, the 4 never-scored round-13 operators, and the 27
-# alphabetically-first r8-era (age-4) names (the 4 displaced age-4
-# names lead the r14 window). hashing_tf/hashing_tfidf (age-7) stay permanently
+# Round-14 driver window (round-13 VERDICT item 1): never-scored
+# first — dedup_threshold_curve, the registry's ONLY never-scored
+# entry (committed after the r13 window froze) — then the 50-oldest
+# age-based refresh per docs/ROTATION_AUDIT.md: the 23 r8-scored
+# (age-6) names (led by the 4 the r13 never-scored adds displaced:
+# order_size_correlation, pareto_report, region_nation_share,
+# revenue_lag_features) and the 26 alphabetically-first r9-scored
+# (age-5) names (the remaining r9 block — length_drift_psi onward —
+# leads the r15 window). hashing_tf/hashing_tfidf stay permanently
 # window-ineligible (UNSORTABLE — driver pandas canonicalizer);
 # their scalar _cells renderings already rotate. Every entry below
 # was gated at sf0.001 AND sf0.01 with the bit-exact --pandas-canon
 # compare (plus --vanilla-session for the TIMESTAMP-rendering
-# large_volume_orders) before rotating in.
-_R13_WINDOW: tuple[str, ...] = (
-    # re-staged real-container media queries, never driver-scored in
-    # their current form — front of the window --
-    "frame_sample",
-    "phash_duplicates",
-    "image_stats",
-    "media_sniff",
-    "aspect_ratio_histogram",
-    # age-5 (last scored r7) --
-    "record_linkage",
-    "rrf_fusion",
-    "scd2_history",
-    "semantic_dedup",
-    "small_quantity_revenue",
-    "split_leakage",
-    "streaming_interval_join",
-    "streaming_quality_gate",
-    "tokenizer_fertility",
-    "top_return_customers",
-    "top_supplier",
-    "vocab_coverage",
-    "volume_shipping",
-    "zipf_fit",
-    # never-scored round-13 adds (rotation policy: never-scored
-    # first) — they displace the 4 alphabetically-LAST of the age-4
-    # names that would otherwise fill the window
-    # (order_size_correlation, pareto_report, region_nation_share,
-    # revenue_lag_features — all lead the r14 window instead) --
-    "unimax_allocation",
-    "heaps_law_fit",
-    "winnowing_fingerprints",
-    "winnowing_candidates",
-    # age-4 (last scored r8), alphabetically first 27 --
-    "ab_test_zscore",
-    "activity_heatmap",
-    "basket_lift",
-    "brand_nation_revenue",
-    "conversion_by_activity",
-    "conversion_lag",
-    "customer_growth_topk",
-    "daily_trend",
-    "discount_effectiveness",
-    "dp_event_counts",
-    "event_cube",
-    "event_transitions",
-    "ewma_hourly",
-    "filter_funnel",
-    "hourly_top_movers",
-    "interarrival_rates",
-    "interpolate_gaps",
-    "k_anonymity",
-    "large_volume_orders",
-    "last_touch_attribution",
-    "late_orders_by_priority",
-    "linear_attribution",
-    "lines_per_order_histogram",
-    "margin_bitext",
-    "nation_trade_balance",
-    "numeric_percentiles_profile",
-    "order_gap_stats",
+# shipping_priority) before rotating in.
+_R14_WINDOW: tuple[str, ...] = (
+    # never-scored (rotation policy: never-scored first) --
+    "dedup_threshold_curve",
+    # age-6 (last scored r8) --
+    "order_size_correlation",
+    "pareto_report",
+    "region_nation_share",
+    "revenue_lag_features",
+    "revenue_rollup",
+    "revenue_share",
+    "rfm_segments",
+    "robust_outliers",
+    "rolling_weekly_revenue",
+    "seasonal_anomalies",
+    "semantic_decontamination",
+    "session_paths",
+    "session_stats",
+    "shipping_priority",
+    "slo_burn_rate",
+    "target_encoding",
+    "temperature_mix",
+    "temporal_split",
+    "transition_latency",
+    "user_entropy",
+    "user_purge_report",
+    "winsorize_values",
+    "yoy_growth",
+    # age-5 (last scored r9), alphabetically first 26 --
+    "balance_classes",
+    "bpe_merges_local",
+    "bpe_token_counts",
+    "centroid_confusion",
+    "cluster_canonical",
+    "compact_small_files",
+    "containment_pairs",
+    "contamination_flags",
+    "corpus_card",
+    "corpus_mix",
+    "countmin_words",
+    "csv_malformed_report",
+    "dedup_savings",
+    "dsir_weights",
+    "dup_span_report",
+    "eval_substring_hits",
+    "filter_funnel_examples",
+    "hard_negatives",
+    "hash_collision_report",
+    "idf_drift",
+    "index_shard_balance",
+    "ivf_index_probe",
+    "key_skew_report",
+    "label_centroids",
+    "label_spread",
+    "language_id_accuracy",
 )
 
 _CATALOG: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -9888,7 +9882,7 @@ _CATALOG: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # The LIVE driver check window (exactly 50 entries) and the extras
 # pool, derived from the catalog so a rotation is a name-list edit.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    name: _CATALOG[name] for name in _R13_WINDOW
+    name: _CATALOG[name] for name in _R14_WINDOW
 }
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     k: v for k, v in _CATALOG.items() if k not in QUERIES
@@ -9900,5 +9894,5 @@ ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 assert len(QUERIES) == 50, f"driver check window is 50, got {len(QUERIES)}"
-assert len(_R13_WINDOW) == len(set(_R13_WINDOW)), "duplicate window name"
+assert len(_R14_WINDOW) == len(set(_R14_WINDOW)), "duplicate window name"
 assert len(ALL_QUERIES) == len(_CATALOG), "window lost a catalog entry"
