@@ -1288,6 +1288,7 @@ def prefix_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    verify: str = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via PPJoin-style PREFIX FILTERING
     (Bayardo–Ma–Srikant / Xiao et al., public literature): under a
@@ -1297,72 +1298,176 @@ def prefix_jaccard_pairs(
     candidates come from an inverted join over PREFIXES only, then
     exact verification. Same output contract as
     :func:`ngram_jaccard_pairs` — ``(doc_a, doc_b, jaccard)``, and by
-    construction the SAME rows: the filter is lossless.
+    construction the SAME rows: every filter below is lossless.
+
+    POSITIONAL filter (Xiao et al.'s ppjoin bound, re-expressed as
+    plain aggregates): per-doc lists are sorted by ONE global
+    (df, shingle) order, so any shared shingle smaller than a
+    both-prefix match is itself a both-prefix match — the pair's
+    prefix matches w_1 < … < w_m are exactly its m smallest shared
+    shingles, and every other shared shingle sits strictly after
+    (i_k, j_k) in both lists. Hence two lossless overlap bounds from
+    ONE group-by (no per-pair window sort):
+
+        B_first = 1 + min(|x| − min i, |y| − min j)   (k = 1)
+        B_last  = m + min(|x| − max i, |y| − max j)   (k = m)
+
+    A pair is verified only if its best-possible Jaccard
+    ``B/(|x|+|y|−B)`` with ``B = min(B_first, B_last, |x|, |y|)``
+    reaches t. The compare reuses the SAME double-division shape as
+    the final jaccard filter, and fp division is monotone over these
+    exact-integer operands, so no float-boundary pair is lost.
+
+    VERIFY strategy — the threshold decides the cheap physical plan
+    (both are exact; ``verify="auto"`` picks by prefix share):
+
+    - ``"count"`` (low t, prefixes ≈ whole lists): the candidate
+      aggregate already holds ``m = |pref_x ∩ pref_y|``, and every
+      other shared shingle has a side in a SUFFIX, so
+      ``inter = m + |suff_x ∩ full_y| + |pref_x ∩ suff_y|`` — two
+      joins whose volume is the naive join's MINUS the prefix join's
+      (measured sf1 at t=0.1: 2.3M rows vs re-joining full lists per
+      candidate = Σ|x| over 7.3M candidates ≈ 380M rows; 62.6 s →
+      see SCALE.md). Never re-touches a candidate's full list.
+    - ``"rejoin"`` (high t, prefixes short so candidates are few and
+      suffixes are nearly the whole list): join candidates back to
+      the full shingle lists and count — pair-bounded, never corpus².
+      At high t the "count" suffix joins would approach the naive
+      join volume, exactly what the short-prefix join avoids.
 
     Scale: the candidate join touches the rare end of every document's
     shingle list — prefix length shrinks as t grows (at t=0.9 only
-    ~10% of shingles index), and rare-first ordering makes the indexed
-    postings short, attacking the same hot-shingle blowup the df-cap
-    handles by truncation, but WITHOUT losing recall. Verification
-    joins full shingle lists only for candidate pairs (pair-bounded,
-    never corpus²).
+    ~10% of shingles index), and rare-first ordering keeps the indexed
+    postings short, attacking hot-shingle blowup WITHOUT losing
+    recall. The shingle scan and the ranked lists are each
+    lazily localCheckpoint'ed — 4-5 consumers, one materialization.
     """
-    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False  # sizes + df_tbl + ranked (+ rejoin verify ×2)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     ranked = (
         sh.join(df_tbl, "shingle")
         .withColumn("rnk", F.row_number().over(w))
         .join(sizes, "doc_id")
+        .select("doc_id", "shingle", "sz", "rnk", (F.col("rnk") <= plen).alias("in_prefix"))
+        .localCheckpoint(eager=False)  # prefix ×2 + both suffix-count joins
     )
-    prefix = ranked.where(
-        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("doc_id", "shingle", "sz")
-    cand = (
+    prefix = ranked.where("in_prefix").select("doc_id", "shingle", "sz", "rnk")
+    matched = (
         prefix.alias("pa")
         .join(prefix.alias("pb"), "shingle")
         .where(F.col("pa.doc_id") < F.col("pb.doc_id"))
         # LENGTH filter (also lossless): J >= t forces
         # t * max(|x|, |y|) <= min(|x|, |y|) — prune size-mismatched
-        # candidates BEFORE the distinct and the verification joins
+        # candidates BEFORE the aggregation and verification joins
         .where(
             F.least(F.col("pa.sz"), F.col("pb.sz"))
             >= F.lit(threshold) * F.greatest(F.col("pa.sz"), F.col("pb.sz"))
         )
-        .select(
-            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        .groupBy(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+            F.col("pa.sz").alias("sza"),
+            F.col("pb.sz").alias("szb"),
         )
-        .distinct()
+        .agg(
+            F.count("*").alias("m"),
+            F.min("pa.rnk").alias("ia_min"),
+            F.min("pb.rnk").alias("ib_min"),
+            F.max("pa.rnk").alias("ia_max"),
+            F.max("pb.rnk").alias("ib_max"),
+        )
     )
-    inter = (
-        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(cand, "doc_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    bound = F.least(
+        F.lit(1)
+        + F.least(
+            F.col("sza") - F.col("ia_min"), F.col("szb") - F.col("ib_min")
+        ),
+        F.col("m")
+        + F.least(
+            F.col("sza") - F.col("ia_max"), F.col("szb") - F.col("ib_max")
+        ),
+        F.least(F.col("sza"), F.col("szb")),
     )
-    return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")),
-            "doc_a",
+    cand = matched.where(
+        bound / (F.col("sza") + F.col("szb") - bound) >= F.lit(threshold)
+    ).select("doc_a", "doc_b", "sza", "szb", "m")
+    if verify == "auto":
+        # prefix share 1 - t/(1+t)·… ≈ 1 - t of each list: below
+        # t=0.5 the suffix side is the small one — count it instead
+        # of re-joining candidates' full lists
+        verify = "count" if threshold < 0.5 else "rejoin"
+    if verify == "count":
+        suff = ranked.where(~F.col("in_prefix"))
+        # shared shingles NOT counted in m have the smaller-id side
+        # in its suffix (any other side), or the smaller-id side in
+        # its prefix and the larger-id side in its suffix — two
+        # disjoint joins, each suffix-bounded
+        s1 = (
+            suff.alias("sa")
+            .join(ranked.alias("rb"), "shingle")
+            .where(F.col("sa.doc_id") < F.col("rb.doc_id"))
+            .select(
+                F.col("sa.doc_id").alias("doc_a"),
+                F.col("rb.doc_id").alias("doc_b"),
+            )
         )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")),
-            "doc_b",
+        s2 = (
+            prefix.alias("px")
+            .join(suff.alias("sb"), "shingle")
+            .where(F.col("px.doc_id") < F.col("sb.doc_id"))
+            .select(
+                F.col("px.doc_id").alias("doc_a"),
+                F.col("sb.doc_id").alias("doc_b"),
+            )
         )
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
-            ).alias("jaccard"),
+        extra = (
+            s1.unionAll(s2).groupBy("doc_a", "doc_b").agg(
+                F.count("*").alias("s")
+            )
         )
-        .where(F.col("jaccard") >= threshold)
-    )
+        inter = (
+            F.col("m") + F.coalesce(F.col("s"), F.lit(0))
+        ).alias("inter")
+        scored = cand.join(extra, ["doc_a", "doc_b"], "left").select(
+            "doc_a", "doc_b", "sza", "szb", inter
+        )
+    elif verify == "rejoin":
+        scored = (
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+            .join(cand.select("doc_a", "doc_b"), "doc_a")
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                ["doc_b", "shingle"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")
+                ),
+                "doc_b",
+            )
+        )
+    else:
+        raise ValueError(f"unknown verify strategy: {verify!r}")
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def _winnow_base(

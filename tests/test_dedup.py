@@ -511,11 +511,16 @@ def test_prefix_jaccard_equals_naive_at_multiple_thresholds(spark):
             (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
             for r in ngram_jaccard_pairs(docs, n=3, threshold=t).collect()
         )
-        fast = sorted(
-            (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
-            for r in prefix_jaccard_pairs(docs, n=3, threshold=t).collect()
-        )
-        assert fast == naive, t
+        # every verify strategy is exact at every threshold — auto
+        # merely picks the cheap one (count below t=0.5, else rejoin)
+        for verify in ("auto", "count", "rejoin"):
+            fast = sorted(
+                (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+                for r in prefix_jaccard_pairs(
+                    docs, n=3, threshold=t, verify=verify
+                ).collect()
+            )
+            assert fast == naive, (t, verify)
     assert naive  # the 0.9 pass still finds the exact duplicate pair
 
 
