@@ -986,12 +986,30 @@ def record_linkage_pairs(
             .where(F.col("name_a") < F.col("name_b"))
             .select(*block_cols, "name_a", "name_b")
             .distinct()  # a class pair can share many variants
+            # BARRIER (round-14 perf finding): the verify filter
+            # below references only this distinct's grouping keys, so
+            # Catalyst pushes levenshtein(name_a, name_b) >= 0 through
+            # the aggregate INTO the variant join's condition — the
+            # banded DP then runs per raw join row (~2x the distinct
+            # pair count, measured 2.5M vs 0.7M at sf1) and AGAIN in
+            # the post-distinct projection. The lineage cut pins the
+            # DP after the dedup: 51.5 -> ~18 s sf1 best-of-2.
+            .localCheckpoint(eager=False)
         )
         cls_verified = (
             cls_cand.withColumn(
                 "distance", F.levenshtein("name_a", "name_b", max_distance)
             )
             .where(F.col("distance") >= 0)
+            # BARRIER #2 (round-14): inside one codegen stage a
+            # projected expression evaluates lazily PER CONSUMING
+            # ROW — without this cut the expansion join below
+            # re-runs the banded DP once per OUTPUT record pair
+            # (16.3M calls for 163k verified class pairs at sf1,
+            # measured 36 -> 3.5 s for the expansion write; the
+            # winnowing materialized-hash lesson, here across a
+            # join instead of a window)
+            .localCheckpoint(eager=False)
         )
         # expand verified CLASS pairs to record pairs: one join per
         # side on (block, name) — each record has exactly one name, so
@@ -1127,6 +1145,9 @@ def record_linkage_pairs(
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "name_a", "name_b")
             .distinct()  # a pair can share many variants; verify once
+            # same barrier as the class path: keep the DP from being
+            # pushed through the distinct into the join condition
+            .localCheckpoint(eager=False)
             .withColumn(
                 "distance", F.levenshtein("name_a", "name_b", max_distance)
             )
