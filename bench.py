@@ -9,10 +9,14 @@ Noise-proofing (round-4 VERDICT item 1): the bench box runs under
 variable load and single-shot timings swing ±40% on unchanged code,
 which made round-over-round comparisons unfalsifiable. Each query now
 runs ``--runs`` times (default 3) back-to-back; the reported per-query
-number is the MEDIAN, with the min and every raw sample preserved:
+number is the MIN (round-13 VERDICT item 4 — the same estimator the
+trend gate uses, so the headline and ``--check`` can no longer tell
+opposite stories about one query), with medians and every raw sample
+preserved:
 
-- stdout JSON: ``queries`` = medians, ``value`` = Σ medians,
-  ``queries_min`` = per-query minima, ``runs`` = repetition count;
+- stdout JSON: ``queries`` = minima, ``value`` = Σ minima,
+  ``queries_median``/``value_median`` = the pre-r14 median series,
+  ``runs`` = repetition count;
 - ``docs/bench_trend.jsonl`` gets one appended record per invocation
   with the full raw sample matrix, so any future regression can be
   tested against the distribution, not a point.
@@ -287,7 +291,7 @@ def run_headline(spark, sf_dir: str, sf, runs: int) -> int:
         samples[name] = [_time_query(spark, sf_dir, name) for _ in range(runs)]
         print(f"# {name}: {samples[name]}", file=sys.stderr)
     medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
-    minima = {n: min(s) for n, s in samples.items()}
+    minima = {n: round(min(s), 3) for n, s in samples.items()}
     _append_trend({
         "ts": time.time(),
         "mode": "headline",
@@ -296,12 +300,18 @@ def run_headline(spark, sf_dir: str, sf, runs: int) -> int:
         "runs": runs,
         "samples": samples,
     })
+    # round-13 VERDICT item 4: the headline `value`/`queries` now use
+    # the SAME estimator as the trend gate (per-query MIN of N
+    # back-to-back runs — the standard noise-floor estimator on this
+    # box's ±40% single-sample churn); medians stay as secondary keys
+    # so BENCH_r13-and-earlier medians remain comparable.
     print(json.dumps({
         "metric": "headline_total",
-        "value": round(sum(medians.values()), 3),
+        "value": round(sum(minima.values()), 3),
         "unit": "sec",
-        "queries": medians,
-        "queries_min": minima,
+        "queries": minima,
+        "queries_median": medians,
+        "value_median": round(sum(medians.values()), 3),
         "runs": runs,
         "sf": sf,
     }))

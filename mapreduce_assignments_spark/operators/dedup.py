@@ -396,6 +396,17 @@ def verified_near_dupes(
             F.abs(F.length("text_a") - F.length("text_b"))
             <= F.lit(max_dist_ratio) * maxlen
         )
+        # The surviving pair set is tiny in BYTES but dense in CPU
+        # (one O(len_a·len_b) DP per row): AQE coalesces it to ~1
+        # post-shuffle partition by byte-size, and deterministic
+        # filters push through a bare repartition, so without a
+        # lineage cut the whole DP bill runs on ONE core (measured
+        # 28 s single-task for 12k pairs at sf1; 45.4 -> 17.4 s
+        # best-of-2 with the spread). Round-robin across the
+        # cluster's cores, then cut lineage so the ratio filter
+        # stays ABOVE the exchange.
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
         .withColumn("dist", F.levenshtein("text_a", "text_b"))
         .withColumn("dist_ratio", F.round(F.col("dist") / maxlen, 6))
         .where(F.col("dist_ratio") <= max_dist_ratio)
