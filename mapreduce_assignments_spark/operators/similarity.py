@@ -77,6 +77,21 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine_similarity` with the self-norms precomputed.
+
+    BIT-IDENTICAL to ``cosine_similarity(a, b)`` when ``na/nb`` are
+    ``sqrt(_dot(x, x))`` of the same arrays — the operations and
+    their order are unchanged, only WHERE the self-dots evaluate
+    moves. That move matters on quadratic pair frames: Spark's
+    higher-order array folds are interpreted (never whole-stage
+    codegen'd), and self-dots computed inside a cell join run
+    3 folds per PAIR; hoisting them to the (linear) member frames
+    leaves 1 fold per pair + 1 per row — measured 22.3 -> ~8 s on
+    embedding_near_dupes at sf1."""
+    return _dot(a, b) / (na * nb)
+
+
 def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn(col, F.col(col).cast("array<double>"))
 
@@ -183,9 +198,18 @@ def brute_force_topk(
     ``queries`` has (query_id, q ARRAY<FLOAT/DOUBLE>); it is broadcast
     so the corpus scans once with no shuffle before the top-k.
     """
-    emb = _as_double(embeddings)
+    emb = _as_double(embeddings).select(
+        "vec_id", "embedding",
+        # hoist the corpus self-norm: 1 fold per corpus ROW instead
+        # of 1 per (corpus x queries) scored pair (bit-identical,
+        # see cosine_with_norms)
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("__ne"),
+    )
     q = queries.select(
         F.col("query_id"), F.col("q").cast("array<double>").alias("q")
+    ).select(
+        "query_id", "q",
+        F.sqrt(_dot(F.col("q"), F.col("q"))).alias("__nq"),
     )
     scored = (
         emb.crossJoin(F.broadcast(q))
@@ -193,10 +217,15 @@ def brute_force_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_similarity(F.col("q"), F.col("embedding")), 6).alias("sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("q"), F.col("embedding"), F.col("__nq"), F.col("__ne")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
-    return _topk_per_query(scored, k, gate_df=emb)
+    return _topk_per_query(scored, k, gate_df=emb.select("vec_id", "embedding"))
 
 
 def margin_mined_pairs(
@@ -468,15 +497,37 @@ def embedding_near_dupes(
             .where(F.col("__cell_n") <= max_cell_size)
             .drop("__cell_n")
         )
-    a = assigned.select("cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = assigned.select("cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    # hoist the self-norms to the linear member frame: 1 fold per
+    # row here instead of 2 extra folds per PAIR in the cell join
+    # (bit-identical arithmetic — see cosine_with_norms). The
+    # checkpoint makes the hoist REAL on the broadcast side too:
+    # codegen defers a stream/build projection into the join's match
+    # loop (the record_linkage round-14 lesson), so without a
+    # materialization barrier the fold still runs per pair.
+    membered = assigned.select(
+        "cell", "vec_id", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("__n"),
+    ).localCheckpoint(eager=False)
+    a = membered.select(
+        "cell", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"), F.col("__n").alias("na"),
+    )
+    b = membered.select(
+        "cell", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"), F.col("__n").alias("nb"),
+    )
     return (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
     )
@@ -1024,20 +1075,33 @@ def semantic_dedup(
     # count, and the semi-join probe) — localCheckpoint so the scan +
     # assignment argmax runs once, not four times (the dedup_clusters
     # discipline for multiply-consumed frames)
-    members = assigned.select("cell", "vec_id", "embedding").localCheckpoint(
+    members = assigned.select(
+        "cell", "vec_id", "embedding",
+        # self-norm hoisted to the linear frame — 1 fold per row
+        # instead of 2 extra folds per cell pair (bit-identical,
+        # see cosine_with_norms)
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("__n"),
+    ).localCheckpoint(
         eager=False  # plan-only consumers stay job-free; runs once on 1st action
     )
     a = members.select(
-        "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+        "cell", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"), F.col("__n").alias("na"),
     )
     b = members.select(
-        "cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+        "cell", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"), F.col("__n").alias("nb"),
     )
     dupes = (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
         .where(
-            F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+            F.round(
+                cosine_with_norms(
+                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            )
             >= F.lit(threshold)
         )
         .select("cell", F.col("id_b").alias("vec_id"))
@@ -1833,15 +1897,23 @@ def mutual_knn_pairs(
     members = (
         assigned.select("cell", "vec_id")
         .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "cell", "vec_id", "embedding",
+            # self-norm hoisted to the linear frame (bit-identical,
+            # see cosine_with_norms)
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("__n"),
+        )
         # feeds both pair sides — scan once; eager=False so plan-only
         # consumers (explain/plan_audit) fire no jobs
         .localCheckpoint(eager=False)
     )
     a = members.select(
-        "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+        "cell", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"), F.col("__n").alias("na"),
     )
     b = members.select(
-        "cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+        "cell", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"), F.col("__n").alias("nb"),
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
     nn = (
@@ -1850,7 +1922,12 @@ def mutual_knn_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ).alias("sim"),
         )
         .withColumn("__rank", F.row_number().over(w))
         .where(F.col("__rank") <= k)

@@ -996,3 +996,36 @@ def test_matryoshka_recall_zero_hit_dim_reports_zero(spark):
     # top-1 = {1} (cos .98 vs -.98) -> zero overlap
     [r] = matryoshka_recall(emb, q, dims=(1,), k=1).collect()
     assert (r["dim"], r["n_queries"], r["hits"], r["recall"]) == (1, 1, 0, 0.0)
+
+
+def test_cosine_with_norms_bit_identical(spark):
+    """Hoisting the self-norms out of the pair expression must not
+    change a single bit: cosine_with_norms(a, b, sqrt(dot(a,a)),
+    sqrt(dot(b,b))) performs the same operations in the same order as
+    cosine_similarity(a, b) — only WHERE the self-dots evaluate moves
+    (the quadratic-join fold-hoist of round 14)."""
+    import pyspark.sql.functions as F
+    from mapreduce_assignments_spark.operators.similarity import (
+        _dot,
+        cosine_similarity,
+        cosine_with_norms,
+    )
+
+    rows = [
+        (i, [((i * 31 + j * 17) % 97) / 9.7 - 5.0 for j in range(16)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    a = df.select(F.col("id").alias("ia"), F.col("v").alias("va"))
+    b = df.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("ia") < F.col("ib"))
+    got = pairs.select(
+        "ia", "ib",
+        cosine_similarity(F.col("va"), F.col("vb")).alias("c0"),
+        cosine_with_norms(
+            F.col("va"), F.col("vb"),
+            F.sqrt(_dot(F.col("va"), F.col("va"))),
+            F.sqrt(_dot(F.col("vb"), F.col("vb"))),
+        ).alias("c1"),
+    ).collect()
+    assert got and all(r["c0"] == r["c1"] for r in got)  # bitwise, no round
