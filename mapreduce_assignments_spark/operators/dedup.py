@@ -122,10 +122,16 @@ def ngram_jaccard_pairs(
     if shingle_df_cap:
         hot = sh.groupBy("shingle").count().where(F.col("count") > shingle_df_cap)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    # no .cache(): the shingle subplan is reused three times below but a
-    # cache here would outlive the call (the returned DataFrame is
-    # lazy); recomputation is a narrow transform and Catalyst reuses
-    # the exchange where one exists.
+    # The shingle subplan feeds three consumers (sizes + both join
+    # sides); a lazy localCheckpoint materializes the tokenize+
+    # shingle explode once instead of three times (measured 10.7 ->
+    # 7.6 s same-session A/B at sf1, round 14). The trade at 100 TB:
+    # the checkpointed frame is ~5-7x the text bytes on executor
+    # disk, vs three full tokenization passes — the CPU win holds as
+    # long as local disk outruns re-tokenizing, which it does on
+    # every measured config; eager=False keeps plan-only consumers
+    # job-free.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -177,6 +183,9 @@ def containment_pairs(
     if shingle_df_cap:
         hot = sh.groupBy("shingle").count().where(F.col("count") > shingle_df_cap)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    # three consumers of the shingle subplan — one materialization
+    # (the ngram_jaccard_pairs measurement and trade note apply)
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
