@@ -626,6 +626,50 @@ def dedup_clusters(
     return out
 
 
+def cluster_aware_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """LEAKAGE-PROOF train/val/test assignment: split by near-dup
+    CLUSTER, not by document — ``(doc_id, rep, split)`` where ``rep``
+    is the document's connected-component representative (its own id
+    for unpaired documents) and ``split`` hashes ``rep``, so every
+    member of a near-dup cluster lands in the SAME split by
+    construction. This is the FIX for what :func:`split_leakage`
+    reports: a per-document :func:`sampling.hash_split` lets a test
+    document's near-duplicate sit in train (silently inflating every
+    eval metric — the scikit-learn GroupShuffleSplit rationale applied
+    to dedup components); splitting on the component representative
+    makes straddling pairs impossible for any pair inside ``pairs``'
+    transitive closure. Deterministic end-to-end: components via
+    min-label propagation, assignment via the content-hash binning
+    every split operator here uses — re-ingestion never reshuffles.
+
+    Scale shape: ``pairs`` (the expensive part) is an INPUT from any
+    candidate generator; on top of it this costs the component loop
+    on the paired-docs-only state (:func:`dedup_clusters` — orders of
+    magnitude smaller than the corpus), one left join of the corpus
+    keys against that map (broadcast-or-shuffle by AQE), and a narrow
+    hash — no corpus self-join anywhere.
+    """
+    from .sampling import hash_split
+
+    clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b)
+    keyed = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(clusters.select("doc_id", "canonical_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("rep"),
+        )
+    )
+    return hash_split(keyed, "rep", weights)
+
+
 def contamination_flags(
     docs: DataFrame,
     benchmark: DataFrame,

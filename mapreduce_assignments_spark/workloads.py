@@ -9789,6 +9789,55 @@ def q_dedup_threshold_curve(spark, sf_dir):
     )
 
 
+def q_cluster_aware_split(spark, sf_dir):
+    """Leakage-proof split: near-dup components (the dedup_clusters
+    pair graph at the same threshold) hash-split by their
+    representative, so no candidate pair can straddle splits — the
+    constructive fix for what split_leakage reports."""
+    return dedup.cluster_aware_split(
+        _docs(spark, sf_dir),
+        dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
+# hash-bin of the cluster representative — the _DOC_BIN formula (h60
+# mod 1e6) keyed on rep instead of doc_id
+_REP_BIN = (
+    "CAST(CONCAT('0x', substring(md5(CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 1000000"
+)
+
+# cluster_aware_split: the dedup_clusters recursive closure feeds a
+# LEFT join (singletons keep their own id as rep), then the exact
+# hash_split CASE on the representative.
+ORACLE["cluster_aware_split"] = f"""
+WITH RECURSIVE pairs AS (
+{ORACLE["ngram_jaccard"]}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+lab AS (SELECT node AS doc_id, min(lab) AS canonical_id FROM reach GROUP BY node),
+keyed AS (
+  SELECT d.doc_id, COALESCE(l.canonical_id, d.doc_id) AS rep
+  FROM documents d LEFT JOIN lab l USING (doc_id)
+)
+SELECT doc_id, rep,
+       CASE WHEN {_REP_BIN} < 800000 THEN 'train'
+            WHEN {_REP_BIN} < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed
+"""
+
+
 # Catalog additions this round: the first four enter the r13 driver
 # window (never-scored-first); dedup_threshold_curve lands in
 # EXTRA_QUERIES (the r13 window was already gated when it was added)
@@ -9873,10 +9922,18 @@ _R14_WINDOW: tuple[str, ...] = (
     "language_id_accuracy",
 )
 
+# Round-14 addition: lands in EXTRA_QUERIES (the r14 window was
+# gated before it existed) and leads the r15 rotation as its
+# never-scored entry.
+_R14_NEW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cluster_aware_split": q_cluster_aware_split,
+}
+
 _CATALOG: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **_CATALOG_R12_WINDOW,
     **_CATALOG_R12_EXTRA,
     **_R13_NEW,
+    **_R14_NEW,
 }
 
 # The LIVE driver check window (exactly 50 entries) and the extras

@@ -801,3 +801,45 @@ def test_dedup_threshold_curve_hand_checked(spark):
         r = out[t]
         assert r["n_pairs"] == 1 and r["n_docs_flagged"] == 1
         assert r["tokens_flagged"] == 4 and r["savings_pct"] == 0.25
+
+
+def test_cluster_aware_split_leak_free_and_total(spark):
+    """The constructive guarantee: split_leakage over the SAME pair
+    set reports zero straddling pairs (a per-document hash_split on
+    this data does leak, proving the test has teeth); every document
+    gets exactly one split; singletons keep themselves as rep."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.operators.dedup import (
+        cluster_aware_split,
+        ngram_jaccard_pairs,
+        split_leakage,
+    )
+    from mapreduce_assignments_spark.operators.sampling import hash_split
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta epsilon zeta token{i % 3} end")
+            for i in range(30)
+        ]
+        + [(100 + i, f"totally unique words here number{i} only once") for i in range(5)],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    assert pairs.count() > 0
+    weights = {"train": 0.5, "val": 0.25, "test": 0.25}
+    out = cluster_aware_split(docs, pairs, weights)
+    assert out.count() == docs.count()                      # total
+    assert out.select("doc_id").distinct().count() == docs.count()
+    leaks = split_leakage(pairs, out.select("doc_id", "split"))
+    assert leaks.count() == 0                               # the guarantee
+    # teeth: the naive per-document split DOES leak on this data
+    naive = hash_split(docs.select("doc_id"), "doc_id", weights)
+    assert split_leakage(pairs, naive).count() > 0
+    # singletons: docs outside any pair keep their own id as rep
+    paired = {r["doc_a"] for r in pairs.collect()} | {
+        r["doc_b"] for r in pairs.collect()
+    }
+    for r in out.collect():
+        if r["doc_id"] not in paired:
+            assert r["rep"] == r["doc_id"]
