@@ -64,6 +64,34 @@ def minhash_value_sql(base_expr: str, i: int) -> str:
     return f"(({MINHASH_A[i]} * {base_expr} + {MINHASH_B[i]}) % {MINHASH_PRIME})"
 
 
+def h28_spark_sql(expr: str) -> str:
+    """Spark SQL text equivalent of :func:`h28` (same value as the
+    Column form — ``conv`` hex parse instead of DuckDB's '0x' cast).
+
+    The *_spark_sql builders exist for CONSTRUCTION speed, not new
+    semantics: composing wide signature expressions through the
+    Column API costs one py4j round-trip per node (measured 1.1-1.6 s
+    of pure driver time per simhash/minhash construction at 32
+    hashes), while one ``F.expr`` string is a single JVM parse of the
+    identical expression tree. Results are bit-for-bit the same —
+    pytest pins equality against the Column forms."""
+    return f"cast(conv(substring(md5({expr}), 1, 7), 16, 10) as long)"
+
+
+def h60_spark_sql(expr: str) -> str:
+    """Spark SQL text equivalent of :func:`h60` (see
+    :func:`h28_spark_sql` for why these exist)."""
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as long)"
+
+
+def minhash_value_spark_sql(base_expr: str, i: int) -> str:
+    """Spark SQL text equivalent of :func:`minhash_value`."""
+    return (
+        f"(({MINHASH_A[i]}L * {base_expr} + {MINHASH_B[i]}L)"
+        f" % {MINHASH_PRIME}L)"
+    )
+
+
 def log_add_exp(a: Column, b: Column) -> Column:
     """Numerically-stable log(e^a + e^b) — parity helper for the
     reference's sumLogProbs (RunPageRankBasic.java:570-582)."""

@@ -32,8 +32,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-from ..functions.hashing import NUM_MINHASHES, h28, h60, minhash_value
-from .text import tokens_array
+from ..functions.hashing import (
+    NUM_MINHASHES,
+    h28,
+    h28_spark_sql,
+    h60,
+    h60_spark_sql,
+    minhash_value,
+    minhash_value_spark_sql,
+)
+from .text import tokens_array, tokens_spark_sql
 
 __all__ = [
     "exact_duplicates",
@@ -82,6 +90,16 @@ def _shingle_array(n: int, text_col: str) -> F.Column:
             F.sequence(F.lit(0), F.size(toks) - n),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
+    )
+
+
+def _shingle_array_sql(n: int, text_col: str) -> str:
+    """Spark SQL text twin of :func:`_shingle_array` — identical
+    expression tree, one parse (see hashing.h28_spark_sql)."""
+    toks = tokens_spark_sql(text_col)
+    return (
+        f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))))"
     )
 
 
@@ -227,18 +245,25 @@ def minhash_signatures(
     aggregation — same values, one corpus-sized shuffle more.
     """
 
-    def mh(i: int):
-        # single-arg lambda: F.transform passes the element index to
-        # two-arg lambdas, which would shadow a default-bound i
-        return lambda h: minhash_value(h, i)
-
-    toks = tokens_array(text_col)
-    base = docs.where(F.size(toks) >= n).select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(_shingle_array(n, text_col), h28).alias("hs"),
+    # Whole signature assembled as ONE SQL parse: the Column-API form
+    # (num_hashes transform/array_min folds, a py4j round-trip per
+    # node) spent ~1 s of pure driver time per construction; the
+    # expression tree — and therefore the plan and every value — is
+    # identical (pytest-pinned against the history's Column form).
+    toks = tokens_spark_sql(text_col)
+    hs = (
+        f"transform({_shingle_array_sql(n, text_col)}, "
+        f"__s -> {h28_spark_sql('__s')})"
     )
-    sig = F.array(*[F.array_min(F.transform(F.col("hs"), mh(i))) for i in range(num_hashes)])
-    return base.select("doc_id", sig.alias("sig"))
+    sig = ", ".join(
+        f"array_min(transform(hs, __h -> {minhash_value_spark_sql('__h', i)}))"
+        for i in range(num_hashes)
+    )
+    base = docs.where(F.expr(f"size({toks}) >= {n}")).select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(hs).alias("hs"),
+    )
+    return base.select("doc_id", F.expr(f"array({sig})").alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -270,16 +295,14 @@ def minhash_lsh_candidates(
     sigs = minhash_signatures(
         docs, n=n, num_hashes=num_hashes, text_col=text_col, id_col=id_col
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
-                ).alias("bsig"),
-            )
+    # one SQL parse instead of bands x rows py4j calls (same tree)
+    band_structs = F.expr(
+        "array(" + ", ".join(
+            f"struct({b} as band, concat_ws(',', "
+            + ", ".join(f"cast(sig[{b * rows + r}] as string)" for r in range(rows))
+            + ") as bsig)"
             for b in range(bands)
-        ]
+        ) + ")"
     )
     # outer: band_structs is a length-`bands` literal array (never
     # empty); inner explode would infer a pushed-down filter inlining
@@ -445,28 +468,24 @@ def simhash(
     """
     if not 1 <= bits <= 62:
         raise ValueError(f"bits must be in [1, 62], got {bits}")
-    toks = tokens_array(text_col)
-    base = docs.where(F.size(toks) >= 1).select(
-        F.col(id_col).alias("doc_id"), F.transform(toks, h60).alias("hs")
+    # Signature assembled as ONE SQL parse — the Column-API form (bits
+    # aggregate folds with Python lambdas) cost ~1.1-1.6 s of py4j
+    # round-trips per CONSTRUCTION (measured; execution unchanged).
+    # Same expression tree, bit-identical signatures (pytest-pinned).
+    toks = tokens_spark_sql(text_col)
+    hs = f"transform({toks}, __w -> {h60_spark_sql('__w')})"
+    vote = (
+        "aggregate(hs, 0L, (acc, h) -> acc + "
+        "(case when (shiftright(h, {b}) & 1) = 1 then 1 else -1 end))"
     )
-
-    def vote(b: int) -> F.Column:
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == F.lit(1), F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-
-    sig = None
-    for b in range(bits):
-        term = F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
-    return base.select("doc_id", sig.alias("simhash"))
+    sig = " + ".join(
+        f"(case when {vote.format(b=b)} > 0 then {1 << b}L else 0L end)"
+        for b in range(bits)
+    )
+    base = docs.where(F.expr(f"size({toks}) >= 1")).select(
+        F.col(id_col).alias("doc_id"), F.expr(hs).alias("hs")
+    )
+    return base.select("doc_id", F.expr(sig).alias("simhash"))
 
 
 def simhash_near_dupes(
@@ -491,16 +510,13 @@ def simhash_near_dupes(
     bands = max_hamming + 1
     width = -(-bits // bands)  # ceil
     sig = simhash(docs, bits=bits, text_col=text_col, id_col=id_col)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.expr(
-                    f"shiftright(simhash, {b * width}) & {(1 << width) - 1}"
-                ).alias("bval"),
-            )
+    # one SQL parse instead of `bands` struct builders (same tree)
+    band_structs = F.expr(
+        "array(" + ", ".join(
+            f"struct({b} as band, "
+            f"shiftright(simhash, {b * width}) & {(1 << width) - 1} as bval)"
             for b in range(bands)
-        ]
+        ) + ")"
     )
     # outer: length-`bands` literal array, never empty (text.py note).
     banded = sig.select("doc_id", "simhash", F.explode_outer(band_structs).alias("bs")).select(

@@ -51,6 +51,15 @@ def tokens_array(text_col: Column | str = "text") -> Column:
     return F.filter(F.split(col, r"\s+"), lambda w: F.length(w) > 0)
 
 
+def tokens_spark_sql(text_col: str = "text") -> str:
+    """Spark SQL text equivalent of :func:`tokens_array` — same
+    split-on-``\\s+``, drop-empty semantics, built as a string so wide
+    consumers (the 32-fold simhash/minhash signatures) can assemble
+    their whole expression in ONE ``F.expr`` parse instead of one
+    py4j round-trip per node (see functions.hashing.h28_spark_sql)."""
+    return f"filter(split({text_col}, '\\\\s+'), w -> length(w) > 0)"
+
+
 # NOTE on the *_outer explodes throughout this package: a plain
 # explode/posexplode over a COMPUTED array makes the optimizer infer
 # `size(arr) > 0 AND arr IS NOT NULL` (InferFiltersFromGenerate) and
