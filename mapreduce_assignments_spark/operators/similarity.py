@@ -71,6 +71,32 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """Spark SQL text twin of :func:`_dot` — identical expression tree
+    (zip_with product, left-to-right 0.0-seeded fold), built as a
+    string so literal-heavy consumers (:func:`ivf_assign`,
+    :func:`_pq_code_expr` — k x dim literal nodes each) assemble their
+    whole expression in ONE ``F.expr`` parse instead of one py4j
+    round-trip per node (the r15 hashing.h28_spark_sql discipline;
+    bit-identity is pytest-pinned against the Column forms)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        f" (acc, x) -> acc + x)"
+    )
+
+
+def _dlit(x: float) -> str:
+    """Exact Spark SQL double literal for a Python float: ``repr``
+    round-trips the IEEE value and the ``D`` suffix makes Spark parse
+    it with Double.parseDouble (without it, ``0.5`` is DECIMAL)."""
+    return f"{x!r}D"
+
+
+def _arr_lit(c: list) -> str:
+    """Spark SQL literal ``array<double>`` with exact values."""
+    return "array(" + ", ".join(_dlit(float(x)) for x in c) + ")"
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns — a sequential
     left-to-right fold in both Spark and DuckDB, so results agree."""
@@ -395,18 +421,15 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     with_norm = emb.select(
         "vec_id", "embedding", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("__n")
     )
-    cands = F.array(
-        *[
-            F.struct(
-                F.round(
-                    _dot(F.array(*[F.lit(x) for x in c]), F.col("embedding"))
-                    / (F.lit(norm(c)) * F.col("__n")),
-                    6,
-                ).alias("csim"),
-                F.lit(-cell_id).alias("nid"),
-            )
+    # one SQL parse instead of k x dim py4j literal nodes (same tree,
+    # bit-identity pytest-pinned against the Column form)
+    cands = F.expr(
+        "array(" + ", ".join(
+            f"struct(round({_dot_sql(_arr_lit(c), 'embedding')}"
+            f" / ({_dlit(norm(c))} * __n), 6) as csim,"
+            f" {-cell_id} as nid)"
             for cell_id, c in rows
-        ]
+        ) + ")"
     )
     return with_norm.select(
         "vec_id", "embedding", (-F.array_max(cands)["nid"]).cast("int").alias("cell")
@@ -1360,27 +1383,22 @@ def _pq_code_expr(cb: dict) -> Column:
     ties to the lowest code — a lazy when()-branch per subspace so
     each row evaluates only its own subspace's k distances, and the
     argmin is array_min over (d, code) structs (the ivf_assign
-    single-evaluation discipline)."""
-    expr = None
+    single-evaluation discipline).
+
+    Built as ONE SQL parse: the Column form was m x k x (d/m) py4j
+    literal nodes (~1.9 s of pure driver time per call at m=k=sd=8,
+    and pq_train re-calls it every Lloyd's round). Same expression
+    tree; bit-identity pytest-pinned against the Column form."""
+    branches = []
     for j in sorted(cb):
-        cands = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        F.lit(_seq_dot(c, c))
-                        - 2 * _dot(F.array(*[F.lit(x) for x in c]), F.col("sv"))
-                        + F.col("__n2"),
-                        6,
-                    ).alias("d"),
-                    F.lit(code).alias("code"),
-                )
-                for code, c in cb[j]
-            ]
+        cands = ", ".join(
+            f"struct(round({_dlit(_seq_dot(c, c))}"
+            f" - 2 * {_dot_sql(_arr_lit(c), 'sv')}"
+            f" + __n2, 6) as d, {code} as code)"
+            for code, c in cb[j]
         )
-        branch = F.array_min(cands)["code"]
-        cond = F.col("subspace") == j
-        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
-    return expr.cast("int")
+        branches.append(f"when subspace = {j} then array_min(array({cands})).code")
+    return F.expr("cast(case " + " ".join(branches) + " end as int)")
 
 
 def _collect_codebook(codebooks: DataFrame) -> dict:

@@ -86,6 +86,105 @@ def _minhash_column_form(docs, n=3, num_hashes=16, text_col="text", id_col="doc_
     return base.select("doc_id", sig.alias("sig"))
 
 
+@pytest.fixture()
+def vecs(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_assign_sql_matches_column_form(vecs):
+    import math
+
+    from mapreduce_assignments_spark.operators import similarity as S
+
+    cen = S.ivf_train(vecs, k=4, n_iter=1)
+    rows = sorted(
+        (int(r["cell_id"]), [float(x) for x in r["c"]])
+        for r in cen.select("cell_id", "c").collect()
+    )
+
+    def norm(c):
+        s = 0.0
+        for x in c:
+            s += x * x
+        return math.sqrt(s)
+
+    embd = S._as_double(vecs)
+    with_norm = embd.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(S._dot(F.col("embedding"), F.col("embedding"))).alias("__n"),
+    )
+    # the pre-r15 Column-API candidate array, verbatim
+    cands = F.array(
+        *[
+            F.struct(
+                F.round(
+                    S._dot(F.array(*[F.lit(x) for x in c]), F.col("embedding"))
+                    / (F.lit(norm(c)) * F.col("__n")),
+                    6,
+                ).alias("csim"),
+                F.lit(-cell_id).alias("nid"),
+            )
+            for cell_id, c in rows
+        ]
+    )
+    old = {
+        r["vec_id"]: r["cell"]
+        for r in with_norm.select(
+            "vec_id", (-F.array_max(cands)["nid"]).cast("int").alias("cell")
+        ).collect()
+    }
+    new = {r["vec_id"]: r["cell"] for r in S.ivf_assign(vecs, cen).collect()}
+    assert new == old
+
+
+def test_pq_code_expr_sql_matches_column_form(vecs):
+    from mapreduce_assignments_spark.operators import similarity as S
+
+    cbdf = S.pq_train(vecs, m=4, k=4, n_iter=2)
+    cb = S._collect_codebook(cbdf)
+    m = len(cb)
+    sd = len(next(iter(cb.values()))[0][1])
+    sub = S._pq_subvectors(S._as_double(vecs), m, sd)
+    # the pre-r15 Column-API when()-chain, verbatim
+    expr = None
+    for j in sorted(cb):
+        cands = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        F.lit(S._seq_dot(c, c))
+                        - 2 * S._dot(F.array(*[F.lit(x) for x in c]), F.col("sv"))
+                        + F.col("__n2"),
+                        6,
+                    ).alias("d"),
+                    F.lit(code).alias("code"),
+                )
+                for code, c in cb[j]
+            ]
+        )
+        branch = F.array_min(cands)["code"]
+        cond = F.col("subspace") == j
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    old = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in sub.select(
+            "vec_id", "subspace", expr.cast("int").alias("code")
+        ).collect()
+    }
+    new = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in S.pq_codes(vecs, cbdf).collect()
+    }
+    assert new == old
+
+
 def test_simhash_sql_matches_column_form(docs):
     for bits in (1, 7, 62):
         new = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=bits).collect()}
