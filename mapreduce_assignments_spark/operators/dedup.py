@@ -991,11 +991,21 @@ def record_linkage_pairs(
     path collects no stats, and at forced-class scale the prune's
     absence is the dangerous direction).
     """
-    keyed = df.select(
-        F.col(id_col).alias("rid"),
-        F.col(name_col).alias("name"),
-        *[F.col(c) for c in block_cols],
-    ).where(F.col("name").isNotNull())
+    from ..sources.tables import ensure_min_parallelism
+
+    # Every stage below (variant explode, candidate join, DP verify)
+    # is CPU-dense narrow work inheriting this frame's partitioning —
+    # a one-row-group input would run it all on ONE task (measured:
+    # the sf0.1 candidate join 10.5 -> 2.6 s from this alone). The
+    # guard repartitions only under-split inputs; real multi-split
+    # corpora pass through with no exchange (guide §2.5).
+    keyed = ensure_min_parallelism(
+        df.select(
+            F.col(id_col).alias("rid"),
+            F.col(name_col).alias("name"),
+            *[F.col(c) for c in block_cols],
+        ).where(F.col("name").isNotNull())
+    )
     if method == "auto":
         method = "fastss" if max_distance <= 2 else "blocked"
     if method == "fastss" and max_distance > 2:

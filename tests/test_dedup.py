@@ -843,3 +843,32 @@ def test_cluster_aware_split_leak_free_and_total(spark):
     for r in out.collect():
         if r["doc_id"] not in paired:
             assert r["rep"] == r["doc_id"]
+
+
+def test_record_linkage_parallelizes_single_partition_input(spark):
+    """r15: the CPU-dense candidate stages must not inherit a
+    one-partition layout from a single-row-group input — the operator
+    round-robins under-split inputs (and leaves well-split ones
+    alone), with identical output either way."""
+    from mapreduce_assignments_spark.operators.dedup import record_linkage_pairs
+
+    rows = [(i, f"name {i:03d}", "A") for i in range(40)]
+    from mapreduce_assignments_spark.sources.tables import ensure_min_parallelism
+
+    one_part = spark.createDataFrame(rows, "id long, name string, blk string").coalesce(1)
+    # the guard the operator now applies to its keyed frame: a
+    # 1-partition input must come out round-robin split (the final
+    # plan can't show it — the verify barrier truncates lineage)
+    assert ensure_min_parallelism(one_part).rdd.getNumPartitions() > 1
+    df = record_linkage_pairs(
+        one_part, id_col="id", name_col="name", block_cols=["blk"], max_distance=1
+    )
+    pre_split = spark.createDataFrame(rows, "id long, name string, blk string").repartition(8)
+    expect = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in record_linkage_pairs(
+            pre_split, id_col="id", name_col="name", block_cols=["blk"], max_distance=1
+        ).collect()
+    }
+    got = {(r["id_a"], r["id_b"], r["distance"]) for r in df.collect()}
+    assert got == expect
