@@ -47,6 +47,7 @@ __all__ = [
     "exact_duplicates",
     "shingles",
     "ngram_jaccard_pairs",
+    "exact_jaccard_for_pairs",
     "containment_pairs",
     "minhash_signatures",
     "minhash_lsh_candidates",
@@ -173,6 +174,68 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def exact_jaccard_for_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """True n-gram Jaccard for a GIVEN pair set — ``(doc_a, doc_b,
+    jaccard)`` for exactly those input pairs that share at least one
+    shingle (zero-overlap pairs drop, same as the inverted join).
+
+    The candidate-bounded twin of :func:`ngram_jaccard_pairs`
+    (threshold 0): instead of materializing the ENTIRE pair universe
+    of the shingle-sharing graph and filtering to the pairs of
+    interest afterwards, the pair list drives two joins back into the
+    shingle stream (the prefix_jaccard ``verify="rejoin"`` shape) and
+    the intersection is counted per supplied pair. Compute is
+    Σ_pairs |A| rows — bounded by the candidate set, not by
+    hot-shingle document frequency, which is what makes it safe on a
+    skewed 100 TB corpus where an uncapped threshold-0 inverted join
+    is the classic blowup (round-14 VERDICT). The jaccard expression
+    reuses the exact integer operands and division shape of
+    :func:`ngram_jaccard_pairs`, so values are bit-identical.
+
+    ``pairs`` must be one row per (doc_a, doc_b) — duplicate rows
+    would double-count intersections.
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False  # sizes + both rejoin sides — one materialization
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    p = pairs.select("doc_a", "doc_b")
+    inter = (
+        p.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
     )
 
 

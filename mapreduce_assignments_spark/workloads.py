@@ -3983,8 +3983,19 @@ def q_minhash_calibration(spark, sf_dir):
     the absolute error — the calibration report that justifies (or
     indicts) a banding configuration before running it at 100 TB."""
     docs = _docs(spark, sf_dir)
-    cands = dedup.minhash_lsh_candidates(docs, threshold=0.3)
-    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.0)
+    # candidate set feeds BOTH the rejoin and the final join — one
+    # materialization (lazy: plan-only consumers stay job-free)
+    cands = dedup.minhash_lsh_candidates(docs, threshold=0.3).localCheckpoint(
+        eager=False
+    )
+    # r15 (round-14 VERDICT item 3): TRUE Jaccard via the
+    # candidate-bounded rejoin instead of ngram_jaccard_pairs
+    # (threshold=0.0) — the uncapped threshold-0 inverted join
+    # materialized the whole shingle-sharing pair universe before the
+    # join below bounded the OUTPUT; compute is now bounded by the
+    # LSH candidate set itself (same rows, bit-identical jaccard —
+    # see exact_jaccard_for_pairs).
+    exact = dedup.exact_jaccard_for_pairs(docs, cands)
     return cands.join(exact, ["doc_a", "doc_b"]).select(
         "doc_a",
         "doc_b",

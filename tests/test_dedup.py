@@ -872,3 +872,40 @@ def test_record_linkage_parallelizes_single_partition_input(spark):
     }
     got = {(r["id_a"], r["id_b"], r["distance"]) for r in df.collect()}
     assert got == expect
+
+
+def test_exact_jaccard_for_pairs_matches_threshold0_join(spark):
+    """r15: the candidate-bounded rejoin must emit exactly the rows
+    (and bit-identical jaccard values) of the old shape — the
+    threshold-0 inverted join inner-joined to the pair list — for
+    pairs with shared shingles, and drop zero-overlap pairs."""
+    from mapreduce_assignments_spark.operators.dedup import (
+        exact_jaccard_for_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d x y"),
+            (3, "a b c q r s"),
+            (4, "totally different words here now"),
+            (5, "a b"),  # too short for 3-shingles -> no shingle rows
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3)], "doc_a long, doc_b long"
+    )
+    old = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in pairs.join(
+            ngram_jaccard_pairs(docs, threshold=0.0), ["doc_a", "doc_b"]
+        ).collect()
+    }
+    new = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in exact_jaccard_for_pairs(docs, pairs).collect()
+    }
+    assert new == old
+    assert (1, 2) in new and (1, 4) not in new and (1, 5) not in new
