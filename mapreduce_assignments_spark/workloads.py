@@ -198,13 +198,20 @@ def q_hourly_counts_errors(spark, sf_dir):
 
 
 def q_pricing_summary(spark, sf_dir):
-    return relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+    # r15: the one-row-group lineitem scan+partial-agg otherwise runs
+    # on a single task (guide §2.5); decimal aggregates are
+    # order-independent, so the round-robin is value-exact
+    return relational.pricing_summary(
+        _parallelize(load_table(spark, sf_dir, "lineitem"))
+    )
 
 
 def q_top_revenue_orders(spark, sf_dir):
     out = relational.top_revenue_orders(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "orders"),
+        # r15: split the one-row-group big sides (decimal-exact sums,
+        # see q_pricing_summary)
+        _parallelize(load_table(spark, sf_dir, "lineitem")),
+        _parallelize(load_table(spark, sf_dir, "orders")),
         load_table(spark, sf_dir, "customer"),
         k=10,
     )
@@ -213,8 +220,10 @@ def q_top_revenue_orders(spark, sf_dir):
 
 def q_revenue_by_nation(spark, sf_dir):
     return relational.revenue_by_nation(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "orders"),
+        # r15: split the one-row-group big sides (decimal-exact sums,
+        # see q_pricing_summary)
+        _parallelize(load_table(spark, sf_dir, "lineitem")),
+        _parallelize(load_table(spark, sf_dir, "orders")),
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
         load_table(spark, sf_dir, "region"),
