@@ -153,7 +153,11 @@ def tf_idf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     when it fits; N is a scalar cross join. The double is rounded to
     6dp so ranking ties resolve identically across engines.
     """
-    tfs = term_frequencies(docs, text_col=text_col, id_col=id_col)
+    # two consumers (dfs + the idf join) — one tokenization
+    # materialization (ngram_jaccard_pairs checkpoint discipline)
+    tfs = term_frequencies(docs, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
     dfs = tfs.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.count("*").alias("n"))
     return (
@@ -239,7 +243,10 @@ def bm25_scores(
     if k < 1:
         raise ValueError("k must be >= 1")
     if tfs is None:
-        tfs = term_frequencies(docs, text_col=text_col, id_col=id_col)
+        # two consumers (dl + qt) — one tokenization materialization
+        tfs = term_frequencies(
+            docs, text_col=text_col, id_col=id_col
+        ).localCheckpoint(eager=False)
     dl = tfs.groupBy("docid").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
     qt = tfs.where(F.col("term").isin(*query_terms))
@@ -298,7 +305,10 @@ def query_likelihood_scores(
     if not 0.0 < lam < 1.0:
         raise ValueError("lam must be in (0, 1)")
     if tfs is None:
-        tfs = term_frequencies(docs, text_col=text_col, id_col=id_col)
+        # multiple consumers (dl, qt->cf, qt join) — one tokenization
+        tfs = term_frequencies(
+            docs, text_col=text_col, id_col=id_col
+        ).localCheckpoint(eager=False)
     dl = tfs.groupBy("docid").agg(F.sum("tf").alias("dl"))
     total = dl.agg(F.sum("dl").alias("coll_total"))
     qt = tfs.where(F.col("term").isin(*query_terms))
@@ -466,7 +476,13 @@ def mrr_eval(
         .where(F.col("term").isNotNull())
         .distinct()
     )
-    tfs = term_frequencies(docs, text_col=text_col, id_col=id_col)
+    # three consumers (dl, dfs, the scored join) — one tokenization
+    # materialization instead of three (the ngram_jaccard_pairs
+    # checkpoint discipline, ~0.5 s at sf0.1; lazy so plan-only
+    # consumers stay job-free)
+    tfs = term_frequencies(docs, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
     dl = tfs.groupBy("docid").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
     dfs = (
