@@ -607,23 +607,19 @@ def lsh_buckets(
         raise ValueError(f"n_planes={n_planes} not divisible by n_bands={n_bands}")
     r = n_planes // n_bands
     planes = lsh_hyperplanes(n_planes, dim)
-    v = F.col(vec_col).cast("array<double>")
+    # one SQL parse instead of n_planes x dim py4j literal nodes
+    # (~1k round-trips per call, and lsh_topk calls this twice) —
+    # identical expression tree, bit-identity pytest-pinned against
+    # the Column form (the r15 h28_spark_sql discipline)
+    v = f"cast({vec_col} as array<double>)"
     bits = [
-        (
-            F.round(
-                F.aggregate(
-                    F.zip_with(v, F.array(*[F.lit(w) for w in planes[p]]), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            )
-            >= 0
-        ).cast("int")
+        f"cast((round({_dot_sql(v, _arr_lit(planes[p]))}, 6) >= 0) as int)"
         for p in range(n_planes)
     ]
     buckets = [
-        sum((bits[b * r + j] * F.lit(1 << j)) for j in range(r)).cast("int")
+        "cast((0 + "
+        + " + ".join(f"({bits[b * r + j]} * {1 << j})" for j in range(r))
+        + ") as int)"
         for b in range(n_bands)
     ]
     # outer: the bucket array is a length-n_bands literal (never
@@ -633,7 +629,9 @@ def lsh_buckets(
     return embeddings.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
-        F.posexplode_outer(F.array(*buckets)).alias("band", "bucket"),
+        F.posexplode_outer(F.expr("array(" + ", ".join(buckets) + ")")).alias(
+            "band", "bucket"
+        ),
     )
 
 

@@ -206,3 +206,48 @@ def test_minhash_sql_matches_column_form(docs):
             for r in _minhash_column_form(docs, num_hashes=num_hashes).collect()
         }
         assert new == old, f"minhash num_hashes={num_hashes} drifted from Column form"
+
+
+def test_lsh_buckets_sql_matches_column_form(vecs):
+    from mapreduce_assignments_spark.operators import similarity as S
+
+    n_planes, n_bands, dim = 8, 4, 16
+    r = n_planes // n_bands
+    planes = S.lsh_hyperplanes(n_planes, dim)
+    # the pre-r15 Column-API bucket expressions, verbatim
+    v = F.col("embedding").cast("array<double>")
+    bits = [
+        (
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(w) for w in planes[p]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            >= 0
+        ).cast("int")
+        for p in range(n_planes)
+    ]
+    buckets = [
+        sum((bits[b * r + j] * F.lit(1 << j)) for j in range(r)).cast("int")
+        for b in range(n_bands)
+    ]
+    old = {
+        (r_["vec_id"], r_["band"]): r_["bucket"]
+        for r_ in vecs.select(
+            "vec_id", F.posexplode_outer(F.array(*buckets)).alias("band", "bucket")
+        ).collect()
+    }
+    new = {
+        (r_["vec_id"], r_["band"]): r_["bucket"]
+        for r_ in S.lsh_buckets(
+            vecs, "vec_id", "embedding", n_planes, n_bands, dim
+        ).collect()
+    }
+    assert new == old
