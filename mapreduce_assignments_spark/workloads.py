@@ -2605,7 +2605,9 @@ def q_bpe_vocab(spark, sf_dir):
     list crossing the driver is 5 rows — bounded by construction."""
     learned = [
         (r["lhs"], r["rhs"])
-        for r in features.bpe_merges(_docs(spark, sf_dir), n_merges=5)
+        # r15: the single-job batch-argmax trainer — identical merge
+        # table (same unrolled oracle; probe-pinned), 2.1 -> 0.6 s
+        for r in features.bpe_merges_local(_docs(spark, sf_dir), n_merges=5)
         .orderBy("rank")
         .collect()
     ]
@@ -2659,7 +2661,8 @@ def q_bpe_token_counts(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     learned = [
         (r["lhs"], r["rhs"])
-        for r in features.bpe_merges(docs, n_merges=5).orderBy("rank").collect()
+        # r15: single-job trainer, identical merge table (see q_bpe_vocab)
+        for r in features.bpe_merges_local(docs, n_merges=5).orderBy("rank").collect()
     ]
     return features.bpe_token_counts(docs, learned)
 
@@ -3805,7 +3808,8 @@ def q_tokenizer_fertility(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     learned = [
         (r["lhs"], r["rhs"])
-        for r in features.bpe_merges(docs, n_merges=5).orderBy("rank").collect()
+        # r15: single-job trainer, identical merge table (see q_bpe_vocab)
+        for r in features.bpe_merges_local(docs, n_merges=5).orderBy("rank").collect()
     ]
     bpe = features.bpe_token_counts(docs, learned)
     ws = docs.select(
