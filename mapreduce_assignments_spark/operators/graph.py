@@ -144,10 +144,12 @@ def pagerank(
     Returns ``(id, pr)`` with Σpr = 1 (±1e-9) after every iteration.
 
     Pass ``residuals=[]`` to collect the per-iteration L1 delta
-    ``Σ|pr_i - pr_{i-1}|`` (the convergence-monitoring signal; one
-    extra bounded-scalar aggregation per iteration over the already-
-    cached state — the default path is bit-for-bit unchanged when the
-    parameter is omitted).
+    ``Σ|pr_i - pr_{i-1}|`` (the convergence-monitoring signal). Each
+    iteration's delta rides the NEXT iteration's state materialization
+    as a second observe metric — tracking adds ONE scalar-agg job for
+    the final iteration's delta instead of one per iteration (r15).
+    The default path is bit-for-bit unchanged when the parameter is
+    omitted.
 
     Note: for the duration of the loop this aligns
     ``spark.sql.shuffle.partitions`` with ``num_partitions`` (the
@@ -197,19 +199,38 @@ def pagerank(
                 )
             else:
                 # tracking variant: carry the previous pr through the
-                # same join so the delta can be aggregated from cache
+                # same join so the delta can be aggregated from cache.
+                # r15: iteration i-1's residual Σ|pr_{i-1} − pr_{i-2}|
+                # rides THIS materialization as a SECOND observe metric
+                # (`ranks` carries the two pr generations as columns),
+                # so tracking no longer pays a separate scalar-agg job
+                # per iteration — only the final iteration's delta
+                # needs one job after the loop. Same double summands in
+                # a different sum order: the same ulp-drift class as
+                # the dangling-mass total, absorbed by the consumer's
+                # round-6 (equivalence pinned by the oracle at two SFs
+                # and tests/test_graph.py residual assertions).
+                sel = [
+                    "id",
+                    F.col("pr").alias("prev_pr"),
+                    F.coalesce("recv", F.lit(0.0)).alias("recv"),
+                ]
+                metrics = [F.sum("recv").alias("total")]
+                if i > 0:
+                    sel.append(F.col("prev").alias("prev2"))
+                    metrics.append(
+                        F.sum(F.abs(F.col("prev_pr") - F.col("prev2"))).alias("resid")
+                    )
                 state = (
                     ranks.join(recv, "id", "left")
-                    .select(
-                        "id",
-                        F.col("pr").alias("prev_pr"),
-                        F.coalesce("recv", F.lit(0.0)).alias("recv"),
-                    )
-                    .observe(obs, F.sum("recv").alias("total"))
+                    .select(*sel)
+                    .observe(obs, *metrics)
                     .cache()
                 )
             state.write.format("noop").mode("overwrite").save()
             total = obs.get["total"] or 0.0
+            if residuals is not None and i > 0:
+                residuals.append(obs.get["resid"])
             # the noop write materialized `state`, so the previous
             # iteration's cached state is dead — release it now (a long
             # run must not accumulate one cached DataFrame per iter).
@@ -221,19 +242,26 @@ def pagerank(
                 F.lit(alpha / n)
                 + F.lit(1.0 - alpha) * (F.col("recv") + F.lit(missing / n))
             )
-            if residuals is not None:
-                # bounded scalar off the cached state (kcore-count
-                # discipline); raw double sum + round-6 — the same
-                # order-drift class the dangling-mass total already is
-                [row] = state.agg(
-                    F.sum(F.abs(new_pr - F.col("prev_pr"))).alias("d")
-                ).collect()
-                residuals.append(row["d"])
-            ranks = state.select("id", new_pr.alias("pr"))
+            if residuals is None:
+                ranks = state.select("id", new_pr.alias("pr"))
+            else:
+                # carry this iteration's input pr forward so the next
+                # materialization's observe can compute the delta
+                ranks = state.select(
+                    "id", new_pr.alias("pr"), F.col("prev_pr").alias("prev")
+                )
             if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
                 ranks = ckpt(ranks)
         # materialize the result, then release every cached helper.
         ranks = ckpt(ranks)
+        if residuals is not None and n_iter > 0:
+            # the final iteration's delta: ONE bounded scalar agg over
+            # the just-checkpointed ranks (which still carry prev)
+            [row] = ranks.agg(
+                F.sum(F.abs(F.col("pr") - F.col("prev"))).alias("d")
+            ).collect()
+            residuals.append(row["d"])
+            ranks = ranks.select("id", "pr")
     if prev_state is not None:
         prev_state.unpersist()
     links.unpersist()

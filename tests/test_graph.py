@@ -479,6 +479,28 @@ def test_pagerank_residuals_track_convergence(fixture_graph):
     assert rs[-1] < rs[0]  # power iteration contracts
 
 
+def test_pagerank_residuals_match_independent_recompute(fixture_graph):
+    """The r15 deferred-observe residuals equal an independent
+    recomputation of Σ|pr_i − pr_{i−1}| from per-iteration rank
+    snapshots at 6 dp (the consumer's rounding contract) — pins that
+    riding the NEXT materialization's observe changed only the sum
+    order, not the summands."""
+    df, nodes, edges = fixture_graph
+    rs: list = []
+    pagerank(df, n_iter=3, residuals=rs)
+    assert len(rs) == 3
+    # independent per-iteration snapshots: pr after 0..3 iterations
+    n = df.count()
+    snaps = [{r["id"]: 1.0 / n for r in df.select("id").collect()}]
+    for k in (1, 2, 3):
+        snaps.append(
+            {r["id"]: r["pr"] for r in pagerank(df, n_iter=k).collect()}
+        )
+    for i in (1, 2, 3):
+        expect = sum(abs(snaps[i][v] - snaps[i - 1][v]) for v in snaps[i])
+        assert round(rs[i - 1], 6) == pytest.approx(round(expect, 6), abs=2e-6)
+
+
 def test_harmonic_centrality_path_graph(spark):
     """Path 1-2-3-4 probed from sources [1, 2]: hand-computable
     harmonic sums and deterministic id tiebreaks."""
