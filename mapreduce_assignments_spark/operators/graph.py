@@ -651,34 +651,49 @@ def bfs_distances(nodes: DataFrame, sources: list[int], max_hops: int = 10) -> D
     one semi-join scatters the frontier to its neighbors, a distinct
     collapses fan-in, and an anti-join against the settled set keeps
     only first-time visits — each a key-partitioned hash join on node
-    id. The settled set and frontier are localCheckpoint'd per hop
-    (iterative-lineage discipline); the per-hop driver traffic is one
-    bounded boolean (frontier emptiness). At 100 TB the settled set
-    grows monotonically but each hop touches only frontier-adjacent
-    edges — the textbook Pregel BFS cost model.
+    id. ONE action per hop (r15): the frontier checkpoint resolves an
+    ``observe`` row count (the dedup_clusters discipline — an exact
+    integer, no drift class at all), which replaces the separate
+    ``isEmpty`` probe; and the settled set is NOT re-checkpointed per
+    hop — it is a union of already-checkpointed per-hop frontiers
+    (flat lineage, one LogicalRDD leaf per hop), so the per-hop
+    settled-set materialization job was pure overhead. At 100 TB the
+    settled set grows monotonically but each hop touches only
+    frontier-adjacent edges — the textbook Pregel BFS cost model.
     """
     edges = _undirected_edges(nodes).localCheckpoint(eager=True)
     nbrs = edges.select(F.col("a").alias("id"), F.col("b").alias("nbr")).unionAll(
         edges.select(F.col("b").alias("id"), F.col("a").alias("nbr"))
     )
-    spark = nodes.sparkSession
+    return _bfs_over_nbrs(nodes.sparkSession, nbrs, sources, max_hops)
+
+
+def _bfs_over_nbrs(
+    spark, nbrs: DataFrame, sources: list[int], max_hops: int
+) -> DataFrame:
+    """Frontier loop of :func:`bfs_distances` over a prebuilt
+    ``(id, nbr)`` adjacency stream — split out (r15) so multi-probe
+    callers (harmonic_centrality) build the symmetrized edge structure
+    ONCE instead of once per source."""
     dist = spark.createDataFrame(
         [(int(s), 0) for s in sources], "id int, dist int"
     ).localCheckpoint(eager=True)
     frontier = dist.select("id")
     for hop in range(1, max_hops + 1):
+        obs = Observation()
         nxt = (
             nbrs.join(frontier, "id", "left_semi")
             .select(F.col("nbr").alias("id"))
             .distinct()
             .join(dist, "id", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if (obs.get["n"] or 0) == 0:
             break
         dist = dist.unionAll(
             nxt.select("id", F.lit(hop).cast("int").alias("dist"))
-        ).localCheckpoint(eager=True)
+        )
         frontier = nxt
     return dist
 
@@ -785,13 +800,19 @@ def kcore(nodes: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
             .where(F.col("d") >= k)
             .select("id")
         )
+        # ONE action per round (r15): the surviving-edge count rides
+        # the checkpoint materialization as an observe metric (exact
+        # integer — the dedup_clusters discipline) instead of a
+        # separate count job over the fresh checkpoint.
+        obs = Observation()
         pruned = (
             edges.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
             .select("a", "b")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_pruned = pruned.count()
+        n_pruned = obs.get["n"] or 0
         if n_pruned == n_edges:
             break  # fixpoint: nothing peeled this round
         edges, n_edges = pruned, n_pruned
@@ -914,13 +935,18 @@ def harmonic_centrality(
     The probe-set formulation is the standard scale approximation
     (exact all-pairs harmonic is O(V·E)): accuracy grows with probe
     count, cost is one BFS per probe. Each BFS is the
-    level-synchronous frontier loop of :func:`bfs_distances` (settled
-    sets localCheckpoint'd per hop); the final combine is one
+    level-synchronous frontier loop of :func:`bfs_distances`, run over
+    ONE shared symmetrized edge structure (r15 — previously each probe
+    rebuilt and re-checkpointed it); the final combine is one
     aggregation over the union of per-probe distance tables.
     """
+    edges = _undirected_edges(nodes).localCheckpoint(eager=True)
+    nbrs = edges.select(F.col("a").alias("id"), F.col("b").alias("nbr")).unionAll(
+        edges.select(F.col("b").alias("id"), F.col("a").alias("nbr"))
+    )
     per_source = None
     for s in sources:
-        d = bfs_distances(nodes, [s], max_hops=max_hops)
+        d = _bfs_over_nbrs(nodes.sparkSession, nbrs, [s], max_hops)
         per_source = d if per_source is None else per_source.unionAll(d)
     scored = (
         per_source.where(F.col("dist") > 0)
