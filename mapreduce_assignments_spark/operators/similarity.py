@@ -355,23 +355,20 @@ def ivf_train(
         seed_idx.append(int(near.argmin()))
     seeds = [[float(x) for x in vecs[i]] for i in seed_idx]
     cen = spark.createDataFrame(list(enumerate(seeds)), schema)
+    dim = vecs.shape[1]
     for _ in range(n_iter):
         assigned = ivf_assign(emb, cen)
+        # r15: element-wise mean as dim per-position avg aggregates in
+        # ONE cell group-by — the posexplode shape paid a dim× row
+        # blowup plus a second exchange for the same partial sums.
         new_rows = (
-            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("v").alias("v"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                    lambda s: s["v"],
-                ).alias("c")
-            )
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col("embedding")[p]).alias(f"v{p}") for p in range(dim)])
             .collect()
         )
         cen = spark.createDataFrame(
-            [(r["cell"], r["c"]) for r in new_rows], schema
+            [(r["cell"], [float(r[f"v{p}"]) for p in range(dim)]) for r in new_rows],
+            schema,
         )
     return cen
 
@@ -1458,23 +1455,19 @@ def pq_train(
     sub = _pq_subvectors(emb, m, sd)
     for _ in range(n_iter):
         assigned = sub.withColumn("code", _pq_code_expr(cb))
+        # r15: element-wise mean as sd per-position avg aggregates in
+        # ONE (subspace, code) group-by — the posexplode shape paid an
+        # sd× row blowup plus a second exchange (pos-level then
+        # code-level) for the same partial-aggregated double sums.
         rows = (
-            assigned.select("subspace", "code", F.posexplode("sv").alias("pos", "v"))
-            .groupBy("subspace", "code", "pos")
-            .agg(F.avg("v").alias("v"))
-            .groupBy("subspace", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                    lambda s: s["v"],
-                ).alias("c")
-            )
+            assigned.groupBy("subspace", "code")
+            .agg(*[F.avg(F.col("sv")[p]).alias(f"v{p}") for p in range(sd)])
             .collect()
         )
         cb = {}
         for r in rows:
             cb.setdefault(int(r["subspace"]), []).append(
-                (int(r["code"]), [float(x) for x in r["c"]])
+                (int(r["code"]), [float(r[f"v{p}"]) for p in range(sd)])
             )
         for j in cb:
             cb[j].sort()
