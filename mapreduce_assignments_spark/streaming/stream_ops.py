@@ -21,6 +21,7 @@ in tests swaps for Kafka/rate in production with no operator change —
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pyspark.sql.functions as F
@@ -185,7 +186,18 @@ def maintain_snapshot(
     no-table-format cost; with Delta/Iceberg the same ``upsert``
     callback body becomes ``MERGE INTO`` and touches only matched
     files. State lives entirely at rest; the stream holds none.
+
+    r15: each batch is ONE Spark action — the merge writes to a
+    sibling temp directory (so the plan can stream straight from the
+    old snapshot files) and the directories are swapped with two
+    metadata-only filesystem ops. The previous shape materialized the
+    merge through an extra eager ``localCheckpoint`` action per batch
+    purely so the overwrite-in-place would not clobber its own input;
+    the swap also SHRINKS the non-atomic window (a rename, vs delete +
+    full rewrite while readers could observe a partial snapshot).
     """
+    import shutil
+
     from pyspark.errors import AnalysisException
 
     from ..operators.temporal import latest_snapshot
@@ -199,9 +211,12 @@ def maintain_snapshot(
         merged = latest_snapshot(
             existing.unionByName(batch_df), keys=keys, ts_col=ts_col, tiebreak=tiebreak
         )
-        # materialize BEFORE overwriting the path the plan reads from
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(path)
+        # write to a temp dir (the ONE action — it reads the old
+        # snapshot files directly), then swap directories
+        tmp = f"{path}__merge_tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
 
     # multi-batch replay is controlled by the caller's readStream
     # options (e.g. maxFilesPerTrigger) — the merge body is per-batch
