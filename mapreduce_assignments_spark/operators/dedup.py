@@ -149,7 +149,12 @@ def ngram_jaccard_pairs(
     # disk, vs three full tokenization passes — the CPU win holds as
     # long as local disk outruns re-tokenizing, which it does on
     # every measured config; eager=False keeps plan-only consumers
-    # job-free.
+    # job-free. Fault-tolerance trade (r14 ADVICE): localCheckpoint
+    # truncates lineage onto EXECUTOR-LOCAL storage — losing an
+    # executor now fails the job instead of recomputing the subtree.
+    # Fine on local[n]; on a preemptible-node cluster, prefer a
+    # reliable checkpoint dir (graph._checkpointer's pattern) or
+    # accept job retry as the recovery path.
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")

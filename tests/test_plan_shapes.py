@@ -186,6 +186,25 @@ def test_dsir_bucket_lookup_is_broadcast(spark, docs_table):
     assert "Python" not in plan
 
 
+def test_record_linkage_barriers_present_in_real_plan(spark):
+    """r14-ADVICE guard: the round-14 record_linkage perf wins depend
+    on two lazy localCheckpoint barriers (the banded-DP verify sits
+    ABOVE the candidate exchange; the expansion consumes verified
+    pairs instead of re-running the DP per output row). The fastss
+    shape tests monkeypatch localCheckpoint away to see through the
+    barriers — so they alone would not catch a refactor that silently
+    DROPS them. This asserts the real (unpatched) plan is rooted on a
+    checkpoint leaf (a barrier-less refactor exposes the raw join tree
+    and the count drops to 0). How many leaves are VISIBLE depends on
+    session conf — the topmost barrier hides subtrees, and join
+    planning under the fixture's 4 shuffle partitions differs from the
+    engine default — so this guards presence, not an exact count."""
+    from mapreduce_assignments_spark import workloads
+
+    plan = _plan(workloads.ALL_QUERIES["record_linkage"](spark, SF_DIR))
+    assert plan.count("Scan ExistingRDD") >= 1
+
+
 def test_record_linkage_class_path_no_cartesian(spark, monkeypatch):
     """Both fastss plans (forced class-level and forced instance-
     level) stay equi-join shaped — no cartesian/BNLJ fallback.
