@@ -3679,25 +3679,33 @@ def q_dedup_savings(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1)
     clusters = dedup.dedup_clusters(pairs)
-    keep = docs.join(
-        clusters.where(F.col("doc_id") != F.col("canonical_id")).select("doc_id"),
-        "doc_id",
-        "left_anti",
+    # r15: ONE tokenize pass — a left-join drop marker turns the old
+    # raw-agg + anti-join-agg + crossJoin (two corpus tokenizations)
+    # into two conditional LONG sums over one scan; integer sums are
+    # order-independent, so both totals are bit-identical to the
+    # two-pass shape.
+    drops = clusters.where(F.col("doc_id") != F.col("canonical_id")).select(
+        "doc_id", F.lit(1).alias("_drop")
     )
-    tok = lambda df: df.agg(  # noqa: E731
-        F.sum(F.size(text.tokens_array("text"))).cast("long").alias("t")
-    )
-    raw = tok(docs).select(F.col("t").alias("raw_tokens"))
-    kept = tok(keep).select(F.col("t").alias("dedup_tokens"))
-    return raw.crossJoin(kept).select(
-        "raw_tokens",
-        "dedup_tokens",
-        F.round(
-            (F.col("raw_tokens") - F.col("dedup_tokens"))
-            / F.col("raw_tokens")
-            * 100,
-            6,
-        ).alias("savings_pct"),
+    t = F.size(text.tokens_array("text")).cast("long")
+    return (
+        docs.join(drops, "doc_id", "left")
+        .agg(
+            F.sum(t).alias("raw_tokens"),
+            F.sum(F.when(F.col("_drop").isNull(), t).otherwise(F.lit(0))).alias(
+                "dedup_tokens"
+            ),
+        )
+        .select(
+            "raw_tokens",
+            "dedup_tokens",
+            F.round(
+                (F.col("raw_tokens") - F.col("dedup_tokens"))
+                / F.col("raw_tokens")
+                * 100,
+                6,
+            ).alias("savings_pct"),
+        )
     )
 
 
