@@ -285,10 +285,26 @@ def check_trend(
     return regressions
 
 
+# Sub-2s queries swing ±25% run-to-run on this box (scheduler noise >
+# real work), which made >10% regression statuses flap on queries with
+# byte-identical plans (r15 VERDICT item 6). Queries whose fastest
+# sample lands under the threshold get extra back-to-back runs (up to
+# _FAST_QUERY_RUNS total, ~1-2s each) so the reported min is a stable
+# noise-floor estimate. Additions-only: slower queries keep the base
+# --runs count and the JSON shape is unchanged.
+_FAST_QUERY_THRESHOLD_SEC = 2.0
+_FAST_QUERY_RUNS = 5
+
+
 def run_headline(spark, sf_dir: str, sf, runs: int) -> int:
     samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         samples[name] = [_time_query(spark, sf_dir, name) for _ in range(runs)]
+        while (
+            min(samples[name]) < _FAST_QUERY_THRESHOLD_SEC
+            and len(samples[name]) < _FAST_QUERY_RUNS
+        ):
+            samples[name].append(_time_query(spark, sf_dir, name))
         print(f"# {name}: {samples[name]}", file=sys.stderr)
     medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     minima = {n: round(min(s), 3) for n, s in samples.items()}
@@ -377,6 +393,88 @@ def run_full(
     return 1 if errors else 0
 
 
+# The sf0.1 headline cannot show scaling: at that size every query is
+# driver/scheduling-bound (7 of 20 run FASTER on 8 cores than 32 —
+# PERF_r15 scaling block). Scale evidence lives at sf1: the fixed list
+# below covers the operator families whose 100 TB shape actually moves
+# with input size (graph iteration loops, dedup verify joins, ANN cell
+# scoring, the calibration join). Each query runs in its OWN JVM
+# (tools/probe_one.py — round-8 lesson: successive heavy probes in a
+# shared local JVM hit heap pressure), min-of---full-runs, recorded to
+# docs/scale_probe_sf1.json + the trend file (mode "scale-probe").
+SCALE_PROBE_QUERIES = (
+    "pagerank", "kcore", "bfs_hops", "harmonic_centrality",
+    "record_linkage", "minhash_calibration", "verified_near_dupes",
+    "ivf_topk_trained", "mutual_knn_pairs", "embedding_near_dupes",
+    "dedup_savings",
+)
+
+
+def run_scale_probe(sf_dir: str, runs: int) -> int:
+    import subprocess
+
+    if not Path(sf_dir).is_dir():
+        print(json.dumps({
+            "metric": "scale_probe", "value": None, "unit": "sec",
+            "note": f"no sf1 replica at {sf_dir} — run tools/make_sf1.py",
+        }))
+        return 2
+    samples: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    for name in SCALE_PROBE_QUERIES:
+        cmd = [sys.executable, str(REPO / "tools" / "probe_one.py"),
+               name, sf_dir, "--runs", str(runs)]
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=1800
+            )
+            # progress-bar carriage returns can dirty piped stdout:
+            # take the last line that parses as JSON
+            rec = None
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    rec = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+            if rec is None:
+                raise ValueError(
+                    f"no JSON line in probe output (rc={proc.returncode})"
+                )
+            samples[name] = rec["times"]
+            print(f"# {name}: {samples[name]}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — keep probing the rest
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+    times = {n: min(s) for n, s in samples.items()}
+    result = {
+        "metric": "scale_probe",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "errors": errors,
+        "runs": runs,
+        "sf": 1.0,
+        "sf_dir": sf_dir,
+    }
+    try:
+        out = REPO / "docs" / "scale_probe_sf1.json"
+        out.parent.mkdir(exist_ok=True)
+        out.write_text(json.dumps(result, indent=2) + "\n")
+    except OSError as e:
+        print(f"# scale-probe write skipped: {e}", file=sys.stderr)
+    _append_trend({
+        "ts": time.time(),
+        "mode": "scale-probe",
+        "sf": 1.0,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+        "runs": runs,
+        "samples": samples,
+    })
+    print(json.dumps(result))
+    return 1 if errors else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="time every registered query once")
@@ -392,12 +490,26 @@ def main() -> int:
         "machinery, but skips the docs/bench_full_*.json write)",
     )
     ap.add_argument(
+        "--scale-probe", action="store_true",
+        help="time SCALE_PROBE_QUERIES at the sf1 replica (one fresh "
+        "JVM per query via tools/probe_one.py) and record "
+        "docs/scale_probe_sf1.json — the scaling evidence the sf0.1 "
+        "headline cannot provide (r15 VERDICT item 5)",
+    )
+    ap.add_argument(
+        "--scale-dir", default=str(REPO / ".localdata" / "sf1"),
+        help="data directory for --scale-probe (default .localdata/sf1)",
+    )
+    ap.add_argument(
         "--check", action="store_true",
         help="no timing: gate on docs/bench_trend.jsonl — fail if any "
         "query in the latest record regressed >2x vs its best same-"
         "git-rev median (see check_trend)",
     )
     args = ap.parse_args()
+
+    if args.scale_probe:
+        return run_scale_probe(args.scale_dir, max(1, args.full_runs))
 
     if args.check:
         trend = REPO / "docs" / "bench_trend.jsonl"

@@ -355,7 +355,17 @@ def ivf_train(
         seed_idx.append(int(near.argmin()))
     seeds = [[float(x) for x in vecs[i]] for i in seed_idx]
     cen = spark.createDataFrame(list(enumerate(seeds)), schema)
-    dim = vecs.shape[1]
+    # fixed-dimension contract (r15 ADVICE): the update step below
+    # builds one avg() per position, so every embedding must carry the
+    # sample's dimension; positions missing from a shorter array would
+    # silently contribute NULLs instead of the posexplode shape's
+    # present-positions-only semantics, and dim == 0 would make agg()
+    # throw. The wide aggregate is one expression per dimension —
+    # right-sized for the <=1k dims this engine targets; a 10k-dim
+    # space would want the posexplode shape back.
+    dim = int(vecs.shape[1])
+    if dim == 0:
+        raise ValueError("ivf_train: embeddings have dimension 0")
     for _ in range(n_iter):
         assigned = ivf_assign(emb, cen)
         # r15: element-wise mean as dim per-position avg aggregates in
@@ -1442,8 +1452,13 @@ def pq_train(
     if not first:
         return spark.createDataFrame([], schema)
     dim = len(first[0]["embedding"])
+    if dim == 0:
+        raise ValueError("pq_train: embeddings have dimension 0")
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    # fixed-dimension contract (r15 ADVICE): the update step builds one
+    # avg() per subvector position (sd of them) — shorter arrays would
+    # contribute NULLs at missing positions; see ivf_train's note.
     sd = dim // m
     cb: dict = {
         j: [

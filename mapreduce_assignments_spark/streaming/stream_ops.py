@@ -21,7 +21,6 @@ in tests swaps for Kafka/rate in production with no operator change —
 
 from __future__ import annotations
 
-import os
 from typing import Iterator
 
 import pyspark.sql.functions as F
@@ -189,21 +188,45 @@ def maintain_snapshot(
 
     r15: each batch is ONE Spark action — the merge writes to a
     sibling temp directory (so the plan can stream straight from the
-    old snapshot files) and the directories are swapped with two
+    old snapshot files) and the directories are swapped with
     metadata-only filesystem ops. The previous shape materialized the
     merge through an extra eager ``localCheckpoint`` action per batch
-    purely so the overwrite-in-place would not clobber its own input;
-    the swap also SHRINKS the non-atomic window (a rename, vs delete +
-    full rewrite while readers could observe a partial snapshot).
-    """
-    import shutil
+    purely so the overwrite-in-place would not clobber its own input.
 
+    r16: the swap goes through the Hadoop ``FileSystem`` API resolved
+    from the snapshot path's scheme (HDFS/S3A/ABFS/file:), not POSIX
+    ``os.replace`` — and it is crash-recoverable: the current snapshot
+    is renamed ASIDE (``<path>__prev``) before the new one is promoted,
+    and a batch that starts with the snapshot missing but the aside
+    present (a crash landed between the two renames) restores the
+    aside instead of silently restarting from an empty snapshot.
+    Object stores without atomic rename pay a copy for the aside step;
+    a lakehouse table format replaces this whole dance with MERGE, as
+    the docstring's first paragraph notes.
+    """
     from pyspark.errors import AnalysisException
 
     from ..operators.temporal import latest_snapshot
 
+    def _fs_and_path(spark, p: str):
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+    def _rename_or_raise(fs, src, dst) -> None:
+        if not fs.rename(src, dst):  # Hadoop rename reports, not raises
+            raise IOError(f"snapshot swap failed: rename {src} -> {dst}")
+
+    prev = f"{path}__prev"
+
     def upsert(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        fs, dst = _fs_and_path(spark, path)
+        _, aside = _fs_and_path(spark, prev)
+        if not fs.exists(dst) and fs.exists(aside):
+            # a crash landed between rename-aside and promote: the
+            # aside copy IS the snapshot — restore it
+            _rename_or_raise(fs, aside, dst)
         try:
             existing = spark.read.parquet(path)
         except AnalysisException:
@@ -215,8 +238,12 @@ def maintain_snapshot(
         # snapshot files directly), then swap directories
         tmp = f"{path}__merge_tmp_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path, ignore_errors=True)
-        os.replace(tmp, path)
+        _, tmp_p = _fs_and_path(spark, tmp)
+        fs.delete(aside, True)  # stale aside from an earlier batch
+        if fs.exists(dst):
+            _rename_or_raise(fs, dst, aside)
+        _rename_or_raise(fs, tmp_p, dst)
+        fs.delete(aside, True)
 
     # multi-batch replay is controlled by the caller's readStream
     # options (e.g. maxFilesPerTrigger) — the merge body is per-batch

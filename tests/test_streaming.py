@@ -186,6 +186,56 @@ def test_maintain_snapshot_incremental_merge(spark, tmp_path):
     assert got == {(10, "click"): 2, (11, "view"): 3}
 
 
+def test_maintain_snapshot_recovers_aside_copy_after_crash(spark, tmp_path):
+    """r16 swap contract: the snapshot swap renames the current dir
+    ASIDE before promoting the merge output. A crash between the two
+    renames leaves the snapshot missing but the aside present; the
+    next batch must RESTORE the aside (not silently restart from an
+    empty snapshot and lose every pre-crash key)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.streaming import EVENTS_SCHEMA, maintain_snapshot
+
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def run_batch(rows, src, snap):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(src)
+            .select("user_id", "event_type", "event_id", "ts", "value")
+        )
+        maintain_snapshot(
+            stream, snap, keys=("user_id", "event_type"), tiebreak="event_id"
+        )
+
+    snap = str(tmp_path / "snap")
+    run_batch(
+        [(1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}")],
+        str(tmp_path / "src1"), snap,
+    )
+    # simulate the crash window: snapshot renamed aside, promote lost
+    os.rename(snap, f"{snap}__prev")
+    run_batch(
+        [(2, "2024-01-01 01:00:00", 11, "view", 2.0, "{}")],
+        str(tmp_path / "src2"), snap,
+    )
+    got = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in spark.read.parquet(snap).collect()
+    }
+    # key 10 came from the recovered aside copy, key 11 from the batch
+    assert got == {(10, "click"): 1, (11, "view"): 2}
+    assert not os.path.exists(f"{snap}__prev")
+
+
 def test_streaming_enriched_counts_stream_static_join(spark, tmp_path):
     import pyspark.sql.functions as F
 
