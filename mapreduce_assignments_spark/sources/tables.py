@@ -39,9 +39,32 @@ _TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+# Loaded-table plan memo (r16, guide §1.2 driver latency): each
+# load_table call pays ~0.1-0.15 s of driver work (parquet file
+# listing + footer schema read + the dtypes analysis the timestamp
+# rebuild triggers), and a full bench run calls it several hundred
+# times over the same ten static paths. The memo returns the SAME
+# immutable lazy DataFrame (a plan, never rows — every action still
+# scans parquet from scratch), keyed by the session so a foreign
+# session gets its own load (and its conf pins). This is what a table
+# catalog does; at 100 TB the session catalog's file-index cache
+# plays this role.
+_LOADED: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (id(spark._jsparkSession), sf_dir, name)
+    cached = _LOADED.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _LOADED[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Both confs are runtime-settable SQL confs; callers' sessions
     # (the correctness harness builds its own vanilla SparkSession)
     # won't have them. Without nanosAsLong the vectorized reader

@@ -93,7 +93,19 @@ _MINHASH_FLAT = f"""
 _BOOLEAN_QUERY = "hash join AND scan OR"  # (hash AND join) OR scan
 
 
-def _parallelize(df: DataFrame) -> DataFrame:
+# split-count memo for _parallelize: the probe physically plans the
+# scan (~0.1-0.2 s of driver latency) and its result is a pure
+# function of (table files, session split confs), both fixed for a
+# process — so probe each table once, not once per query
+# construction (r16; the full bench constructs _docs/_emb-guarded
+# frames several hundred times). Metadata only — no row, plan, or
+# result is cached; a table directory that gains files mid-process
+# would at worst keep the old repartition decision (a perf heuristic,
+# never a correctness input).
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
+
+
+def _parallelize(df: DataFrame, _memo_key: tuple[str, str] | None = None) -> DataFrame:
     """Small-input parallelization: the testdata documents/embeddings
     parquet is ONE row group, so Spark's byte-based splitting gives a
     single partition and every CPU-heavy narrow transform (shingling,
@@ -103,18 +115,28 @@ def _parallelize(df: DataFrame) -> DataFrame:
     no shuffle is added."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    # JVM-side partition count (queryExecution().rdd() — physical
-    # planning only, no job, no Python-RDD serializer conversion; the
-    # Python df.rdd property would bolt a javaToPython stage onto
-    # every query's setup).
-    n_parts = df._jdf.rdd().getNumPartitions()
+    n_parts = _SCAN_PARTS.get(_memo_key) if _memo_key else None
+    if n_parts is None:
+        # JVM-side partition count (queryExecution().rdd() — physical
+        # planning only, no job, no Python-RDD serializer conversion;
+        # the Python df.rdd property would bolt a javaToPython stage
+        # onto every query's setup).
+        n_parts = df._jdf.rdd().getNumPartitions()
+        if _memo_key:
+            _SCAN_PARTS[_memo_key] = n_parts
     if n_parts < max(2, target // 2):
         return df.repartition(target)
     return df
 
 
+def _ptable(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`load_table` + `_parallelize` with the split-count probe
+    memoized per (sf_dir, table)."""
+    return _parallelize(load_table(spark, sf_dir, name), _memo_key=(sf_dir, name))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _parallelize(load_table(spark, sf_dir, "documents"))
+    return _ptable(spark, sf_dir, "documents")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,7 +144,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _parallelize(load_table(spark, sf_dir, "embeddings"))
+    return _ptable(spark, sf_dir, "embeddings")
 
 
 # ----------------------------------------------------------------------------
@@ -202,7 +224,7 @@ def q_pricing_summary(spark, sf_dir):
     # on a single task (guide §2.5); decimal aggregates are
     # order-independent, so the round-robin is value-exact
     return relational.pricing_summary(
-        _parallelize(load_table(spark, sf_dir, "lineitem"))
+        _ptable(spark, sf_dir, "lineitem")
     )
 
 
@@ -210,8 +232,8 @@ def q_top_revenue_orders(spark, sf_dir):
     out = relational.top_revenue_orders(
         # r15: split the one-row-group big sides (decimal-exact sums,
         # see q_pricing_summary)
-        _parallelize(load_table(spark, sf_dir, "lineitem")),
-        _parallelize(load_table(spark, sf_dir, "orders")),
+        _ptable(spark, sf_dir, "lineitem"),
+        _ptable(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "customer"),
         k=10,
     )
@@ -222,8 +244,8 @@ def q_revenue_by_nation(spark, sf_dir):
     return relational.revenue_by_nation(
         # r15: split the one-row-group big sides (decimal-exact sums,
         # see q_pricing_summary)
-        _parallelize(load_table(spark, sf_dir, "lineitem")),
-        _parallelize(load_table(spark, sf_dir, "orders")),
+        _ptable(spark, sf_dir, "lineitem"),
+        _ptable(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
         load_table(spark, sf_dir, "region"),
