@@ -109,7 +109,10 @@ def ensure_min_parallelism(df: DataFrame, factor: float = 0.5) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = max(1, int(sc.defaultParallelism * factor))
-    if df.rdd.getNumPartitions() < target:
+    # JVM-side partition count (physical planning only, no job): the
+    # Python ``df.rdd`` property would additionally build a
+    # javaToPython conversion stage on every query construction.
+    if df._jdf.rdd().getNumPartitions() < target:
         return df.repartition(target)
     return df
 
