@@ -403,11 +403,16 @@ def ivf_train(
     if n == 0:
         return spark.createDataFrame([], schema)
     fraction = min(1.0, init_sample_size / n)
-    sample = (
+    # collect unsorted and sort driver-side: the sample is ≤
+    # init_sample_size rows by construction, and a distributed orderBy
+    # before a full collect is one extra exchange+sort stage for rows
+    # the driver re-materializes anyway (vec_id is unique, so the
+    # Python sort is the identical order).
+    sample = sorted(
         deterministic_sample(emb, "vec_id", fraction)
         .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
     if not sample:  # degenerate fraction rounding: fall back to one row
         sample = emb.orderBy("vec_id").limit(1).collect()

@@ -3986,14 +3986,22 @@ def q_pq_recall_report(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     cb = similarity.pq_train(emb, m=8, k=8, n_iter=2)
     approx = similarity.pq_adc_topk(emb, cb, n_queries=5, topk=10)
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # r16: hoist the self-norms out of the per-pair scoring — ||v||²
+    # once per corpus ROW and ||qv||² once per QUERY instead of three
+    # folds per (corpus × queries) pair (guide §2.3 / the
+    # brute_force_topk discipline). Same fold producing the same
+    # double, combined in the same vv − 2·dot + qq order →
+    # bit-identical d2.
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("vv", _dot(F.col("v"), F.col("v")))
     q = e.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vv").alias("qq"),
     )
     d2 = F.round(
-        _dot(F.col("v"), F.col("v"))
-        - 2 * _dot(F.col("v"), F.col("qv"))
-        + _dot(F.col("qv"), F.col("qv")),
+        F.col("vv") - 2 * _dot(F.col("v"), F.col("qv")) + F.col("qq"),
         6,
     )
     w = Window.partitionBy("query_id").orderBy(d2.asc(), F.col("vec_id").asc())
