@@ -107,12 +107,24 @@ def ensure_min_parallelism(df: DataFrame, factor: float = 0.5) -> DataFrame:
     no exchange. Row values are untouched, so set-semantics outputs
     (and their oracles) are unaffected.
     """
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = max(1, int(sc.defaultParallelism * factor))
-    # JVM-side partition count (physical planning only, no job): the
-    # Python ``df.rdd`` property would additionally build a
-    # javaToPython conversion stage on every query construction.
-    if df._jdf.rdd().getNumPartitions() < target:
+    # JVM-side partition count (the Python ``df.rdd`` property would
+    # additionally build a javaToPython conversion stage) — probed
+    # with AQE disabled: finalizing an AdaptiveSparkPlan MATERIALIZES
+    # its shuffle stages, so probing a frame that already contains an
+    # exchange (e.g. one routed through ``_parallelize``) ran a real
+    # job per query construction (measured: 1 job / 0.25 s AQE-on vs
+    # 0 jobs / 1 ms AQE-off, same count — the guard only needs the
+    # STATIC layout; AQE re-planning still applies at execution).
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        n_parts = df._jdf.rdd().getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    if n_parts < target:
         return df.repartition(target)
     return df
 
